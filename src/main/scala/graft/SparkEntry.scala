@@ -1,13 +1,40 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Queries are grouped into packs under graft.queries; this object is the
+  * flat registry the driver consumes. Every query takes (spark, sfDir) and
+  * reads only the driver-provided parquet tables (TESTDATA.md).
+  */
 object SparkEntry {
+
+  /** Session confs the queries rely on regardless of who built the session.
+    * nanosAsLong: events.parquet carries TIMESTAMP(NANOS) which Spark cannot
+    * read natively; the legacy conf maps it to LongType (ns since epoch),
+    * matching DuckDB's epoch_ns() on the oracle side. */
+  def ensureConfs(spark: SparkSession): SparkSession = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark
+  }
+
+  private def packs: Seq[(Map[String, (SparkSession, String) => DataFrame], Map[String, String])] =
+    Seq(
+      (graft.queries.CoreQueries.all, graft.queries.CoreQueries.oracles))
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    queries("q05_join_equi")(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    packs.map(_._1).reduce(_ ++ _).map { case (k, f) =>
+      k -> ((s: SparkSession, d: String) => f(ensureConfs(s), d))
+    }
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] =
+    packs.map(_._2).reduce(_ ++ _)
 }

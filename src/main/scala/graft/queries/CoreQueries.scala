@@ -1,0 +1,341 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** Core relational operator coverage (SURVEY.md §2.1–2.8): filtered scans,
+  * conditional aggregates, exact quantiles, lag/lead/row_number windows,
+  * equi/broadcast joins, parameter-grid fan-out, top-k, union, scalar
+  * functions.
+  *
+  * Design: every query is a declarative DataFrame plan — filters/projections
+  * push down to the parquet scan, small dimensions are broadcast, grids are
+  * exploded literals (no driver-side loops) — so each plan scales to a
+  * multi-executor cluster unchanged.
+  *
+  * Floating-point outputs are rounded on BOTH the Spark and DuckDB-oracle
+  * side so that summation-order differences (which are inevitable across
+  * engines/partitionings) cannot flip the comparison hash.
+  */
+object CoreQueries {
+
+  /** Number of decimals for aggregate doubles: coarse enough to absorb
+    * cross-engine summation-order noise, fine enough to be a real check. */
+  private val R = 2
+
+  type Q = (SparkSession, String) => DataFrame
+
+  // ---------------------------------------------------------------------------
+  // q01 — filtered scan + projection (S1/P1-ish). Pushdown visible in explain:
+  // PushedFilters on l_quantity/l_shipdate; ReadSchema limited to 5 columns.
+  // Ref: sql/gen600_2down_template.sql:59-64 (filtered fact-table scan).
+  def q01FilteredScan(spark: SparkSession, d: String): DataFrame =
+    Tables.lineitem(spark, d)
+      .filter(col("l_quantity") > 45 &&
+        col("l_shipdate") <= to_timestamp(lit("1995-12-31 00:00:00")))
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        col("l_extendedprice"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
+  val q01Sql: String =
+    """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+      |FROM lineitem
+      |WHERE l_quantity > 45 AND l_shipdate <= TIMESTAMP '1995-12-31 00:00:00'
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // q02 — grouped conditional aggregates: countIf/sumIf/avgIf family (A1/A2,
+  // 847+212+92 uses in the reference; ref sql/gen600_2down_template.sql:232-250).
+  // Partial (map-side) aggregation is native; one shuffle on the group keys.
+  def q02CondAgg(spark: SparkSession, d: String): DataFrame =
+    Tables.lineitem(spark, d)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        count(lit(1)).as("n"),
+        count_if(col("l_discount") > 0.05).as("n_disc"),
+        round(sum(when(col("l_discount") > 0.05, col("l_extendedprice"))), R).as("sum_disc_price"),
+        round(avg(when(col("l_quantity") > 25, col("l_extendedprice"))), R).as("avg_hi_price"),
+        round(min(col("l_extendedprice")), R).as("min_price"),
+        round(max(col("l_extendedprice")), R).as("max_price"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  val q02Sql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  count(*) AS n,
+      |  count(*) FILTER (WHERE l_discount > 0.05) AS n_disc,
+      |  round(sum(l_extendedprice) FILTER (WHERE l_discount > 0.05), 2) AS sum_disc_price,
+      |  round(avg(l_extendedprice) FILTER (WHERE l_quantity > 25), 2) AS avg_hi_price,
+      |  round(min(l_extendedprice), 2) AS min_price,
+      |  round(max(l_extendedprice), 2) AS max_price
+      |FROM lineitem GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // q03 — exact inclusive percentile per group (A3: quantile(q); Spark
+  // `percentile` and DuckDB `quantile_cont` share type-7 linear interpolation).
+  def q03Quantile(spark: SparkSession, d: String): DataFrame =
+    Tables.lineitem(spark, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(percentile(col("l_extendedprice"), lit(0.5)), 4).as("p50"),
+        round(percentile(col("l_extendedprice"), lit(0.95)), 4).as("p95"),
+        round(percentile(col("l_quantity"), lit(0.25)), 4).as("q25_qty"))
+      .orderBy(col("l_returnflag"))
+
+  val q03Sql: String =
+    """SELECT l_returnflag,
+      |  round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+      |  round(quantile_cont(l_extendedprice, 0.95), 4) AS p95,
+      |  round(quantile_cont(l_quantity, 0.25), 4) AS q25_qty
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // q04 — lag/lead/row_number windows (W1/W2/W3: 292+55+53 uses; ref
+  // sql/gen01_single_feature.sql:38-43, gen111:65-68). Windows are
+  // partitioned by event_type so the multi-series sweep parallelizes — the
+  // reference's single-series ORDER BY becomes partitionBy+orderBy (§2.5 W9).
+  def q04WindowLagLead(spark: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type")).orderBy(col("ts_us"), col("event_id"))
+    Tables.events(spark, d)
+      .select(col("event_id"), col("event_type"), expr("ts div 1000").as("ts_us"), col("value"))
+      .withColumn("prev_value", lag(col("value"), 1).over(w))
+      .withColumn("prev2_value", lag(col("value"), 2).over(w))
+      .withColumn("next_value", lead(col("value"), 1).over(w))
+      .withColumn("rn", row_number().over(w))
+      .orderBy(col("event_id"))
+  }
+
+  val q04Sql: String =
+    """SELECT event_id, event_type, epoch_us(ts) AS ts_us, value,
+      |  lag(value, 1) OVER w AS prev_value,
+      |  lag(value, 2) OVER w AS prev2_value,
+      |  lead(value, 1) OVER w AS next_value,
+      |  row_number() OVER w AS rn
+      |FROM events
+      |WINDOW w AS (PARTITION BY event_type ORDER BY epoch_us(ts), event_id)
+      |ORDER BY event_id""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // q05 — multi-way equi join + aggregate (J6). nation is tiny → Catalyst
+  // auto-broadcasts it (visible as BroadcastHashJoin); orders⋈customer is the
+  // real shuffle. Ref: introspect.py:55-95.
+  def q05JoinEqui(spark: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(spark, d)
+    val c = Tables.customer(spark, d)
+    val n = Tables.nation(spark, d)
+    o.join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice")), R).as("total_price"))
+      .orderBy(col("n_name"))
+  }
+
+  val q05Sql: String =
+    """SELECT n_name, count(*) AS n_orders, round(sum(o_totalprice), 2) AS total_price
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |GROUP BY n_name ORDER BY n_name""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // q06 — broadcast star join over two dimension hops (region→nation→customer).
+  def q06BroadcastStar(spark: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(spark, d)
+    val n = Tables.nation(spark, d)
+    val r = Tables.region(spark, d)
+    c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(count(lit(1)).as("n_cust"), round(avg(col("c_acctbal")), 4).as("avg_bal"))
+      .orderBy(col("r_name"))
+  }
+
+  val q06Sql: String =
+    """SELECT r_name, count(*) AS n_cust, round(avg(c_acctbal), 4) AS avg_bal
+      |FROM customer JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY r_name ORDER BY r_name""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // q07 — parameter-grid fan-out (J3/J4: CROSS JOIN of a literal grid; ref
+  // sql/gen200_triple_barrier.sql:172-189 "inline explode instead of cross
+  // join"). The grid is an exploded literal array — a 3-row broadcast, no
+  // shuffle added; at scale the same shape fans 434 barrier combos out over
+  // signals.
+  def q07GridFanout(spark: SparkSession, d: String): DataFrame = {
+    val grid = spark.range(1).select(
+      explode(array(lit(0.02), lit(0.05), lit(0.08))).as("thr"))
+    Tables.lineitem(spark, d)
+      .crossJoin(broadcast(grid))
+      .groupBy(col("thr"))
+      .agg(count_if(col("l_discount") >= col("thr")).as("n_ge"),
+        round(sum(when(col("l_discount") >= col("thr"),
+          col("l_extendedprice") * col("l_discount"))), R).as("disc_revenue"))
+      .orderBy(col("thr"))
+  }
+
+  val q07Sql: String =
+    """SELECT thr, count(*) FILTER (WHERE l_discount >= thr) AS n_ge,
+      |  round(sum(l_extendedprice * l_discount) FILTER (WHERE l_discount >= thr), 2) AS disc_revenue
+      |FROM lineitem CROSS JOIN
+      |  (SELECT unnest(CAST([0.02, 0.05, 0.08] AS DOUBLE[])) AS thr) g
+      |GROUP BY thr ORDER BY thr""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // q08 — top-k with deterministic tie-break (O2/O4; ref walk_forward.py:223-258).
+  // TakeOrderedAndProject physical op: no full sort, per-partition heaps.
+  def q08TopK(spark: SparkSession, d: String): DataFrame =
+    Tables.orders(spark, d)
+      .groupBy(col("o_custkey"))
+      .agg(round(sum(col("o_totalprice")), R).as("total_spent"),
+        count(lit(1)).as("n_orders"))
+      .orderBy(col("total_spent").desc, col("o_custkey"))
+      .limit(10)
+
+  val q08Sql: String =
+    """SELECT o_custkey, round(sum(o_totalprice), 2) AS total_spent, count(*) AS n_orders
+      |FROM orders GROUP BY o_custkey
+      |ORDER BY total_spent DESC, o_custkey LIMIT 10""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // q09 — UNION ALL of labelled config branches (U1; ref
+  // sql/gen01_single_feature.sql:71-215, 18 branches). unionByName keeps
+  // the branches schema-aligned.
+  def q09Union(spark: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(spark, d)
+    def branch(name: String, pred: Column): DataFrame =
+      li.filter(pred).agg(
+        lit(name).as("combo_name"),
+        count(lit(1)).as("signal_count"),
+        round(avg(col("l_extendedprice")), R).as("avg_price"))
+        .select(col("combo_name"), col("signal_count"), col("avg_price"))
+    branch("hi_qty", col("l_quantity") > 40)
+      .unionByName(branch("low_disc", col("l_discount") < 0.02))
+      .unionByName(branch("ret_r", col("l_returnflag") === "R"))
+      .orderBy(col("combo_name"))
+  }
+
+  val q09Sql: String =
+    """SELECT * FROM (
+      |  SELECT 'hi_qty' AS combo_name, count(*) AS signal_count,
+      |         round(avg(l_extendedprice), 2) AS avg_price
+      |  FROM lineitem WHERE l_quantity > 40
+      |  UNION ALL
+      |  SELECT 'low_disc', count(*), round(avg(l_extendedprice), 2)
+      |  FROM lineitem WHERE l_discount < 0.02
+      |  UNION ALL
+      |  SELECT 'ret_r', count(*), round(avg(l_extendedprice), 2)
+      |  FROM lineitem WHERE l_returnflag = 'R'
+      |) ORDER BY combo_name""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // q10 — scalar-function battery (§2.8: concat/lpad/cast, year(), CASE
+  // ladder, nullif guard, least/greatest; ref gen720 barrier_id synthesis
+  // sql/gen720_wf_2down_template.sql:123-125, gen200:254).
+  def q10ScalarFuncs(spark: SparkSession, d: String): DataFrame =
+    Tables.orders(spark, d)
+      .select(
+        col("o_orderkey"),
+        concat(lit("o"), lpad(col("o_orderkey").cast("string"), 9, "0")).as("order_tag"),
+        year(col("o_orderdate")).as("yr"),
+        round(least(col("o_totalprice"), lit(100000.0)), R).as("capped"),
+        round(greatest(col("o_totalprice") - 50000.0, lit(0.0)), R).as("excess"),
+        when(col("o_orderstatus") === "F", lit("finished"))
+          .when(col("o_orderstatus") === "O", lit("open"))
+          .otherwise(lit("other")).as("status_label"),
+        round(col("o_totalprice") / nullif(year(col("o_orderdate")) - lit(1995), lit(0)), 4)
+          .as("per_yr"))
+      .orderBy(col("o_orderkey"))
+
+  val q10Sql: String =
+    """SELECT o_orderkey,
+      |  concat('o', lpad(CAST(o_orderkey AS VARCHAR), 9, '0')) AS order_tag,
+      |  year(o_orderdate) AS yr,
+      |  round(least(o_totalprice, 100000.0), 2) AS capped,
+      |  round(greatest(o_totalprice - 50000.0, 0.0), 2) AS excess,
+      |  CASE WHEN o_orderstatus = 'F' THEN 'finished'
+      |       WHEN o_orderstatus = 'O' THEN 'open'
+      |       ELSE 'other' END AS status_label,
+      |  round(o_totalprice / nullif(year(o_orderdate) - 1995, 0), 4) AS per_yr
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // q11 — last-N tail alignment (O2: ORDER BY ts DESC LIMIT N re-sorted ASC;
+  // ref sql/gen720_wf_2down_template.sql:34-47). Implemented as a DESC
+  // row_number filter so it stays distributed (no global limit collect).
+  def q11LastNAlign(spark: SparkSession, d: String): DataFrame = {
+    val wDesc = Window.partitionBy(col("event_type"))
+      .orderBy(col("ts_us").desc, col("event_id").desc)
+    Tables.events(spark, d)
+      .withColumn("ts_us", expr("ts div 1000"))
+      .withColumn("rdesc", row_number().over(wDesc))
+      .filter(col("rdesc") <= 100)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_tail"),
+        round(sum(col("value")), 4).as("tail_value"),
+        min(col("ts_us")).as("tail_start_us"))
+      .orderBy(col("event_type"))
+  }
+
+  val q11Sql: String =
+    """SELECT event_type, count(*) AS n_tail, round(sum(value), 4) AS tail_value,
+      |  min(ts_us) AS tail_start_us
+      |FROM (
+      |  SELECT event_type, value, epoch_us(ts) AS ts_us,
+      |    row_number() OVER (PARTITION BY event_type ORDER BY epoch_us(ts) DESC, event_id DESC) AS rdesc
+      |  FROM events)
+      |WHERE rdesc <= 100 GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // q12 — running (expanding) window aggregates (W4: count(*) OVER ROWS
+  // UNBOUNDED PRECEDING warmup gate; ref gen111:47,96) + running sum.
+  def q12RunningCount(spark: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    Tables.events(spark, d)
+      .filter(col("user_id") < 10)
+      .select(col("event_id"), col("user_id"), expr("ts div 1000").as("ts_us"), col("value"))
+      .withColumn("bar_count", count(lit(1)).over(w))
+      .withColumn("running_value", round(sum(col("value")).over(w), 4))
+      .orderBy(col("event_id"))
+  }
+
+  val q12Sql: String =
+    """SELECT event_id, user_id, epoch_us(ts) AS ts_us, value,
+      |  count(*) OVER w AS bar_count,
+      |  round(sum(value) OVER w, 4) AS running_value
+      |FROM events WHERE user_id < 10
+      |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+      |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |ORDER BY event_id""".stripMargin
+
+  val all: Map[String, Q] = Map(
+    "q01_filtered_scan" -> (q01FilteredScan _),
+    "q02_cond_agg" -> (q02CondAgg _),
+    "q03_quantile" -> (q03Quantile _),
+    "q04_window_lag_lead" -> (q04WindowLagLead _),
+    "q05_join_equi" -> (q05JoinEqui _),
+    "q06_broadcast_star" -> (q06BroadcastStar _),
+    "q07_grid_fanout" -> (q07GridFanout _),
+    "q08_topk" -> (q08TopK _),
+    "q09_union" -> (q09Union _),
+    "q10_scalar_funcs" -> (q10ScalarFuncs _),
+    "q11_lastn_align" -> (q11LastNAlign _),
+    "q12_running_count" -> (q12RunningCount _))
+
+  val oracles: Map[String, String] = Map(
+    "q01_filtered_scan" -> q01Sql,
+    "q02_cond_agg" -> q02Sql,
+    "q03_quantile" -> q03Sql,
+    "q04_window_lag_lead" -> q04Sql,
+    "q05_join_equi" -> q05Sql,
+    "q06_broadcast_star" -> q06Sql,
+    "q07_grid_fanout" -> q07Sql,
+    "q08_topk" -> q08Sql,
+    "q09_union" -> q09Sql,
+    "q10_scalar_funcs" -> q10Sql,
+    "q11_lastn_align" -> q11Sql,
+    "q12_running_count" -> q12Sql)
+}

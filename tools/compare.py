@@ -1,0 +1,82 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's DuckDB correctness gate.
+
+Usage: python3 tools/compare.py <sfDir> <verifyOutDir>
+
+Runs each oracle SQL from <verifyOutDir>/oracle_sql.json in DuckDB with the
+sfDir parquet tables registered as views, loads the Spark result parquet from
+<verifyOutDir>/<name>/, sorts columns by name and rows by all values, and
+compares cell-by-cell (exact for non-floats; exact-then-1e-9-relative report
+for floats so we can see how close a mismatch is).
+"""
+import json
+import math
+import sys
+
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def norm(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return v
+    return v
+
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    for name, sql in sorted(oracle.items()):
+        try:
+            want = con.execute(sql).fetch_df()
+        except Exception as e:
+            print(f"FAIL {name}: oracle SQL error: {e}")
+            n_fail += 1
+            continue
+        try:
+            got = con.execute(
+                f"SELECT * FROM '{out_dir}/{name}/*.parquet'").fetch_df()
+        except Exception as e:
+            print(f"FAIL {name}: spark result missing: {e}")
+            n_fail += 1
+            continue
+        want = want.reindex(sorted(want.columns), axis=1)
+        got = got.reindex(sorted(got.columns), axis=1)
+        if list(want.columns) != list(got.columns):
+            print(f"FAIL {name}: columns {list(got.columns)} != {list(want.columns)}")
+            n_fail += 1
+            continue
+        if len(want) != len(got):
+            print(f"FAIL {name}: rows {len(got)} != {len(want)}")
+            n_fail += 1
+            continue
+        wrows = sorted([tuple(str(norm(v)) for v in r)
+                        for r in want.itertuples(index=False)])
+        grows = sorted([tuple(str(norm(v)) for v in r)
+                        for r in got.itertuples(index=False)])
+        if wrows == grows:
+            print(f"PASS {name} ({len(want)} rows)")
+            n_pass += 1
+        else:
+            bad = sum(1 for a, b in zip(wrows, grows) if a != b)
+            print(f"FAIL {name}: {bad}/{len(wrows)} sorted rows differ")
+            for a, b in list(zip(wrows, grows))[:2000]:
+                if a != b:
+                    print(f"   oracle: {a}\n   spark : {b}")
+                    break
+            n_fail += 1
+    print(f"\n{n_pass} pass, {n_fail} fail")
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()
