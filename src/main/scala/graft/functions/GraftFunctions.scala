@@ -1,0 +1,146 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.graftbridge.GraftBridge
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Gauss error function, double precision (fractional-expansion algorithm
+  * of commons-math3's Erf). Used by the statistical layer (z→p conversion,
+  * normal CDF). Reference uses ClickHouse's built-in `erf`
+  * (sql/gen01_single_feature.sql:67).
+  */
+case class ErfExpr(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(v: Any): Any =
+    org.apache.commons.math3.special.Erf.erf(v.asInstanceOf[Double])
+  override protected def withNewChildInternal(c: Expression): ErfExpr = copy(c)
+  override def prettyName: String = "graft_erf"
+}
+
+/** Abramowitz & Stegun 7.1.26 rational approximation of erf (|err| ≤ 1.5e-7).
+  * Exists alongside the precise ErfExpr because the DuckDB oracle has no
+  * erf at all: oracle queries spell out this exact formula in SQL, and this
+  * expression evaluates the identical arithmetic on the Spark side, so both
+  * engines agree to the last ulp rather than to 1.5e-7.
+  */
+object ErfAS {
+  def erfAS(x: Column): Column = {
+    val ax = abs(x)
+    val t = lit(1.0) / (lit(1.0) + lit(0.3275911) * ax)
+    val poly = (((((lit(1.061405429) * t - lit(1.453152027)) * t) + lit(1.421413741)) * t
+      - lit(0.284496736)) * t + lit(0.254829592)) * t
+    val y = lit(1.0) - poly * exp(-(ax * ax))
+    when(x < 0, -y).otherwise(y)
+  }
+
+  /** The same formula as DuckDB SQL text, for oracle queries. `x` must be a
+    * SQL expression string. */
+  def duckSql(x: String): String = {
+    val t = s"(1.0 / (1.0 + 0.3275911 * abs($x)))"
+    val poly = s"((((((1.061405429 * $t - 1.453152027) * $t) + 1.421413741) * $t" +
+      s" - 0.284496736) * $t + 0.254829592) * $t)"
+    val y = s"(1.0 - $poly * exp(-(abs($x) * abs($x))))"
+    s"(CASE WHEN $x < 0 THEN -$y ELSE $y END)"
+  }
+}
+
+/** Exact exclusive quantile over an array column — ClickHouse
+  * `quantileExactExclusive` / Excel PERCENTILE.EXC semantics (the
+  * reference's load-bearing operator, 177 window uses; semantics proven by
+  * sql/verify_atomic_nolookahead.sql:49-77):
+  * h = q·(n+1); h<1 → min; h≥n → max; else interpolate between the
+  * floor(h)-th and (floor(h)+1)-th order statistics (1-based). NULL
+  * elements are skipped; empty/all-NULL input → NULL.
+  *
+  * Used as `quantile_exact_exclusive(collect_list(x) OVER frame, q)` for
+  * the no-lookahead rolling/expanding quantiles. O(w log w) per row, which
+  * at the reference's frame sizes (≤1000) is ~10⁴ flops/row — fine even at
+  * 100 TB since the work is per-row within a partitioned window, no extra
+  * shuffle. (A TypedImperativeAggregate with an order-statistics tree is
+  * the planned end-state if frames grow.)
+  */
+case class QuantileExactExclusive(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(arrAny: Any, qAny: Any): Any = {
+    val ad = arrAny.asInstanceOf[ArrayData]
+    val n0 = ad.numElements()
+    val buf = new Array[Double](n0)
+    var m = 0
+    var i = 0
+    while (i < n0) {
+      if (!ad.isNullAt(i)) { buf(m) = ad.getDouble(i); m += 1 }
+      i += 1
+    }
+    if (m == 0) null
+    else {
+      java.util.Arrays.sort(buf, 0, m)
+      val q = qAny.asInstanceOf[Double]
+      val h = q * (m + 1)
+      if (h < 1.0) buf(0)
+      else if (h >= m) buf(m - 1)
+      else {
+        val fh = math.floor(h)
+        val idx = fh.toInt // 1-based order statistic
+        buf(idx - 1) + (h - fh) * (buf(idx) - buf(idx - 1))
+      }
+    }
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+  override def prettyName: String = "quantile_exact_exclusive"
+}
+
+/** Column-level API + SQL registration for the graft custom functions. */
+object GraftFunctions {
+
+  def erf(c: Column): Column =
+    GraftBridge.toColumn(ErfExpr(GraftBridge.toExpr(c)))
+
+  def erfAS(c: Column): Column = ErfAS.erfAS(c)
+
+  def quantileExactExclusive(arr: Column, q: Double): Column =
+    GraftBridge.toColumn(QuantileExactExclusive(
+      GraftBridge.toExpr(arr), GraftBridge.toExpr(lit(q))))
+
+  /** Normal CDF Φ(x) via precise erf. */
+  def normCdf(c: Column): Column =
+    lit(0.5) * (lit(1.0) + erf(c / lit(math.sqrt(2.0))))
+
+  /** Sample-adjusted skewness G1 (ClickHouse skewSamp / DuckDB skewness)
+    * from Spark's population g1. `n` = non-null count column. */
+  def skewSamp(x: Column, n: Column): Column =
+    skewness(x) * sqrt(n * (n - lit(1))) / (n - lit(2))
+
+  /** Sample excess kurtosis G2 (DuckDB kurtosis) from Spark's population
+    * excess g2. */
+  def kurtSampExcess(x: Column, n: Column): Column =
+    ((n + lit(1)) * kurtosis(x) + lit(6)) * (n - lit(1)) /
+      ((n - lit(2)) * (n - lit(3)))
+
+  /** Raw (non-excess) kurtosis, normal→3 — the convention the reference's
+    * DSR math expects (eval/dsr.py:36-43 uses kurt−3). */
+  def kurtRaw(x: Column): Column = kurtosis(x) + lit(3.0)
+
+  /** Register SQL-callable versions so reference-shaped queries can be
+    * written in spark.sql as well as the DSL. */
+  def register(spark: SparkSession): Unit = {
+    import org.apache.spark.sql.catalyst.expressions.Cast
+    val reg = spark.sessionState.functionRegistry
+    // SQL numeric literals arrive as Decimal; cast to the expected types
+    // (the DSL path goes through lit(...) doubles and needs no cast).
+    reg.createOrReplaceTempFunction("graft_erf",
+      es => ErfExpr(Cast(es.head, DoubleType)), "scala_udf")
+    reg.createOrReplaceTempFunction("quantile_exact_exclusive",
+      es => QuantileExactExclusive(
+        Cast(es.head, ArrayType(DoubleType)), Cast(es(1), DoubleType)), "scala_udf")
+  }
+}

@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.GraftFunctions
+
+class GraftFunctionsSpec extends GraftSuite {
+  import spark.implicits._
+
+  private def qexc(xs: Seq[java.lang.Double], q: Double): Option[Double] = {
+    val df = Seq(1).toDF("i").select(
+      GraftFunctions.quantileExactExclusive(
+        array(xs.map(v => if (v == null) lit(null) else lit(v.doubleValue)): _*), q).as("r"))
+    val row = df.first()
+    if (row.isNullAt(0)) None else Some(row.getDouble(0))
+  }
+
+  test("quantile_exact_exclusive matches PERCENTILE.EXC hand goldens") {
+    // Excel PERCENTILE.EXC({1,2,3,4}, 0.25) = 1.25: h = 0.25*5 = 1.25
+    assert(qexc(Seq(1.0, 2.0, 3.0, 4.0).map(Double.box), 0.25).get === 1.25)
+    // h = 0.5*5 = 2.5 → 2 + 0.5*(3-2) = 2.5
+    assert(qexc(Seq(1.0, 2.0, 3.0, 4.0).map(Double.box), 0.5).get === 2.5)
+    // unsorted input must be sorted internally
+    assert(qexc(Seq(4.0, 1.0, 3.0, 2.0).map(Double.box), 0.5).get === 2.5)
+    // clamp low: h = 0.01*5 < 1 → min
+    assert(qexc(Seq(1.0, 2.0, 3.0, 4.0).map(Double.box), 0.01).get === 1.0)
+    // clamp high: h = 0.95*5 = 4.75 >= 4 → max
+    assert(qexc(Seq(1.0, 2.0, 3.0, 4.0).map(Double.box), 0.95).get === 4.0)
+    // single element → that element for any q
+    assert(qexc(Seq(7.0).map(Double.box), 0.5).get === 7.0)
+  }
+
+  test("quantile_exact_exclusive skips NULLs; all-null/empty → NULL") {
+    assert(qexc(Seq(Double.box(1.0), null, Double.box(3.0), null, Double.box(2.0)), 0.5).get === 2.0)
+    assert(qexc(Seq(null, null), 0.5).isEmpty)
+    assert(qexc(Seq(), 0.5).isEmpty)
+  }
+
+  test("erf matches known table values to 1e-12") {
+    val got = Seq(0.0, 0.5, 1.0, 2.0, -1.0).toDF("x")
+      .select(GraftFunctions.erf(col("x")).as("e")).collect().map(_.getDouble(0))
+    val want = Seq(0.0, 0.5204998778130465, 0.8427007929497149,
+      0.9953222650189527, -0.8427007929497149)
+    got.zip(want).foreach { case (g, w) => assert(math.abs(g - w) < 1e-12, s"$g vs $w") }
+  }
+
+  test("erfAS approximation stays within 1.5e-7 of precise erf") {
+    val df = spark.range(-400, 401).select(($"id" / 100.0).as("x"))
+      .select(abs(GraftFunctions.erf($"x") - GraftFunctions.erfAS($"x")).as("d"))
+    val maxD = df.agg(max($"d")).first().getDouble(0)
+    assert(maxD < 1.5e-7, s"max |erf - erfAS| = $maxD")
+  }
+
+  test("SQL registration: graft_erf and quantile_exact_exclusive callable from spark.sql") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      "SELECT graft_erf(1.0) AS e, quantile_exact_exclusive(array(1.0,2.0,3.0,4.0), 0.5) AS q")
+      .first()
+    assert(math.abs(r.getDouble(0) - 0.8427007929497149) < 1e-12)
+    assert(r.getDouble(1) === 2.5)
+  }
+
+  test("moment shims reproduce sample G1/G2 from a driver-side computation") {
+    val xs = Seq(1.0, 2.0, 2.5, 3.0, 4.5, 5.0, 7.5, 9.0, 11.0, 2.0)
+    val n = xs.size
+    val mean = xs.sum / n
+    val m2 = xs.map(v => math.pow(v - mean, 2)).sum / n
+    val m3 = xs.map(v => math.pow(v - mean, 3)).sum / n
+    val m4 = xs.map(v => math.pow(v - mean, 4)).sum / n
+    val g1 = m3 / math.pow(m2, 1.5)
+    val g2 = m4 / (m2 * m2) - 3
+    val wantG1 = g1 * math.sqrt(n.toDouble * (n - 1)) / (n - 2)
+    val wantG2 = ((n + 1) * g2 + 6.0) * (n - 1) / ((n - 2).toDouble * (n - 3))
+    val df = xs.toDF("x").agg(
+      graft.functions.GraftFunctions.skewSamp(col("x"), count(col("x"))).as("s"),
+      graft.functions.GraftFunctions.kurtSampExcess(col("x"), count(col("x"))).as("k"))
+    val row = df.first()
+    assert(math.abs(row.getDouble(0) - wantG1) < 1e-9)
+    assert(math.abs(row.getDouble(1) - wantG2) < 1e-9)
+  }
+}
