@@ -22,7 +22,8 @@ object SparkEntry {
   private def packs: Seq[(Map[String, (SparkSession, String) => DataFrame], Map[String, String])] =
     Seq(
       (graft.queries.CoreQueries.all, graft.queries.CoreQueries.oracles),
-      (graft.queries.QuantQueries.all, graft.queries.QuantQueries.oracles))
+      (graft.queries.QuantQueries.all, graft.queries.QuantQueries.oracles),
+      (graft.queries.BarrierQueries.all, graft.queries.BarrierQueries.oracles))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,69 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** Deterministic synthetic OHLC bar series derived from the events table —
+  * the stand-in for the reference's range-bar fact table on the driver's
+  * testdata (TESTDATA.md has no OHLC table). One series per event_type
+  * (the symbol analogue), ordered by (ts_us, event_id):
+  *   close = value, open = previous close,
+  *   high = max(open, close)*1.001, low = min(open, close)*0.999.
+  * First row of each series (no previous close) is dropped; rn therefore
+  * starts at 2. The identical construction exists as a DuckDB CTE so
+  * barrier queries are oracle-checkable end to end.
+  */
+object EventBars {
+
+  def bars(spark: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type")).orderBy(col("ts_us"), col("event_id"))
+    Tables.events(spark, d)
+      .select(col("event_type"), expr("ts div 1000").as("ts_us"),
+        col("event_id"), col("value").as("close"))
+      .withColumn("open", lag(col("close"), 1).over(w))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("open").isNotNull)
+      .withColumn("high", greatest(col("open"), col("close")) * 1.001)
+      .withColumn("low", least(col("open"), col("close")) * 0.999)
+  }
+
+  /** DuckDB CTEs defining the same `bars` relation. Prepend to oracle SQL. */
+  val duckCte: String =
+    """WITH b0 AS (
+      |  SELECT event_type, epoch_us(ts) AS ts_us, event_id, value AS close,
+      |    lag(value, 1) OVER w AS open,
+      |    row_number() OVER w AS rn
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY event_type ORDER BY epoch_us(ts), event_id)),
+      |bars AS (
+      |  SELECT event_type, ts_us, event_id, close, open, rn,
+      |    greatest(open, close) * 1.001 AS high,
+      |    least(open, close) * 0.999 AS low
+      |  FROM b0 WHERE open IS NOT NULL)""".stripMargin
+
+  /** Forward-array attachment for Spark side (AP-14 window form): arrays of
+    * the next `k` bars' OHLC, excluding the current (signal) bar. */
+  def withForwardArrays(df: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("event_type")).orderBy(col("ts_us"), col("event_id"))
+      .rowsBetween(0, k)
+    df
+      .withColumn("fwd_highs", slice(collect_list(col("high")).over(w), 2, k))
+      .withColumn("fwd_lows", slice(collect_list(col("low")).over(w), 2, k))
+      .withColumn("fwd_opens", slice(collect_list(col("open")).over(w), 2, k))
+      .withColumn("fwd_closes", slice(collect_list(col("close")).over(w), 2, k))
+  }
+
+  /** DuckDB CTE producing the same forward arrays on `bars` → `fwd`. */
+  def duckFwdCte(k: Int): String =
+    s"""fwd AS (
+       |  SELECT *,
+       |    list_slice(list(high) OVER fw, 2, ${k + 1}) AS fwd_highs,
+       |    list_slice(list(low) OVER fw, 2, ${k + 1}) AS fwd_lows,
+       |    list_slice(list(open) OVER fw, 2, ${k + 1}) AS fwd_opens,
+       |    list_slice(list(close) OVER fw, 2, ${k + 1}) AS fwd_closes
+       |  FROM bars
+       |  WINDOW fw AS (PARTITION BY event_type ORDER BY ts_us, event_id
+       |                ROWS BETWEEN CURRENT ROW AND $k FOLLOWING))""".stripMargin
+}
