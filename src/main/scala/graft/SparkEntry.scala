@@ -23,7 +23,10 @@ object SparkEntry {
     Seq(
       (graft.queries.CoreQueries.all, graft.queries.CoreQueries.oracles),
       (graft.queries.QuantQueries.all, graft.queries.QuantQueries.oracles),
-      (graft.queries.BarrierQueries.all, graft.queries.BarrierQueries.oracles))
+      (graft.queries.BarrierQueries.all, graft.queries.BarrierQueries.oracles),
+      (graft.queries.TextQueries.all, graft.queries.TextQueries.oracles),
+      (graft.queries.DedupQueries.all, graft.queries.DedupQueries.oracles),
+      (graft.queries.SimilarityQueries.all, graft.queries.SimilarityQueries.oracles))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

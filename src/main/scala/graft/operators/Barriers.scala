@@ -114,6 +114,118 @@ object Barriers {
         (col("exit_price") - col("entry_price")) / col("entry_price"))
   }
 
+  /** Two-segment (time-decay) SL scan (gen720_wf_2down_template.sql:155-232):
+    * wide SL during bars 1..phase1_bars, tight SL after; the tight-SL scan
+    * starts at bar phase1_bars+1 (seg2 local index + phase1 offset). The
+    * effective SL price feeds the AP-13 gap fill. Requires columns: tp_pct,
+    * sl_wide_pct, sl_tight_pct, phase1_bars, max_bars.
+    */
+  def twoSegmentSl(df: DataFrame): DataFrame = {
+    val entry = col("entry_price")
+    val p1 = col("phase1_bars").cast("int")
+    val scanned = df
+      .withColumn("tp_price", entry * (lit(1.0) + col("tp_pct")))
+      .withColumn("sl_wide_price", entry * (lit(1.0) - col("sl_wide_pct")))
+      .withColumn("sl_tight_price", entry * (lit(1.0) - col("sl_tight_pct")))
+      .withColumn("window_bars",
+        least(size(col("fwd_highs")).cast("long"), col("max_bars").cast("long")))
+      .withColumn("raw_tp_bar",
+        firstIndex(col("fwd_highs"), col("max_bars"), _ >= col("tp_price")))
+      .withColumn("raw_sl_seg1",
+        coalesce(array_position(transform(
+          slice(col("fwd_lows"), lit(1), least(p1, col("max_bars").cast("int"))),
+          _ <= col("sl_wide_price")), lit(true)), lit(0L)))
+      .withColumn("raw_sl_seg2_local",
+        coalesce(array_position(transform(
+          slice(col("fwd_lows"), p1 + 1,
+            greatest(col("max_bars").cast("int") - p1, lit(0))),
+          _ <= col("sl_tight_price")), lit(true)), lit(0L)))
+      .withColumn("raw_sl_bar",
+        when(col("raw_sl_seg1") > 0, col("raw_sl_seg1"))
+          .when(col("raw_sl_seg2_local") > 0, col("raw_sl_seg2_local") + p1)
+          .otherwise(lit(0L)))
+      .withColumn("sl_price_eff",
+        when(col("raw_sl_seg1") > 0, col("sl_wide_price"))
+          .otherwise(col("sl_tight_price")))
+    val tp = col("raw_tp_bar"); val sl = col("raw_sl_bar")
+    val slWins = sl > 0 && (tp === 0 || sl <= tp) // AP-12
+    val tpWins = tp > 0 && (sl === 0 || tp < sl)
+    val timeExit = col("window_bars") >= col("max_bars")
+    scanned
+      .withColumn("exit_type",
+        when(slWins, "SL").when(tpWins, "TP")
+          .when(timeExit, "TIME").otherwise("INCOMPLETE"))
+      .withColumn("exit_bar",
+        when(slWins, sl).when(tpWins, tp)
+          .when(timeExit, col("max_bars").cast("long")).otherwise(lit(0L)))
+      .withColumn("exit_price",
+        when(slWins, // AP-13 gap fill at the effective (segment) SL price
+          least(element_at(col("fwd_opens"), sl.cast("int")), col("sl_price_eff")))
+          .when(tpWins, col("tp_price"))
+          .when(timeExit, element_at(col("fwd_closes"), col("max_bars").cast("int")))
+          .otherwise(lit(0.0)))
+      .filter(col("exit_type") =!= "INCOMPLETE")
+      .withColumn("return_pct",
+        (col("exit_price") - col("entry_price")) / col("entry_price"))
+  }
+
+  /** Combined fixed-SL + trailing stop + TP (gen202_combined_barrier
+    * .sql:144-157): exit at the earliest of the three; stops win ties with
+    * TP (AP-12); the fixed SL wins a tie with the trailing stop. Requires
+    * columns: tp_pct, sl_pct, trail_pct, max_bars.
+    */
+  def combinedBarrier(df: DataFrame): DataFrame = {
+    val entry = col("entry_price")
+    val scanned = df
+      .withColumn("tp_price", entry * (lit(1.0) + col("tp_pct")))
+      .withColumn("sl_price", entry * (lit(1.0) - col("sl_pct")))
+      .withColumn("running_maxes",
+        transform(sequence(lit(1), size(col("fwd_highs"))),
+          i => greatest(entry, array_max(slice(col("fwd_highs"), lit(1), i)))))
+      .withColumn("trailing_sls",
+        transform(col("running_maxes"), rm => rm * (lit(1.0) - col("trail_pct"))))
+      .withColumn("window_bars",
+        least(size(col("fwd_highs")).cast("long"), col("max_bars").cast("long")))
+      .withColumn("raw_tp_bar",
+        firstIndex(col("fwd_highs"), col("max_bars"), _ >= col("tp_price")))
+      .withColumn("raw_sl_bar",
+        firstIndex(col("fwd_lows"), col("max_bars"), _ <= col("sl_price")))
+      .withColumn("raw_trail_bar",
+        coalesce(array_position(
+          zip_with(
+            slice(col("fwd_lows"), lit(1), col("max_bars")),
+            slice(col("trailing_sls"), lit(1), col("max_bars")),
+            (l, t) => l <= t),
+          lit(true)), lit(0L)))
+    val tp = col("raw_tp_bar")
+    val fixedWins = col("raw_sl_bar") > 0 &&
+      (col("raw_trail_bar") === 0 || col("raw_sl_bar") <= col("raw_trail_bar"))
+    val stopBar = when(fixedWins, col("raw_sl_bar")).otherwise(col("raw_trail_bar"))
+    val stopType = when(fixedWins, lit("SL")).otherwise(lit("TRAIL"))
+    val stopPrice = when(fixedWins, col("sl_price"))
+      .otherwise(element_at(col("trailing_sls"),
+        when(col("raw_trail_bar") > 0, col("raw_trail_bar")).otherwise(lit(1L)).cast("int")))
+    val stopWins = stopBar > 0 && (tp === 0 || stopBar <= tp)
+    val tpWins = tp > 0 && (stopBar === 0 || tp < stopBar)
+    val timeExit = col("window_bars") >= col("max_bars")
+    scanned
+      .withColumn("exit_type",
+        when(stopWins, stopType).when(tpWins, "TP")
+          .when(timeExit, "TIME").otherwise("INCOMPLETE"))
+      .withColumn("exit_bar",
+        when(stopWins, stopBar).when(tpWins, tp)
+          .when(timeExit, col("max_bars").cast("long")).otherwise(lit(0L)))
+      .withColumn("exit_price",
+        when(stopWins,
+          least(element_at(col("fwd_opens"), stopBar.cast("int")), stopPrice))
+          .when(tpWins, col("tp_price"))
+          .when(timeExit, element_at(col("fwd_closes"), col("max_bars").cast("int")))
+          .otherwise(lit(0.0)))
+      .filter(col("exit_type") =!= "INCOMPLETE")
+      .withColumn("return_pct",
+        (col("exit_price") - col("entry_price")) / col("entry_price"))
+  }
+
   /** Per-combo metrics aggregate (gen200 final SELECT, :268-306): win rate,
     * profit factor, avg win/loss, risk-reward, EV, avg bars held, Kelly.
     * TIME exits count as wins iff exit_price > entry_price. */

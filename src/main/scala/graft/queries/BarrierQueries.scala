@@ -259,13 +259,149 @@ object BarrierQueries {
        |ORDER BY event_type, event_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------------------
+  // q31 — two-segment (time-decay) SL per-trade outcomes (B2; ref
+  // sql/gen720_wf_2down_template.sql:155-232): wide SL bars 1..5, tight SL
+  // bars 6..25, seg2 index offset, effective-SL-price gap fill.
+  def q31TwoSegmentSl(spark: SparkSession, d: String): DataFrame = {
+    val sig = signalsWithArrays(spark, d)
+      .withColumn("tp_pct", lit(0.012))
+      .withColumn("sl_wide_pct", lit(0.01))
+      .withColumn("sl_tight_pct", lit(0.004))
+      .withColumn("phase1_bars", lit(5))
+      .withColumn("max_bars", lit(25))
+    Barriers.twoSegmentSl(sig)
+      .select(col("event_type"), col("event_id"),
+        round(col("entry_price"), 6).as("entry_price"),
+        col("exit_type"), col("exit_bar"),
+        round(col("exit_price"), 6).as("exit_price"),
+        round(col("return_pct"), 6).as("return_pct"))
+      .orderBy(col("event_type"), col("event_id"))
+  }
+
+  val q31Sql: String = {
+    val slWins = "raw_sl_bar > 0 AND (raw_tp_bar = 0 OR raw_sl_bar <= raw_tp_bar)"
+    val tpWins = "raw_tp_bar > 0 AND (raw_sl_bar = 0 OR raw_tp_bar < raw_sl_bar)"
+    s"""$duckSignalsCte,
+       |scan AS (
+       |  SELECT event_type, event_id, entry_price,
+       |    entry_price * (1.0 + 0.012) AS tp_price,
+       |    entry_price * (1.0 - 0.01) AS sl_wide_price,
+       |    entry_price * (1.0 - 0.004) AS sl_tight_price,
+       |    least(len(fwd_highs), 25) AS window_bars,
+       |    coalesce(list_position(list_transform(list_slice(fwd_highs, 1, 25),
+       |      x -> x >= entry_price * (1.0 + 0.012)), true), 0) AS raw_tp_bar,
+       |    coalesce(list_position(list_transform(list_slice(fwd_lows, 1, 5),
+       |      x -> x <= entry_price * (1.0 - 0.01)), true), 0) AS seg1,
+       |    coalesce(list_position(list_transform(list_slice(fwd_lows, 6, 25),
+       |      x -> x <= entry_price * (1.0 - 0.004)), true), 0) AS seg2_local,
+       |    fwd_opens, fwd_closes
+       |  FROM signals),
+       |sl AS (
+       |  SELECT *,
+       |    CASE WHEN seg1 > 0 THEN seg1
+       |         WHEN seg2_local > 0 THEN seg2_local + 5 ELSE 0 END AS raw_sl_bar,
+       |    CASE WHEN seg1 > 0 THEN sl_wide_price ELSE sl_tight_price END AS sl_price_eff
+       |  FROM scan),
+       |outcome AS (
+       |  SELECT event_type, event_id, entry_price,
+       |    CASE WHEN $slWins THEN 'SL' WHEN $tpWins THEN 'TP'
+       |         WHEN window_bars >= 25 THEN 'TIME' ELSE 'INCOMPLETE' END AS exit_type,
+       |    CASE WHEN $slWins THEN raw_sl_bar WHEN $tpWins THEN raw_tp_bar
+       |         WHEN window_bars >= 25 THEN 25 ELSE 0 END AS exit_bar,
+       |    CASE WHEN $slWins THEN least(fwd_opens[raw_sl_bar], sl_price_eff)
+       |         WHEN $tpWins THEN tp_price
+       |         WHEN window_bars >= 25 THEN fwd_closes[25] ELSE 0 END AS exit_price
+       |  FROM sl)
+       |SELECT event_type, event_id, round(entry_price, 6) AS entry_price,
+       |  exit_type, CAST(exit_bar AS BIGINT) AS exit_bar,
+       |  round(exit_price, 6) AS exit_price,
+       |  round((exit_price - entry_price) / entry_price, 6) AS return_pct
+       |FROM outcome WHERE exit_type != 'INCOMPLETE'
+       |ORDER BY event_type, event_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------------
+  // q32 — combined fixed-SL + trailing + TP per-trade outcomes (B4; ref
+  // sql/gen202_combined_barrier.sql:144-157): earliest of the three exits,
+  // stops win ties with TP, fixed SL wins a tie with the trailing stop.
+  def q32CombinedBarrier(spark: SparkSession, d: String): DataFrame = {
+    val sig = signalsWithArrays(spark, d)
+      .withColumn("tp_pct", lit(0.015))
+      .withColumn("sl_pct", lit(0.008))
+      .withColumn("trail_pct", lit(0.01))
+      .withColumn("max_bars", lit(20))
+    Barriers.combinedBarrier(sig)
+      .select(col("event_type"), col("event_id"),
+        round(col("entry_price"), 6).as("entry_price"),
+        col("exit_type"), col("exit_bar"),
+        round(col("exit_price"), 6).as("exit_price"),
+        round(col("return_pct"), 6).as("return_pct"))
+      .orderBy(col("event_type"), col("event_id"))
+  }
+
+  val q32Sql: String = {
+    val fixedWins = "raw_sl_bar > 0 AND (raw_trail_bar = 0 OR raw_sl_bar <= raw_trail_bar)"
+    val stopWins = "stop_bar > 0 AND (raw_tp_bar = 0 OR stop_bar <= raw_tp_bar)"
+    val tpWins = "raw_tp_bar > 0 AND (stop_bar = 0 OR raw_tp_bar < stop_bar)"
+    s"""$duckSignalsCte,
+       |trail AS (
+       |  SELECT *,
+       |    entry_price * (1.0 + 0.015) AS tp_price,
+       |    entry_price * (1.0 - 0.008) AS sl_price,
+       |    list_transform(generate_series(1, len(fwd_highs)),
+       |      i -> (1.0 - 0.01) * greatest(entry_price,
+       |             list_aggregate(list_slice(fwd_highs, 1, i), 'max'))) AS trailing_sls
+       |  FROM signals),
+       |scan AS (
+       |  SELECT event_type, event_id, entry_price, tp_price, sl_price,
+       |    trailing_sls, fwd_opens, fwd_closes,
+       |    least(len(fwd_highs), 20) AS window_bars,
+       |    coalesce(list_position(list_transform(list_slice(fwd_highs, 1, 20),
+       |      x -> x >= tp_price), true), 0) AS raw_tp_bar,
+       |    coalesce(list_position(list_transform(list_slice(fwd_lows, 1, 20),
+       |      x -> x <= sl_price), true), 0) AS raw_sl_bar,
+       |    coalesce(list_position(list_transform(
+       |      generate_series(1, len(list_slice(fwd_lows, 1, 20))),
+       |      i -> fwd_lows[i] <= trailing_sls[i]), true), 0) AS raw_trail_bar
+       |  FROM trail),
+       |stop AS (
+       |  SELECT *,
+       |    CASE WHEN $fixedWins THEN raw_sl_bar ELSE raw_trail_bar END AS stop_bar,
+       |    CASE WHEN $fixedWins THEN 'SL' ELSE 'TRAIL' END AS stop_type,
+       |    CASE WHEN $fixedWins THEN sl_price
+       |         ELSE trailing_sls[CASE WHEN raw_trail_bar > 0 THEN raw_trail_bar ELSE 1 END]
+       |    END AS stop_price
+       |  FROM scan),
+       |outcome AS (
+       |  SELECT event_type, event_id, entry_price,
+       |    CASE WHEN $stopWins THEN stop_type WHEN $tpWins THEN 'TP'
+       |         WHEN window_bars >= 20 THEN 'TIME' ELSE 'INCOMPLETE' END AS exit_type,
+       |    CASE WHEN $stopWins THEN stop_bar WHEN $tpWins THEN raw_tp_bar
+       |         WHEN window_bars >= 20 THEN 20 ELSE 0 END AS exit_bar,
+       |    CASE WHEN $stopWins THEN least(fwd_opens[stop_bar], stop_price)
+       |         WHEN $tpWins THEN tp_price
+       |         WHEN window_bars >= 20 THEN fwd_closes[20] ELSE 0 END AS exit_price
+       |  FROM stop)
+       |SELECT event_type, event_id, round(entry_price, 6) AS entry_price,
+       |  exit_type, CAST(exit_bar AS BIGINT) AS exit_bar,
+       |  round(exit_price, 6) AS exit_price,
+       |  round((exit_price - entry_price) / entry_price, 6) AS return_pct
+       |FROM outcome WHERE exit_type != 'INCOMPLETE'
+       |ORDER BY event_type, event_id""".stripMargin
+  }
+
   val all: Map[String, Q] = Map(
     "q18_triple_barrier" -> (q18TripleBarrier _),
     "q19_barrier_grid_metrics" -> (q19BarrierGridMetrics _),
-    "q20_trailing_stop" -> (q20TrailingStop _))
+    "q20_trailing_stop" -> (q20TrailingStop _),
+    "q31_two_segment_sl" -> (q31TwoSegmentSl _),
+    "q32_combined_barrier" -> (q32CombinedBarrier _))
 
   val oracles: Map[String, String] = Map(
     "q18_triple_barrier" -> q18Sql,
     "q19_barrier_grid_metrics" -> q19Sql,
-    "q20_trailing_stop" -> q20Sql)
+    "q20_trailing_stop" -> q20Sql,
+    "q31_two_segment_sl" -> q31Sql,
+    "q32_combined_barrier" -> q32Sql)
 }

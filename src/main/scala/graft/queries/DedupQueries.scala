@@ -1,0 +1,176 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+import TextOps.{md5Int, md5IntSql}
+
+/** Near-duplicate detection over `documents`: n-gram Jaccard (blocked
+  * pairwise), MinHash+LSH (the scale path), and SimHash signatures.
+  *
+  * Scale design notes (the quadratic/linear split is the whole point):
+  *  - q25 (pairwise Jaccard) is O(B²) within a block — correct as a
+  *    verifier and for small blocks, never the 100 TB driver.
+  *  - q26 (MinHash+LSH) is the linear-shuffle path: per-doc signature
+  *    computation is a projection; candidate generation shuffles only
+  *    (band, band_key, doc_id) tuples — tiny vs the corpus — and bucket
+  *    sizes bound the pair blow-up. This is exactly the shape that holds at
+  *    1000 executors: signatures map-side, one shuffle on band keys.
+  *  - q27 (SimHash) is pure projection (no shuffle at all); candidate
+  *    pairing would reuse the q26 band-join shape on signature prefixes.
+  *
+  * All hashing is the shared md5-based 32-bit integer hash (TextOps.md5Int)
+  * spelled out identically in DuckDB oracle SQL, so every signature is
+  * bit-comparable across engines.
+  */
+object DedupQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** doc_id + distinct word-2-shingle set (the unit of Jaccard/MinHash). */
+  private def withShingleSet(spark: SparkSession, d: String): DataFrame =
+    Tables.documents(spark, d)
+      .withColumn("tok", split(trim(col("text")), "\\s+"))
+      .withColumn("sh2",
+        expr("transform(sequence(1, greatest(size(tok) - 1, 1))," +
+          " i -> concat_ws(' ', slice(tok, i, 2)))"))
+      .withColumn("shset", array_distinct(col("sh2")))
+
+  private val shingleSetSql: String =
+    s"""SELECT doc_id, lang,
+      |    list_distinct(list_transform(
+      |      range(1, greatest(len(tok) - 1, 1) + 1),
+      |      i -> array_to_string(list_slice(tok, i, i + 1), ' '))) AS shset
+      |  FROM (SELECT doc_id, lang, ${TextOps.tokensSql("text")} AS tok FROM documents)""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // q25 — n-gram (word-bigram) Jaccard similarity, blocked by lang: top-10
+  // most similar pairs per block. Jaccard = |A∩B| / |A∪B| on distinct
+  // shingle sets — exact rational arithmetic, so the cross-engine ordering
+  // is deterministic (ties broken by doc ids).
+  def q25NgramJaccard(spark: SparkSession, d: String): DataFrame = {
+    val docs = withShingleSet(spark, d).select(
+      col("lang"), col("doc_id"), col("shset"))
+    val a = docs.select(col("lang"), col("doc_id").as("doc_id_1"), col("shset").as("s1"))
+    val b = docs.select(col("lang").as("lang_b"), col("doc_id").as("doc_id_2"), col("shset").as("s2"))
+    val pairs = a.join(b, col("lang") === col("lang_b") && col("doc_id_1") < col("doc_id_2"))
+      .withColumn("jac",
+        size(array_intersect(col("s1"), col("s2"))).cast("double") /
+          size(array_union(col("s1"), col("s2"))).cast("double"))
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("jac").desc, col("doc_id_1"), col("doc_id_2"))
+    pairs.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 10)
+      .select(col("lang"), col("rnk"), col("doc_id_1"), col("doc_id_2"),
+        round(col("jac"), 4).as("jaccard"))
+      .orderBy(col("lang"), col("rnk"))
+  }
+
+  val q25Sql: String =
+    s"""WITH s AS (
+      |  $shingleSetSql),
+      |p AS (
+      |  SELECT a.lang, a.doc_id AS doc_id_1, b.doc_id AS doc_id_2,
+      |    len(list_intersect(a.shset, b.shset))::DOUBLE /
+      |      len(list_distinct(list_concat(a.shset, b.shset)))::DOUBLE AS jac
+      |  FROM s a JOIN s b ON a.lang = b.lang AND a.doc_id < b.doc_id),
+      |r AS (
+      |  SELECT lang, doc_id_1, doc_id_2, jac,
+      |    row_number() OVER (PARTITION BY lang
+      |                       ORDER BY jac DESC, doc_id_1, doc_id_2) AS rnk
+      |  FROM p)
+      |SELECT lang, rnk, doc_id_1, doc_id_2, round(jac, 4) AS jaccard
+      |FROM r WHERE rnk <= 10 ORDER BY lang, rnk""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // q26 — MinHash + LSH banding census: 16 minhashes per doc from the
+  // shingle hash set via (a_j·h + b_j) mod P, banded 8×2; per band we count
+  // buckets, the max bucket population, and the candidate pairs the band
+  // contributes (Σ C(n,2) over buckets). Integer-exact output.
+  private val P = 2147483647L // 2^31 − 1
+
+  def q26MinhashLsh(spark: SparkSession, d: String): DataFrame = {
+    val sigs = withShingleSet(spark, d)
+      .withColumn("hs", transform(col("shset"), s => md5Int(s)))
+      .withColumn("sig",
+        expr(s"transform(sequence(0, 15), j -> " +
+          s"array_min(transform(hs, h -> ((j*2 + 1) * h + j*104729) % $P)))"))
+      .select(col("doc_id"), col("sig"))
+    val bands = sigs
+      .select(col("doc_id"), explode(sequence(lit(0), lit(7))).as("band"), col("sig"))
+      .withColumn("band_key",
+        concat(element_at(col("sig"), col("band") * 2 + 1).cast("string"), lit("_"),
+          element_at(col("sig"), col("band") * 2 + 2).cast("string")))
+    val buckets = bands.groupBy(col("band"), col("band_key"))
+      .agg(count(lit(1)).as("cnt"))
+    buckets.groupBy(col("band"))
+      .agg(
+        count(lit(1)).as("n_buckets"),
+        max(col("cnt")).as("max_bucket"),
+        sum(expr("(cnt * (cnt - 1)) div 2")).as("n_candidate_pairs"))
+      .orderBy(col("band"))
+  }
+
+  val q26Sql: String =
+    s"""WITH s AS (
+      |  $shingleSetSql),
+      |sig AS (
+      |  SELECT doc_id,
+      |    list_transform(range(0, 16), j -> list_min(list_transform(
+      |      list_transform(shset, sh -> ${md5IntSql("sh")}),
+      |      h -> ((j*2 + 1) * h + j*104729) % $P))) AS sig
+      |  FROM s),
+      |bands AS (
+      |  SELECT doc_id, g.band,
+      |    concat(sig[g.band*2 + 1], '_', sig[g.band*2 + 2]) AS band_key
+      |  FROM sig CROSS JOIN (SELECT unnest(range(0, 8)) AS band) g),
+      |buckets AS (
+      |  SELECT band, band_key, count(*) AS cnt FROM bands GROUP BY 1, 2)
+      |SELECT band, count(*) AS n_buckets, max(cnt) AS max_bucket,
+      |  CAST(sum((cnt * (cnt - 1)) // 2) AS BIGINT) AS n_candidate_pairs
+      |FROM buckets GROUP BY band ORDER BY band""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // q27 — SimHash: 32-bit signature per document from token hashes (token
+  // multiplicity = weight). Bit j of the signature is the sign of
+  // Σ_tokens (±1 by bit j of the token hash). Pure projection; candidate
+  // pairing reuses the LSH band join on signature prefixes at scale.
+  def q27Simhash(spark: SparkSession, d: String): DataFrame =
+    Tables.documents(spark, d)
+      .withColumn("tok", split(trim(col("text")), "\\s+"))
+      .withColumn("th", transform(col("tok"), t => md5Int(t)))
+      .withColumn("simhash",
+        expr("""aggregate(
+          |  transform(sequence(0, 31), j -> IF(
+          |    aggregate(th, 0, (acc, h) ->
+          |      acc + IF((h div CAST(pow(2, j) AS BIGINT)) % 2 = 1, 1, -1)) > 0,
+          |    CAST(pow(2, j) AS BIGINT), CAST(0 AS BIGINT))),
+          |  CAST(0 AS BIGINT), (a, b) -> a + b)""".stripMargin))
+      .select(col("doc_id"), size(col("tok")).as("n_tokens"), col("simhash"))
+      .orderBy(col("doc_id"))
+
+  val q27Sql: String =
+    s"""WITH t AS (
+      |  SELECT doc_id, ${TextOps.tokensSql("text")} AS tok FROM documents),
+      |h AS (
+      |  SELECT doc_id, len(tok) AS n_tokens,
+      |    list_transform(tok, tk -> ${md5IntSql("tk")}) AS th
+      |  FROM t)
+      |SELECT doc_id, n_tokens,
+      |  CAST(list_sum(list_transform(range(0, 32), j -> CASE WHEN
+      |      list_sum(list_transform(th, hh -> CASE WHEN
+      |        (hh // CAST(pow(2, j) AS BIGINT)) % 2 = 1 THEN 1 ELSE -1 END)) > 0
+      |    THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END)) AS BIGINT) AS simhash
+      |FROM h ORDER BY doc_id""".stripMargin
+
+  val all: Map[String, Q] = Map(
+    "q25_ngram_jaccard" -> (q25NgramJaccard _),
+    "q26_minhash_lsh" -> (q26MinhashLsh _),
+    "q27_simhash" -> (q27Simhash _))
+
+  val oracles: Map[String, String] = Map(
+    "q25_ngram_jaccard" -> q25Sql,
+    "q26_minhash_lsh" -> q26Sql,
+    "q27_simhash" -> q27Sql)
+}

@@ -1,0 +1,183 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** Similarity search over the `embeddings` table (64-dim float vectors):
+  * cosine near-duplicate census, brute-force cosine top-k (the exact
+  * baseline), and sign-random-projection LSH ANN (the scale path).
+  *
+  * Numeric determinism across engines: float→double casts are exact; every
+  * dot product is a *sequential left fold* on both sides (Spark `aggregate`
+  * ≡ DuckDB `list_reduce`), so the doubles are bit-identical and rounded
+  * comparisons cannot flip.
+  *
+  * Scale design: the query side of every join is tiny (a handful of probe
+  * vectors, or an 8-bit bucket id) and broadcast; the corpus side stays
+  * partitioned and is read once. Brute force is O(Q·N) — fine for small Q;
+  * the LSH variant bounds candidate sets by bucket, which is the shape that
+  * survives 100 TB (signatures are a projection, the join shuffles bucket
+  * ids, not vectors).
+  */
+object SimilarityQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Sequential-fold dot product of two double-array columns. */
+  private def dot(a: String, b: String): Column =
+    expr(s"aggregate(zip_with($a, $b, (x, y) -> x * y), 0D, (acc, v) -> acc + v)")
+
+  private def dotSql(a: String, b: String): String =
+    s"list_reduce(list_transform(range(1, len($a) + 1), i -> $a[i] * $b[i]), (x, y) -> x + y)"
+
+  private def withNorm(spark: SparkSession, d: String): DataFrame =
+    Tables.embeddings(spark, d)
+      .withColumn("e", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+      .withColumn("nrm", sqrt(dot("e", "e")))
+
+  private val withNormSql: String =
+    s"""SELECT vec_id, label,
+      |    list_transform(embedding, x -> x::DOUBLE) AS e,
+      |    sqrt(${dotSql("list_transform(embedding, x -> x::DOUBLE)",
+      "list_transform(embedding, x -> x::DOUBLE)")}) AS nrm
+      |  FROM embeddings""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // q28 — embedding-cosine near-duplicate census, blocked by label: for each
+  // label, pair counts at cosine ≥ 0.8 / ≥ 0.9 plus distribution stats.
+  // Cosines are rounded to 1e-6 before thresholding so the comparison is a
+  // grid equality, not a raw-double one.
+  def q28EmbeddingNeardup(spark: SparkSession, d: String): DataFrame = {
+    val v = withNorm(spark, d)
+    val a = v.select(col("label"), col("vec_id").as("id1"), col("e").as("e1"), col("nrm").as("n1"))
+    val b = v.select(col("label").as("label_b"), col("vec_id").as("id2"),
+      col("e").as("e2"), col("nrm").as("n2"))
+    a.join(b, col("label") === col("label_b") && col("id1") < col("id2"))
+      .withColumn("cos", round(dot("e1", "e2") / (col("n1") * col("n2")), 6))
+      .groupBy(col("label"))
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        count_if(col("cos") >= 0.8).as("n_ge_080"),
+        count_if(col("cos") >= 0.9).as("n_ge_090"),
+        round(avg(col("cos")), 4).as("avg_cos"),
+        round(max(col("cos")), 4).as("max_cos"))
+      .orderBy(col("label"))
+  }
+
+  val q28Sql: String =
+    s"""WITH v AS (
+      |  $withNormSql),
+      |p AS (
+      |  SELECT a.label, round(${dotSql("a.e", "b.e")} / (a.nrm * b.nrm), 6) AS cos
+      |  FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id)
+      |SELECT label, count(*) AS n_pairs,
+      |  count(*) FILTER (WHERE cos >= 0.8) AS n_ge_080,
+      |  count(*) FILTER (WHERE cos >= 0.9) AS n_ge_090,
+      |  round(avg(cos), 4) AS avg_cos,
+      |  round(max(cos), 4) AS max_cos
+      |FROM p GROUP BY label ORDER BY label""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // q29 — brute-force cosine top-k: probe vectors (vec_id < 8) against the
+  // whole corpus, top-5 each. The probe side is broadcast; the corpus scan
+  // parallelizes per partition; the per-probe top-k is a tiny window.
+  def q29AnnTopk(spark: SparkSession, d: String): DataFrame = {
+    val v = withNorm(spark, d)
+    val probes = v.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("q_vec_id"), col("e").as("qe"), col("nrm").as("qn"))
+    val cand = broadcast(probes).join(v, col("vec_id") =!= col("q_vec_id"))
+      .withColumn("cos", round(dot("qe", "e") / (col("qn") * col("nrm")), 6))
+    val w = Window.partitionBy(col("q_vec_id")).orderBy(col("cos").desc, col("vec_id"))
+    cand.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 5)
+      .select(col("q_vec_id"), col("rnk"), col("vec_id").as("neighbor_id"),
+        round(col("cos"), 4).as("cos_sim"))
+      .orderBy(col("q_vec_id"), col("rnk"))
+  }
+
+  val q29Sql: String =
+    s"""WITH v AS (
+      |  $withNormSql),
+      |c AS (
+      |  SELECT q.vec_id AS q_vec_id, v.vec_id AS neighbor_id,
+      |    round(${dotSql("q.e", "v.e")} / (q.nrm * v.nrm), 6) AS cos
+      |  FROM v q JOIN v ON q.vec_id < 8 AND v.vec_id <> q.vec_id),
+      |r AS (
+      |  SELECT q_vec_id, neighbor_id, cos,
+      |    row_number() OVER (PARTITION BY q_vec_id
+      |                       ORDER BY cos DESC, neighbor_id) AS rnk
+      |  FROM c)
+      |SELECT q_vec_id, rnk, neighbor_id, round(cos, 4) AS cos_sim
+      |FROM r WHERE rnk <= 5 ORDER BY q_vec_id, rnk""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // q30 — LSH ANN via sign random projection: 8 deterministic pseudo-random
+  // hyperplanes (LCG-generated coefficients) → 8-bit bucket per vector;
+  // probes search only their own bucket. Emits per-probe candidate count +
+  // best in-bucket neighbor (−1 / −2.0 when the bucket has no candidates).
+  // The bucketing is the 100 TB path: one projection pass + an equi-join on
+  // an 8-bit key instead of a full cross product.
+  private def bucketExpr(e: String): Column =
+    expr(s"""aggregate(transform(sequence(0, 7), j -> IF(
+      |  aggregate(transform(sequence(0, 63), dd ->
+      |    element_at($e, dd + 1) *
+      |    (((CAST(1103515245 AS BIGINT) * (j*64 + dd) + 12345) % 2001 - 1000) / 1000.0)),
+      |    0D, (acc, v) -> acc + v) >= 0D,
+      |  CAST(pow(2, j) AS INT), 0)), 0, (a, b) -> a + b)""".stripMargin)
+
+  private def bucketSql(e: String): String =
+    s"""CAST(list_sum(list_transform(range(0, 8), j -> CASE WHEN
+      |  list_reduce(list_transform(range(0, 64), dd ->
+      |    $e[dd + 1] *
+      |    (((CAST(1103515245 AS BIGINT) * (j*64 + dd) + 12345) % 2001 - 1000) / 1000.0)),
+      |    (x, y) -> x + y) >= 0
+      |  THEN CAST(pow(2, j) AS INT) ELSE 0 END)) AS INT)""".stripMargin
+
+  def q30AnnLsh(spark: SparkSession, d: String): DataFrame = {
+    val v = withNorm(spark, d).withColumn("bucket", bucketExpr("e"))
+    val probes = v.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("q_vec_id"), col("e").as("qe"),
+        col("nrm").as("qn"), col("bucket").as("qb"))
+    val cand = broadcast(probes)
+      .join(v, col("bucket") === col("qb") && col("vec_id") =!= col("q_vec_id"), "left")
+      .withColumn("cos", round(dot("qe", "e") / (col("qn") * col("nrm")), 6))
+    cand.groupBy(col("q_vec_id"))
+      .agg(
+        count(col("vec_id")).as("n_candidates"),
+        coalesce(max_by(col("vec_id"), struct(col("cos"), -col("vec_id"))), lit(-1L))
+          .as("top1_id"),
+        round(coalesce(max(col("cos")), lit(-2.0)), 4).as("top1_cos"))
+      .orderBy(col("q_vec_id"))
+  }
+
+  val q30Sql: String =
+    s"""WITH v AS (
+      |  SELECT vec_id, e, nrm, ${bucketSql("e")} AS bucket
+      |  FROM ($withNormSql)),
+      |c AS (
+      |  SELECT q.vec_id AS q_vec_id, v.vec_id AS cand_id,
+      |    round(${dotSql("q.e", "v.e")} / (q.nrm * v.nrm), 6) AS cos
+      |  FROM (SELECT * FROM v WHERE vec_id < 8) q
+      |  LEFT JOIN v ON v.bucket = q.bucket AND v.vec_id <> q.vec_id),
+      |r AS (
+      |  SELECT q_vec_id, cand_id, cos,
+      |    row_number() OVER (PARTITION BY q_vec_id
+      |                       ORDER BY cos DESC, cand_id) AS rnk
+      |  FROM c)
+      |SELECT q_vec_id, count(cand_id) AS n_candidates,
+      |  coalesce(max(CASE WHEN rnk = 1 THEN cand_id END), -1) AS top1_id,
+      |  round(coalesce(max(cos), -2.0), 4) AS top1_cos
+      |FROM r GROUP BY q_vec_id ORDER BY q_vec_id""".stripMargin
+
+  val all: Map[String, Q] = Map(
+    "q28_embedding_neardup" -> (q28EmbeddingNeardup _),
+    "q29_ann_topk" -> (q29AnnTopk _),
+    "q30_ann_lsh" -> (q30AnnLsh _))
+
+  val oracles: Map[String, String] = Map(
+    "q28_embedding_neardup" -> q28Sql,
+    "q29_ann_topk" -> q29Sql,
+    "q30_ann_lsh" -> q30Sql)
+}

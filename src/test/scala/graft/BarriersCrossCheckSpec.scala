@@ -60,4 +60,78 @@ class BarriersCrossCheckSpec extends GraftSuite {
       assert(math.abs(want.exitPrice - r.getDouble(9)) < 1e-12)
     }
   }
+
+  test("DataFrame two-segment SL == BarrierSim golden model on sf0.001") {
+    val k = 35
+    val sig = EventBars.withForwardArrays(EventBars.bars(spark, sf), k)
+      .filter(col("rn") % 10 === 0)
+      .withColumn("entry_price", try_element_at(col("fwd_opens"), lit(1)))
+      .filter(col("entry_price").isNotNull && col("entry_price") > 0)
+      .withColumn("tp_pct", lit(0.012))
+      .withColumn("sl_wide_pct", lit(0.01))
+      .withColumn("sl_tight_pct", lit(0.004))
+      .withColumn("phase1_bars", lit(5))
+      .withColumn("max_bars", lit(25))
+    val got = Barriers.twoSegmentSl(sig)
+      .select("event_type", "event_id", "entry_price", "fwd_highs", "fwd_lows",
+        "fwd_opens", "fwd_closes", "exit_type", "exit_bar", "exit_price")
+      .collect()
+    assert(got.length > 50)
+    got.foreach { r =>
+      def arr(i: Int) = r.getSeq[Double](i).toArray
+      val want = BarrierSim.twoSegmentSl(
+        r.getDouble(2), arr(3), arr(4), arr(5), arr(6), 0.012, 0.01, 0.004, 5, 25)
+      assert(want.exitType == r.getString(7),
+        s"exit_type mismatch at ${r.getLong(1)}: $want vs ${r.getString(7)}")
+      assert(want.exitBar.toLong == r.getLong(8))
+      assert(math.abs(want.exitPrice - r.getDouble(9)) < 1e-12)
+    }
+  }
+
+  test("DataFrame combined barrier == BarrierSim golden model on sf0.001") {
+    val k = 35
+    val sig = EventBars.withForwardArrays(EventBars.bars(spark, sf), k)
+      .filter(col("rn") % 10 === 0)
+      .withColumn("entry_price", try_element_at(col("fwd_opens"), lit(1)))
+      .filter(col("entry_price").isNotNull && col("entry_price") > 0)
+      .withColumn("tp_pct", lit(0.015))
+      .withColumn("sl_pct", lit(0.008))
+      .withColumn("trail_pct", lit(0.01))
+      .withColumn("max_bars", lit(20))
+    val got = Barriers.combinedBarrier(sig)
+      .select("event_type", "event_id", "entry_price", "fwd_highs", "fwd_lows",
+        "fwd_opens", "fwd_closes", "exit_type", "exit_bar", "exit_price")
+      .collect()
+    assert(got.length > 50)
+    got.foreach { r =>
+      def arr(i: Int) = r.getSeq[Double](i).toArray
+      val want = BarrierSim.combinedBarrier(
+        r.getDouble(2), arr(3), arr(4), arr(5), arr(6), 0.015, 0.008, 0.01, 20)
+      assert(want.exitType == r.getString(7),
+        s"exit_type mismatch at ${r.getLong(1)}: $want vs ${r.getString(7)}")
+      assert(want.exitBar.toLong == r.getLong(8))
+      assert(math.abs(want.exitPrice - r.getDouble(9)) < 1e-12)
+    }
+  }
+
+  test("BarrierSim engineered scenarios pin AP-12/AP-13 for the new scans") {
+    // Two-segment: tight SL would fire in phase 1 but must NOT (wide active).
+    val highs = Array(100.0, 100.0, 100.0, 100.0, 100.0, 100.0)
+    val opens = Array(100.0, 100.0, 100.0, 100.0, 100.0, 100.0)
+    val closes = opens
+    // low dips to 99.7 at bar 2 (within phase1, above wide SL 99.0 → no exit),
+    // then to 99.5 at bar 6 (phase 2, below tight 99.6 → SL at bar 6).
+    val lows = Array(100.0, 99.7, 100.0, 100.0, 100.0, 99.5)
+    val o = BarrierSim.twoSegmentSl(100.0, highs, lows, opens, closes,
+      tpPct = 0.10, slWidePct = 0.01, slTightPct = 0.004, phase1Bars = 5, maxBars = 6)
+    assert(o.exitType == "SL" && o.exitBar == 6 && o.exitPrice == 99.6)
+
+    // Combined: fixed SL and trailing hit the same bar → fixed SL wins.
+    val lows2 = Array(100.0, 98.0, 100.0)
+    val o2 = BarrierSim.combinedBarrier(100.0,
+      Array(100.0, 100.0, 100.0), lows2,
+      Array(100.0, 100.0, 100.0), Array(100.0, 100.0, 100.0),
+      tpPct = 0.10, slPct = 0.01, trailPct = 0.01, maxBars = 3)
+    assert(o2.exitType == "SL" && o2.exitBar == 2 && o2.exitPrice == 99.0)
+  }
 }
