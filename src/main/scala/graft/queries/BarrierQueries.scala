@@ -20,10 +20,11 @@ object BarrierQueries {
   private val K = 35 // forward window length; >= max max_bars
 
   private def signalsWithArrays(spark: SparkSession, d: String): DataFrame = {
-    val bars = EventBars.withForwardArrays(EventBars.bars(spark, d), K)
     // Formation: every 25th bar (deterministic stand-in for P5 predicates);
-    // entry at next bar open with P3-style validity guards.
-    bars.filter(col("rn") % 25 === 0)
+    // entry at next bar open with P3-style validity guards. Forward arrays
+    // are collected ONLY for signal rows (banded join — AUDIT #3), not for
+    // every bar; see EventBars.signalForwardArrays.
+    EventBars.signalForwardArrays(EventBars.bars(spark, d), col("rn") % 25 === 0, K)
       .withColumn("entry_price", try_element_at(col("fwd_opens"), lit(1)))
       .filter(col("entry_price").isNotNull && col("entry_price") > 0)
   }

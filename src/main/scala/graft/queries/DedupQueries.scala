@@ -38,23 +38,32 @@ object DedupQueries {
       .withColumn("shset", array_distinct(col("sh2")))
 
   private val shingleSetSql: String =
-    s"""SELECT doc_id, lang,
+    s"""SELECT doc_id, lang, source,
       |    list_distinct(list_transform(
       |      range(1, greatest(len(tok) - 1, 1) + 1),
       |      i -> array_to_string(list_slice(tok, i, i + 1), ' '))) AS shset
-      |  FROM (SELECT doc_id, lang, ${TextOps.tokensSql("text")} AS tok FROM documents)""".stripMargin
+      |  FROM (SELECT doc_id, lang, source, ${TextOps.tokensSql("text")} AS tok FROM documents)""".stripMargin
 
   // ---------------------------------------------------------------------------
-  // q25 — n-gram (word-bigram) Jaccard similarity, blocked by lang: top-10
-  // most similar pairs per block. Jaccard = |A∩B| / |A∪B| on distinct
+  // q25 — n-gram (word-bigram) Jaccard similarity, blocked by (lang, source):
+  // top-10 most similar pairs per lang. Jaccard = |A∩B| / |A∪B| on distinct
   // shingle sets — exact rational arithmetic, so the cross-engine ordering
   // is deterministic (ties broken by doc ids).
+  //
+  // Blocking on (lang, source) instead of lang alone cuts the pair count
+  // ~20× (near-dups overwhelmingly share a source); the quadratic term is
+  // then bounded per block, which is what keeps this shape viable as blocks
+  // scale — anything cross-block belongs to the LSH path (q26).
   def q25NgramJaccard(spark: SparkSession, d: String): DataFrame = {
     val docs = withShingleSet(spark, d).select(
-      col("lang"), col("doc_id"), col("shset"))
-    val a = docs.select(col("lang"), col("doc_id").as("doc_id_1"), col("shset").as("s1"))
-    val b = docs.select(col("lang").as("lang_b"), col("doc_id").as("doc_id_2"), col("shset").as("s2"))
-    val pairs = a.join(b, col("lang") === col("lang_b") && col("doc_id_1") < col("doc_id_2"))
+      col("lang"), col("source"), col("doc_id"), col("shset"))
+    val a = docs.select(col("lang"), col("source"),
+      col("doc_id").as("doc_id_1"), col("shset").as("s1"))
+    val b = docs.select(col("lang").as("lang_b"), col("source").as("source_b"),
+      col("doc_id").as("doc_id_2"), col("shset").as("s2"))
+    val pairs = a.join(b,
+      col("lang") === col("lang_b") && col("source") === col("source_b") &&
+        col("doc_id_1") < col("doc_id_2"))
       .withColumn("jac",
         size(array_intersect(col("s1"), col("s2"))).cast("double") /
           size(array_union(col("s1"), col("s2"))).cast("double"))
@@ -74,7 +83,8 @@ object DedupQueries {
       |  SELECT a.lang, a.doc_id AS doc_id_1, b.doc_id AS doc_id_2,
       |    len(list_intersect(a.shset, b.shset))::DOUBLE /
       |      len(list_distinct(list_concat(a.shset, b.shset)))::DOUBLE AS jac
-      |  FROM s a JOIN s b ON a.lang = b.lang AND a.doc_id < b.doc_id),
+      |  FROM s a JOIN s b ON a.lang = b.lang AND a.source = b.source
+      |                   AND a.doc_id < b.doc_id),
       |r AS (
       |  SELECT lang, doc_id_1, doc_id_2, jac,
       |    row_number() OVER (PARTITION BY lang

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables
@@ -53,6 +53,50 @@ object EventBars {
       .withColumn("fwd_lows", slice(collect_list(col("low")).over(w), 2, k))
       .withColumn("fwd_opens", slice(collect_list(col("open")).over(w), 2, k))
       .withColumn("fwd_closes", slice(collect_list(col("close")).over(w), 2, k))
+  }
+
+  /** Signals-only forward-array collection — the reference's AUDIT #3
+    * lesson (sql/gen200_triple_barrier.sql:16-19: "filter 1.4M bars → ~1k
+    * signals BEFORE collecting forward arrays") restated as a *bucketed
+    * band join*, because the window form (withForwardArrays) materializes
+    * k-element arrays for EVERY bar before the signal filter can apply
+    * (Catalyst cannot push a non-partition-key predicate through a Window).
+    *
+    * Shape: bars get a chunk id (rn div k); each signal explodes to the
+    * 2–3 chunks its forward window can touch; the join is then a pure
+    * equi-join on (event_type, chunk) with the band condition as a cheap
+    * post-filter, and per-signal arrays come from a sorted collect_list.
+    * Cost scales with |signals|·k, not |bars|·k — at a 1/25 signal rate
+    * that is a ~10× win locally and the difference between "fits" and
+    * "OOM" at the 100 TB end (the reference's gen600 OOMs were exactly
+    * this: 200-element arrays × all bars).
+    *
+    * Emits the same schema as withForwardArrays restricted to signal rows
+    * (verified row-for-row in ForwardArraysSpec).
+    */
+  def signalForwardArrays(bars: DataFrame, isSignal: Column, k: Int): DataFrame = {
+    val sigCols = bars.columns.map(col)
+    val signals = bars.filter(isSignal)
+      .withColumn("s_chunk",
+        explode(expr(s"sequence(rn div $k, (rn + $k) div $k)")))
+    val barsC = bars.select(
+      col("event_type").as("b_et"), col("rn").as("b_rn"),
+      col("high").as("b_high"), col("low").as("b_low"),
+      col("open").as("b_open"), col("close").as("b_close"))
+      .withColumn("b_chunk", expr(s"b_rn div $k"))
+    val joined = signals.join(barsC,
+      col("event_type") === col("b_et") && col("s_chunk") === col("b_chunk") &&
+        col("b_rn") > col("rn") && col("b_rn") <= col("rn") + k)
+    joined
+      .groupBy(sigCols: _*)
+      .agg(sort_array(collect_list(struct(
+        col("b_rn"), col("b_high"), col("b_low"), col("b_open"), col("b_close"))))
+        .as("fwd"))
+      .withColumn("fwd_highs", expr("transform(fwd, x -> x.b_high)"))
+      .withColumn("fwd_lows", expr("transform(fwd, x -> x.b_low)"))
+      .withColumn("fwd_opens", expr("transform(fwd, x -> x.b_open)"))
+      .withColumn("fwd_closes", expr("transform(fwd, x -> x.b_close)"))
+      .drop("fwd")
   }
 
   /** DuckDB CTE producing the same forward arrays on `bars` → `fwd`. */
