@@ -26,7 +26,8 @@ object SparkEntry {
       (graft.queries.BarrierQueries.all, graft.queries.BarrierQueries.oracles),
       (graft.queries.TextQueries.all, graft.queries.TextQueries.oracles),
       (graft.queries.DedupQueries.all, graft.queries.DedupQueries.oracles),
-      (graft.queries.SimilarityQueries.all, graft.queries.SimilarityQueries.oracles))
+      (graft.queries.SimilarityQueries.all, graft.queries.SimilarityQueries.oracles),
+      (graft.queries.EvalQueries.all, graft.queries.EvalQueries.oracles))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

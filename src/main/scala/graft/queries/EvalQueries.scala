@@ -1,0 +1,318 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.functions.{ErfAS, GraftFunctions}
+
+/** SQL-facing eval-layer queries (SURVEY.md §2.11): the reference's
+  * per-config statistical metrics restated as oracle-checkable DataFrame
+  * aggregations over the events-derived bar-return series (one series per
+  * event_type = the config analogue; the real engine fans the same
+  * aggregations out over 10⁴–10⁵ configs).
+  *
+  * Scale notes: every query is one groupBy over a windowed projection —
+  * partial aggregation and a single shuffle on the series key. The sorted-
+  * array metrics (Rachev, CDaR) collect per-series arrays; at the
+  * reference's scale (≤ ~10³ trades per config) those arrays are tiny; the
+  * parallelism axis is the number of series, not the series length.
+  * Cross-engine float parity: cumulative sums are windowed (sequential,
+  * deterministic order both engines) and tail means are sequential folds,
+  * so doubles match bit-for-bit before rounding.
+  */
+object EvalQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Per-bar return series r = (close−open)/open per event_type. */
+  private def returns(spark: SparkSession, d: String): DataFrame =
+    EventBars.bars(spark, d)
+      .withColumn("r", (col("close") - col("open")) / col("open"))
+
+  private val duckReturnsCte: String =
+    s"""${EventBars.duckCte},
+       |rets AS (
+       |  SELECT event_type, ts_us, event_id, rn, close,
+       |         (close - open) / open AS r
+       |  FROM bars)""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // q33 — Omega ratio + win rate (E5, eval/omega.py:28-37; L=0 ≡ profit
+  // factor). Pure conditional sums — map-side partial aggregation.
+  def q33OmegaWinrate(spark: SparkSession, d: String): DataFrame =
+    returns(spark, d)
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(sum(greatest(col("r"), lit(0.0))) /
+          sum(greatest(-col("r"), lit(0.0))), 4).as("omega_0"),
+        round(sum(greatest(col("r") - 0.001, lit(0.0))) /
+          sum(greatest(lit(0.001) - col("r"), lit(0.0))), 4).as("omega_l"),
+        round(count_if(col("r") > 0).cast("double") / count(lit(1)), 4).as("win_rate"))
+      .orderBy(col("event_type"))
+
+  val q33Sql: String =
+    s"""$duckReturnsCte
+       |SELECT event_type, count(*) AS n,
+       |  round(sum(greatest(r, 0.0)) / sum(greatest(-r, 0.0)), 4) AS omega_0,
+       |  round(sum(greatest(r - 0.001, 0.0)) / sum(greatest(0.001 - r, 0.0)), 4) AS omega_l,
+       |  round(count(*) FILTER (WHERE r > 0) / count(*)::DOUBLE, 4) AS win_rate
+       |FROM rets GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // q34 — Rachev ratio (E3, eval/rachev.py:19-52): tail k = max(1,⌊n·0.05⌋),
+  // CVaR_up/|CVaR_low| from the sorted return array, cap 10, NULL artifact
+  // guard. Tail means are sequential folds for bit parity.
+  def q34Rachev(spark: SparkSession, d: String): DataFrame =
+    returns(spark, d)
+      .groupBy(col("event_type"))
+      .agg(sort_array(collect_list(col("r"))).as("arr"))
+      .withColumn("n", size(col("arr")))
+      .filter(col("n") >= 20)
+      .withColumn("k", greatest(lit(1), floor(col("n") * 0.05)).cast("int"))
+      .withColumn("cvar_up",
+        expr("aggregate(slice(arr, n - k + 1, k), 0D, (a, x) -> a + x)") / col("k"))
+      .withColumn("cvar_low_abs",
+        abs(expr("aggregate(slice(arr, 1, k), 0D, (a, x) -> a + x)") / col("k")))
+      .select(col("event_type"), col("n"), col("k"),
+        round(when(col("cvar_low_abs") < 1e-12, lit(null))
+          .otherwise(least(col("cvar_up") / col("cvar_low_abs"), lit(10.0))), 6)
+          .as("rachev"))
+      .orderBy(col("event_type"))
+
+  val q34Sql: String =
+    s"""$duckReturnsCte,
+       |arrs AS (
+       |  SELECT event_type, list(r ORDER BY r) AS arr, count(*) AS n
+       |  FROM rets GROUP BY event_type),
+       |tails AS (
+       |  SELECT event_type, n,
+       |    greatest(1, CAST(floor(n * 0.05) AS INT)) AS k, arr
+       |  FROM arrs WHERE n >= 20),
+       |cv AS (
+       |  SELECT event_type, n, k,
+       |    list_reduce(list_slice(arr, n - k + 1, n), (a, x) -> a + x) / k AS cvar_up,
+       |    abs(list_reduce(list_slice(arr, 1, k), (a, x) -> a + x) / k) AS cvar_low_abs
+       |  FROM tails)
+       |SELECT event_type, CAST(n AS INT) AS n, k,
+       |  round(CASE WHEN cvar_low_abs < 1e-12 THEN NULL
+       |        ELSE least(cvar_up / cvar_low_abs, 10.0) END, 6) AS rachev
+       |FROM cv ORDER BY event_type""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // q35 — CDaR (E4, eval/cdar.py:20-31): drawdown curve from windowed
+  // cumsum/running-max (deterministic order both engines), mean of the
+  // worst 5% of drawdowns.
+  def q35Cdar(spark: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type")).orderBy(col("ts_us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    returns(spark, d)
+      .withColumn("cum", sum(col("r")).over(w))
+      .withColumn("run_max", max(col("cum")).over(w))
+      .withColumn("dd", col("run_max") - col("cum"))
+      .groupBy(col("event_type"))
+      .agg(sort_array(collect_list(col("dd")), asc = false).as("dds"))
+      .withColumn("n", size(col("dds")))
+      .withColumn("k", greatest(lit(1), floor(col("n") * 0.05)).cast("int"))
+      .select(col("event_type"), col("n"), col("k"),
+        round(expr("aggregate(slice(dds, 1, k), 0D, (a, x) -> a + x)") / col("k"), 6)
+          .as("cdar"))
+      .orderBy(col("event_type"))
+  }
+
+  val q35Sql: String =
+    s"""$duckReturnsCte,
+       |cums AS (
+       |  SELECT event_type, ts_us, event_id,
+       |    sum(r) OVER w AS cum
+       |  FROM rets
+       |  WINDOW w AS (PARTITION BY event_type ORDER BY ts_us, event_id
+       |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+       |dd AS (
+       |  SELECT event_type,
+       |    max(cum) OVER w2 - cum AS dd
+       |  FROM cums
+       |  WINDOW w2 AS (PARTITION BY event_type ORDER BY ts_us, event_id
+       |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+       |arrs AS (
+       |  SELECT event_type, list(dd ORDER BY dd DESC) AS dds, count(*) AS n
+       |  FROM dd GROUP BY event_type)
+       |SELECT event_type, CAST(n AS INT) AS n,
+       |  greatest(1, CAST(floor(n * 0.05) AS INT)) AS k,
+       |  round(list_reduce(list_slice(dds, 1, greatest(1, CAST(floor(n * 0.05) AS INT))),
+       |        (a, x) -> a + x) / greatest(1, CAST(floor(n * 0.05) AS INT)), 6) AS cdar
+       |FROM arrs ORDER BY event_type""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // q36 — E-values + GROW (E8, eval/evalues.py:26-56) at fixed bet f=0.01:
+  // log-space running product with 1e10 cap, max-E rejection at 1/α=20,
+  // first-rejection index, mean log growth.
+  def q36Evalues(spark: SparkSession, d: String): DataFrame = {
+    val f = 0.01
+    val w = Window.partitionBy(col("event_type")).orderBy(col("ts_us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wAll = Window.partitionBy(col("event_type")).orderBy(col("ts_us"), col("event_id"))
+    returns(spark, d)
+      .withColumn("lf", log(lit(1.0) + lit(f) * col("r")))
+      .withColumn("cum", least(sum(col("lf")).over(w), log(lit(1e10))))
+      .withColumn("idx", row_number().over(wAll))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(exp(max_by(col("cum"), col("idx"))), 6).as("final_evalue"),
+        round(exp(max(col("cum"))), 6).as("max_evalue"),
+        round(avg(col("lf")), 8).as("grow"),
+        (max(col("cum")) >= log(lit(20.0))).cast("int").as("rejects_null"),
+        coalesce(min(when(col("cum") >= log(lit(20.0)), col("idx"))), lit(-1L))
+          .as("first_rejection"))
+      .orderBy(col("event_type"))
+  }
+
+  val q36Sql: String =
+    s"""$duckReturnsCte,
+       |lf AS (
+       |  SELECT event_type, ts_us, event_id,
+       |    ln(1.0 + 0.01 * r) AS lf
+       |  FROM rets),
+       |cums AS (
+       |  SELECT event_type, lf,
+       |    least(sum(lf) OVER w, ln(1e10)) AS cum,
+       |    row_number() OVER (PARTITION BY event_type ORDER BY ts_us, event_id) AS idx
+       |  FROM lf
+       |  WINDOW w AS (PARTITION BY event_type ORDER BY ts_us, event_id
+       |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+       |SELECT event_type, count(*) AS n,
+       |  round(exp(max(CASE WHEN idx = (SELECT max(c2.idx) FROM cums c2
+       |                                 WHERE c2.event_type = cums.event_type)
+       |                THEN cum END)), 6) AS final_evalue,
+       |  round(exp(max(cum)), 6) AS max_evalue,
+       |  round(avg(lf), 8) AS grow,
+       |  CAST(max(cum) >= ln(20.0) AS INT) AS rejects_null,
+       |  coalesce(min(CASE WHEN cum >= ln(20.0) THEN idx END), -1) AS first_rejection
+       |FROM cums GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // q37 — OU calibration (E7, eval/ou_barriers.py:28-56) as closed-form OLS
+  // from sufficient statistics: b = Sxy/Sxx on (X_t, ΔX), μ = −b,
+  // σ² = Var_pop(ΔX) − b²·Var_pop(X) (residual orthogonality),
+  // half_life = ln2/μ, TP_OU = σ·√hl / mean price. One aggregation pass —
+  // no per-row regression, no second pass for residuals.
+  def q37OuCalibration(spark: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type")).orderBy(col("ts_us"), col("event_id"))
+    returns(spark, d)
+      .withColumn("x", lag(col("close"), 1).over(w))
+      .withColumn("y", col("close") - col("x"))
+      .filter(col("x").isNotNull)
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        avg(col("x")).as("xb"), avg(col("y")).as("yb"),
+        (avg(col("x") * col("y")) - avg(col("x")) * avg(col("y"))).as("cov_xy"),
+        (avg(col("x") * col("x")) - avg(col("x")) * avg(col("x"))).as("var_x"),
+        (avg(col("y") * col("y")) - avg(col("y")) * avg(col("y"))).as("var_y"),
+        avg(col("close")).as("mean_price"))
+      .withColumn("b", col("cov_xy") / col("var_x"))
+      .withColumn("mu", -col("b"))
+      .withColumn("sigma", sqrt(greatest(col("var_y") - col("b") * col("b") * col("var_x"), lit(0.0))))
+      .withColumn("half_life", when(col("mu") > 0, log(lit(2.0)) / col("mu")))
+      .withColumn("tp_frac",
+        when(col("mu") > 0, col("sigma") * sqrt(col("half_life")) / col("mean_price")))
+      .select(col("event_type"), col("n"),
+        round(col("mu"), 6).as("mu"),
+        round(col("sigma"), 6).as("sigma"),
+        round(col("half_life"), 6).as("half_life"),
+        round(col("tp_frac"), 8).as("tp_frac"))
+      .orderBy(col("event_type"))
+  }
+
+  val q37Sql: String =
+    s"""$duckReturnsCte,
+       |xy AS (
+       |  SELECT event_type, close,
+       |    lag(close, 1) OVER (PARTITION BY event_type ORDER BY ts_us, event_id) AS x
+       |  FROM rets),
+       |suff AS (
+       |  SELECT event_type, count(*) AS n,
+       |    avg(x * (close - x)) - avg(x) * avg(close - x) AS cov_xy,
+       |    avg(x * x) - avg(x) * avg(x) AS var_x,
+       |    avg((close - x) * (close - x)) - avg(close - x) * avg(close - x) AS var_y,
+       |    avg(close) AS mean_price
+       |  FROM xy WHERE x IS NOT NULL GROUP BY event_type),
+       |cal AS (
+       |  SELECT event_type, n, -(cov_xy / var_x) AS mu,
+       |    sqrt(greatest(var_y - (cov_xy / var_x) * (cov_xy / var_x) * var_x, 0.0)) AS sigma,
+       |    mean_price
+       |  FROM suff)
+       |SELECT event_type, n,
+       |  round(mu, 6) AS mu,
+       |  round(sigma, 6) AS sigma,
+       |  round(CASE WHEN mu > 0 THEN ln(2.0) / mu END, 6) AS half_life,
+       |  round(CASE WHEN mu > 0 THEN sigma * sqrt(ln(2.0) / mu) / mean_price END, 8) AS tp_frac
+       |FROM cal ORDER BY event_type""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // q38 — PSR (E1, eval/dsr.py:35-51): SR from sample moments, s.e. with
+  // the skew/kurt correction, Φ via the shared A&S erf approximation so
+  // both engines evaluate identical arithmetic (GraftFunctions.erfAS ≡
+  // ErfAS.duckSql).
+  def q38Psr(spark: SparkSession, d: String): DataFrame = {
+    val n = count(lit(1)).cast("double")
+    returns(spark, d)
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        (avg(col("r")) / stddev_samp(col("r"))).as("sr"),
+        GraftFunctions.skewSamp(col("r"), n).as("skew"),
+        (GraftFunctions.kurtSampExcess(col("r"), n) + lit(3.0)).as("kurt"))
+      .withColumn("se",
+        sqrt(greatest(lit(1.0) + lit(0.5) * col("sr") * col("sr")
+          - col("skew") * col("sr")
+          + (col("kurt") - 3.0) / 4.0 * col("sr") * col("sr"), lit(1e-10)) / col("n")))
+      .withColumn("psr",
+        lit(0.5) * (lit(1.0) + GraftFunctions.erfAS(col("sr") / col("se") / math.sqrt(2.0))))
+      .select(col("event_type"), col("n"),
+        round(col("sr"), 6).as("sr"),
+        round(col("skew"), 6).as("skew"),
+        round(col("kurt"), 6).as("kurt"),
+        round(col("se"), 6).as("se"),
+        round(col("psr"), 6).as("psr"))
+      .orderBy(col("event_type"))
+  }
+
+  val q38Sql: String = {
+    val z = "((sr / se) / sqrt(2.0))"
+    s"""$duckReturnsCte,
+       |m AS (
+       |  SELECT event_type, count(*) AS n,
+       |    avg(r) / stddev_samp(r) AS sr,
+       |    skewness(r) AS skew,
+       |    kurtosis(r) + 3.0 AS kurt
+       |  FROM rets GROUP BY event_type),
+       |s AS (
+       |  SELECT event_type, n, sr, skew, kurt,
+       |    sqrt(greatest(1.0 + 0.5 * sr * sr - skew * sr
+       |         + (kurt - 3.0) / 4.0 * sr * sr, 1e-10) / n) AS se
+       |  FROM m)
+       |SELECT event_type, n,
+       |  round(sr, 6) AS sr, round(skew, 6) AS skew, round(kurt, 6) AS kurt,
+       |  round(se, 6) AS se,
+       |  round(0.5 * (1.0 + ${ErfAS.duckSql(z)}), 6) AS psr
+       |FROM s ORDER BY event_type""".stripMargin
+  }
+
+  val all: Map[String, Q] = Map(
+    "q33_omega_winrate" -> (q33OmegaWinrate _),
+    "q34_rachev" -> (q34Rachev _),
+    "q35_cdar" -> (q35Cdar _),
+    "q36_evalues" -> (q36Evalues _),
+    "q37_ou_calibration" -> (q37OuCalibration _),
+    "q38_psr" -> (q38Psr _))
+
+  val oracles: Map[String, String] = Map(
+    "q33_omega_winrate" -> q33Sql,
+    "q34_rachev" -> q34Sql,
+    "q35_cdar" -> q35Sql,
+    "q36_evalues" -> q36Sql,
+    "q37_ou_calibration" -> q37Sql,
+    "q38_psr" -> q38Sql)
+}

@@ -1,0 +1,179 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.eval.{Folds, Ranking, Resampling, Stats}
+
+/** Goldens + structural invariants for the fold / resampling / ranking
+  * stack (numpy-verified where a golden applies).
+  */
+class EvalStackSpec extends AnyFunSuite {
+
+  // --- Folds ---------------------------------------------------------------
+
+  test("WFO folds: purge gap, disjointness, rolling-train cap, coverage") {
+    val n = 2000
+    val folds = Folds.buildWfoFolds(n, purgeBars = 100)
+    assert(folds.nonEmpty)
+    val testSize = math.max(1, n / math.max(5, n / 200))
+    folds.foreach { case (train, test) =>
+      assert(test.length == testSize)
+      assert(train.last + 100 < test.head, "purge gap violated")
+      assert(train.length <= testSize * 5 + 1, "rolling train cap violated")
+      assert(train.intersect(test).isEmpty)
+    }
+    // consecutive folds advance by exactly one test window
+    folds.sliding(2).foreach {
+      case Seq((_, t1), (_, t2)) => assert(t2.head - t1.head == testSize)
+      case _ =>
+    }
+    assert(Folds.buildWfoFolds(50).isEmpty, "too-small n must produce no folds")
+  }
+
+  test("CPCV folds: C(10,2)=45 splits, purge+embargo exclusion, test disjoint from train") {
+    val n = 1000
+    val folds = Folds.buildCpcvFolds(n, nFolds = 10, nTestFolds = 2,
+      purgeBars = 50, embargoBars = 10)
+    assert(folds.length == 45)
+    folds.foreach { case (train, test) =>
+      assert(train.intersect(test).isEmpty)
+      val testSet = test.toSet
+      // no train index within purge window before a test block start
+      val starts = test.filter(i => !testSet.contains(i - 1))
+      starts.foreach { s =>
+        ((s - 50) until s).foreach(i => assert(!train.contains(i), s"purge leak at $i"))
+      }
+      val ends = test.filter(i => !testSet.contains(i + 1))
+      ends.foreach { e =>
+        ((e + 1) to math.min(n - 1, e + 10)).foreach(i =>
+          assert(!train.contains(i), s"embargo leak at $i"))
+      }
+    }
+    // every index appears in some test set exactly C(9,1)/... sanity: union covers all
+    assert(folds.flatMap(_._2).distinct.length == n)
+  }
+
+  test("fold metrics golden (numpy-checked)") {
+    val rets = Array(0.02, -0.01, 0.03, -0.02, -0.005, 0.01, 0.0, -0.01)
+    val m = Folds.foldMetrics(rets)
+    assert(m.nTrades == 8)
+    assert(math.abs(m.winRate - 0.375) < 1e-12)
+    assert(math.abs(m.profitFactor - 1.3333333333333335) < 1e-12)
+    assert(math.abs(m.maxDrawdown - 0.025) < 1e-12)
+    assert(math.abs(m.underwaterRatio - 0.75) < 1e-12)
+    assert(m.maxUnderwaterBars == 5)
+    assert(math.abs(m.avgRecoveryBars - 3.0) < 1e-12)
+  }
+
+  test("fold metrics PF rules: cap at 10, 0/0 -> NaN, empty fold") {
+    assert(Folds.foldMetrics(Array(0.1, 0.2)).profitFactor == 10.0)
+    assert(Folds.foldMetrics(Array(0.0, 0.0)).profitFactor.isNaN)
+    val e = Folds.foldMetrics(Array.empty)
+    assert(e.nTrades == 0 && e.profitFactor.isNaN)
+  }
+
+  test("PBO from CPCV leave-one-out golden") {
+    val pbo = Folds.pboFromCpcv(Map("b1" -> Seq(1.2, 0.8, 1.5, 0.9, 1.1)))
+    assert(math.abs(pbo("b1") - 0.4) < 1e-12)
+    assert(Folds.pboFromCpcv(Map("b2" -> Seq(1.0)))("b2") == 0.5)
+  }
+
+  // --- Ranking -------------------------------------------------------------
+
+  test("TOPSIS golden (numpy-checked)") {
+    val m = Array(
+      Array(2.0, 0.3, 5.0), Array(1.5, 0.1, 9.0),
+      Array(3.0, 0.5, 2.0), Array(2.5, 0.2, 4.0))
+    val got = Ranking.topsis(m, Array(0.5, 0.2, 0.3), Array(1, -1, -1))
+    val want = Array(0.4770379365935226, 0.3412303334961969,
+      0.6587696665038032, 0.7048323130159198)
+    got.zip(want).foreach { case (g, w) => assert(math.abs(g - w) < 1e-12) }
+  }
+
+  test("percentile ranks golden") {
+    val got = Ranking.percentileRanks(Array(3.0, 1.0, 2.0, 2.0))
+    val want = Array(1.0, 0.25, 0.75, 0.75)
+    got.zip(want).foreach { case (g, w) => assert(math.abs(g - w) < 1e-12) }
+  }
+
+  test("knee detection finds a pronounced elbow and returns empty on a flat front") {
+    // strong elbow at (0.05, 0.05) between two shallow arms; enough arm
+    // points that the 2σ threshold separates cleanly (with one outlier in
+    // n=5 the threshold equals the outlier exactly — degenerate).
+    val front = Array(
+      Array(1.0, 0.0), Array(0.9, 0.01), Array(0.8, 0.02), Array(0.7, 0.03),
+      Array(0.6, 0.04), Array(0.05, 0.05),
+      Array(0.04, 0.6), Array(0.03, 0.7), Array(0.02, 0.8), Array(0.01, 0.9),
+      Array(0.0, 1.0))
+    val knees = Ranking.kneeDetect(front, Array(-1, -1), epsilon = 2.0)
+    assert(knees.contains(5), s"expected knee at idx 5, got ${knees.mkString(",")}")
+    // straight-line front → no 2σ outlier
+    val line = Array.tabulate(10)(i => Array(i / 9.0, 1.0 - i / 9.0))
+    assert(Ranking.kneeDetect(line, Array(-1, -1), epsilon = 2.0).isEmpty)
+  }
+
+  test("GT-composite formula") {
+    assert(math.abs(Folds.gtComposite(2.0, 0.8, 0.25, 0.075) - 2.0 * 0.8 * 0.75 * 0.5) < 1e-12)
+    assert(Folds.gtComposite(2.0, 0.8, 0.25, 0.2) == 0.0) // DD beyond 15% zeroes it
+  }
+
+  // --- Resampling ----------------------------------------------------------
+
+  test("CSCV: a dominant config keeps OOS rank high, PBO 0") {
+    // config 0 wins every block IS and OOS; PBO must be 0.
+    val blocks = 8
+    val strong = Array.tabulate(blocks)(b => Array.fill(10)(0.02 + b * 1e-4))
+    val weak1 = Array.tabulate(blocks)(b => Array.fill(10)(-0.01 + b * 1e-4))
+    val weak2 = Array.tabulate(blocks)(b => Array.fill(10)(0.0 + (b % 2) * 1e-4))
+    val res = Resampling.cscv(Array(strong, weak1, weak2),
+      rets => if (rets.isEmpty) 0.0 else Stats.mean(rets))
+    assert(res.nCombinations == 70) // C(8,4)
+    assert(res.pbo == 0.0)
+    assert(res.isWinnerPerSplit.forall(_ == 0))
+    assert(res.oosRanks.forall(_ == 1.0))
+  }
+
+  test("CSCV block assignment bins by timestamp") {
+    val rets = Array(1.0, 2.0, 3.0, 4.0)
+    val ts = Array(0L, 25L, 50L, 100L)
+    val blocks = Resampling.assignBlocks(rets, ts, 0L, 100L, 4)
+    assert(blocks(0).toSeq == Seq(1.0) && blocks(1).toSeq == Seq(2.0))
+    assert(blocks(2).toSeq == Seq(3.0) && blocks(3).toSeq == Seq(4.0)) // max clamps
+  }
+
+  test("bootstrap CI: contains point estimate, degenerate for tiny n, deterministic") {
+    val rng = new scala.util.Random(7)
+    val rets = Array.fill(200)(0.002 + rng.nextGaussian() * 0.01)
+    val ci = Resampling.bootstrapCi(rets, Stats.mean, nResamples = 500, blockSize = 20)
+    assert(ci.ciLower <= ci.pointEstimate && ci.pointEstimate <= ci.ciUpper)
+    assert(ci.method.startsWith("mbb"))
+    val ci2 = Resampling.bootstrapCi(rets, Stats.mean, nResamples = 500, blockSize = 20)
+    assert(ci == ci2, "seeded bootstrap must be deterministic")
+    assert(Resampling.bootstrapCi(Array(0.01, 0.02), Stats.mean).method == "degenerate")
+    // IID fallback when block too large
+    val short = rets.take(30)
+    assert(Resampling.bootstrapCi(short, Stats.mean, blockSize = 20).method.startsWith("iid"))
+  }
+
+  test("Romano-Wolf: strong-signal config rejected, nulls not; deterministic") {
+    val rng = new scala.util.Random(11)
+    val strong = Array.fill(100)(0.05 + rng.nextGaussian() * 0.01)
+    val nulls = Array.tabulate(5)(_ => Array.fill(100)(rng.nextGaussian() * 0.01))
+    val rw = Resampling.romanoWolf(nulls :+ strong, nBootstrap = 300)
+    assert(rw.rejected.contains(5), "strong config must be rejected")
+    assert(rw.criticalValue > 0)
+    val rw2 = Resampling.romanoWolf(nulls :+ strong, nBootstrap = 300)
+    assert(rw.criticalValue == rw2.criticalValue)
+  }
+
+  test("e-BH goldens") {
+    assert(Resampling.ebh(Array(50.0, 30.0, 10.0, 5.0, 1.0, 0.5)) == 0)
+    assert(Resampling.ebh(Array(200.0, 150.0, 100.0)) == 3)
+    assert(Resampling.ebh(Array.empty[Double]) == 0)
+  }
+
+  test("quantile type-7 interpolation") {
+    val s = Array(1.0, 2.0, 3.0, 4.0)
+    assert(Resampling.quantile(s, 0.5) == 2.5)
+    assert(Resampling.quantile(s, 0.0) == 1.0 && Resampling.quantile(s, 1.0) == 4.0)
+  }
+}
