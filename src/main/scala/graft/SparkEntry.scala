@@ -27,7 +27,8 @@ object SparkEntry {
       (graft.queries.TextQueries.all, graft.queries.TextQueries.oracles),
       (graft.queries.DedupQueries.all, graft.queries.DedupQueries.oracles),
       (graft.queries.SimilarityQueries.all, graft.queries.SimilarityQueries.oracles),
-      (graft.queries.EvalQueries.all, graft.queries.EvalQueries.oracles))
+      (graft.queries.EvalQueries.all, graft.queries.EvalQueries.oracles),
+      (graft.queries.MultimodalQueries.all, graft.queries.MultimodalQueries.oracles))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

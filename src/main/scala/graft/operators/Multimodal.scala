@@ -1,0 +1,105 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing for a training-data pipeline: image/audio/
+  * video as opaque `binary` columns with typed metadata, plus
+  * decode / feature-extract / resize / frame-sample operators.
+  *
+  * The *decode* step is STUBBED (this container has no image/audio codecs):
+  * `fakeDecode` below is a deterministic stand-in that yields a byte plane
+  * from the payload. Everything around it — the schema, the per-partition
+  * batching, the frame-sampling arithmetic, the feature vector shape — is
+  * the real Spark plumbing a production decode (JNI codec / Python
+  * `mapInPandas` on a PySpark bridge) would drop into.
+  *
+  * Scale design: payloads never shuffle — every operator here is a
+  * projection or a `mapPartitions` over the payload column; features
+  * (small fixed-width vectors) are what flows into joins/aggregations
+  * downstream. Partition sizing is payload-byte-aware
+  * (`spark.sql.files.maxPartitionBytes` governs the scan; the batch
+  * iterator bounds decode memory to one payload at a time).
+  */
+object Multimodal {
+
+  /** Synthesize the multimodal table from `documents`: payload = UTF-8
+    * bytes of the text (an *opaque* blob from the pipeline's viewpoint),
+    * modality assigned deterministically, typed metadata struct.
+    * Mirrors a real lake layout: (id, modality, content, meta).
+    */
+  def mediaTable(spark: SparkSession, d: String): DataFrame =
+    graft.Tables.documents(spark, d)
+      .select(
+        col("doc_id").as("media_id"),
+        element_at(array(lit("image"), lit("audio"), lit("video")),
+          (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("modality"),
+        encode(col("text"), "UTF-8").as("content"),
+        struct(
+          col("source"),
+          col("n_chars").as("content_len"),
+          (pmod(col("doc_id"), lit(16)) + 1).cast("int").as("sample_rate"),
+          (pmod(col("doc_id"), lit(8)) + 1).cast("int").as("n_channels"))
+          .as("meta"))
+
+  /** STUB decode: deterministic byte-plane from the opaque payload.
+    * A real implementation would decode JPEG/PCM/H.264 here; the plumbing
+    * (mapPartitions batch shape, output schema) is what this pins down.
+    */
+  def fakeDecode(payload: Array[Byte], plane: Int): Array[Byte] = {
+    // ??? real codec goes here — deterministic fake: xor-fold the payload
+    // into a fixed 64-byte plane so downstream shapes are realistic.
+    val out = new Array[Byte](64)
+    var i = 0
+    while (i < payload.length) {
+      out(i % 64) = (out(i % 64) ^ payload(i) ^ plane).toByte
+      i += 1
+    }
+    out
+  }
+
+  /** Feature extraction: 16-bin byte histogram over the (stub-)decoded
+    * plane, L1-normalized — the fixed-width vector a real embedding model
+    * would produce. Runs as mapPartitions: one payload in flight per row,
+    * no payload materialization beyond the current batch element.
+    */
+  def withFeatures(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val schema = org.apache.spark.sql.types.StructType(media.schema.fields :+
+      org.apache.spark.sql.types.StructField("features",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType, containsNull = false)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val payload = r.getAs[Array[Byte]]("content")
+        val plane = fakeDecode(payload, 0)
+        val hist = new Array[Double](16)
+        plane.foreach { b => hist((b & 0xFF) / 16) += 1.0 }
+        val total = hist.sum
+        val feats = if (total > 0) hist.map(_ / total) else hist
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ feats.toSeq)
+      }
+    }(enc)
+  }
+
+  /** Frame sampling for video payloads: split the payload into fixed-size
+    * pseudo-frames and keep every `stride`-th, exploded one row per frame
+    * with its byte offset — the real decoder swaps in at `fakeDecode`.
+    */
+  def sampleFrames(media: DataFrame, frameBytes: Int, stride: Int): DataFrame =
+    media.filter(col("modality") === "video")
+      .withColumn("n_frames_total",
+        ceil(length(col("content")).cast("double") / frameBytes).cast("int"))
+      .withColumn("frame_idx",
+        explode(expr(s"filter(sequence(0, n_frames_total - 1), i -> i % $stride = 0)")))
+      .withColumn("frame",
+        expr(s"substring(content, frame_idx * $frameBytes + 1, $frameBytes)"))
+      .withColumn("frame_offset", col("frame_idx") * frameBytes)
+
+  /** Resize stub: truncate/pad the decoded plane to `targetLen` bytes —
+    * stands in for bilinear resize; pins the output-shape contract. */
+  def resizePlane(plane: Array[Byte], targetLen: Int): Array[Byte] =
+    java.util.Arrays.copyOf(plane, targetLen)
+}

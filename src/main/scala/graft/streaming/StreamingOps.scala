@@ -1,0 +1,106 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming surface (SURVEY.md §2.10): the reference is pure
+  * batch, but its expanding/rolling no-lookahead statistics (A5/W5/W6) are
+  * *semantically online* operators — this module is their streaming form,
+  * so the same engine can run over a live bar feed.
+  *
+  *  - [[windowedBarStats]]: event-time tumbling windows + watermark — the
+  *    idiomatic aggregation path (state bounded by the watermark).
+  *  - [[runningStats]]: `flatMapGroupsWithState` keyed by series — the
+  *    expanding warmup-gate statistics (running count/mean/min/max and an
+  *    exact expanding quantile over a bounded buffer), emitting one row
+  *    per input bar with *only-past* state, i.e. the no-lookahead
+  *    guarantee in streaming form.
+  *
+  * Scale: state is per-key (series), so parallelism = #series; the
+  * quantile buffer is capped (`maxBuffer`) — beyond it the exact expanding
+  * quantile degrades to a documented sliding approximation (the cap bounds
+  * executor state at ~8·maxBuffer bytes/key, which is what survives an
+  * unbounded stream).
+  */
+object StreamingOps {
+
+  final case class Bar(series: String, tsUs: Long, value: Double)
+
+  final case class RunningOut(series: String, tsUs: Long, value: Double,
+      n: Long, runMean: Double, runMin: Double, runMax: Double,
+      p95Prior: Option[Double])
+
+  final case class RunState(n: Long, sum: Double, min: Double, max: Double,
+      buf: Vector[Double])
+
+  /** Exact exclusive quantile (PERCENTILE.EXC) over the state buffer —
+    * identical semantics to the batch QuantileExactExclusive expression. */
+  private def exclusiveQuantile(sorted: IndexedSeq[Double], q: Double): Option[Double] = {
+    val m = sorted.length
+    if (m == 0) None
+    else {
+      val h = q * (m + 1)
+      if (h < 1.0) Some(sorted.head)
+      else if (h >= m) Some(sorted.last)
+      else {
+        val fh = math.floor(h); val idx = fh.toInt
+        Some(sorted(idx - 1) + (h - fh) * (sorted(idx) - sorted(idx - 1)))
+      }
+    }
+  }
+
+  /** Expanding per-series stats with the prior-only (no-lookahead) p95:
+    * each emitted row carries state computed from STRICTLY EARLIER rows
+    * (the reference's `ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING`
+    * frame, gen111:49-52). Rows within a batch are processed in tsUs
+    * order.
+    */
+  def runningStats(bars: Dataset[Bar], maxBuffer: Int = 10000): Dataset[RunningOut] = {
+    val spark = bars.sparkSession
+    import spark.implicits._
+    bars.groupByKey(_.series)
+      .flatMapGroupsWithState[RunState, RunningOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (series, rows, state: GroupState[RunState]) =>
+          var st = state.getOption.getOrElse(
+            RunState(0L, 0.0, Double.PositiveInfinity, Double.NegativeInfinity, Vector.empty))
+          val out = rows.toSeq.sortBy(b => (b.tsUs, b.value)).map { b =>
+            val priorP95 = exclusiveQuantile(st.buf, 0.95)
+            val o = RunningOut(series, b.tsUs, b.value,
+              st.n + 1,
+              (st.sum + b.value) / (st.n + 1),
+              math.min(st.min, b.value), math.max(st.max, b.value),
+              priorP95)
+            val nextBuf0 = insertSorted(st.buf, b.value)
+            val nextBuf = if (nextBuf0.length > maxBuffer) nextBuf0.tail else nextBuf0
+            st = RunState(st.n + 1, st.sum + b.value,
+              math.min(st.min, b.value), math.max(st.max, b.value), nextBuf)
+            o
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
+  private def insertSorted(v: Vector[Double], x: Double): Vector[Double] = {
+    var lo = 0; var hi = v.length
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (v(mid) < x) lo = mid + 1 else hi = mid
+    }
+    (v.take(lo) :+ x) ++ v.drop(lo)
+  }
+
+  /** Tumbling event-time windows with a watermark: per (window, series)
+    * count/avg/min/max. Late data beyond the watermark is dropped and
+    * state is evicted — the bounded-state aggregation path. */
+  def windowedBarStats(bars: DataFrame, windowLen: String = "1 minute",
+      watermark: String = "2 minutes"): DataFrame =
+    bars
+      .withColumn("event_time", timestamp_micros(col("tsUs")))
+      .withWatermark("event_time", watermark)
+      .groupBy(window(col("event_time"), windowLen), col("series"))
+      .agg(count(lit(1)).as("n"), avg(col("value")).as("avg_value"),
+        min(col("value")).as("min_value"), max(col("value")).as("max_value"))
+}

@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Multimodal
+
+/** Pins the multimodal plumbing: schema contract, deterministic stub
+  * decode, feature-vector shape/normalization, frame-sampling arithmetic,
+  * resize contract. The decode is a stub; these tests are about the
+  * Spark-side shapes a real codec would drop into.
+  */
+class MultimodalSpec extends GraftSuite {
+
+  test("media table schema: id, modality enum, binary payload, typed meta") {
+    val df = Multimodal.mediaTable(spark, sf)
+    val s = df.schema
+    assert(s("content").dataType.typeName == "binary")
+    assert(s("meta").dataType.typeName == "struct")
+    val mods = df.select("modality").distinct().collect().map(_.getString(0)).toSet
+    assert(mods == Set("image", "audio", "video"))
+    assert(df.count() == Tables.documents(spark, sf).count())
+  }
+
+  test("fakeDecode is deterministic and fixed-width") {
+    val p = "some payload bytes".getBytes("UTF-8")
+    val a = Multimodal.fakeDecode(p, 0)
+    val b = Multimodal.fakeDecode(p, 0)
+    assert(a.toSeq == b.toSeq)
+    assert(a.length == 64)
+    assert(Multimodal.fakeDecode(p, 1).toSeq != a.toSeq, "plane must matter")
+  }
+
+  test("withFeatures emits L1-normalized 16-bin vectors for every row") {
+    val df = Multimodal.withFeatures(Multimodal.mediaTable(spark, sf))
+    val rows = df.select("media_id", "features").collect()
+    assert(rows.length == Tables.documents(spark, sf).count())
+    rows.foreach { r =>
+      val f = r.getSeq[Double](1)
+      assert(f.length == 16)
+      assert(math.abs(f.sum - 1.0) < 1e-9, s"not normalized: ${f.sum}")
+      assert(f.forall(_ >= 0.0))
+    }
+    // deterministic across runs
+    val again = Multimodal.withFeatures(Multimodal.mediaTable(spark, sf))
+      .select("media_id", "features").collect()
+    assert(rows.map(r => (r.getLong(0), r.getSeq[Double](1))).toMap ==
+      again.map(r => (r.getLong(0), r.getSeq[Double](1))).toMap)
+  }
+
+  test("sampleFrames: stride arithmetic, offsets, frame byte-width") {
+    val frames = Multimodal.sampleFrames(
+      Multimodal.mediaTable(spark, sf), frameBytes = 64, stride = 4)
+    val rows = frames
+      .select("media_id", "n_frames_total", "frame_idx", "frame_offset", "frame")
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val total = r.getInt(1); val idx = r.getInt(2)
+      assert(idx % 4 == 0 && idx < total)
+      assert(r.getInt(3) == idx * 64)
+      val fr = r.getAs[Array[Byte]]("frame")
+      assert(fr.length <= 64 && fr.length > 0)
+    }
+    // per-media sampled count = ceil(total/4)
+    val counts = frames.groupBy("media_id", "n_frames_total")
+      .agg(count(lit(1)).as("n")).collect()
+    counts.foreach { r =>
+      val want = (r.getInt(1) + 3) / 4
+      assert(r.getLong(2) == want, s"media ${r.getLong(0)}: ${r.getLong(2)} != $want")
+    }
+  }
+
+  test("resizePlane truncates and zero-pads to the target shape") {
+    val p = Array[Byte](1, 2, 3, 4, 5)
+    assert(Multimodal.resizePlane(p, 3).toSeq == Seq[Byte](1, 2, 3))
+    val padded = Multimodal.resizePlane(p, 8)
+    assert(padded.length == 8 && padded.drop(5).forall(_ == 0))
+  }
+}

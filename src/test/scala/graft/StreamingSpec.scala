@@ -1,0 +1,119 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.streaming.StreamingOps
+import graft.streaming.StreamingOps.Bar
+
+/** Drives the streaming operators with MemoryStream and checks (a) the
+  * no-lookahead guarantee of the stateful expanding stats across batch
+  * boundaries and (b) windowed aggregation parity with a batch groupBy.
+  */
+class StreamingSpec extends GraftSuite {
+
+  test("runningStats: expanding state is prior-only and survives batch boundaries") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[Bar]
+    val query = StreamingOps.runningStats(mem.toDS())
+      .writeStream.format("memory").queryName("running_out")
+      .outputMode("append").start()
+    try {
+      // batch 1: 5 bars of series A ascending values 1..5, one of B
+      mem.addData((1 to 5).map(i => Bar("A", i.toLong, i.toDouble)) :+ Bar("B", 1L, 42.0): _*)
+      query.processAllAvailable()
+      // batch 2: 2 more A bars — state must carry the first five
+      mem.addData(Bar("A", 6L, 6.0), Bar("A", 7L, 7.0))
+      query.processAllAvailable()
+
+      val rows = spark.table("running_out")
+        .filter(col("series") === "A").orderBy("tsUs").collect()
+      assert(rows.length == 7)
+      // n is the expanding count
+      assert(rows.map(_.getAs[Long]("n")).toSeq == (1L to 7L))
+      // running mean of 1..k
+      rows.zipWithIndex.foreach { case (r, i) =>
+        val k = i + 1
+        assert(math.abs(r.getAs[Double]("runMean") - (k + 1) / 2.0) < 1e-12)
+      }
+      // prior-only p95: first row has none; row k sees only rows < k
+      assert(rows.head.getAs[Double]("p95Prior") == null ||
+        rows.head.isNullAt(rows.head.fieldIndex("p95Prior")))
+      // row at ts=6 (batch 2) must see exactly values 1..5: p95.EXC of
+      // [1..5] = h=0.95*6=5.7 >= n → max = 5
+      val r6 = rows(5)
+      assert(math.abs(r6.getAs[Double]("p95Prior") - 5.0) < 1e-12)
+      // B is independent state
+      val b = spark.table("running_out").filter(col("series") === "B").collect()
+      assert(b.length == 1 && b.head.getAs[Long]("n") == 1L)
+    } finally query.stop()
+  }
+
+  test("runningStats expanding quantile matches the batch window operator") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val vals = Seq(3.0, 1.0, 4.0, 1.5, 9.0, 2.6, 5.3, 5.8, 9.7, 9.3)
+    val mem = MemoryStream[Bar]
+    val query = StreamingOps.runningStats(mem.toDS())
+      .writeStream.format("memory").queryName("running_q")
+      .outputMode("append").start()
+    try {
+      mem.addData(vals.zipWithIndex.map { case (v, i) => Bar("S", i.toLong, v) }: _*)
+      query.processAllAvailable()
+      val got = spark.table("running_q").orderBy("tsUs")
+        .select("p95Prior").collect()
+        .map(r => if (r.isNullAt(0)) None else Some(r.getDouble(0)))
+      // batch twin: exclusive quantile over strictly-prior values
+      val want = vals.indices.map { i =>
+        val prior = vals.take(i).sorted.toIndexedSeq
+        if (prior.isEmpty) None
+        else {
+          val h = 0.95 * (prior.length + 1)
+          if (h < 1) Some(prior.head)
+          else if (h >= prior.length) Some(prior.last)
+          else {
+            val fh = math.floor(h); val idx = fh.toInt
+            Some(prior(idx - 1) + (h - fh) * (prior(idx) - prior(idx - 1)))
+          }
+        }
+      }
+      got.zip(want).foreach { case (g, w) =>
+        (g, w) match {
+          case (Some(a), Some(b)) => assert(math.abs(a - b) < 1e-12)
+          case (a, b) => assert(a == b)
+        }
+      }
+    } finally query.stop()
+  }
+
+  test("windowedBarStats: watermarked tumbling windows match batch aggregation") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[Bar]
+    // two 1-minute windows of series data
+    val bars = (0 until 120).map { i =>
+      Bar(if (i % 2 == 0) "X" else "Y", i.toLong * 1000000, (i % 10).toDouble)
+    }
+    val query = StreamingOps.windowedBarStats(mem.toDS().toDF())
+      .writeStream.format("memory").queryName("win_out")
+      .outputMode("complete").start()
+    try {
+      mem.addData(bars: _*)
+      query.processAllAvailable()
+      val got = spark.table("win_out")
+        .select(col("window.start").cast("long").as("ws"), col("series"),
+          col("n"), col("avg_value"))
+        .collect().map(r => (r.getLong(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3)))
+        .toMap
+      val want = bars.toDF()
+        .withColumn("event_time", timestamp_micros(col("tsUs")))
+        .groupBy(window(col("event_time"), "1 minute"), col("series"))
+        .agg(count(lit(1)).as("n"), avg(col("value")).as("avg_value"))
+        .select(col("window.start").cast("long"), col("series"), col("n"), col("avg_value"))
+        .collect().map(r => (r.getLong(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3)))
+        .toMap
+      assert(got == want)
+      assert(got.keys.map(_._1).toSet.size == 2, "expected two 1-minute windows")
+    } finally query.stop()
+  }
+}
