@@ -28,11 +28,14 @@ object SparkEntry {
       (graft.queries.DedupQueries.all, graft.queries.DedupQueries.oracles),
       (graft.queries.SimilarityQueries.all, graft.queries.SimilarityQueries.oracles),
       (graft.queries.EvalQueries.all, graft.queries.EvalQueries.oracles),
-      (graft.queries.MultimodalQueries.all, graft.queries.MultimodalQueries.oracles))
+      (graft.queries.MultimodalQueries.all, graft.queries.MultimodalQueries.oracles),
+      (graft.queries.ChampionQueries.all, graft.queries.ChampionQueries.oracles))
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * q40 is the gen111 champion chain — the reference's headline result
+    * (SURVEY.md §6 correctness anchor) end to end. */
   def entry(spark: SparkSession): DataFrame =
-    queries("q05_join_equi")(spark, "/root/testdata/sf0.001")
+    queries("q40_champion")(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

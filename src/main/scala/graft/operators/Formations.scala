@@ -1,0 +1,80 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.WindowSpec
+import org.apache.spark.sql.functions._
+import graft.functions.GraftFunctions
+
+/** Signal-formation registry (SURVEY.md §2.2 P5): the reference's 22
+  * gen600 pattern templates as parameterized `Column`-predicate builders
+  * over a prepared bar frame. Each formation is a pure predicate — the
+  * engine composes it with warmup gates (P3), adaptive quantile thresholds
+  * (W6) and the barrier engine downstream.
+  *
+  * Prepared-frame contract ([[withFormationColumns]]): dir_0/dir_1/dir_2
+  * (current + lagged directions), ti (trade-intensity proxy), r (bar
+  * return), owp (opposite-wick fraction, P2), rolling exclusive-quantile
+  * gates ti_p75/ti_p90/ti_p95/r_p10 computed over the PRIOR lookback
+  * window only (no lookahead; sql/gen600_2down_template.sql:69-72).
+  *
+  * Scale: everything here is a projection over one window pass — the
+  * prior-value list is collected once per row and every quantile gate
+  * interpolates from that same array (no extra window state per gate).
+  */
+object Formations {
+
+  /** Attach the formation feature/gate columns to an EventBars-style frame
+    * (event_type, ts_us, event_id, rn, open, high, low, close). */
+  def withFormationColumns(bars: DataFrame, w: WindowSpec, lookback: Int = 100): DataFrame = {
+    val priorTi = collect_list(col("ti")).over(w.rowsBetween(-lookback, -1))
+    val priorR = collect_list(col("r")).over(w.rowsBetween(-lookback, -1))
+    bars
+      .withColumn("r", (col("close") - col("open")) / col("open"))
+      .withColumn("ti", abs(col("r")))
+      .withColumn("dir_0", BarFrame.direction(col("open"), col("close")))
+      .withColumn("dir_1", lag(col("dir_0"), 1).over(w))
+      .withColumn("dir_2", lag(col("dir_0"), 2).over(w))
+      // P2: direction-aware opposite wick with nullIf(high-low, 0) guard
+      .withColumn("owp",
+        when(col("dir_0") === 1, (col("open") - col("low")))
+          .otherwise(col("high") - col("open")) /
+          nullif(col("high") - col("low"), lit(0.0)))
+      .withColumn("ti_p75", GraftFunctions.quantileExactExclusive(priorTi, 0.75))
+      .withColumn("ti_p90", GraftFunctions.quantileExactExclusive(priorTi, 0.90))
+      .withColumn("ti_p95", GraftFunctions.quantileExactExclusive(priorTi, 0.95))
+      .withColumn("r_p10", GraftFunctions.quantileExactExclusive(priorR, 0.10))
+  }
+
+  /** The registry: name → formation predicate over the prepared frame.
+    * Citations are the gen600 template each pattern restates.
+    */
+  val registry: Seq[(String, Column)] = Seq(
+    // 2down: two consecutive down bars + intensity gate (gen600_2down:100-113)
+    "2down" -> (col("dir_1") === 0 && col("dir_0") === 0 &&
+      col("ti_p95").isNotNull && col("ti") > col("ti_p95")),
+    // no-gate variant (gen600_2down_ng_template.sql)
+    "2down_ng" -> (col("dir_1") === 0 && col("dir_0") === 0),
+    // three consecutive down bars
+    "3down" -> (col("dir_2") === 0 && col("dir_1") === 0 && col("dir_0") === 0),
+    // down-up-down (gen600_dud_template.sql)
+    "dud" -> (col("dir_2") === 0 && col("dir_1") === 1 && col("dir_0") === 0),
+    // down-up-up short setup (gen600_duu_s_template.sql)
+    "duu_s" -> (col("dir_2") === 0 && col("dir_1") === 1 && col("dir_0") === 1),
+    // two up bars, short (gen600_2up_s_template.sql)
+    "2up_s" -> (col("dir_1") === 1 && col("dir_0") === 1 &&
+      col("ti_p95").isNotNull && col("ti") > col("ti_p95")),
+    // exhaustion long: down bar with extreme intensity (gen600_exh_l_template.sql)
+    "exh_l" -> (col("dir_0") === 0 &&
+      col("ti_p75").isNotNull && col("ti") > col("ti_p75")),
+    // VWAP-deviation long: return below its prior p10 (gen600_vwap_l_template.sql)
+    "vwap_l" -> (col("r_p10").isNotNull && col("r") < col("r_p10")),
+    // high-volume down (gen600_hvd_template.sql)
+    "hvd" -> (col("dir_0") === 0 &&
+      col("ti_p90").isNotNull && col("ti") > col("ti_p90")),
+    // wickless down (gen600_wl1d_template.sql: wick_0 < 0.001)
+    "wl1d" -> (col("dir_0") === 0 && col("owp").isNotNull && col("owp") < 0.001))
+
+  /** Warmup + entry-validity gate (P3: rn > warmup AND quantile non-null —
+    * sql/gen600_2down_template.sql:103-112). */
+  def warmupGate(warmupBars: Int): Column = col("rn") > warmupBars
+}

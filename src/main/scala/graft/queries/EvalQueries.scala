@@ -300,7 +300,55 @@ object EvalQueries {
        |FROM s ORDER BY event_type""".stripMargin
   }
 
+  // ---------------------------------------------------------------------------
+  // q42 — time-range rolling window (E29, scripts/gen800_rolling_rdd.py:
+  // 38-46: calendar-window return/vol ratio distribution): per series a
+  // trailing 1-day RANGE frame on the microsecond axis computes window
+  // return, volatility and their ratio; the per-series distribution is
+  // then summarized. RANGE frames (not ROWS) are the operator under test.
+  def q42RollingRangeWindow(spark: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type")).orderBy(col("ts_us"))
+      .rangeBetween(-86400000000L, 0L) // trailing 1 day in µs
+    returns(spark, d)
+      .withColumn("win_n", count(lit(1)).over(w))
+      .withColumn("win_ret", sum(col("r")).over(w))
+      .withColumn("win_vol", stddev_samp(col("r")).over(w))
+      .withColumn("ratio",
+        when(col("win_vol") > 0, least(col("win_ret") / col("win_vol"), lit(50.0))))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        min(col("win_n")).as("min_win_n"),
+        max(col("win_n")).as("max_win_n"),
+        round(avg(col("ratio")), 4).as("avg_ratio"),
+        round(min(col("ratio")), 4).as("worst_ratio"),
+        round(max(col("ratio")), 4).as("best_ratio"))
+      .orderBy(col("event_type"))
+  }
+
+  val q42Sql: String =
+    s"""$duckReturnsCte,
+       |win AS (
+       |  SELECT event_type,
+       |    count(*) OVER w AS win_n,
+       |    sum(r) OVER w AS win_ret,
+       |    stddev_samp(r) OVER w AS win_vol
+       |  FROM rets
+       |  WINDOW w AS (PARTITION BY event_type ORDER BY ts_us
+       |               RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW)),
+       |rat AS (
+       |  SELECT event_type, win_n,
+       |    CASE WHEN win_vol > 0 THEN least(win_ret / win_vol, 50.0) END AS ratio
+       |  FROM win)
+       |SELECT event_type, count(*) AS n,
+       |  min(win_n) AS min_win_n, max(win_n) AS max_win_n,
+       |  round(avg(ratio), 4) AS avg_ratio,
+       |  round(min(ratio), 4) AS worst_ratio,
+       |  round(max(ratio), 4) AS best_ratio
+       |FROM rat GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val all: Map[String, Q] = Map(
+    "q42_rolling_range_window" -> (q42RollingRangeWindow _),
     "q33_omega_winrate" -> (q33OmegaWinrate _),
     "q34_rachev" -> (q34Rachev _),
     "q35_cdar" -> (q35Cdar _),
@@ -309,6 +357,7 @@ object EvalQueries {
     "q38_psr" -> (q38Psr _))
 
   val oracles: Map[String, String] = Map(
+    "q42_rolling_range_window" -> q42Sql,
     "q33_omega_winrate" -> q33Sql,
     "q34_rachev" -> q34Sql,
     "q35_cdar" -> q35Sql,
