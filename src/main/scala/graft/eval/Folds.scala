@@ -130,6 +130,40 @@ object Folds {
     else (sorted(n / 2 - 1) + sorted(n / 2)) / 2.0
   }
 
+  /** Nested CPCV (eval/walk_forward.py:383-453, E19): for each outer CPCV
+    * fold, an inner walk-forward over the TRAIN indices scores every
+    * barrier (median omega across inner test folds) and selects the top
+    * `innerK`; the outer TEST fold then evaluates only those — the
+    * selection is made strictly out-of-sample w.r.t. the outer test.
+    *
+    * `barrierReturns(bid)(i)` = return of barrier `bid` on signal i (NaN =
+    * no trade for that signal). Returns per outer fold the selected
+    * barriers with their outer-test metrics.
+    */
+  def nestedCpcv(barrierReturns: Map[String, Array[Double]], nSignals: Int,
+      innerK: Int = 5, nFolds: Int = 10, nTestFolds: Int = 2,
+      purgeBars: Int = 100, embargoBars: Int = 10,
+      innerPurge: Int = 20): Seq[(Int, Seq[(String, FoldMetrics)])] = {
+    val outer = buildCpcvFolds(nSignals, nFolds, nTestFolds, purgeBars, embargoBars)
+    outer.zipWithIndex.map { case ((train, test), foldId) =>
+      // inner WFO over the train subsequence (positions within train)
+      val innerFolds = buildWfoFolds(train.length, purgeBars = innerPurge)
+      val scores = barrierReturns.map { case (bid, rets) =>
+        val omegas = innerFolds.map { case (_, innerTest) =>
+          val r = innerTest.map(p => rets(train(p))).filterNot(_.isNaN)
+          if (r.isEmpty) 1.0 else Stats.omega(r)
+        }
+        bid -> (if (omegas.isEmpty) 1.0 else median(omegas.sorted.toArray))
+      }
+      val selected = scores.toSeq.sortBy { case (bid, s) => (-s, bid) }.take(innerK)
+      val evaluated = selected.map { case (bid, _) =>
+        val r = test.map(i => barrierReturns(bid)(i)).filterNot(_.isNaN)
+        bid -> foldMetrics(r)
+      }
+      foldId -> evaluated
+    }
+  }
+
   /** GT-composite (eval/walk_forward.py:963-987):
     * Omega · min(1,|DSR|) · (1−PBO) · max(0, 1 − MaxDD/0.15). */
   def gtComposite(omega: Double, dsr: Double, pbo: Double, maxDd: Double): Double =

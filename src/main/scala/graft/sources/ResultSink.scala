@@ -1,0 +1,59 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** Result-table sinks (SURVEY.md §2.1 S2–S6/S9): the reference's MergeTree
+  * result tables + NDJSON/TSV artifact files restated as partitioned
+  * parquet datasets and line-oriented sinks.
+  *
+  *  - S2 idempotent DDL → the dataset is its directory; first write
+  *    creates it, partition columns play the MergeTree ORDER BY role.
+  *  - S3 `INSERT INTO … SELECT` → append.
+  *  - S4 `ALTER TABLE … DELETE WHERE` + re-INSERT (the reference's
+  *    crash-resume, §4.1) → DYNAMIC partition overwrite: rewriting one
+  *    (generation, symbol, …) partition leaves every other partition
+  *    untouched, and the write is atomic per partition (task commit
+  *    protocol) — no flock, no line counting.
+  *  - S5 TSV stdout sink → headered TSV directory.
+  *  - S6/S9 NDJSON telemetry / JSONL artifacts → JSON-lines directory
+  *    (each task file is a valid JSONL shard; appends are atomic at task
+  *    granularity).
+  *
+  * At 100 TB the partition columns are the pruning axis: readers that
+  * filter on them scan only matching directories.
+  */
+object ResultSink {
+
+  /** S3: append rows to a partitioned result dataset (created on first use). */
+  def append(df: DataFrame, path: String, partitionCols: Seq[String]): Unit =
+    df.write.mode(SaveMode.Append).partitionBy(partitionCols: _*).parquet(path)
+
+  /** S4: overwrite ONLY the partitions present in `df` (dynamic mode) —
+    * the idempotent re-run primitive. Other partitions survive. */
+  def overwritePartitions(df: DataFrame, path: String, partitionCols: Seq[String]): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partitionCols: _*)
+      .parquet(path)
+
+  def read(spark: SparkSession, path: String): DataFrame = spark.read.parquet(path)
+
+  /** S5: headered TSV (the sweep queries' stdout format). */
+  def writeTsv(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .option("sep", "\t").option("header", "true").csv(path)
+
+  def readTsv(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("sep", "\t").option("header", "true")
+      .option("inferSchema", "true").csv(path)
+
+  /** S6/S9: JSON-lines telemetry/artifacts. */
+  def writeJsonl(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).json(path)
+
+  def appendJsonl(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Append).json(path)
+
+  def readJsonl(spark: SparkSession, path: String): DataFrame =
+    spark.read.json(path)
+}

@@ -1,0 +1,71 @@
+package graft
+
+import graft.queries._
+
+/** Guards the PHYSICAL plan shapes that matter at 100 TB — not just that
+  * queries return right answers, but that they keep returning them with
+  * the plan we designed: filters reaching the parquet scan, column
+  * pruning, small sides broadcast (no shuffle of the corpus), and no
+  * accidental extra exchanges.
+  */
+class PlanShapeSpec extends GraftSuite {
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("q24 scans only the columns it needs (column pruning)") {
+    val p = plan(TextQueries.q24ExactDedup(spark, sf))
+    val readSchema = p.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(readSchema.contains("text") && readSchema.contains("source"))
+    assert(!readSchema.contains("lang") && !readSchema.contains("n_chars"),
+      s"over-read: $readSchema")
+  }
+
+  test("q05 broadcasts the small dimension (no shuffle of nation)") {
+    val p = plan(CoreQueries.q05JoinEqui(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), s"no broadcast join in:\n$p")
+  }
+
+  test("q29 broadcasts the probe side; corpus is never shuffled for the join") {
+    val p = plan(SimilarityQueries.q29AnnTopk(spark, sf))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"probe side not broadcast:\n$p")
+  }
+
+  test("q43 sweep: barrier grid is broadcast, not shuffled") {
+    val p = plan(SweepQueries.q43FormationBarrierSweep(spark, sf))
+    assert(p.contains("BroadcastNestedLoopJoin"), s"grid not broadcast:\n$p")
+  }
+
+  test("q18 banded signal join: equi-join on (event_type, chunk), no BNLJ") {
+    val p = plan(BarrierQueries.q18TripleBarrier(spark, sf))
+    assert(!p.contains("BroadcastNestedLoopJoin") || !p.contains("CartesianProduct"),
+      "band join degenerated to a non-equi join")
+    // the band condition must ride an equi join (hash or sort-merge)
+    assert(p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin") ||
+      p.contains("ShuffledHashJoin"), s"no equi join:\n$p")
+  }
+
+  test("q02 aggregates with partial (map-side) aggregation") {
+    val p = plan(CoreQueries.q02CondAgg(spark, sf))
+    assert(p.contains("HashAggregate"), s"no hash aggregate:\n$p")
+    // partial + final pair ⇒ at least two HashAggregate nodes
+    assert(p.linesIterator.count(_.contains("HashAggregate")) >= 2,
+      "missing partial aggregation")
+  }
+
+  test("q40 champion chain keeps a single window-sort exchange per series axis") {
+    val df = ChampionQueries.q40Champion(spark, sf)
+    val p = plan(df)
+    // all window functions share the (event_type × ts ordering) — one
+    // Exchange for the window stage + one for the final groupBy is the
+    // designed shape; anything more means a window spec diverged.
+    val exchanges = p.linesIterator.count(_.contains("Exchange"))
+    assert(exchanges <= 3, s"too many exchanges ($exchanges):\n$p")
+  }
+
+  test("q01 pushes filters into the scan (PushedFilters)") {
+    val p = plan(CoreQueries.q01FilteredScan(spark, sf))
+    assert(p.contains("PushedFilters") && p.contains("l_quantity"))
+  }
+}

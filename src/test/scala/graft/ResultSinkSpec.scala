@@ -1,0 +1,69 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.sources.ResultSink
+
+/** Pins the sink semantics the reference's crash-resume relies on:
+  * dynamic partition overwrite must replace exactly the partitions being
+  * written and leave the rest intact; appends accumulate; TSV/JSONL round
+  * trips preserve rows.
+  */
+class ResultSinkSpec extends GraftSuite {
+
+  private def tmp(): String =
+    Files.createTempDirectory("graft_sink").toString + "/t"
+
+  test("append accumulates across writes, partition pruning columns kept") {
+    import spark.implicits._
+    val p = tmp()
+    ResultSink.append(Seq(("g1", "A", 1.0), ("g1", "B", 2.0))
+      .toDF("generation", "symbol", "metric"), p, Seq("generation", "symbol"))
+    ResultSink.append(Seq(("g2", "A", 3.0)).toDF("generation", "symbol", "metric"),
+      p, Seq("generation", "symbol"))
+    val back = ResultSink.read(spark, p)
+    assert(back.count() == 3)
+    // partition directories exist → pruning axis is physical
+    assert(new java.io.File(s"$p/generation=g1/symbol=A").exists())
+  }
+
+  test("dynamic partition overwrite replaces only the written partition (S4 resume)") {
+    import spark.implicits._
+    val p = tmp()
+    ResultSink.append(Seq(("g1", "A", 1.0), ("g1", "B", 2.0), ("g2", "A", 3.0))
+      .toDF("generation", "symbol", "metric"), p, Seq("generation", "symbol"))
+    // re-run of (g1, A) with corrected value
+    ResultSink.overwritePartitions(
+      Seq(("g1", "A", 99.0)).toDF("generation", "symbol", "metric"),
+      p, Seq("generation", "symbol"))
+    val rows = ResultSink.read(spark, p)
+      .select("generation", "symbol", "metric").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2))).toSet
+    assert(rows == Set(("g1", "A", 99.0), ("g1", "B", 2.0), ("g2", "A", 3.0)),
+      s"partitions corrupted: $rows")
+  }
+
+  test("TSV round trip (S5)") {
+    import spark.implicits._
+    val p = tmp()
+    val df = Seq(("x", 1, 1.5), ("y", 2, -0.25)).toDF("name", "n", "v")
+    ResultSink.writeTsv(df, p)
+    val back = ResultSink.readTsv(spark, p).orderBy("name").collect()
+    assert(back.length == 2)
+    assert(back(0).getString(0) == "x" && back(0).getInt(1) == 1 && back(0).getDouble(2) == 1.5)
+  }
+
+  test("JSONL round trip + append (S6/S9 telemetry)") {
+    import spark.implicits._
+    val p = tmp()
+    ResultSink.writeJsonl(Seq((1L, "ok", 0.5)).toDF("config_id", "status", "score"), p)
+    ResultSink.appendJsonl(Seq((2L, "fail", 0.0)).toDF("config_id", "status", "score"), p)
+    val back = ResultSink.readJsonl(spark, p)
+    assert(back.count() == 2)
+    assert(back.filter(col("status") === "ok").count() == 1)
+    // files are genuine JSON lines
+    val part = new java.io.File(p).listFiles().filter(_.getName.endsWith(".json")).head
+    val firstLine = scala.io.Source.fromFile(part).getLines().next()
+    assert(firstLine.startsWith("{") && firstLine.endsWith("}"))
+  }
+}
