@@ -111,6 +111,13 @@ object GraftFunctions {
     GraftBridge.toColumn(QuantileExactExclusive(
       GraftBridge.toExpr(arr), GraftBridge.toExpr(lit(q))))
 
+  /** Exclusive quantile as an incremental aggregate (TypedImperativeAggregate)
+    * — use for plain aggregation and EXPANDING window frames (SURVEY §4.3.1b);
+    * for sliding frames prefer quantileExactExclusive over collect_list. */
+  def exclusiveQuantileAgg(x: Column, q: Double): Column =
+    GraftBridge.toColumn(
+      ExclusiveQuantileAgg(GraftBridge.toExpr(x), q).toAggregateExpression())
+
   /** Normal CDF Φ(x) via precise erf. */
   def normCdf(c: Column): Column =
     lit(0.5) * (lit(1.0) + erf(c / lit(math.sqrt(2.0))))

@@ -37,10 +37,15 @@ object BarFrame {
 
   /** Expanding no-lookahead exclusive quantile (ref A5/W5: `ROWS BETWEEN
     * UNBOUNDED PRECEDING AND 1 PRECEDING`, sql/gen111_true_nolookahead.sql:49-52).
+    *
+    * Uses the incremental TypedImperativeAggregate: Spark's
+    * unbounded-preceding frame processor feeds rows once, so the sorted
+    * multiset grows in place — O(n) buffer work per partition instead of
+    * collect+sort per row (the §4.3.1b end-state).
     */
   def expandingExclusiveQuantile(x: Column, q: Double, w: WindowSpec): Column =
-    GraftFunctions.quantileExactExclusive(
-      collect_list(x).over(w.rowsBetween(Window.unboundedPreceding, -1)), q)
+    GraftFunctions.exclusiveQuantileAgg(x, q)
+      .over(w.rowsBetween(Window.unboundedPreceding, -1))
 
   /** Forward array of the next `k` values, current row excluded — the
     * window form of the signals×bars band join (ref J2/W7 "AP-14:
