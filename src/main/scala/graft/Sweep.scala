@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.{Barriers, BarFrame}
+import graft.queries.EventBars
+import graft.sources.ResultSink
+
+/** Sweep orchestrator (SURVEY.md §7.1.9 / §3.1): the replacement for the
+  * reference's generate.sh → pueue → xargs → NDJSON machinery. A sweep is
+  * (formations × barrier grid) over one shared, cached signal frame:
+  *
+  *  - the bars scan + direction windows + signals-only forward arrays are
+  *    computed ONCE and cached — the reference re-scans the bars table per
+  *    config (66,960× in gen600);
+  *  - the config fan-out is columnar (stack + broadcast grid), so adding
+  *    configs grows the aggregate, not the number of jobs;
+  *  - results land in a partitioned dataset keyed by (generation,
+  *    formation); re-running a generation atomically overwrites only its
+  *    partitions (crash-resume without line counting / flock);
+  *  - telemetry (wall time, config counts) is a JSONL sink next to the
+  *    results, one line per run — the NDJSON wrapper's role.
+  */
+object Sweep {
+
+  final case class BarrierCfg(profile: String, tpPct: Double, slPct: Double, maxBars: Int)
+
+  final case class SweepSpec(
+      generation: String,
+      formations: Seq[(String, String)], // name -> SQL predicate over dir_0/1/2
+      grid: Seq[BarrierCfg],
+      forwardBars: Int = 35,
+      warmupBars: Int = 100)
+
+  /** Run a sweep and write results + telemetry under `outDir`. Returns the
+    * per-(formation, profile) metrics frame. */
+  def run(spark: SparkSession, sfDir: String, spec: SweepSpec, outDir: String): DataFrame = {
+    import spark.implicits._
+    val t0 = System.nanoTime()
+    val w = BarFrame.series(Seq(col("event_type")), col("ts_us"), col("event_id"))
+    val flagged = EventBars.bars(spark, sfDir)
+      .withColumn("dir_0", BarFrame.direction(col("open"), col("close")))
+      .withColumn("dir_1", lag(col("dir_0"), 1).over(w))
+      .withColumn("dir_2", lag(col("dir_0"), 2).over(w))
+    val anySignal = col("rn") > spec.warmupBars &&
+      spec.formations.map { case (_, p) => expr(p) }.reduce(_ || _)
+    val sig = EventBars.signalForwardArrays(flagged, anySignal, spec.forwardBars)
+      .withColumn("entry_price", try_element_at(col("fwd_opens"), lit(1)))
+      .filter(col("entry_price").isNotNull && col("entry_price") > 0)
+      .cache() // the shared frame every config reads
+
+    val stackExpr = spec.formations.map { case (name, p) =>
+      s"'$name', CASE WHEN $p THEN 1 ELSE 0 END"
+    }.mkString(s"stack(${spec.formations.size}, ", ", ", ") as (formation, flag)")
+    val gridDf = spec.grid.map(g => (g.profile, g.tpPct, g.slPct, g.maxBars))
+      .toDF("barrier_profile", "tp_pct", "sl_pct", "max_bars")
+    val trades = Barriers.tripleBarrier(
+      sig.select(col("*"), expr(stackExpr)).filter(col("flag") === 1)
+        .crossJoin(broadcast(gridDf)))
+    val metrics = Barriers
+      .metricsAgg(trades, col("formation"), col("barrier_profile"),
+        col("tp_pct"), col("sl_pct"), col("max_bars"))
+      .withColumn("generation", lit(spec.generation))
+
+    ResultSink.overwritePartitions(metrics, s"$outDir/results",
+      Seq("generation", "formation"))
+    val wallS = (System.nanoTime() - t0) / 1e9
+    val telemetry = Seq((spec.generation, spec.formations.size, spec.grid.size,
+      wallS, java.time.Instant.now().toString))
+      .toDF("generation", "n_formations", "n_barriers", "wall_s", "finished_at")
+    ResultSink.appendJsonl(telemetry, s"$outDir/telemetry")
+    sig.unpersist()
+    metrics
+  }
+
+  def results(spark: SparkSession, outDir: String): DataFrame =
+    ResultSink.read(spark, s"$outDir/results")
+}

@@ -57,6 +57,38 @@ object Ranking {
     }
   }
 
+  /** Tier screening (SURVEY E14; eval/screening.py:32-160, thresholds
+    * config.py:43-70): graduated gates over TAMRS / Rachev / OU ratio /
+    * regularity CV / temporal coverage. A metric that is None fails any
+    * gate stricter than "no gate". Returns the highest tier passed
+    * (0 = none, 1..3 = exploratory/balanced/strict).
+    */
+  final case class ScreenInput(tamrs: Option[Double], rachev: Option[Double],
+      ouRatio: Option[Double], regularityCv: Option[Double], coverage: Option[Double])
+
+  private val tamrsMin = Array(0.0, 0.05, 0.15)
+  private val rachevMin = Array(0.0, 0.30, 0.50)
+  private val ouMin = Array(0.0, 0.30, 0.50)
+  private val regCvMax = Array(999.0, 0.80, 0.50)
+  private val coverageMin = Array(0.0, 0.50, 0.70)
+
+  def screenTier(c: ScreenInput): Int = {
+    def geOk(v: Option[Double], thr: Double): Boolean =
+      thr <= 0.0 || v.exists(_ >= thr)
+    def leOk(v: Option[Double], thr: Double): Boolean =
+      thr >= 999.0 || v.exists(_ <= thr)
+    var tier = 0
+    var t = 0
+    while (t < 3 &&
+      geOk(c.tamrs, tamrsMin(t)) && geOk(c.rachev, rachevMin(t)) &&
+      geOk(c.ouRatio, ouMin(t)) && leOk(c.regularityCv, regCvMax(t)) &&
+      geOk(c.coverage, coverageMin(t))) {
+      tier = t + 1
+      t += 1
+    }
+    tier
+  }
+
   /** Knee detection (eval/ranking.py:390-474, Deb & Gupta 2010 tradeoff
     * outliers): flip benefit columns to minimization, normalize to [0,1],
     * per-point tradeoff μ = min over ε-neighbors of sacrifice/gain, knees

@@ -43,6 +43,7 @@ object Formations {
       .withColumn("ti_p90", GraftFunctions.quantileExactExclusive(priorTi, 0.90))
       .withColumn("ti_p95", GraftFunctions.quantileExactExclusive(priorTi, 0.95))
       .withColumn("r_p10", GraftFunctions.quantileExactExclusive(priorR, 0.10))
+      .withColumn("r_p90", GraftFunctions.quantileExactExclusive(priorR, 0.90))
   }
 
   /** The registry: name → formation predicate over the prepared frame.
@@ -72,7 +73,34 @@ object Formations {
     "hvd" -> (col("dir_0") === 0 &&
       col("ti_p90").isNotNull && col("ti") > col("ti_p90")),
     // wickless down (gen600_wl1d_template.sql: wick_0 < 0.001)
-    "wl1d" -> (col("dir_0") === 0 && col("owp").isNotNull && col("owp") < 0.001))
+    "wl1d" -> (col("dir_0") === 0 && col("owp").isNotNull && col("owp") < 0.001),
+    // two wickless down bars (wl2d variant)
+    "wl2d" -> (col("dir_1") === 0 && col("dir_0") === 0 &&
+      col("owp").isNotNull && col("owp") < 0.001),
+    // exhaustion short: up bar with extreme intensity (exh_s variant)
+    "exh_s" -> (col("dir_0") === 1 &&
+      col("ti_p75").isNotNull && col("ti") > col("ti_p75")),
+    // VWAP-deviation short: return above its prior p90 (vwap_s variant)
+    "vwap_s" -> (col("r_p90").isNotNull && col("r") > col("r_p90")),
+    // high-volume up (hvu variant)
+    "hvu" -> (col("dir_0") === 1 &&
+      col("ti_p90").isNotNull && col("ti") > col("ti_p90")),
+    // three up bars, short
+    "3up_s" -> (col("dir_2") === 1 && col("dir_1") === 1 && col("dir_0") === 1),
+    // up-down-up
+    "udu_s" -> (col("dir_2") === 1 && col("dir_1") === 0 && col("dir_0") === 1),
+    // single reversals
+    "u1d" -> (col("dir_1") === 1 && col("dir_0") === 0),
+    "d1u" -> (col("dir_1") === 0 && col("dir_0") === 1),
+    // gated double-down at the p75 intensity threshold
+    "2down_g75" -> (col("dir_1") === 0 && col("dir_0") === 0 &&
+      col("ti_p75").isNotNull && col("ti") > col("ti_p75")),
+    // double-down with a pronounced opposite wick
+    "2down_wick" -> (col("dir_1") === 0 && col("dir_0") === 0 &&
+      col("owp").isNotNull && col("owp") > 0.3),
+    // gated down-up-down
+    "dud_g75" -> (col("dir_2") === 0 && col("dir_1") === 1 && col("dir_0") === 0 &&
+      col("ti_p75").isNotNull && col("ti") > col("ti_p75")))
 
   /** Warmup + entry-validity gate (P3: rn > warmup AND quantile non-null —
     * sql/gen600_2down_template.sql:103-112). */

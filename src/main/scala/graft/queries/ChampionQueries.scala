@@ -139,7 +139,18 @@ object ChampionQueries {
       "exh_l" -> "(dir_0 = 0 AND ti_p75 IS NOT NULL AND ti > ti_p75)",
       "vwap_l" -> "(r_p10 IS NOT NULL AND r < r_p10)",
       "hvd" -> "(dir_0 = 0 AND ti_p90 IS NOT NULL AND ti > ti_p90)",
-      "wl1d" -> "(dir_0 = 0 AND owp IS NOT NULL AND owp < 0.001)")
+      "wl1d" -> "(dir_0 = 0 AND owp IS NOT NULL AND owp < 0.001)",
+      "wl2d" -> "(dir_1 = 0 AND dir_0 = 0 AND owp IS NOT NULL AND owp < 0.001)",
+      "exh_s" -> "(dir_0 = 1 AND ti_p75 IS NOT NULL AND ti > ti_p75)",
+      "vwap_s" -> "(r_p90 IS NOT NULL AND r > r_p90)",
+      "hvu" -> "(dir_0 = 1 AND ti_p90 IS NOT NULL AND ti > ti_p90)",
+      "3up_s" -> "(dir_2 = 1 AND dir_1 = 1 AND dir_0 = 1)",
+      "udu_s" -> "(dir_2 = 1 AND dir_1 = 0 AND dir_0 = 1)",
+      "u1d" -> "(dir_1 = 1 AND dir_0 = 0)",
+      "d1u" -> "(dir_1 = 0 AND dir_0 = 1)",
+      "2down_g75" -> "(dir_1 = 0 AND dir_0 = 0 AND ti_p75 IS NOT NULL AND ti > ti_p75)",
+      "2down_wick" -> "(dir_1 = 0 AND dir_0 = 0 AND owp IS NOT NULL AND owp > 0.3)",
+      "dud_g75" -> "(dir_2 = 0 AND dir_1 = 1 AND dir_0 = 0 AND ti_p75 IS NOT NULL AND ti > ti_p75)")
     val blocks = preds.map { case (name, pred) =>
       s"""SELECT '$name' AS formation, event_type,
          |  count(*) AS signal_count,
@@ -171,7 +182,8 @@ object ChampionQueries {
        |  SELECT *, ${qexc("lti", "0.75")} AS ti_p75,
        |    ${qexc("lti", "0.90")} AS ti_p90,
        |    ${qexc("lti", "0.95")} AS ti_p95,
-       |    ${qexc("lr", "0.10")} AS r_p10
+       |    ${qexc("lr", "0.10")} AS r_p10,
+       |    ${qexc("lr", "0.90")} AS r_p90
        |  FROM feat)
        |SELECT * FROM (
        |  $blocks

@@ -165,6 +165,24 @@ class EvalStackSpec extends AnyFunSuite {
     assert(rw.criticalValue == rw2.criticalValue)
   }
 
+  test("tier screening (E14): graduated thresholds, None fails strict gates") {
+    import graft.eval.Ranking.{screenTier, ScreenInput}
+    // passes everything strict
+    assert(screenTier(ScreenInput(Some(0.2), Some(0.6), Some(0.6),
+      Some(0.3), Some(0.8))) == 3)
+    // fails strict TAMRS (0.15) but passes balanced (0.05)
+    assert(screenTier(ScreenInput(Some(0.1), Some(0.6), Some(0.6),
+      Some(0.3), Some(0.8))) == 2)
+    // regularity CV too high for tier2 (0.80 max)
+    assert(screenTier(ScreenInput(Some(0.2), Some(0.6), Some(0.6),
+      Some(0.9), Some(0.8))) == 1)
+    // tier1 has no real gates → always at least 1 when inputs exist
+    assert(screenTier(ScreenInput(None, None, None, None, None)) == 1)
+    // missing TAMRS blocks tier2+ (its threshold is > 0 there)
+    assert(screenTier(ScreenInput(None, Some(0.9), Some(0.9),
+      Some(0.1), Some(0.9))) == 1)
+  }
+
   test("e-BH goldens") {
     assert(Resampling.ebh(Array(50.0, 30.0, 10.0, 5.0, 1.0, 0.5)) == 0)
     assert(Resampling.ebh(Array(200.0, 150.0, 100.0)) == 3)
