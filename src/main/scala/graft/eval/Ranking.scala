@@ -57,6 +57,36 @@ object Ranking {
     }
   }
 
+  /** Spearman rank correlation with average ranks for ties (the
+    * cross-metric comparison matrix of eval/synthesis.py:120+). */
+  def spearman(a: Array[Double], b: Array[Double]): Double = {
+    require(a.length == b.length && a.length >= 2, "need two aligned samples")
+    val ra = averageRanks(a); val rb = averageRanks(b)
+    val ma = ra.sum / ra.length; val mb = rb.sum / rb.length
+    var num = 0.0; var da = 0.0; var db = 0.0
+    var i = 0
+    while (i < ra.length) {
+      val x = ra(i) - ma; val y = rb(i) - mb
+      num += x * y; da += x * x; db += y * y
+      i += 1
+    }
+    if (da == 0 || db == 0) Double.NaN else num / math.sqrt(da * db)
+  }
+
+  private def averageRanks(v: Array[Double]): Array[Double] = {
+    val idx = v.indices.sortBy(v)
+    val ranks = new Array[Double](v.length)
+    var i = 0
+    while (i < idx.length) {
+      var j = i
+      while (j + 1 < idx.length && v(idx(j + 1)) == v(idx(i))) j += 1
+      val avg = (i + j + 2) / 2.0 // average of 1-based ranks i+1..j+1
+      (i to j).foreach(k => ranks(idx(k)) = avg)
+      i = j + 1
+    }
+    ranks
+  }
+
   /** Tier screening (SURVEY E14; eval/screening.py:32-160, thresholds
     * config.py:43-70): graduated gates over TAMRS / Rachev / OU ratio /
     * regularity CV / temporal coverage. A metric that is None fails any
