@@ -311,7 +311,34 @@ object CoreQueries {
       |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
       |ORDER BY event_id""".stripMargin
 
+  // ---------------------------------------------------------------------------
+  // q44 — scalar-subquery join (J5; ref sql/gen01_single_feature.sql:75-77:
+  // countIf(x > (SELECT pct FROM percentiles))): a global aggregate
+  // referenced per row. Catalyst rewrites the scalar subquery into a
+  // broadcast join — written in SQL text to exercise that exact path.
+  def q44ScalarSubquery(spark: SparkSession, d: String): DataFrame = {
+    Tables.lineitem(spark, d).createOrReplaceTempView("lineitem_v")
+    spark.sql(
+      """SELECT l_returnflag,
+        |  count(*) AS n,
+        |  count_if(l_extendedprice > (SELECT avg(l_extendedprice) FROM lineitem_v)) AS n_above,
+        |  round(avg(CASE WHEN l_extendedprice >
+        |    (SELECT avg(l_extendedprice) FROM lineitem_v) THEN l_quantity END), 4)
+        |    AS avg_qty_above
+        |FROM lineitem_v GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+  }
+
+  val q44Sql: String =
+    """SELECT l_returnflag, count(*) AS n,
+      |  count(*) FILTER (WHERE l_extendedprice >
+      |    (SELECT avg(l_extendedprice) FROM lineitem)) AS n_above,
+      |  round(avg(CASE WHEN l_extendedprice >
+      |    (SELECT avg(l_extendedprice) FROM lineitem) THEN l_quantity END), 4)
+      |    AS avg_qty_above
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   val all: Map[String, Q] = Map(
+    "q44_scalar_subquery" -> (q44ScalarSubquery _),
     "q01_filtered_scan" -> (q01FilteredScan _),
     "q02_cond_agg" -> (q02CondAgg _),
     "q03_quantile" -> (q03Quantile _),
@@ -326,6 +353,7 @@ object CoreQueries {
     "q12_running_count" -> (q12RunningCount _))
 
   val oracles: Map[String, String] = Map(
+    "q44_scalar_subquery" -> q44Sql,
     "q01_filtered_scan" -> q01Sql,
     "q02_cond_agg" -> q02Sql,
     "q03_quantile" -> q03Sql,
