@@ -100,18 +100,25 @@ object DedupQueries {
   // contributes (Σ C(n,2) over buckets). Integer-exact output.
   private val P = 2147483647L // 2^31 − 1
 
+  // Plan shape: explode the distinct-shingle set and compute all 16 minhash
+  // lanes as codegen'd min() aggregates over one hash column — a single
+  // partial/final hash aggregation (tokens of a doc are co-partitioned, so
+  // the shuffle carries ~1 row × 16 longs per doc). The earlier form —
+  // nested transform/array_min lambdas per row — evaluated interpreted
+  // (higher-order functions skip whole-stage codegen) and was ~10× slower.
   def q26MinhashLsh(spark: SparkSession, d: String): DataFrame = {
-    val sigs = withShingleSet(spark, d)
-      .withColumn("hs", transform(col("shset"), s => md5Int(s)))
-      .withColumn("sig",
-        expr(s"transform(sequence(0, 15), j -> " +
-          s"array_min(transform(hs, h -> ((j*2 + 1) * h + j*104729) % $P)))"))
-      .select(col("doc_id"), col("sig"))
-    val bands = sigs
-      .select(col("doc_id"), explode(sequence(lit(0), lit(7))).as("band"), col("sig"))
-      .withColumn("band_key",
-        concat(element_at(col("sig"), col("band") * 2 + 1).cast("string"), lit("_"),
-          element_at(col("sig"), col("band") * 2 + 2).cast("string")))
+    val hashed = withShingleSet(spark, d)
+      .select(col("doc_id"), explode(col("shset")).as("shingle"))
+      .withColumn("h", md5Int(col("shingle")))
+    val lanes = (0 until 16).map(j =>
+      min((col("h") * lit(2L * j + 1) + lit(j * 104729L)) % lit(P)).as(s"m$j"))
+    val sigs = hashed.groupBy(col("doc_id")).agg(lanes.head, lanes.tail: _*)
+    val bandStructs = array((0 until 8).map(b =>
+      struct(lit(b).as("band"),
+        concat(col(s"m${2 * b}").cast("string"), lit("_"),
+          col(s"m${2 * b + 1}").cast("string")).as("band_key"))): _*)
+    val bands = sigs.select(explode(bandStructs).as("bk"))
+      .select(col("bk.band").as("band"), col("bk.band_key").as("band_key"))
     val buckets = bands.groupBy(col("band"), col("band_key"))
       .agg(count(lit(1)).as("cnt"))
     buckets.groupBy(col("band"))
@@ -146,19 +153,29 @@ object DedupQueries {
   // multiplicity = weight). Bit j of the signature is the sign of
   // Σ_tokens (±1 by bit j of the token hash). Pure projection; candidate
   // pairing reuses the LSH band join on signature prefixes at scale.
-  def q27Simhash(spark: SparkSession, d: String): DataFrame =
-    Tables.documents(spark, d)
-      .withColumn("tok", split(trim(col("text")), "\\s+"))
-      .withColumn("th", transform(col("tok"), t => md5Int(t)))
+  // Plan shape: explode tokens, then 32 conditional-sum aggregates (one per
+  // signature bit) in a single codegen'd hash aggregation — bit j of the
+  // signature is the sign of Σ±1 over token-hash bit j, multiplicity kept
+  // by the explode. Map-side partial aggregation collapses each doc back to
+  // one row of 32 longs before the shuffle. The earlier nested
+  // aggregate-inside-transform form rescanned the token array once per bit
+  // in interpreted mode (HOFs skip codegen) and cost ~3.5 ms/doc.
+  def q27Simhash(spark: SparkSession, d: String): DataFrame = {
+    val toks = Tables.documents(spark, d)
+      .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("tok"))
+      .withColumn("h", md5Int(col("tok")))
+    val bitSums = (0 until 32).map(j =>
+      sum(when(shiftright(col("h"), j).bitwiseAND(lit(1L)) === 1, 1L)
+        .otherwise(-1L)).as(s"b$j"))
+    toks.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), bitSums: _*)
       .withColumn("simhash",
-        expr("""aggregate(
-          |  transform(sequence(0, 31), j -> IF(
-          |    aggregate(th, 0, (acc, h) ->
-          |      acc + IF((h div CAST(pow(2, j) AS BIGINT)) % 2 = 1, 1, -1)) > 0,
-          |    CAST(pow(2, j) AS BIGINT), CAST(0 AS BIGINT))),
-          |  CAST(0 AS BIGINT), (a, b) -> a + b)""".stripMargin))
-      .select(col("doc_id"), size(col("tok")).as("n_tokens"), col("simhash"))
+        (0 until 32).map(j =>
+          when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L))).reduce(_ + _))
+      .select(col("doc_id"), col("n_tokens").cast("int").as("n_tokens"),
+        col("simhash"))
       .orderBy(col("doc_id"))
+  }
 
   val q27Sql: String =
     s"""WITH t AS (

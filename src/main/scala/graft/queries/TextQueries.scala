@@ -159,8 +159,15 @@ object TextQueries {
       .withColumn("sh",
         expr("transform(sequence(1, greatest(length(text) - 4, 1)), i -> substring(text, i, 5))"))
       .withColumn("h", transform(col("sh"), s => md5Int(s)))
+      // rolling 4-window min via element_at + least — no per-position array
+      // allocation (slice+array_min allocated one array per window and was
+      // the hot spot); short docs keep the slice semantics (min of all).
       .withColumn("mins",
-        expr("transform(sequence(1, greatest(size(h) - 3, 1)), i -> array_min(slice(h, i, 4)))"))
+        expr("""CASE WHEN size(h) < 4 THEN array(array_min(h))
+          |ELSE transform(sequence(1, size(h) - 3), i ->
+          |  least(element_at(h, i), element_at(h, i + 1),
+          |        element_at(h, i + 2), element_at(h, i + 3)))
+          |END""".stripMargin))
       .select(
         col("doc_id"),
         size(col("sh")).as("n_shingles"),
