@@ -1,6 +1,16 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main: runs every SparkEntry query against
+  * SPARK_GRAFT_SF_DIR through a noop sink and emits ONE JSON line.
+  * Failures are loud: a failed query records -1 (not its time-to-crash),
+  * its error lands in "errors", "failures" counts them, and the process
+  * exits nonzero — a bench that cannot fail is not a bench.
+  */
 object Bench {
+  private def jsonEscape(s: String): String =
+    s.replaceAll("[\\\\\"\\n\\r\\t]", " ").take(200)
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -16,18 +26,24 @@ object Bench {
     // whichever query happens to run first
     spark.range(1L << 20).selectExpr("sum(id) AS s")
       .write.format("noop").mode("overwrite").save()
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val results = SparkEntry.queries.toSeq.map { case (name, fn) =>
       val t0 = System.nanoTime()
       // noop sink: forces full evaluation of every output column (a bare
       // count() lets Catalyst prune projections and undercounts the work)
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      val err =
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); None }
+        catch { case e: Throwable => Some(jsonEscape(e.toString)) }
+      (name, (System.nanoTime() - t0) / 1e9, err)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, err) =>
+      s"\"$k\":" + (if (err.isEmpty) v else -1.0)
+    }.mkString("{", ",", "}")
+    val errs = results.collect { case (k, _, Some(e)) => s"\"$k\":\"$e\"" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val nFail = results.count(_._3.nonEmpty)
+    val total = results.collect { case (_, v, None) => v }.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","failures":$nFail,"errors":$errs}""")
     spark.stop()
+    if (nFail > 0) sys.exit(1)
   }
 }

@@ -30,7 +30,8 @@ object SparkEntry {
       (graft.queries.EvalQueries.all, graft.queries.EvalQueries.oracles),
       (graft.queries.MultimodalQueries.all, graft.queries.MultimodalQueries.oracles),
       (graft.queries.ChampionQueries.all, graft.queries.ChampionQueries.oracles),
-      (graft.queries.SweepQueries.all, graft.queries.SweepQueries.oracles))
+      (graft.queries.SweepQueries.all, graft.queries.SweepQueries.oracles),
+      (graft.queries.AdaptiveQueries.all, graft.queries.AdaptiveQueries.oracles))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * q40 is the gen111 champion chain — the reference's headline result

@@ -58,6 +58,75 @@ object Pareto {
         q.indices.forall(j => q(j) <= p(j)) && q.indices.exists(j => q(j) < p(j)))
     }
 
+  // -------------------------------------------------------------------------
+  // E23 — Vorob'ev expectation / deviation proper (reference:
+  // eval/walk_forward.py:714-903 via moocore.vorob_t / vorob_dev;
+  // Binois et al. 2015). Minimization convention throughout (negate
+  // benefit columns first, as the reference does).
+  //
+  // The attained set of fold s is the region dominated by its points;
+  // the β-attainment set Q_β = { z : ≥β folds attain z }. The Vorob'ev
+  // expectation is Q_β* where β* makes hv(Q_β*) match the mean fold
+  // hypervolume; the deviation is the mean hypervolume of the symmetric
+  // difference Q_β* Δ A_s.
+  //
+  // EAF surfaces are computed on the coordinate grid spanned by the fold
+  // points (the EAF's surface vertices lie on that grid) — O(n^d) cells
+  // with O(n) attainment checks each, exact and fine for fold fronts
+  // (≤ ~10² points); this is a driver-side eval procedure, matching the
+  // reference's own single-process moocore usage.
+
+  /** z is attained by `points` (minimization): some p ≤ z componentwise. */
+  private def attains(points: Array[Array[Double]], z: Array[Double]): Boolean =
+    points.exists(p => p.indices.forall(j => p(j) <= z(j)))
+
+  /** Minimal points of the level-k attainment set: grid cells attained by
+    * ≥ k folds, Pareto-filtered. */
+  def attainmentSurface(folds: Array[Array[Array[Double]]], k: Int): Array[Array[Double]] = {
+    require(k >= 1 && k <= folds.length, s"level $k out of 1..${folds.length}")
+    val d = folds.head.head.length
+    val axes = Array.tabulate(d)(j => folds.flatten.map(_(j)).distinct.sorted)
+    val cells = axes.foldLeft(Array(Array.empty[Double])) { (acc, ax) =>
+      acc.flatMap(prefix => ax.map(v => prefix :+ v))
+    }
+    val attained = cells.filter(z => folds.count(attains(_, z)) >= k)
+    paretoFront(attained)
+  }
+
+  final case class VorobResult(threshold: Double, level: Int, avgHyp: Double,
+      veHyp: Double, expectation: Array[Array[Double]])
+
+  /** Vorob'ev threshold + expectation (moocore.vorob_t): mean fold
+    * hypervolume, then the smallest attainment level whose surface
+    * hypervolume drops to ≤ avg_hyp (hv is non-increasing in the level;
+    * level 1 bounds it above, level K below, so the crossing exists).
+    * threshold is that level as a percentile of K — the value moocore's
+    * dichotomic percentile search converges to. */
+  def vorobT(folds: Array[Array[Array[Double]]], ref: Array[Double]): VorobResult = {
+    val kMax = folds.length
+    val avgHyp = folds.map(hypervolume(_, ref)).sum / kMax
+    var k = 1
+    var surface = attainmentSurface(folds, k)
+    var hv = hypervolume(surface, ref)
+    while (hv > avgHyp && k < kMax) {
+      k += 1
+      surface = attainmentSurface(folds, k)
+      hv = hypervolume(surface, ref)
+    }
+    VorobResult(100.0 * k / kMax, k, avgHyp, hv, surface)
+  }
+
+  /** Vorob'ev deviation (moocore.vorob_dev): mean over folds of
+    * hv(VE Δ A_s) = 2·hv(VE ∪ A_s) − hv(VE) − hv(A_s); the union of two
+    * attained regions is the region attained by the pooled point set. */
+  def vorobDev(folds: Array[Array[Array[Double]]], expectation: Array[Array[Double]],
+      ref: Array[Double]): Double = {
+    val hvVe = hypervolume(expectation, ref)
+    folds.map { f =>
+      2.0 * hypervolume(expectation ++ f, ref) - hvVe - hypervolume(f, ref)
+    }.sum / folds.length
+  }
+
   final case class FoldStability(meanHv: Double, stdHv: Double, cvHv: Double,
       perFold: Array[Double])
 

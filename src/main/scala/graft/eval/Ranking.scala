@@ -119,6 +119,101 @@ object Ranking {
     tier
   }
 
+  // -------------------------------------------------------------------------
+  // E15 — percentile-cutoff survivor analysis (eval/ranking.py:138-331):
+  // per-metric percentile ranks (average-rank ties, None → 0), top-X%
+  // cutoffs, survivor intersection across ALL metrics, binding-metric
+  // count, and the tightening table. Driver-side on the collected
+  // cross-config metric map (O(nConfigs × nMetrics) scalars).
+
+  /** ranking.py:138-180 — percentile rank [0, 100] per config; None gets
+    * 0 (worst); lower-is-better metrics are flipped so 100 = best; ties
+    * get the average rank (scipy rankdata method='average'); rounded to
+    * 4 decimals as the reference does. */
+  def percentileRanksPct(values: Map[String, Option[Double]],
+      higherIsBetter: Boolean): Map[String, Double] = {
+    val (missing, present) = values.partition(_._2.isEmpty)
+    val base = missing.map { case (cid, _) => cid -> 0.0 }
+    if (present.isEmpty) return base
+    val ids = present.keys.toArray.sorted
+    val raw = ids.map(cid => present(cid).get)
+    val arr = if (higherIsBetter) raw else raw.map(-_)
+    val ranks = averageRanks(arr)
+    val n = arr.length
+    base ++ ids.indices.map { i =>
+      ids(i) -> math.rint(ranks(i) / n * 100.0 * 1e4) / 1e4
+    }
+  }
+
+  /** ranking.py:183-197 — top cutoff%: cutoff=20 keeps pct ≥ 80;
+    * 0 → none, ≥100 → all. */
+  def applyCutoff(pctRanks: Map[String, Double], cutoff: Int): Set[String] =
+    if (cutoff <= 0) Set.empty
+    else if (cutoff >= 100) pctRanks.keySet
+    else pctRanks.collect { case (cid, p) if p >= 100.0 - cutoff => cid }.toSet
+
+  /** ranking.py:200-206 — configs passing ALL metric cutoffs. */
+  def survivorIntersection(perMetricPass: Map[String, Set[String]]): Set[String] =
+    if (perMetricPass.isEmpty) Set.empty
+    else perMetricPass.values.reduce(_ intersect _)
+
+  /** ranking.py:209-217 — per-config count of metrics passed. */
+  def overlapCount(perMetricPass: Map[String, Set[String]],
+      allConfigIds: Seq[String]): Map[String, Int] =
+    allConfigIds.map(cid =>
+      cid -> perMetricPass.values.count(_.contains(cid))).toMap
+
+  final case class TighteningRow(cutoffPct: Int, nIntersection: Int,
+      exampleSurvivor: String)
+
+  /** ranking.py:220-240 — intersection size at uniform cutoffs. */
+  def tighteningAnalysis(allPctRanks: Map[String, Map[String, Double]],
+      cutoffLevels: Seq[Int] = Seq(100, 80, 60, 40, 20, 10, 5)): Seq[TighteningRow] =
+    cutoffLevels.map { cutoff =>
+      val pass = allPctRanks.map { case (m, pr) => m -> applyCutoff(pr, cutoff) }
+      val survivors = survivorIntersection(pass)
+      TighteningRow(cutoff, survivors.size,
+        if (survivors.nonEmpty) survivors.toSeq.min else "-")
+    }
+
+  final case class SurvivorResult(
+      nIntersection: Int, survivors: Seq[String], avgPercentile: Double,
+      nBindingMetrics: Int, allPctRanks: Map[String, Map[String, Double]],
+      perMetricPass: Map[String, Set[String]])
+
+  /** ranking.py:268-331 (run_ranking_with_cutoffs) — the full survivor
+    * pipeline: per-metric percentile ranks → cutoffs → intersection →
+    * average survivor percentile → binding-metric count (metrics whose
+    * relaxation to 100 would grow the intersection). `metricData(metric)
+    * (configId)` = metric value (None = missing → worst). */
+  def survivorAnalysis(
+      metricData: Map[String, Map[String, Option[Double]]],
+      higherIsBetter: Map[String, Boolean],
+      cutoffs: Map[String, Int]): SurvivorResult = {
+    val allPctRanks = metricData.map { case (m, values) =>
+      m -> percentileRanksPct(values, higherIsBetter.getOrElse(m, true))
+    }
+    val perMetricPass = allPctRanks.map { case (m, pr) =>
+      m -> applyCutoff(pr, cutoffs.getOrElse(m, 100))
+    }
+    val survivors = survivorIntersection(perMetricPass)
+    val avgPct =
+      if (survivors.isEmpty) 0.0
+      else {
+        val vals = for (cid <- survivors.toSeq; (_, pr) <- allPctRanks)
+          yield pr.getOrElse(cid, 0.0)
+        math.rint(vals.sum / vals.length * 1e4) / 1e4
+      }
+    val nBinding = perMetricPass.keys.count { m =>
+      cutoffs.getOrElse(m, 100) < 100 && {
+        val relaxed = perMetricPass.updated(m, allPctRanks(m).keySet)
+        survivorIntersection(relaxed).size > survivors.size
+      }
+    }
+    SurvivorResult(survivors.size, survivors.toSeq.sorted, avgPct, nBinding,
+      allPctRanks, perMetricPass)
+  }
+
   /** Knee detection (eval/ranking.py:390-474, Deb & Gupta 2010 tradeoff
     * outliers): flip benefit columns to minimization, normalize to [0,1],
     * per-point tradeoff μ = min over ε-neighbors of sacrifice/gain, knees

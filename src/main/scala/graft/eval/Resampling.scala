@@ -54,6 +54,52 @@ object Resampling {
   private def pool(blocks: Array[Array[Double]], chosen: Set[Int]): Array[Double] =
     chosen.toArray.sorted.flatMap(blocks)
 
+  /** Per-block sufficient statistics (n, Σr, Σr²) — all a pooled-Sharpe
+    * CSCV needs, so the per-trade arrays never leave the executors. */
+  final case class BlockMoments(n: Long, sum: Double, sumSq: Double) {
+    def +(o: BlockMoments): BlockMoments =
+      BlockMoments(n + o.n, sum + o.sum, sumSq + o.sumSq)
+  }
+
+  /** CSCV over per-config-per-block sufficient stats: identical split
+    * enumeration and rank bookkeeping as [[cscv]], with the pooled-Sharpe
+    * ranker computed from moments (mathematically equal to pooling the
+    * arrays; mean/std-sample from Σ, Σ²). This is the at-scale form —
+    * input is O(nConfigs × nBlocks), not O(total trades). */
+  def cscvFromBlockMoments(blockStats: Array[Array[BlockMoments]]): CscvResult = {
+    val nConfigs = blockStats.length
+    require(nConfigs > 0, "no configs")
+    val nBlocks = blockStats.head.length
+    def sharpeOf(cfg: Array[BlockMoments], chosen: Set[Int]): Double = {
+      var agg = BlockMoments(0L, 0.0, 0.0)
+      chosen.foreach(b => agg = agg + cfg(b))
+      if (agg.n < 2) return 0.0
+      val n = agg.n.toDouble
+      val mean = agg.sum / n
+      val v = (agg.sumSq - n * mean * mean) / (n - 1)
+      if (v <= 0 || v.isNaN) 0.0 else mean / math.sqrt(v)
+    }
+    val splits = (0 until nBlocks).combinations(nBlocks / 2).toArray
+    val oosRanks = new Array[Double](splits.length)
+    val winners = new Array[Int](splits.length)
+    var s = 0
+    while (s < splits.length) {
+      val train = splits(s).toSet
+      val test = (0 until nBlocks).toSet -- train
+      val isScores = Array.tabulate(nConfigs)(c => sharpeOf(blockStats(c), train))
+      val winner = isScores.indices.maxBy(isScores)
+      val oosScores = Array.tabulate(nConfigs)(c => sharpeOf(blockStats(c), test))
+      val winnerOos = oosScores(winner)
+      oosRanks(s) = oosScores.count(_ <= winnerOos).toDouble / nConfigs
+      winners(s) = winner
+      s += 1
+    }
+    val pbo = oosRanks.count(_ < 0.5).toDouble / oosRanks.length
+    val meanR = oosRanks.sum / oosRanks.length
+    val stdR = math.sqrt(oosRanks.map(r => (r - meanR) * (r - meanR)).sum / oosRanks.length)
+    CscvResult(pbo, meanR, stdR, splits.length, oosRanks, winners)
+  }
+
   /** Bin (return, timestamp) pairs into S equal-width time blocks over
     * [tsMin, tsMax] (cscv.py:118-133). */
   def assignBlocks(returns: Array[Double], timestamps: Array[Long],

@@ -67,8 +67,21 @@ case class ExclusiveQuantileAgg(
   }
 
   override def merge(buf: SortedBuf, other: SortedBuf): SortedBuf = {
-    var i = 0
-    while (i < other.size) { buf.insert(other.arr(i)); i += 1 }
+    // both buffers are sorted: one linear two-pointer pass, not n×insert
+    // (the window path never merges, but the grouped-aggregate path does,
+    // where per-insert shifts would degrade toward O(n·m))
+    if (other.size == 0) return buf
+    val out = new Array[Double](buf.size + other.size)
+    var i = 0; var j = 0; var k = 0
+    while (i < buf.size && j < other.size) {
+      if (buf.arr(i) <= other.arr(j)) { out(k) = buf.arr(i); i += 1 }
+      else { out(k) = other.arr(j); j += 1 }
+      k += 1
+    }
+    while (i < buf.size) { out(k) = buf.arr(i); i += 1; k += 1 }
+    while (j < other.size) { out(k) = other.arr(j); j += 1; k += 1 }
+    buf.arr = out
+    buf.size = out.length
     buf
   }
 

@@ -125,13 +125,13 @@ object GraftFunctions {
   /** Sample-adjusted skewness G1 (ClickHouse skewSamp / DuckDB skewness)
     * from Spark's population g1. `n` = non-null count column. */
   def skewSamp(x: Column, n: Column): Column =
-    skewness(x) * sqrt(n * (n - lit(1))) / (n - lit(2))
+    skewness(x) * sqrt(n * (n - lit(1))) / nullif((n - lit(2)).cast("double"), lit(0.0))
 
   /** Sample excess kurtosis G2 (DuckDB kurtosis) from Spark's population
     * excess g2. */
   def kurtSampExcess(x: Column, n: Column): Column =
     ((n + lit(1)) * kurtosis(x) + lit(6)) * (n - lit(1)) /
-      ((n - lit(2)) * (n - lit(3)))
+      nullif(((n - lit(2)) * (n - lit(3))).cast("double"), lit(0.0))
 
   /** Raw (non-excess) kurtosis, normal→3 — the convention the reference's
     * DSR math expects (eval/dsr.py:36-43 uses kurt−3). */

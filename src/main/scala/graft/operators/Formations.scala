@@ -29,7 +29,9 @@ object Formations {
     val priorTi = collect_list(col("ti")).over(w.rowsBetween(-lookback, -1))
     val priorR = collect_list(col("r")).over(w.rowsBetween(-lookback, -1))
     bars
-      .withColumn("r", (col("close") - col("open")) / col("open"))
+      // P4 nullIf guard (ref sql/gen200_triple_barrier.sql:286): zero-open
+      // bars make r/ti NULL; every registry predicate is NULL-safe (→ false)
+      .withColumn("r", (col("close") - col("open")) / nullif(col("open"), lit(0.0)))
       .withColumn("ti", abs(col("r")))
       .withColumn("dir_0", BarFrame.direction(col("open"), col("close")))
       .withColumn("dir_1", lag(col("dir_0"), 1).over(w))

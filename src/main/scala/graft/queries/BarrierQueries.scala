@@ -19,6 +19,16 @@ object BarrierQueries {
 
   private val K = 35 // forward window length; >= max max_bars
 
+  /** Grid rounding via the SAME double arithmetic in both engines:
+    * floor(x·10⁶ + 0.5)/10⁶. Spark's `round` is decimal-exact (BigDecimal
+    * HALF_UP) while DuckDB's rounds the scaled double — per-trade PRICES are
+    * products of short decimals that land exactly on .5 boundaries at 1e-6
+    * (seen at sf0.1), where the two conventions split. An identical explicit
+    * formula makes the doubles bit-equal by construction. */
+  private[queries] def grid6(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    floor(c * 1e6 + 0.5) / 1e6
+  private[queries] def grid6Sql(x: String): String = s"(floor($x * 1e6 + 0.5) / 1e6)"
+
   private def signalsWithArrays(spark: SparkSession, d: String): DataFrame = {
     // Formation: every 25th bar (deterministic stand-in for P5 predicates);
     // entry at next bar open with P3-style validity guards. Forward arrays
@@ -48,10 +58,10 @@ object BarrierQueries {
       .withColumn("max_bars", lit(20))
     Barriers.tripleBarrier(sig)
       .select(col("event_type"), col("event_id"),
-        round(col("entry_price"), 6).as("entry_price"),
+        grid6(col("entry_price")).as("entry_price"),
         col("exit_type"), col("exit_bar"),
-        round(col("exit_price"), 6).as("exit_price"),
-        round(col("return_pct"), 6).as("return_pct"))
+        grid6(col("exit_price")).as("exit_price"),
+        grid6(col("return_pct")).as("return_pct"))
       .orderBy(col("event_type"), col("event_id"))
   }
 
@@ -92,10 +102,10 @@ object BarrierQueries {
     s"""$duckSignalsCte,
        |$scan,
        |$outcome
-       |SELECT event_type, event_id, round(entry_price, 6) AS entry_price,
+       |SELECT event_type, event_id, ${grid6Sql("entry_price")} AS entry_price,
        |  exit_type, CAST(exit_bar AS BIGINT) AS exit_bar,
-       |  round(exit_price, 6) AS exit_price,
-       |  round((exit_price - entry_price) / entry_price, 6) AS return_pct
+       |  ${grid6Sql("exit_price")} AS exit_price,
+       |  ${grid6Sql("((exit_price - entry_price) / entry_price)")} AS return_pct
        |FROM outcome WHERE exit_type != 'INCOMPLETE'
        |ORDER BY event_type, event_id""".stripMargin
   }
@@ -206,10 +216,10 @@ object BarrierQueries {
       .withColumn("max_bars", lit(15))
     Barriers.trailingStop(sig)
       .select(col("event_type"), col("event_id"),
-        round(col("entry_price"), 6).as("entry_price"),
+        grid6(col("entry_price")).as("entry_price"),
         col("exit_type"), col("exit_bar"),
-        round(col("exit_price"), 6).as("exit_price"),
-        round(col("return_pct"), 6).as("return_pct"))
+        grid6(col("exit_price")).as("exit_price"),
+        grid6(col("return_pct")).as("return_pct"))
       .orderBy(col("event_type"), col("event_id"))
   }
 
@@ -252,10 +262,10 @@ object BarrierQueries {
        |      WHEN window_bars >= 15 THEN fwd_closes[15]
        |      ELSE 0 END AS exit_price
        |  FROM scan)
-       |SELECT event_type, event_id, round(entry_price, 6) AS entry_price,
+       |SELECT event_type, event_id, ${grid6Sql("entry_price")} AS entry_price,
        |  exit_type, CAST(exit_bar AS BIGINT) AS exit_bar,
-       |  round(exit_price, 6) AS exit_price,
-       |  round((exit_price - entry_price) / entry_price, 6) AS return_pct
+       |  ${grid6Sql("exit_price")} AS exit_price,
+       |  ${grid6Sql("((exit_price - entry_price) / entry_price)")} AS return_pct
        |FROM outcome WHERE exit_type != 'INCOMPLETE'
        |ORDER BY event_type, event_id""".stripMargin
   }
@@ -273,10 +283,10 @@ object BarrierQueries {
       .withColumn("max_bars", lit(25))
     Barriers.twoSegmentSl(sig)
       .select(col("event_type"), col("event_id"),
-        round(col("entry_price"), 6).as("entry_price"),
+        grid6(col("entry_price")).as("entry_price"),
         col("exit_type"), col("exit_bar"),
-        round(col("exit_price"), 6).as("exit_price"),
-        round(col("return_pct"), 6).as("return_pct"))
+        grid6(col("exit_price")).as("exit_price"),
+        grid6(col("return_pct")).as("return_pct"))
       .orderBy(col("event_type"), col("event_id"))
   }
 
@@ -314,10 +324,10 @@ object BarrierQueries {
        |         WHEN $tpWins THEN tp_price
        |         WHEN window_bars >= 25 THEN fwd_closes[25] ELSE 0 END AS exit_price
        |  FROM sl)
-       |SELECT event_type, event_id, round(entry_price, 6) AS entry_price,
+       |SELECT event_type, event_id, ${grid6Sql("entry_price")} AS entry_price,
        |  exit_type, CAST(exit_bar AS BIGINT) AS exit_bar,
-       |  round(exit_price, 6) AS exit_price,
-       |  round((exit_price - entry_price) / entry_price, 6) AS return_pct
+       |  ${grid6Sql("exit_price")} AS exit_price,
+       |  ${grid6Sql("((exit_price - entry_price) / entry_price)")} AS return_pct
        |FROM outcome WHERE exit_type != 'INCOMPLETE'
        |ORDER BY event_type, event_id""".stripMargin
   }
@@ -334,10 +344,10 @@ object BarrierQueries {
       .withColumn("max_bars", lit(20))
     Barriers.combinedBarrier(sig)
       .select(col("event_type"), col("event_id"),
-        round(col("entry_price"), 6).as("entry_price"),
+        grid6(col("entry_price")).as("entry_price"),
         col("exit_type"), col("exit_bar"),
-        round(col("exit_price"), 6).as("exit_price"),
-        round(col("return_pct"), 6).as("return_pct"))
+        grid6(col("exit_price")).as("exit_price"),
+        grid6(col("return_pct")).as("return_pct"))
       .orderBy(col("event_type"), col("event_id"))
   }
 
@@ -384,10 +394,10 @@ object BarrierQueries {
        |         WHEN $tpWins THEN tp_price
        |         WHEN window_bars >= 20 THEN fwd_closes[20] ELSE 0 END AS exit_price
        |  FROM stop)
-       |SELECT event_type, event_id, round(entry_price, 6) AS entry_price,
+       |SELECT event_type, event_id, ${grid6Sql("entry_price")} AS entry_price,
        |  exit_type, CAST(exit_bar AS BIGINT) AS exit_bar,
-       |  round(exit_price, 6) AS exit_price,
-       |  round((exit_price - entry_price) / entry_price, 6) AS return_pct
+       |  ${grid6Sql("exit_price")} AS exit_price,
+       |  ${grid6Sql("((exit_price - entry_price) / entry_price)")} AS return_pct
        |FROM outcome WHERE exit_type != 'INCOMPLETE'
        |ORDER BY event_type, event_id""".stripMargin
   }

@@ -42,7 +42,9 @@ object ChampionQueries {
   def q40Champion(spark: SparkSession, d: String): DataFrame = {
     val w = BarFrame.series(Seq(col("event_type")), col("ts_us"), col("event_id"))
     val bars = EventBars.bars(spark, d)
-      .withColumn("r", (col("close") - col("open")) / col("open"))
+      // P4 nullIf guard: zero-open bars exist at larger SFs; ti goes NULL
+      // and every formation predicate is already NULL-safe (→ false)
+      .withColumn("r", (col("close") - col("open")) / nullif(col("open"), lit(0.0)))
       .withColumn("ti", abs(col("r")))
       .withColumn("dir_0", BarFrame.direction(col("open"), col("close")))
       .withColumn("dir_1", lag(col("dir_0"), 1).over(w))
@@ -75,12 +77,12 @@ object ChampionQueries {
     s"""${EventBars.duckCte},
        |feat AS (
        |  SELECT event_type, rn,
-       |    (close - open) / open AS r,
-       |    abs((close - open) / open) AS ti,
+       |    (close - open) / nullif(open, 0) AS r,
+       |    abs((close - open) / nullif(open, 0)) AS ti,
        |    CASE WHEN close > open THEN 1 ELSE 0 END AS dir_0,
        |    lag(CASE WHEN close > open THEN 1 ELSE 0 END, 1) OVER w AS dir_1,
        |    lead(CASE WHEN close > open THEN 1 ELSE 0 END, 1) OVER w AS next_dir,
-       |    list_sort(list_filter(list(abs((close - open) / open)) OVER pw,
+       |    list_sort(list_filter(list(abs((close - open) / nullif(open, 0))) OVER pw,
        |      x -> x IS NOT NULL)) AS lti
        |  FROM bars
        |  WINDOW w AS (PARTITION BY event_type ORDER BY ts_us, event_id),
@@ -162,17 +164,17 @@ object ChampionQueries {
     s"""${EventBars.duckCte},
        |feat AS (
        |  SELECT event_type, rn, open, high, low, close,
-       |    (close - open) / open AS r,
-       |    abs((close - open) / open) AS ti,
+       |    (close - open) / nullif(open, 0) AS r,
+       |    abs((close - open) / nullif(open, 0)) AS ti,
        |    CASE WHEN close > open THEN 1 ELSE 0 END AS dir_0,
        |    lag(CASE WHEN close > open THEN 1 ELSE 0 END, 1) OVER w AS dir_1,
        |    lag(CASE WHEN close > open THEN 1 ELSE 0 END, 2) OVER w AS dir_2,
        |    lead(CASE WHEN close > open THEN 1 ELSE 0 END, 1) OVER w AS next_dir,
        |    (CASE WHEN close > open THEN open - low ELSE high - open END)
        |      / nullif(high - low, 0) AS owp,
-       |    list_sort(list_filter(list(abs((close - open) / open)) OVER pw,
+       |    list_sort(list_filter(list(abs((close - open) / nullif(open, 0))) OVER pw,
        |      x -> x IS NOT NULL)) AS lti,
-       |    list_sort(list_filter(list((close - open) / open) OVER pw,
+       |    list_sort(list_filter(list((close - open) / nullif(open, 0)) OVER pw,
        |      x -> x IS NOT NULL)) AS lr
        |  FROM bars
        |  WINDOW w AS (PARTITION BY event_type ORDER BY ts_us, event_id),

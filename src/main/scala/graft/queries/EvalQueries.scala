@@ -24,17 +24,23 @@ object EvalQueries {
 
   type Q = (SparkSession, String) => DataFrame
 
-  /** Per-bar return series r = (close−open)/open per event_type. */
+  /** Per-bar return series r = (close−open)/open per event_type, with the
+    * reference's P4 nullIf divide guard (sql/gen200_triple_barrier.sql:286;
+    * 434 uses): zero-open bars exist at larger SFs and Spark 4 ANSI mode
+    * turns an unguarded divide into DIVIDE_BY_ZERO. Zero-open rows are
+    * dropped (identically in the DuckDB CTE) so every downstream r is
+    * defined. */
   private def returns(spark: SparkSession, d: String): DataFrame =
     EventBars.bars(spark, d)
-      .withColumn("r", (col("close") - col("open")) / col("open"))
+      .filter(col("open") =!= 0.0)
+      .withColumn("r", (col("close") - col("open")) / nullif(col("open"), lit(0.0)))
 
   private val duckReturnsCte: String =
     s"""${EventBars.duckCte},
        |rets AS (
        |  SELECT event_type, ts_us, event_id, rn, close,
-       |         (close - open) / open AS r
-       |  FROM bars)""".stripMargin
+       |         (close - open) / nullif(open, 0) AS r
+       |  FROM bars WHERE open <> 0)""".stripMargin
 
   // ---------------------------------------------------------------------------
   // q33 — Omega ratio + win rate (E5, eval/omega.py:28-37; L=0 ≡ profit
@@ -44,18 +50,20 @@ object EvalQueries {
       .groupBy(col("event_type"))
       .agg(
         count(lit(1)).as("n"),
+        // P4: an all-positive series zeroes the loss-side denominator —
+        // nullif keeps ANSI mode from throwing and matches DuckDB's NULL
         round(sum(greatest(col("r"), lit(0.0))) /
-          sum(greatest(-col("r"), lit(0.0))), 4).as("omega_0"),
+          nullif(sum(greatest(-col("r"), lit(0.0))), lit(0.0)), 4).as("omega_0"),
         round(sum(greatest(col("r") - 0.001, lit(0.0))) /
-          sum(greatest(lit(0.001) - col("r"), lit(0.0))), 4).as("omega_l"),
+          nullif(sum(greatest(lit(0.001) - col("r"), lit(0.0))), lit(0.0)), 4).as("omega_l"),
         round(count_if(col("r") > 0).cast("double") / count(lit(1)), 4).as("win_rate"))
       .orderBy(col("event_type"))
 
   val q33Sql: String =
     s"""$duckReturnsCte
        |SELECT event_type, count(*) AS n,
-       |  round(sum(greatest(r, 0.0)) / sum(greatest(-r, 0.0)), 4) AS omega_0,
-       |  round(sum(greatest(r - 0.001, 0.0)) / sum(greatest(0.001 - r, 0.0)), 4) AS omega_l,
+       |  round(sum(greatest(r, 0.0)) / nullif(sum(greatest(-r, 0.0)), 0.0), 4) AS omega_0,
+       |  round(sum(greatest(r - 0.001, 0.0)) / nullif(sum(greatest(0.001 - r, 0.0)), 0.0), 4) AS omega_l,
        |  round(count(*) FILTER (WHERE r > 0) / count(*)::DOUBLE, 4) AS win_rate
        |FROM rets GROUP BY event_type ORDER BY event_type""".stripMargin
 
@@ -211,12 +219,12 @@ object EvalQueries {
         (avg(col("x") * col("x")) - avg(col("x")) * avg(col("x"))).as("var_x"),
         (avg(col("y") * col("y")) - avg(col("y")) * avg(col("y"))).as("var_y"),
         avg(col("close")).as("mean_price"))
-      .withColumn("b", col("cov_xy") / col("var_x"))
+      .withColumn("b", col("cov_xy") / nullif(col("var_x"), lit(0.0)))
       .withColumn("mu", -col("b"))
       .withColumn("sigma", sqrt(greatest(col("var_y") - col("b") * col("b") * col("var_x"), lit(0.0))))
       .withColumn("half_life", when(col("mu") > 0, log(lit(2.0)) / col("mu")))
       .withColumn("tp_frac",
-        when(col("mu") > 0, col("sigma") * sqrt(col("half_life")) / col("mean_price")))
+        when(col("mu") > 0, col("sigma") * sqrt(col("half_life")) / nullif(col("mean_price"), lit(0.0))))
       .select(col("event_type"), col("n"),
         round(col("mu"), 6).as("mu"),
         round(col("sigma"), 6).as("sigma"),
@@ -239,15 +247,15 @@ object EvalQueries {
        |    avg(close) AS mean_price
        |  FROM xy WHERE x IS NOT NULL GROUP BY event_type),
        |cal AS (
-       |  SELECT event_type, n, -(cov_xy / var_x) AS mu,
-       |    sqrt(greatest(var_y - (cov_xy / var_x) * (cov_xy / var_x) * var_x, 0.0)) AS sigma,
+       |  SELECT event_type, n, -(cov_xy / nullif(var_x, 0.0)) AS mu,
+       |    sqrt(greatest(var_y - (cov_xy / nullif(var_x, 0.0)) * (cov_xy / nullif(var_x, 0.0)) * var_x, 0.0)) AS sigma,
        |    mean_price
        |  FROM suff)
        |SELECT event_type, n,
        |  round(mu, 6) AS mu,
        |  round(sigma, 6) AS sigma,
        |  round(CASE WHEN mu > 0 THEN ln(2.0) / mu END, 6) AS half_life,
-       |  round(CASE WHEN mu > 0 THEN sigma * sqrt(ln(2.0) / mu) / mean_price END, 8) AS tp_frac
+       |  round(CASE WHEN mu > 0 THEN sigma * sqrt(ln(2.0) / mu) / nullif(mean_price, 0.0) END, 8) AS tp_frac
        |FROM cal ORDER BY event_type""".stripMargin
 
   // ---------------------------------------------------------------------------
@@ -261,7 +269,7 @@ object EvalQueries {
       .groupBy(col("event_type"))
       .agg(
         count(lit(1)).as("n"),
-        (avg(col("r")) / stddev_samp(col("r"))).as("sr"),
+        (avg(col("r")) / nullif(stddev_samp(col("r")), lit(0.0))).as("sr"),
         GraftFunctions.skewSamp(col("r"), n).as("skew"),
         (GraftFunctions.kurtSampExcess(col("r"), n) + lit(3.0)).as("kurt"))
       .withColumn("se",
@@ -284,7 +292,7 @@ object EvalQueries {
     s"""$duckReturnsCte,
        |m AS (
        |  SELECT event_type, count(*) AS n,
-       |    avg(r) / stddev_samp(r) AS sr,
+       |    avg(r) / nullif(stddev_samp(r), 0.0) AS sr,
        |    skewness(r) AS skew,
        |    kurtosis(r) + 3.0 AS kurt
        |  FROM rets GROUP BY event_type),

@@ -74,17 +74,30 @@ object EventBars {
     * Emits the same schema as withForwardArrays restricted to signal rows
     * (verified row-for-row in ForwardArraysSpec).
     */
-  def signalForwardArrays(bars: DataFrame, isSignal: Column, k: Int): DataFrame = {
-    val sigCols = bars.columns.map(col)
-    val signals = bars.filter(isSignal)
-      .withColumn("s_chunk",
-        explode(expr(s"sequence(rn div $k, (rn + $k) div $k)")))
+  def signalForwardArrays(bars: DataFrame, isSignal: Column, k: Int): DataFrame =
+    forwardArraysFor(bars.filter(isSignal), bars, k)
+
+  /** Banded-join forward-array attachment for an ALREADY-FILTERED signal
+    * frame (the general form of [[signalForwardArrays]]): `signals` needs
+    * (event_type, rn); `bars` supplies the OHLC series. Used by the
+    * gen600-faithful chain where signals emerge from a multi-stage
+    * filter+window pipeline, not a single predicate over bars.
+    *
+    * Equivalence note (vs the window form): signals whose forward window is
+    * empty (last bar of a series) produce no row here (inner join) — the
+    * contract is equivalence AFTER the P3 entry filter (`entry_price IS NOT
+    * NULL` implies ≥1 forward bar), which every caller applies upstream.
+    */
+  def forwardArraysFor(signals: DataFrame, bars: DataFrame, k: Int): DataFrame = {
+    val sigCols = signals.columns.map(col)
+    val s = signals.withColumn("s_chunk",
+      explode(expr(s"sequence(rn div $k, (rn + $k) div $k)")))
     val barsC = bars.select(
       col("event_type").as("b_et"), col("rn").as("b_rn"),
       col("high").as("b_high"), col("low").as("b_low"),
       col("open").as("b_open"), col("close").as("b_close"))
       .withColumn("b_chunk", expr(s"b_rn div $k"))
-    val joined = signals.join(barsC,
+    val joined = s.join(barsC,
       col("event_type") === col("b_et") && col("s_chunk") === col("b_chunk") &&
         col("b_rn") > col("rn") && col("b_rn") <= col("rn") + k)
     joined

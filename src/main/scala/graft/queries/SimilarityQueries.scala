@@ -55,14 +55,17 @@ object SimilarityQueries {
     val b = v.select(col("label").as("label_b"), col("vec_id").as("id2"),
       col("e").as("e2"), col("nrm").as("n2"))
     a.join(b, col("label") === col("label_b") && col("id1") < col("id2"))
-      .withColumn("cos", round(dot("e1", "e2") / (col("n1") * col("n2")), 6))
+      // P4 nullIf guard: a zero vector zeroes the norm product (ANSI-safe)
+      .withColumn("cos", round(dot("e1", "e2") / nullif(col("n1") * col("n2"), lit(0.0)), 6))
       .groupBy(col("label"))
       .agg(
         count(lit(1)).as("n_pairs"),
         count_if(col("cos") >= 0.8).as("n_ge_080"),
         count_if(col("cos") >= 0.9).as("n_ge_090"),
-        round(avg(col("cos")), 4).as("avg_cos"),
-        round(max(col("cos")), 4).as("max_cos"))
+        // + 0.0 normalizes negative zero: a ±1e-8 average rounds to -0.0
+        // in one engine and +0.0 in the other (seen at sf0.1 label 8)
+        (round(avg(col("cos")), 4) + 0.0).as("avg_cos"),
+        (round(max(col("cos")), 4) + 0.0).as("max_cos"))
       .orderBy(col("label"))
   }
 
@@ -70,13 +73,13 @@ object SimilarityQueries {
     s"""WITH v AS (
       |  $withNormSql),
       |p AS (
-      |  SELECT a.label, round(${dotSql("a.e", "b.e")} / (a.nrm * b.nrm), 6) AS cos
+      |  SELECT a.label, round(${dotSql("a.e", "b.e")} / nullif(a.nrm * b.nrm, 0.0), 6) AS cos
       |  FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id)
       |SELECT label, count(*) AS n_pairs,
       |  count(*) FILTER (WHERE cos >= 0.8) AS n_ge_080,
       |  count(*) FILTER (WHERE cos >= 0.9) AS n_ge_090,
-      |  round(avg(cos), 4) AS avg_cos,
-      |  round(max(cos), 4) AS max_cos
+      |  round(avg(cos), 4) + 0.0 AS avg_cos,
+      |  round(max(cos), 4) + 0.0 AS max_cos
       |FROM p GROUP BY label ORDER BY label""".stripMargin
 
   // ---------------------------------------------------------------------------
@@ -88,7 +91,7 @@ object SimilarityQueries {
     val probes = v.filter(col("vec_id") < 8)
       .select(col("vec_id").as("q_vec_id"), col("e").as("qe"), col("nrm").as("qn"))
     val cand = broadcast(probes).join(v, col("vec_id") =!= col("q_vec_id"))
-      .withColumn("cos", round(dot("qe", "e") / (col("qn") * col("nrm")), 6))
+      .withColumn("cos", round(dot("qe", "e") / nullif(col("qn") * col("nrm"), lit(0.0)), 6))
     val w = Window.partitionBy(col("q_vec_id")).orderBy(col("cos").desc, col("vec_id"))
     cand.withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= 5)
@@ -102,7 +105,7 @@ object SimilarityQueries {
       |  $withNormSql),
       |c AS (
       |  SELECT q.vec_id AS q_vec_id, v.vec_id AS neighbor_id,
-      |    round(${dotSql("q.e", "v.e")} / (q.nrm * v.nrm), 6) AS cos
+      |    round(${dotSql("q.e", "v.e")} / nullif(q.nrm * v.nrm, 0.0), 6) AS cos
       |  FROM v q JOIN v ON q.vec_id < 8 AND v.vec_id <> q.vec_id),
       |r AS (
       |  SELECT q_vec_id, neighbor_id, cos,
@@ -119,13 +122,26 @@ object SimilarityQueries {
   // best in-bucket neighbor (−1 / −2.0 when the bucket has no candidates).
   // The bucketing is the 100 TB path: one projection pass + an equi-join on
   // an 8-bit key instead of a full cross product.
+  //
+  // The hyperplane matrix is a COMPILE-TIME constant, so it is baked into
+  // the plan as literals and each lane's dot product is an explicit
+  // 64-term sum of GetArrayItem×literal — plain codegen'd arithmetic.
+  // (The previous shape re-derived the LCG coefficients inside nested
+  // interpreted higher-order functions for every row — HOF lambdas skip
+  // whole-stage codegen, the q26/q27 lesson.) Term order is the same
+  // sequential left fold, so doubles are bit-identical to the HOF form
+  // and to the DuckDB oracle.
+  private val lshPlanes: Seq[Seq[Double]] =
+    (0 until 8).map(j => (0 until 64).map(dd =>
+      ((1103515245L * (j * 64 + dd) + 12345L) % 2001L - 1000L) / 1000.0))
+
   private def bucketExpr(e: String): Column =
-    expr(s"""aggregate(transform(sequence(0, 7), j -> IF(
-      |  aggregate(transform(sequence(0, 63), dd ->
-      |    element_at($e, dd + 1) *
-      |    (((CAST(1103515245 AS BIGINT) * (j*64 + dd) + 12345) % 2001 - 1000) / 1000.0)),
-      |    0D, (acc, v) -> acc + v) >= 0D,
-      |  CAST(pow(2, j) AS INT), 0)), 0, (a, b) -> a + b)""".stripMargin)
+    lshPlanes.zipWithIndex.map { case (plane, j) =>
+      val dotJ = plane.zipWithIndex.map { case (c, dd) =>
+        col(e).getItem(dd) * lit(c)
+      }.reduce(_ + _)
+      when(dotJ >= 0.0, lit(1 << j)).otherwise(lit(0))
+    }.reduce(_ + _)
 
   private def bucketSql(e: String): String =
     s"""CAST(list_sum(list_transform(range(0, 8), j -> CASE WHEN
@@ -142,7 +158,7 @@ object SimilarityQueries {
         col("nrm").as("qn"), col("bucket").as("qb"))
     val cand = broadcast(probes)
       .join(v, col("bucket") === col("qb") && col("vec_id") =!= col("q_vec_id"), "left")
-      .withColumn("cos", round(dot("qe", "e") / (col("qn") * col("nrm")), 6))
+      .withColumn("cos", round(dot("qe", "e") / nullif(col("qn") * col("nrm"), lit(0.0)), 6))
     cand.groupBy(col("q_vec_id"))
       .agg(
         count(col("vec_id")).as("n_candidates"),
@@ -158,7 +174,7 @@ object SimilarityQueries {
       |  FROM ($withNormSql)),
       |c AS (
       |  SELECT q.vec_id AS q_vec_id, v.vec_id AS cand_id,
-      |    round(${dotSql("q.e", "v.e")} / (q.nrm * v.nrm), 6) AS cos
+      |    round(${dotSql("q.e", "v.e")} / nullif(q.nrm * v.nrm, 0.0), 6) AS cos
       |  FROM (SELECT * FROM v WHERE vec_id < 8) q
       |  LEFT JOIN v ON v.bucket = q.bucket AND v.vec_id <> q.vec_id),
       |r AS (

@@ -67,10 +67,10 @@ object TextQueries {
         size(filter(col("tok"), t => t.isInCollection(stop))).cast("double") / col("n_tok"))
       .withColumn("punct_ratio",
         (length(col("text")) - length(regexp_replace(col("text"), "[.,!?;:]", "")))
-          .cast("double") / col("n_chars").cast("double"))
+          .cast("double") / nullif(col("n_chars").cast("double"), lit(0.0)))
       .withColumn("alpha_ratio",
         length(regexp_replace(col("text"), "[^a-z]", "")).cast("double") /
-          col("n_chars").cast("double"))
+          nullif(col("n_chars").cast("double"), lit(0.0)))
       .withColumn("quality",
         least(col("n_tok") / lit(100.0), lit(1.0)) * lit(0.3) +
           col("stop_ratio") * lit(0.3) + col("alpha_ratio") * lit(0.4))
@@ -91,8 +91,9 @@ object TextQueries {
       |    len(list_filter($toksSql, t -> t IN (${TextOps.stopwords.map("'" + _ + "'").mkString(",")})))::DOUBLE
       |      / len($toksSql)::DOUBLE AS stop_ratio,
       |    (length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))::DOUBLE
-      |      / n_chars::DOUBLE AS punct_ratio,
-      |    length(regexp_replace(text, '[^a-z]', '', 'g'))::DOUBLE / n_chars::DOUBLE AS alpha_ratio
+      |      / nullif(n_chars::DOUBLE, 0.0) AS punct_ratio,
+      |    length(regexp_replace(text, '[^a-z]', '', 'g'))::DOUBLE
+      |      / nullif(n_chars::DOUBLE, 0.0) AS alpha_ratio
       |  FROM documents)
       |SELECT lang, source, count(*) AS n_docs,
       |  round(avg(n_tok), 4) AS avg_tokens,

@@ -66,6 +66,83 @@ class EvalPipelineSpec extends GraftSuite {
     assert(res2.reports.map(_.topsisScore) == res.reports.map(_.topsisScore))
   }
 
+  test("per-config metrics are computed in the distributed map stage, " +
+    "driver collects O(nConfigs) rows") {
+    val ds = EvalPipeline.perConfigStats(tradeFrame(), nBlocks = 8,
+      tsMin = 0L, tsMax = 119L * 3600L * 1000000L)
+    val plan = ds.queryExecution.optimizedPlan.toString
+    // the one shuffle: groupBy config_id; the math: object map over groups
+    assert(plan.contains("Aggregate"), s"no aggregate in plan:\n$plan")
+    assert(plan.contains("MapElements") || plan.contains("mapelements"),
+      s"no distributed map stage in plan:\n$plan")
+    val stats = ds.collect()
+    assert(stats.length == 4) // exactly one row per config reaches the driver
+    // block sufficient stats reconstruct the full-series moments
+    val strong = stats.find(_.configId == "strong").get
+    assert(strong.blockN.sum == 120)
+    assert(math.abs(strong.blockSum.sum / 120 -
+      tradeFrame().filter(col("config_id") === "strong")
+        .agg(avg(col("return_pct"))).collect().head.getDouble(0)) < 1e-12)
+  }
+
+  test("E7 rolling per-trade OU: per-config ratios from the bar series " +
+    "differ across trade windows and TAMRS responds") {
+    import spark.implicits._
+    val rng = new scala.util.Random(11)
+    // mean-reverting bar series: tight noise in the first half, 5x noise in
+    // the second → different sigma ⇒ different optimal TP ⇒ different ratio
+    val n = 600
+    var x = 100.0
+    val bars = (0 until n).map { i =>
+      val sigma = if (i < 300) 0.05 else 0.25
+      x = x + 0.2 * (100.0 - x) + rng.nextGaussian() * sigma
+      (i.toLong * 1000000L, x)
+    }
+    val barsDf = bars.toDF("ts_us", "close")
+    // config "early" trades against the tight window, "late" against the
+    // noisy one; both have 30 seeded gaussian returns (rachev/cdar defined)
+    val tr = new scala.util.Random(7)
+    val trades = (0 until 30).flatMap { i =>
+      Seq(("early", (150L + i) * 1000000L, 0.004 + tr.nextGaussian() * 0.01),
+        ("late", (450L + i) * 1000000L, 0.004 + tr.nextGaussian() * 0.01))
+    }.toDF("config_id", "ts_us", "return_pct")
+
+    val stats = EvalPipeline.perConfigStats(trades, nBlocks = 8,
+      tsMin = 150000000L, tsMax = 479000000L,
+      ouBars = Some(barsDf), empiricalTpFrac = 0.002, ouLookback = 100)
+      .collect().sortBy(_.configId).toSeq
+    val Seq(early, late) = stats
+    assert(early.ouRatio.isDefined && late.ouRatio.isDefined)
+    // local golden: median of Stats.rollingOuRatios over the same inputs
+    val barTs = bars.map(_._1).toArray
+    val closes = bars.map(_._2).toArray
+    def medianRatio(tss: Array[Long]): Double = {
+      val rs = graft.eval.Stats.rollingOuRatios(barTs, closes, tss, 0.002, 100)
+        .flatten.sorted
+      if (rs.length % 2 == 1) rs(rs.length / 2)
+      else (rs(rs.length / 2 - 1) + rs(rs.length / 2)) / 2.0
+    }
+    val earlyTs = (0 until 30).map(i => (150L + i) * 1000000L).toArray
+    val lateTs = (0 until 30).map(i => (450L + i) * 1000000L).toArray
+    assert(math.abs(early.ouRatio.get - medianRatio(earlyTs)) < 1e-12)
+    assert(math.abs(late.ouRatio.get - medianRatio(lateTs)) < 1e-12)
+    assert(early.ouRatio.get != late.ouRatio.get,
+      s"windows should calibrate differently: ${early.ouRatio} vs ${late.ouRatio}")
+
+    // pipeline end-to-end: TAMRS = rachev · slCdar · ouRatio with the
+    // per-config OU ratio (not the scalar fallback)
+    val res = EvalPipeline.run(trades, nBootstrap = 50,
+      ouBars = Some(barsDf), empiricalTpFrac = 0.002, ouLookback = 100)
+    val byId = res.reports.map(r => r.configId -> r).toMap
+    for ((cid, st) <- Seq("early" -> early, "late" -> late)) {
+      val r = byId(cid)
+      val slCdar = st.cdar.map(c => if (c > 0) math.min(1.0, 0.0125 / c) else 1.0)
+      val want = graft.eval.Stats.tamrs(st.rachev, slCdar, st.ouRatio)
+      assert(r.tamrs.isDefined == want.isDefined)
+      for (w <- want; g <- r.tamrs) assert(math.abs(g - w) < 1e-12)
+    }
+  }
+
   test("spearman goldens: monotone 1, reversed -1, ties averaged") {
     val a = Array(1.0, 2.0, 3.0, 4.0)
     assert(math.abs(Ranking.spearman(a, Array(10.0, 20.0, 30.0, 40.0)) - 1.0) < 1e-12)

@@ -1,7 +1,7 @@
 package graft
 
 import org.scalatest.funsuite.AnyFunSuite
-import graft.eval.{Folds, Ranking, Resampling, Stats}
+import graft.eval.{Folds, Pareto, Ranking, Resampling, Stats}
 
 /** Goldens + structural invariants for the fold / resampling / ranking
   * stack (numpy-verified where a golden applies).
@@ -187,6 +187,78 @@ class EvalStackSpec extends AnyFunSuite {
     assert(Resampling.ebh(Array(50.0, 30.0, 10.0, 5.0, 1.0, 0.5)) == 0)
     assert(Resampling.ebh(Array(200.0, 150.0, 100.0)) == 3)
     assert(Resampling.ebh(Array.empty[Double]) == 0)
+  }
+
+  test("E15 survivor analysis: percentile ranks, cutoffs, intersection, binding metrics") {
+    // m1 higher-is-better 4>3>2>1; m2 lower-is-better 1<2<3, d missing → 0
+    val metricData = Map(
+      "m1" -> Map("a" -> Some(4.0), "b" -> Some(3.0), "c" -> Some(2.0), "d" -> Some(1.0)),
+      "m2" -> Map("a" -> Some(1.0), "b" -> Some(2.0), "c" -> Some(3.0),
+        "d" -> Option.empty[Double]))
+    val hib = Map("m1" -> true, "m2" -> false)
+    val res = Ranking.survivorAnalysis(metricData, hib,
+      Map("m1" -> 50, "m2" -> 50))
+    // m1 pct: a=100 b=75 c=50 d=25; m2 pct (flipped, over 3 present):
+    // a=100 b=66.6667 c=33.3333 d=0
+    assert(res.allPctRanks("m1") == Map("a" -> 100.0, "b" -> 75.0, "c" -> 50.0, "d" -> 25.0))
+    assert(res.allPctRanks("m2")("b") == 66.6667)
+    assert(res.allPctRanks("m2")("d") == 0.0)
+    // cutoff 50 keeps pct >= 50: m1 {a,b,c}, m2 {a,b} → intersection {a,b}
+    assert(res.perMetricPass("m1") == Set("a", "b", "c"))
+    assert(res.perMetricPass("m2") == Set("a", "b"))
+    assert(res.survivors == Seq("a", "b") && res.nIntersection == 2)
+    // avg percentile of survivors over both metrics, rounded to 4 like the
+    // reference: mean(100, 100, 75, 66.6667) = 85.416675 → 85.4167
+    assert(math.abs(res.avgPercentile - 85.4167) < 1e-9)
+    // relaxing m2 grows the intersection (binding); relaxing m1 does not
+    assert(res.nBindingMetrics == 1)
+    // tie handling: average ranks
+    val tied = Ranking.percentileRanksPct(
+      Map("x" -> Some(1.0), "y" -> Some(1.0), "z" -> Some(2.0)), higherIsBetter = true)
+    assert(tied("x") == 50.0 && tied("y") == 50.0 && tied("z") == 100.0)
+    // cutoff edges (ranking.py:183-197)
+    val pr = Map("a" -> 100.0, "b" -> 50.0)
+    assert(Ranking.applyCutoff(pr, 0).isEmpty)
+    assert(Ranking.applyCutoff(pr, 100) == Set("a", "b"))
+    // tightening table is monotone non-increasing in the cutoff
+    val tight = Ranking.tighteningAnalysis(res.allPctRanks)
+    assert(tight.map(_.cutoffPct) == Seq(100, 80, 60, 40, 20, 10, 5))
+    assert(tight.sliding(2).forall(w => w(0).nIntersection >= w(1).nIntersection))
+    assert(tight.head.nIntersection == 4 && tight.head.exampleSurvivor == "a")
+  }
+
+  test("E23 Vorob'ev expectation/deviation: hand-computed 2D golden") {
+    // fold A = {(1,3),(3,1)} (hv 5 wrt ref (4,4)); fold B = {(2,2)} (hv 4)
+    val folds = Array(
+      Array(Array(1.0, 3.0), Array(3.0, 1.0)),
+      Array(Array(2.0, 2.0)))
+    val ref = Array(4.0, 4.0)
+    // level-1 surface = union front {(1,3),(2,2),(3,1)}, hv 6 > avg 4.5;
+    // level-2 surface = {(2,3),(3,2)}, hv 3 ≤ 4.5 → k* = 2
+    val s1 = Pareto.attainmentSurface(folds, 1).map(_.toSeq).toSet
+    assert(s1 == Set(Seq(1.0, 3.0), Seq(2.0, 2.0), Seq(3.0, 1.0)))
+    val s2 = Pareto.attainmentSurface(folds, 2).map(_.toSeq).toSet
+    assert(s2 == Set(Seq(2.0, 3.0), Seq(3.0, 2.0)))
+    val vt = Pareto.vorobT(folds, ref)
+    assert(vt.level == 2 && vt.threshold == 100.0)
+    assert(math.abs(vt.avgHyp - 4.5) < 1e-12)
+    assert(math.abs(vt.veHyp - 3.0) < 1e-12)
+    // VD = mean(2·hv(VE∪A_s) − hv(VE) − hv(A_s)) = ((10−3−5) + (8−3−4))/2
+    val vd = Pareto.vorobDev(folds, vt.expectation, ref)
+    assert(math.abs(vd - 1.5) < 1e-12)
+    // identical folds: expectation = the front itself, deviation 0
+    val same = Array(folds(0), folds(0))
+    val vtSame = Pareto.vorobT(same, ref)
+    assert(vtSame.level == 1)
+    assert(math.abs(vtSame.veHyp - vtSame.avgHyp) < 1e-12)
+    assert(math.abs(Pareto.vorobDev(same, vtSame.expectation, ref)) < 1e-12)
+    // 3D smoke: single shared point across folds
+    val f3 = Array(
+      Array(Array(1.0, 1.0, 1.0)),
+      Array(Array(1.0, 1.0, 1.0)))
+    val v3 = Pareto.vorobT(f3, Array(2.0, 2.0, 2.0))
+    assert(math.abs(v3.veHyp - 1.0) < 1e-12)
+    assert(math.abs(Pareto.vorobDev(f3, v3.expectation, Array(2.0, 2.0, 2.0))) < 1e-12)
   }
 
   test("quantile type-7 interpolation") {
