@@ -30,15 +30,35 @@ object Sweep {
       formations: Seq[(String, String)], // name -> SQL predicate over dir_0/1/2
       grid: Seq[BarrierCfg],
       forwardBars: Int = 35,
-      warmupBars: Int = 100)
+      warmupBars: Int = 100,
+      // E30 (scripts/gen800_sweep.py:31-60): regime gates — name -> SQL
+      // predicate over the joined Laguerre `regime` label (0 bearish /
+      // 1 neutral / 2 bullish). The default single any-gate keeps the
+      // ungated sweep shape (and skips the Laguerre join entirely).
+      regimeGates: Seq[(String, String)] = Seq("any_regime" -> "true"),
+      laguerre: operators.Laguerre.Config = operators.Laguerre.Config())
 
   /** Run a sweep and write results + telemetry under `outDir`. Returns the
-    * per-(formation, profile) metrics frame. */
+    * per-(formation, regime_gate, profile) metrics frame. */
   def run(spark: SparkSession, sfDir: String, spec: SweepSpec, outDir: String): DataFrame = {
     import spark.implicits._
     val t0 = System.nanoTime()
     val w = BarFrame.series(Seq(col("event_type")), col("ts_us"), col("event_id"))
-    val flagged = EventBars.bars(spark, sfDir)
+    val bars = EventBars.bars(spark, sfDir)
+    // gate dimension: join per-bar Laguerre regime labels only when a gate
+    // actually reads them (any_regime-only sweeps pay nothing)
+    val needRegimes = spec.regimeGates.exists(_._2.trim != "true")
+    val withRegime =
+      if (!needRegimes) bars.withColumn("regime", lit(1))
+      else {
+        val regimes = operators.Laguerre.withRegimes(bars, spec.laguerre).toDF()
+          .select(col("event_type").as("r_et"), col("ts_us").as("r_ts"),
+            col("event_id").as("r_eid"), col("regime"))
+        bars.join(regimes, col("event_type") === col("r_et") &&
+          col("ts_us") === col("r_ts") && col("event_id") === col("r_eid"))
+          .drop("r_et", "r_ts", "r_eid")
+      }
+    val flagged = withRegime
       .withColumn("dir_0", BarFrame.direction(col("open"), col("close")))
       .withColumn("dir_1", lag(col("dir_0"), 1).over(w))
       .withColumn("dir_2", lag(col("dir_0"), 2).over(w))
@@ -52,13 +72,17 @@ object Sweep {
     val stackExpr = spec.formations.map { case (name, p) =>
       s"'$name', CASE WHEN $p THEN 1 ELSE 0 END"
     }.mkString(s"stack(${spec.formations.size}, ", ", ", ") as (formation, flag)")
+    val gateStack = spec.regimeGates.map { case (name, p) =>
+      s"'$name', CASE WHEN $p THEN 1 ELSE 0 END"
+    }.mkString(s"stack(${spec.regimeGates.size}, ", ", ", ") as (regime_gate, gate_flag)")
     val gridDf = spec.grid.map(g => (g.profile, g.tpPct, g.slPct, g.maxBars))
       .toDF("barrier_profile", "tp_pct", "sl_pct", "max_bars")
     val trades = Barriers.tripleBarrier(
       sig.select(col("*"), expr(stackExpr)).filter(col("flag") === 1)
+        .select(col("*"), expr(gateStack)).filter(col("gate_flag") === 1)
         .crossJoin(broadcast(gridDf)))
     val metrics = Barriers
-      .metricsAgg(trades, col("formation"), col("barrier_profile"),
+      .metricsAgg(trades, col("formation"), col("regime_gate"), col("barrier_profile"),
         col("tp_pct"), col("sl_pct"), col("max_bars"))
       .withColumn("generation", lit(spec.generation))
 
@@ -66,8 +90,9 @@ object Sweep {
       Seq("generation", "formation"))
     val wallS = (System.nanoTime() - t0) / 1e9
     val telemetry = Seq((spec.generation, spec.formations.size, spec.grid.size,
-      wallS, java.time.Instant.now().toString))
-      .toDF("generation", "n_formations", "n_barriers", "wall_s", "finished_at")
+      spec.regimeGates.size, wallS, java.time.Instant.now().toString))
+      .toDF("generation", "n_formations", "n_barriers", "n_regime_gates",
+        "wall_s", "finished_at")
     ResultSink.appendJsonl(telemetry, s"$outDir/telemetry")
     sig.unpersist()
     metrics

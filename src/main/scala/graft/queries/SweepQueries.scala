@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{Barriers, BarFrame, Formations}
+import graft.operators.{Barriers, BarFrame, Formations, Laguerre}
 
 /** The gen600-style sweep (SURVEY.md §3.1, the reference's main entry
   * point): formations × barrier profiles × per-combo metrics — in ONE
@@ -137,8 +137,66 @@ object SweepQueries {
        |ORDER BY formation, barrier_profile""".stripMargin
   }
 
+  // ---------------------------------------------------------------------------
+  // q47 — E30: the gen800 regime-gated sweep (scripts/gen800_sweep.py:31-60):
+  // Laguerre regime labels join the bar frame as a GATE dimension —
+  // (formation × regime_gate × barrier_profile) metrics from one shared
+  // signal frame. Regime gates (gen800_sweep.py REGIME_GATES):
+  // bullish_only (regime = 2), not_bearish (regime ≥ 1), any_regime.
+  //
+  // The Laguerre recursion is sequential per series (flatMapGroups), so no
+  // DuckDB oracle exists for the gated slices — the driver records the
+  // rows-only check; SweepSpec pins (a) the any_regime slice row-for-row
+  // against oracle-checked q43 and (b) gate monotonicity + a census
+  // cross-check against an independent Scala recomputation.
+  private val regimeGates = Seq(
+    "any_regime" -> "true",
+    "bullish_only" -> "(regime = 2)",
+    "not_bearish" -> "(regime >= 1)")
+
+  def q47RegimeGatedSweep(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val w = BarFrame.series(Seq(col("event_type")), col("ts_us"), col("event_id"))
+    val bars = EventBars.bars(spark, d)
+    val regimes = Laguerre.withRegimes(bars).toDF()
+      .select(col("event_type").as("r_et"), col("ts_us").as("r_ts"),
+        col("event_id").as("r_eid"), col("regime"))
+    val flagged = bars
+      .withColumn("dir_0", BarFrame.direction(col("open"), col("close")))
+      .withColumn("dir_1", lag(col("dir_0"), 1).over(w))
+      .withColumn("dir_2", lag(col("dir_0"), 2).over(w))
+      .join(regimes, col("event_type") === col("r_et") &&
+        col("ts_us") === col("r_ts") && col("event_id") === col("r_eid"))
+      .drop("r_et", "r_ts", "r_eid")
+    val anySignal = col("rn") > 100 && sweepFormations.map { case (_, p) => expr(p) }
+      .reduce(_ || _)
+    val sig = EventBars.signalForwardArrays(flagged, anySignal, K)
+      .withColumn("entry_price", try_element_at(col("fwd_opens"), lit(1)))
+      .filter(col("entry_price").isNotNull && col("entry_price") > 0)
+    val formationStack = sweepFormations.map { case (name, p) =>
+      s"'$name', CASE WHEN $p THEN 1 ELSE 0 END"
+    }.mkString(s"stack(${sweepFormations.size}, ", ", ", ") as (formation, flag)")
+    val gateStack = regimeGates.map { case (name, p) =>
+      s"'$name', CASE WHEN $p THEN 1 ELSE 0 END"
+    }.mkString(s"stack(${regimeGates.size}, ", ", ", ") as (regime_gate, gate_flag)")
+    val perCombo = sig
+      .select(col("*"), expr(formationStack)).filter(col("flag") === 1)
+      .select(col("*"), expr(gateStack)).filter(col("gate_flag") === 1)
+    val gridDf = grid.toDF("barrier_profile", "tp_pct", "sl_pct", "max_bars")
+    val trades = Barriers.tripleBarrier(perCombo.crossJoin(broadcast(gridDf)))
+    Barriers.metricsAgg(trades, col("formation"), col("regime_gate"), col("barrier_profile"))
+      .select(col("formation"), col("regime_gate"), col("barrier_profile"),
+        col("total_signals"), col("tp_count"), col("sl_count"), col("time_count"),
+        (round(col("win_rate"), 6) + 0.0).as("win_rate"),
+        (round(col("profit_factor"), 6) + 0.0).as("profit_factor"),
+        (round(col("expected_value_pct"), 6) + 0.0).as("expected_value_pct"),
+        (round(col("avg_bars_held"), 6) + 0.0).as("avg_bars_held"))
+      .orderBy(col("formation"), col("regime_gate"), col("barrier_profile"))
+  }
+
   val all: Map[String, Q] = Map(
-    "q43_formation_barrier_sweep" -> (q43FormationBarrierSweep _))
+    "q43_formation_barrier_sweep" -> (q43FormationBarrierSweep _),
+    "q47_regime_gated_sweep" -> (q47RegimeGatedSweep _))
 
   val oracles: Map[String, String] = Map(
     "q43_formation_barrier_sweep" -> q43Sql)

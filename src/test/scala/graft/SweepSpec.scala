@@ -43,6 +43,97 @@ class SweepSpec extends GraftSuite {
     assert(tele.filter(col("generation") === "g1").count() == 2)
   }
 
+  test("E30 regime-gated sweep: gates key the output, any_regime slice matches " +
+    "the ungated sweep, gate census matches an independent recomputation") {
+    import org.apache.spark.sql.Row
+    val out = Files.createTempDirectory("graft_sweep3").toString
+    val formations = Seq("2down_ng" -> "(dir_1 = 0 AND dir_0 = 0)")
+    val gates = Seq(
+      "any_regime" -> "true",
+      "bullish_only" -> "(regime = 2)",
+      "not_bearish" -> "(regime >= 1)")
+    val gated = Sweep.run(spark, sf,
+      SweepSpec("g800", formations, grid, regimeGates = gates), out)
+    // keyed by (formation, regime_gate, profile): 1 × 3 × 2 combos, minus
+    // gate slices with zero surviving trades
+    val rows = gated.collect()
+    assert(rows.nonEmpty && rows.forall(_.getAs[String]("formation") == "2down_ng"))
+    val byKey = rows.map(r => (r.getAs[String]("regime_gate"),
+      r.getAs[String]("barrier_profile")) -> r.getAs[Long]("total_signals")).toMap
+    // monotone: gating can only remove signals
+    for (p <- grid.map(_.profile); g <- Seq("bullish_only", "not_bearish")) {
+      val gatedN = byKey.getOrElse((g, p), 0L)
+      assert(gatedN <= byKey(("any_regime", p)),
+        s"gate $g/$p has more signals than ungated")
+    }
+    // not_bearish (regime ≥ 1) is a superset of bullish_only (regime = 2)
+    for (p <- grid.map(_.profile))
+      assert(byKey.getOrElse(("bullish_only", p), 0L) <=
+        byKey.getOrElse(("not_bearish", p), 0L))
+
+    // any_regime slice == ungated sweep, metric for metric
+    val ungated = Sweep.run(spark, sf, SweepSpec("plain", formations, grid),
+      Files.createTempDirectory("graft_sweep4").toString)
+    // counts must be identical; double metrics agree to 1e-9 relative (the
+    // gate stack reorders the float summation)
+    val cols = Seq("formation", "barrier_profile", "total_signals", "tp_count",
+      "sl_count", "time_count", "win_rate", "profit_factor")
+    def key(r: Row) = (r.getString(0), r.getString(1))
+    val anySlice = gated.filter(col("regime_gate") === "any_regime")
+      .select(cols.map(col): _*).collect().map(r => key(r) -> r).toMap
+    val plain = ungated.select(cols.map(col): _*).collect().map(r => key(r) -> r).toMap
+    assert(anySlice.keySet == plain.keySet)
+    for ((k, a) <- anySlice; b = plain(k)) {
+      (2 to 5).foreach(i => assert(a.getLong(i) == b.getLong(i), s"$k col $i"))
+      (6 to 7).foreach { i =>
+        val (x, y) = (a.getDouble(i), b.getDouble(i))
+        assert(math.abs(x - y) <= 1e-9 * math.max(1.0, math.abs(y)), s"$k col $i: $x vs $y")
+      }
+    }
+
+    // census cross-check: per-gate SIGNAL counts recomputed independently
+    // from the Laguerre golden + direction flags (entry validity included).
+    // A max_bars=1 census grid makes total_signals == signal count (every
+    // entered signal completes within one bar: TP/SL or TIME).
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type")).orderBy(col("ts_us"), col("event_id"))
+    val bars = queries.EventBars.bars(spark, sf)
+    val regimes = operators.Laguerre.withRegimes(bars).toDF()
+      .select(col("event_type").as("et2"), col("ts_us").as("ts2"),
+        col("event_id").as("eid2"), col("regime"))
+    val signals = bars
+      .withColumn("dir_0", operators.BarFrame.direction(col("open"), col("close")))
+      .withColumn("dir_1", lag(col("dir_0"), 1).over(w))
+      .withColumn("next_open", lead(col("open"), 1).over(w))
+      .join(regimes, col("event_type") === col("et2") &&
+        col("ts_us") === col("ts2") && col("event_id") === col("eid2"))
+      .filter(col("rn") > 100 && col("dir_1") === 0 && col("dir_0") === 0 &&
+        col("next_open").isNotNull && col("next_open") > 0)
+    val want = Map(
+      "any_regime" -> signals.count(),
+      "bullish_only" -> signals.filter(col("regime") === 2).count(),
+      "not_bearish" -> signals.filter(col("regime") >= 1).count())
+    val census = Sweep.run(spark, sf,
+      SweepSpec("census", formations, Seq(BarrierCfg("c1", 0.5, 0.5, 1)),
+        regimeGates = gates),
+      Files.createTempDirectory("graft_sweep5").toString)
+      .collect()
+      .map(r => r.getAs[String]("regime_gate") -> r.getAs[Long]("total_signals"))
+      .toMap
+    for ((g, n) <- want if n > 0)
+      assert(census.getOrElse(g, 0L) == n, s"census mismatch for $g")
+  }
+
+  test("q47 regime-gated sweep query: any_regime slice reproduces q43 rows") {
+    val q47 = queries.SweepQueries.q47RegimeGatedSweep(spark, sf)
+    val anySlice = q47.filter(col("regime_gate") === "any_regime")
+      .drop("regime_gate").collect().map(_.toString).sorted.toSeq
+    val q43 = queries.SweepQueries.q43FormationBarrierSweep(spark, sf)
+      .collect().map(_.toString).sorted.toSeq
+    assert(anySlice == q43)
+    assert(q47.count() > q43.length, "gated slices missing from q47")
+  }
+
   test("sweep metrics agree with the oracle-checked q43 on shared configs") {
     val out = Files.createTempDirectory("graft_sweep2").toString
     val mine = Sweep.run(spark, sf, SweepSpec("x",
