@@ -175,7 +175,15 @@ object AdaptiveQueries {
         round(col("feature1_val"), 6).as("feature1_val"),
         round(col("feature1_q"), 6).as("feature1_q"),
         round(col("feature2_val"), 6).as("feature2_val"),
-        round(col("feature2_q"), 6).as("feature2_q"))
+        round(col("feature2_q"), 6).as("feature2_q"),
+        // §2.8 JSON emit (ref sql/gen01_single_feature.sql:73
+        // feature_conditions): to_json(struct(...)) over integer
+        // micro-units — engine-independent serialization by construction
+        // (no float-formatting divergence)
+        to_json(struct(
+          floor(col("feature1_q") * 1e6 + 0.5).cast("long").as("f1_gt_u6"),
+          floor(col("feature2_q") * 1e6 + 0.5).cast("long").as("f2_lt_u6")))
+          .as("feature_conditions"))
       .orderBy(col("event_type"), col("rn"))
 
   val q45Sql: String =
@@ -186,7 +194,10 @@ object AdaptiveQueries {
        |  round(feature1_val, 6) AS feature1_val,
        |  round(feature1_q, 6) AS feature1_q,
        |  round(feature2_val, 6) AS feature2_val,
-       |  round(feature2_q, 6) AS feature2_q
+       |  round(feature2_q, 6) AS feature2_q,
+       |  '{"f1_gt_u6":' || CAST(floor(feature1_q * 1e6 + 0.5) AS BIGINT)
+       |    || ',"f2_lt_u6":' || CAST(floor(feature2_q * 1e6 + 0.5) AS BIGINT)
+       |    || '}' AS feature_conditions
        |FROM signals ORDER BY event_type, rn""".stripMargin
 
   // ---------------------------------------------------------------------------

@@ -68,4 +68,17 @@ class PlanShapeSpec extends GraftSuite {
     val p = plan(CoreQueries.q01FilteredScan(spark, sf))
     assert(p.contains("PushedFilters") && p.contains("l_quantity"))
   }
+
+  test("q45 adaptive chain: one exchange+sort feeds all four window stages") {
+    val df = AdaptiveQueries.all("q45_adaptive_threshold_signals")(spark, sf)
+    val p = plan(df)
+    // bars windows → champion filter → two W6 windows over the filtered
+    // subsequence: the filters preserve (event_type) distribution and
+    // (ts, event_id) ordering, so every Window stage must reuse the first
+    // Exchange+Sort; the only other pair is the final output orderBy.
+    val exchanges = p.linesIterator.count(_.contains("Exchange"))
+    val windows = p.linesIterator.count(_.contains("windowspecdefinition"))
+    assert(windows >= 3, s"adaptive chain lost its window stages:\n$p")
+    assert(exchanges <= 2, s"W6 windows re-shuffled ($exchanges exchanges):\n$p")
+  }
 }
