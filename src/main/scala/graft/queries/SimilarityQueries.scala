@@ -187,13 +187,100 @@ object SimilarityQueries {
       |  round(coalesce(max(cos), -2.0), 4) AS top1_cos
       |FROM r GROUP BY q_vec_id ORDER BY q_vec_id""".stripMargin
 
+  // ---------------------------------------------------------------------------
+  // q48 — IVF-style ANN: a deterministic coarse quantizer (8 fixed centroid
+  // vectors drawn from the corpus), inverted-list assignment, and an
+  // nProbe=2 search that reads only the probed cells. This is the second
+  // scale path next to q30's LSH: build cost is one O(N·K) broadcast pass
+  // (the corpus is never shuffled — only (vec_id → cell) moves), and the
+  // search fan-in is bounded by the probed inverted lists, not N. A real
+  // deployment would train centroids with k-means; the fixed-seed
+  // quantizer keeps the structure identical and the oracle exact.
+  private val centroidIds = Seq(100L, 150L, 200L, 250L, 300L, 350L, 400L, 450L)
+  private val nProbe = 2
+
+  def q48AnnIvf(spark: SparkSession, d: String): DataFrame = {
+    val v = withNorm(spark, d)
+    val cents = v.filter(col("vec_id").isInCollection(centroidIds))
+      .select(col("vec_id").as("cid"), col("e").as("ce"), col("nrm").as("cn"))
+    def cellRank(idCol: String) = Window.partitionBy(col(idCol))
+      .orderBy(col("ccos").desc, col("cid"))
+    // build: nearest centroid per vector (rounded cosine, centroid-id ties)
+    val assigned = v.crossJoin(broadcast(cents))
+      .withColumn("ccos",
+        round(dot("e", "ce") / nullif(col("nrm") * col("cn"), lit(0.0)), 6))
+      .withColumn("crnk", row_number().over(cellRank("vec_id")))
+      .filter(col("crnk") === 1)
+      .select(col("vec_id"), col("e"), col("nrm"), col("cid").as("cell"))
+    // search: each probe reads its nProbe nearest inverted lists
+    val pcells = v.filter(col("vec_id") < 8)
+      .crossJoin(broadcast(cents))
+      .withColumn("ccos",
+        round(dot("e", "ce") / nullif(col("nrm") * col("cn"), lit(0.0)), 6))
+      .withColumn("crnk", row_number().over(cellRank("vec_id")))
+      .filter(col("crnk") <= nProbe)
+      .select(col("vec_id").as("q_vec_id"), col("e").as("qe"),
+        col("nrm").as("qn"), col("cid").as("qcell"))
+    val cand = broadcast(pcells)
+      .join(assigned, col("cell") === col("qcell") && col("vec_id") =!= col("q_vec_id"),
+        "left")
+      .withColumn("cos", round(dot("qe", "e") / nullif(col("qn") * col("nrm"), lit(0.0)), 6))
+    cand.groupBy(col("q_vec_id"))
+      .agg(
+        count(col("vec_id")).as("n_candidates"),
+        coalesce(max_by(col("vec_id"), struct(col("cos"), -col("vec_id"))), lit(-1L))
+          .as("top1_id"),
+        round(coalesce(max(col("cos")), lit(-2.0)), 4).as("top1_cos"))
+      .orderBy(col("q_vec_id"))
+  }
+
+  val q48Sql: String = {
+    val cids = centroidIds.mkString(", ")
+    s"""WITH v AS (
+      |  $withNormSql),
+      |cents AS (
+      |  SELECT vec_id AS cid, e AS ce, nrm AS cn FROM v WHERE vec_id IN ($cids)),
+      |assigned AS (
+      |  SELECT vec_id, e, nrm, cid AS cell FROM (
+      |    SELECT v.vec_id, v.e, v.nrm, c.cid,
+      |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+      |        round(${dotSql("v.e", "c.ce")} / nullif(v.nrm * c.cn, 0.0), 6) DESC,
+      |        c.cid) AS crnk
+      |    FROM v CROSS JOIN cents c)
+      |  WHERE crnk = 1),
+      |pcells AS (
+      |  SELECT vec_id AS q_vec_id, e AS qe, nrm AS qn, cid AS qcell FROM (
+      |    SELECT v.vec_id, v.e, v.nrm, c.cid,
+      |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+      |        round(${dotSql("v.e", "c.ce")} / nullif(v.nrm * c.cn, 0.0), 6) DESC,
+      |        c.cid) AS crnk
+      |    FROM v CROSS JOIN cents c WHERE v.vec_id < 8)
+      |  WHERE crnk <= $nProbe),
+      |c AS (
+      |  SELECT p.q_vec_id, a.vec_id AS cand_id,
+      |    round(${dotSql("p.qe", "a.e")} / nullif(p.qn * a.nrm, 0.0), 6) AS cos
+      |  FROM pcells p
+      |  LEFT JOIN assigned a ON a.cell = p.qcell AND a.vec_id <> p.q_vec_id),
+      |r AS (
+      |  SELECT q_vec_id, cand_id, cos,
+      |    row_number() OVER (PARTITION BY q_vec_id
+      |                       ORDER BY cos DESC, cand_id) AS rnk
+      |  FROM c)
+      |SELECT q_vec_id, count(cand_id) AS n_candidates,
+      |  coalesce(max(CASE WHEN rnk = 1 THEN cand_id END), -1) AS top1_id,
+      |  round(coalesce(max(cos), -2.0), 4) AS top1_cos
+      |FROM r GROUP BY q_vec_id ORDER BY q_vec_id""".stripMargin
+  }
+
   val all: Map[String, Q] = Map(
     "q28_embedding_neardup" -> (q28EmbeddingNeardup _),
     "q29_ann_topk" -> (q29AnnTopk _),
-    "q30_ann_lsh" -> (q30AnnLsh _))
+    "q30_ann_lsh" -> (q30AnnLsh _),
+    "q48_ann_ivf" -> (q48AnnIvf _))
 
   val oracles: Map[String, String] = Map(
     "q28_embedding_neardup" -> q28Sql,
     "q29_ann_topk" -> q29Sql,
-    "q30_ann_lsh" -> q30Sql)
+    "q30_ann_lsh" -> q30Sql,
+    "q48_ann_ivf" -> q48Sql)
 }
