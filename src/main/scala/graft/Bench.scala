@@ -27,6 +27,7 @@ object Bench {
     spark.range(1L << 20).selectExpr("sum(id) AS s")
       .write.format("noop").mode("overwrite").save()
     val results = SparkEntry.queries.toSeq.map { case (name, fn) =>
+      System.gc() // isolate queries: a predecessor's garbage is not this query's cost
       val t0 = System.nanoTime()
       // noop sink: forces full evaluation of every output column (a bare
       // count() lets Catalyst prune projections and undercounts the work)

@@ -50,14 +50,7 @@ object Sweep {
     val needRegimes = spec.regimeGates.exists(_._2.trim != "true")
     val withRegime =
       if (!needRegimes) bars.withColumn("regime", lit(1))
-      else {
-        val regimes = operators.Laguerre.withRegimes(bars, spec.laguerre).toDF()
-          .select(col("event_type").as("r_et"), col("ts_us").as("r_ts"),
-            col("event_id").as("r_eid"), col("regime"))
-        bars.join(regimes, col("event_type") === col("r_et") &&
-          col("ts_us") === col("r_ts") && col("event_id") === col("r_eid"))
-          .drop("r_et", "r_ts", "r_eid")
-      }
+      else operators.Laguerre.attachRegimes(bars, spec.laguerre).drop("rsi")
     val flagged = withRegime
       .withColumn("dir_0", BarFrame.direction(col("open"), col("close")))
       .withColumn("dir_1", lag(col("dir_0"), 1).over(w))

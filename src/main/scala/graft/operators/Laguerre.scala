@@ -1,7 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, Row}
 import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types.{DoubleType, IntegerType}
 
 /** ATR-adaptive Laguerre RSI + regime classification (SURVEY.md §2.11
   * E27; reference: src/opendeviationbar_patterns/laguerre.py:42-97, which
@@ -100,6 +101,33 @@ object Laguerre {
   /** Distributed form: per-series sequential recursion via flatMapGroups
     * (order restored inside each group; no cross-series state). Input must
     * be an EventBars-style frame. */
+  /** Join-free regime attachment: carries EVERY input column through the
+    * per-series recursion and appends (rsi, regime). The plain
+    * [[withRegimes]] + 3-column equi-join shape shuffles the bar frame
+    * twice more (once per join side); this pass-through form pays exactly
+    * one exchange — the groupByKey that the recursion needs anyway.
+    * Input needs (event_type, ts_us, event_id, high, low, close).
+    */
+  def attachRegimes(bars: DataFrame, cfg: Config = Config()): DataFrame = {
+    val schema = bars.schema.add("rsi", DoubleType).add("regime", IntegerType)
+    val etIdx = bars.schema.fieldIndex("event_type")
+    val tsIdx = bars.schema.fieldIndex("ts_us")
+    val eidIdx = bars.schema.fieldIndex("event_id")
+    val hIdx = bars.schema.fieldIndex("high")
+    val lIdx = bars.schema.fieldIndex("low")
+    val cIdx = bars.schema.fieldIndex("close")
+    val grouped = bars.groupByKey((r: Row) => r.getString(etIdx))(Encoders.STRING)
+    val out = grouped.flatMapGroups { (_: String, it: Iterator[Row]) =>
+      val rows = it.toArray.sortBy(r => (r.getLong(tsIdx), r.getLong(eidIdx)))
+      val r = rsi(rows.map(_.getDouble(hIdx)), rows.map(_.getDouble(lIdx)),
+        rows.map(_.getDouble(cIdx)), cfg)
+      rows.iterator.zipWithIndex.map { case (row, i) =>
+        Row.fromSeq(row.toSeq :+ r(i) :+ regime(r(i), cfg))
+      }
+    }(Encoders.row(schema))
+    out.toDF()
+  }
+
   def withRegimes(bars: DataFrame, cfg: Config = Config()): Dataset[LaguerreRow] = {
     val spark = bars.sparkSession
     import spark.implicits._

@@ -157,17 +157,12 @@ object SweepQueries {
   def q47RegimeGatedSweep(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
     val w = BarFrame.series(Seq(col("event_type")), col("ts_us"), col("event_id"))
-    val bars = EventBars.bars(spark, d)
-    val regimes = Laguerre.withRegimes(bars).toDF()
-      .select(col("event_type").as("r_et"), col("ts_us").as("r_ts"),
-        col("event_id").as("r_eid"), col("regime"))
-    val flagged = bars
+    // join-free regime attachment: one exchange feeds the recursion AND
+    // the direction windows (no 3-column equi-join shuffle of the bars)
+    val flagged = Laguerre.attachRegimes(EventBars.bars(spark, d)).drop("rsi")
       .withColumn("dir_0", BarFrame.direction(col("open"), col("close")))
       .withColumn("dir_1", lag(col("dir_0"), 1).over(w))
       .withColumn("dir_2", lag(col("dir_0"), 2).over(w))
-      .join(regimes, col("event_type") === col("r_et") &&
-        col("ts_us") === col("r_ts") && col("event_id") === col("r_eid"))
-      .drop("r_et", "r_ts", "r_eid")
     val anySignal = col("rn") > 100 && sweepFormations.map { case (_, p) => expr(p) }
       .reduce(_ || _)
     val sig = EventBars.signalForwardArrays(flagged, anySignal, K)

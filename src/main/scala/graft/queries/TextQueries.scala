@@ -64,7 +64,10 @@ object TextQueries {
       .withColumn("tok", toks(col("text")))
       .withColumn("n_tok", size(col("tok")).cast("double"))
       .withColumn("stop_ratio",
-        size(filter(col("tok"), t => t.isInCollection(stop))).cast("double") / col("n_tok"))
+        // P4: a doc that tokenizes to nothing must yield NULL, not an
+        // ANSI DIVIDE_BY_ZERO (none in the testdata — latent guard)
+        size(filter(col("tok"), t => t.isInCollection(stop))).cast("double") /
+          nullif(col("n_tok"), lit(0.0)))
       .withColumn("punct_ratio",
         (length(col("text")) - length(regexp_replace(col("text"), "[.,!?;:]", "")))
           .cast("double") / nullif(col("n_chars").cast("double"), lit(0.0)))
@@ -89,7 +92,7 @@ object TextQueries {
       |  SELECT lang, source, n_chars,
       |    len($toksSql)::DOUBLE AS n_tok,
       |    len(list_filter($toksSql, t -> t IN (${TextOps.stopwords.map("'" + _ + "'").mkString(",")})))::DOUBLE
-      |      / len($toksSql)::DOUBLE AS stop_ratio,
+      |      / nullif(len($toksSql)::DOUBLE, 0.0) AS stop_ratio,
       |    (length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))::DOUBLE
       |      / nullif(n_chars::DOUBLE, 0.0) AS punct_ratio,
       |    length(regexp_replace(text, '[^a-z]', '', 'g'))::DOUBLE
