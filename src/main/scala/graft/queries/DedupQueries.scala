@@ -191,13 +191,114 @@ object DedupQueries {
       |    THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END)) AS BIGINT) AS simhash
       |FROM h ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------------------
+  // q49 — the composed dedup PIPELINE, end to end: exact dedup (md5 text
+  // census, keep min doc_id per hash) → MinHash signatures on the
+  // survivors → LSH band buckets → DISTINCT candidate pairs → true-Jaccard
+  // verification (≥ 0.5) → greedy removal (drop the higher doc_id of each
+  // verified pair) → one census row. This is the canonical 100 TB
+  // training-data shape: every stage is a projection or an equi-shuffle on
+  // small keys; the only pairwise work is on LSH candidates, never the
+  // corpus. Output is integer counts + an order-independent max, so
+  // cross-engine parity is exact.
+  private val JaccardThreshold = 0.5
+
+  def q49DedupPipeline(spark: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(spark, d)
+    val reps = docs.withColumn("th", md5(col("text")))
+      .groupBy(col("th")).agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+    val shingled = withShingleSet(spark, d)
+      .join(reps, "doc_id")
+      .select(col("doc_id"), col("shset"))
+    val hashed = shingled.select(col("doc_id"), explode(col("shset")).as("shingle"))
+      .withColumn("h", md5Int(col("shingle")))
+    val lanes = (0 until 16).map(j =>
+      min((col("h") * lit(2L * j + 1) + lit(j * 104729L)) % lit(P)).as(s"m$j"))
+    val sigs = hashed.groupBy(col("doc_id")).agg(lanes.head, lanes.tail: _*)
+    val bandStructs = array((0 until 8).map(b =>
+      struct(lit(b).as("band"),
+        concat(col(s"m${2 * b}").cast("string"), lit("_"),
+          col(s"m${2 * b + 1}").cast("string")).as("band_key"))): _*)
+    val bands = sigs.select(col("doc_id"), explode(bandStructs).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.band_key").as("band_key"))
+    val cand = bands.select(col("band"), col("band_key"), col("doc_id").as("d1"))
+      .join(bands.select(col("band").as("band_r"), col("band_key").as("band_key_r"),
+        col("doc_id").as("d2")),
+        col("band") === col("band_r") && col("band_key") === col("band_key_r") &&
+          col("d1") < col("d2"))
+      .select(col("d1"), col("d2")).distinct()
+    val verified = cand
+      .join(shingled.select(col("doc_id").as("d1"), col("shset").as("s1")), "d1")
+      .join(shingled.select(col("doc_id").as("d2"), col("shset").as("s2")), "d2")
+      .withColumn("jac",
+        size(array_intersect(col("s1"), col("s2"))).cast("double") /
+          size(array_union(col("s1"), col("s2"))).cast("double"))
+      .filter(col("jac") >= JaccardThreshold)
+    val removed = verified.select(col("d2")).distinct()
+    docs.agg(count(lit(1)).as("n_docs"))
+      .crossJoin(reps.agg(count(lit(1)).as("n_after_exact")))
+      .crossJoin(cand.agg(count(lit(1)).as("n_candidate_pairs")))
+      .crossJoin(verified.agg(
+        count(lit(1)).as("n_verified_pairs"),
+        round(coalesce(max(col("jac")), lit(0.0)), 4).as("max_jaccard")))
+      .crossJoin(removed.agg(count(lit(1)).as("n_near_removed")))
+      .select(
+        col("n_docs"),
+        (col("n_docs") - col("n_after_exact")).as("n_exact_removed"),
+        col("n_after_exact"), col("n_candidate_pairs"), col("n_verified_pairs"),
+        col("max_jaccard"), col("n_near_removed"),
+        (col("n_after_exact") - col("n_near_removed")).as("n_survivors"))
+  }
+
+  val q49Sql: String =
+    s"""WITH reps AS (
+      |  SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+      |s0 AS (
+      |  $shingleSetSql),
+      |s AS (
+      |  SELECT s0.doc_id, s0.shset FROM s0 JOIN reps USING (doc_id)),
+      |sig AS (
+      |  SELECT doc_id,
+      |    list_transform(range(0, 16), j -> list_min(list_transform(
+      |      list_transform(shset, sh -> ${md5IntSql("sh")}),
+      |      h -> ((j*2 + 1) * h + j*104729) % $P))) AS sig
+      |  FROM s),
+      |bands AS (
+      |  SELECT doc_id, g.band,
+      |    concat(sig[g.band*2 + 1], '_', sig[g.band*2 + 2]) AS band_key
+      |  FROM sig CROSS JOIN (SELECT unnest(range(0, 8)) AS band) g),
+      |cand AS (
+      |  SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+      |  FROM bands x JOIN bands y
+      |    ON x.band = y.band AND x.band_key = y.band_key AND x.doc_id < y.doc_id),
+      |verified AS (
+      |  SELECT * FROM (
+      |    SELECT c.d1, c.d2,
+      |      len(list_intersect(a.shset, b.shset))::DOUBLE /
+      |        len(list_distinct(list_concat(a.shset, b.shset)))::DOUBLE AS jac
+      |    FROM cand c JOIN s a ON a.doc_id = c.d1 JOIN s b ON b.doc_id = c.d2)
+      |  WHERE jac >= $JaccardThreshold),
+      |removed AS (SELECT DISTINCT d2 FROM verified)
+      |SELECT
+      |  (SELECT count(*) FROM documents) AS n_docs,
+      |  (SELECT count(*) FROM documents) - (SELECT count(*) FROM reps) AS n_exact_removed,
+      |  (SELECT count(*) FROM reps) AS n_after_exact,
+      |  (SELECT count(*) FROM cand) AS n_candidate_pairs,
+      |  (SELECT count(*) FROM verified) AS n_verified_pairs,
+      |  round(coalesce((SELECT max(jac) FROM verified), 0.0), 4) AS max_jaccard,
+      |  (SELECT count(*) FROM removed) AS n_near_removed,
+      |  (SELECT count(*) FROM reps) - (SELECT count(*) FROM removed) AS n_survivors""".stripMargin
+
   val all: Map[String, Q] = Map(
     "q25_ngram_jaccard" -> (q25NgramJaccard _),
     "q26_minhash_lsh" -> (q26MinhashLsh _),
-    "q27_simhash" -> (q27Simhash _))
+    "q27_simhash" -> (q27Simhash _),
+    "q49_dedup_pipeline" -> (q49DedupPipeline _))
 
   val oracles: Map[String, String] = Map(
     "q25_ngram_jaccard" -> q25Sql,
     "q26_minhash_lsh" -> q26Sql,
-    "q27_simhash" -> q27Sql)
+    "q27_simhash" -> q27Sql,
+    "q49_dedup_pipeline" -> q49Sql)
 }

@@ -226,15 +226,92 @@ object TextQueries {
       |  count(DISTINCT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))) AS n_distinct_norm
       |FROM documents GROUP BY source ORDER BY source""".stripMargin
 
+  // ---------------------------------------------------------------------------
+  // q50 — the composed corpus-CURATION pipeline: language-ID gate
+  // (predicted lang must equal the labeled lang, q22's marker scorer) +
+  // quality gate (q21's score ≥ 0.25, ≥ 5 tokens) → per-source census of
+  // survivors vs drops by reason. The filter-then-census shape of a
+  // training-data curation pass: one projection pass over the corpus, one
+  // tiny groupBy — nothing shuffles but the census keys.
+  def q50QualityFilterPipeline(spark: SparkSession, d: String): DataFrame = {
+    val stop = TextOps.stopwords
+    val df0 = Tables.documents(spark, d).withColumn("tok", toks(col("text")))
+    val scored = markers.foldLeft(df0) { case (df, (l, ws)) =>
+      df.withColumn(s"s_$l", size(filter(col("tok"), t => t.isInCollection(ws))))
+    }
+    val m = greatest(markers.map { case (l, _) => col(s"s_$l") }: _*)
+    val predicted = markers.reverse.foldLeft(lit("und")) { case (acc, (l, _)) =>
+      when(col(s"s_$l") === m && m > 0, lit(l)).otherwise(acc)
+    }
+    val gated = scored
+      .withColumn("pred_lang", predicted)
+      .withColumn("n_tok", size(col("tok")).cast("double"))
+      .withColumn("stop_ratio",
+        size(filter(col("tok"), t => t.isInCollection(stop))).cast("double") /
+          nullif(col("n_tok"), lit(0.0)))
+      .withColumn("alpha_ratio",
+        length(regexp_replace(col("text"), "[^a-z]", "")).cast("double") /
+          nullif(col("n_chars").cast("double"), lit(0.0)))
+      .withColumn("quality",
+        least(col("n_tok") / lit(100.0), lit(1.0)) * lit(0.3) +
+          col("stop_ratio") * lit(0.3) + col("alpha_ratio") * lit(0.4))
+      .withColumn("lang_ok", col("pred_lang") === col("lang"))
+      .withColumn("quality_ok", col("quality") >= 0.25 && col("n_tok") >= 5)
+    gated.groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        count_if(col("lang_ok") && col("quality_ok")).as("n_survivors"),
+        count_if(!col("lang_ok")).as("n_lang_dropped"),
+        count_if(col("lang_ok") && !col("quality_ok")).as("n_quality_dropped"),
+        round(avg(when(col("lang_ok") && col("quality_ok"), col("n_tok"))), 4)
+          .as("avg_survivor_tokens"))
+      .orderBy(col("source"))
+  }
+
+  val q50Sql: String = {
+    val scores = markers.map { case (l, ws) =>
+      s"len(list_filter(tok, t -> t IN (${ws.map("'" + _ + "'").mkString(",")}))) AS s_$l"
+    }.mkString(",\n    ")
+    val m = s"greatest(${markers.map("s_" + _._1).mkString(",")})"
+    val cases = markers.map { case (l, _) =>
+      s"WHEN s_$l = $m AND $m > 0 THEN '$l'"
+    }.mkString("\n      ")
+    s"""WITH t AS (
+      |  SELECT lang, source, n_chars, text, $toksSql AS tok FROM documents),
+      |s AS (
+      |  SELECT lang, source, n_chars, text, tok,
+      |    len(tok)::DOUBLE AS n_tok,
+      |    $scores
+      |  FROM t),
+      |g AS (
+      |  SELECT source, n_tok,
+      |    (CASE $cases ELSE 'und' END) = lang AS lang_ok,
+      |    (least(n_tok/100.0, 1.0)*0.3
+      |      + (len(list_filter(tok, t -> t IN (${TextOps.stopwords.map("'" + _ + "'").mkString(",")})))::DOUBLE
+      |          / nullif(n_tok, 0.0))*0.3
+      |      + (length(regexp_replace(text, '[^a-z]', '', 'g'))::DOUBLE
+      |          / nullif(n_chars::DOUBLE, 0.0))*0.4) >= 0.25
+      |      AND n_tok >= 5 AS quality_ok
+      |  FROM s)
+      |SELECT source, count(*) AS n_docs,
+      |  count(*) FILTER (WHERE lang_ok AND quality_ok) AS n_survivors,
+      |  count(*) FILTER (WHERE NOT lang_ok) AS n_lang_dropped,
+      |  count(*) FILTER (WHERE lang_ok AND NOT quality_ok) AS n_quality_dropped,
+      |  round(avg(n_tok) FILTER (WHERE lang_ok AND quality_ok), 4) AS avg_survivor_tokens
+      |FROM g GROUP BY source ORDER BY source""".stripMargin
+  }
+
   val all: Map[String, Q] = Map(
     "q21_text_stats" -> (q21TextStats _),
     "q22_lang_id" -> (q22LangId _),
     "q23_fingerprint" -> (q23Fingerprint _),
-    "q24_exact_dedup" -> (q24ExactDedup _))
+    "q24_exact_dedup" -> (q24ExactDedup _),
+    "q50_quality_filter_pipeline" -> (q50QualityFilterPipeline _))
 
   val oracles: Map[String, String] = Map(
     "q21_text_stats" -> q21Sql,
     "q22_lang_id" -> q22Sql,
     "q23_fingerprint" -> q23Sql,
-    "q24_exact_dedup" -> q24Sql)
+    "q24_exact_dedup" -> q24Sql,
+    "q50_quality_filter_pipeline" -> q50Sql)
 }
