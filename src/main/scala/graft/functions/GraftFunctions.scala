@@ -14,10 +14,16 @@ import org.apache.spark.sql.types._
   * (sql/gen01_single_feature.sql:67).
   */
 case class ErfExpr(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   override def dataType: DataType = DoubleType
   override def nullSafeEval(v: Any): Any =
     org.apache.commons.math3.special.Erf.erf(v.asInstanceOf[Double])
+  // direct static call — stays inside the WholeStageCodegen span
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    defineCodeGen(ctx, ev, c => s"org.apache.commons.math3.special.Erf.erf($c)")
   override protected def withNewChildInternal(c: Expression): ErfExpr = copy(c)
   override def prettyName: String = "graft_erf"
 }
@@ -65,12 +71,42 @@ object ErfAS {
   * the planned end-state if frames grow.)
   */
 case class QuantileExactExclusive(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
 
-  override def nullSafeEval(arrAny: Any, qAny: Any): Any = {
-    val ad = arrAny.asInstanceOf[ArrayData]
+  override def nullSafeEval(arrAny: Any, qAny: Any): Any =
+    QuantileExactExclusive.evalArray(
+      arrAny.asInstanceOf[ArrayData], qAny.asInstanceOf[Double])
+
+  // Codegen delegates to the static evaluator: the body stays one static
+  // call, but the surrounding WholeStageCodegen span is NOT broken the way
+  // a CodegenFallback would break it — the quantile-gated chains
+  // (q15/q40/q41/q45/q46) keep their fused pipelines.
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, (arr, q) => {
+      s"""
+         |java.lang.Double ${ev.value}_r =
+         |  graft.functions.QuantileExactExclusive.evalArray($arr, $q);
+         |if (${ev.value}_r == null) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = ${ev.value}_r.doubleValue();
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+  override def prettyName: String = "quantile_exact_exclusive"
+}
+
+object QuantileExactExclusive {
+  /** Static evaluator shared by the interpreted and codegen paths. */
+  def evalArray(ad: ArrayData, q: Double): java.lang.Double = {
     val n0 = ad.numElements()
     val buf = new Array[Double](n0)
     var m = 0
@@ -82,7 +118,6 @@ case class QuantileExactExclusive(left: Expression, right: Expression)
     if (m == 0) null
     else {
       java.util.Arrays.sort(buf, 0, m)
-      val q = qAny.asInstanceOf[Double]
       val h = q * (m + 1)
       if (h < 1.0) buf(0)
       else if (h >= m) buf(m - 1)
@@ -93,10 +128,6 @@ case class QuantileExactExclusive(left: Expression, right: Expression)
       }
     }
   }
-
-  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
-    copy(left = l, right = r)
-  override def prettyName: String = "quantile_exact_exclusive"
 }
 
 /** Column-level API + SQL registration for the graft custom functions. */
