@@ -69,18 +69,23 @@ object SweepQueries {
       .orderBy(col("formation"), col("barrier_profile"))
   }
 
-  val q43Sql: String = {
+  // shared oracle idioms for the sweep family (q43, q51)
+  private val slWins = "raw_sl_bar > 0 AND (raw_tp_bar = 0 OR raw_sl_bar <= raw_tp_bar)"
+  private val tpWins = "raw_tp_bar > 0 AND (raw_sl_bar = 0 OR raw_tp_bar < raw_sl_bar)"
+  private val retSql = "((exit_price - entry_price) / entry_price)"
+  private val isWinSql = "(exit_type = 'TP' OR (exit_type = 'TIME' AND exit_price > entry_price))"
+  private val isLossSql = "(exit_type = 'SL' OR (exit_type = 'TIME' AND exit_price <= entry_price))"
+  private val winRateSql = "(CAST(count(*) FILTER (WHERE exit_type = 'TP') AS DOUBLE) / nullif(CAST(count(*) AS DOUBLE), 0.0))"
+
+  /** bars → dirs → fwd arrays → signals → formation tag → grid → barrier
+    * scan → completed `trades` (the whole q43 chain up to the final
+    * aggregation; `trades` carries event_type for per-asset rollups). */
+  private val sweepTradesCte: String = {
     val formationBlocks = sweepFormations.map { case (name, p) =>
       s"SELECT '$name' AS formation, * FROM signals WHERE $p"
     }.mkString("\n  UNION ALL\n  ")
     val gridValues = grid.map { case (n, tp, sl, mb) => s"('$n', $tp, $sl, $mb)" }
       .mkString(", ")
-    val slWins = "raw_sl_bar > 0 AND (raw_tp_bar = 0 OR raw_sl_bar <= raw_tp_bar)"
-    val tpWins = "raw_tp_bar > 0 AND (raw_sl_bar = 0 OR raw_tp_bar < raw_sl_bar)"
-    val ret = "((exit_price - entry_price) / entry_price)"
-    val isWin = "(exit_type = 'TP' OR (exit_type = 'TIME' AND exit_price > entry_price))"
-    val isLoss = "(exit_type = 'SL' OR (exit_type = 'TIME' AND exit_price <= entry_price))"
-    val winRate = "(CAST(count(*) FILTER (WHERE exit_type = 'TP') AS DOUBLE) / nullif(CAST(count(*) AS DOUBLE), 0.0))"
     s"""${EventBars.duckCte},
        |dirs AS (
        |  SELECT *,
@@ -100,7 +105,7 @@ object SweepQueries {
        |  SELECT * FROM (VALUES $gridValues)
        |    g(barrier_profile, tp_pct, sl_pct, max_bars)),
        |scan AS (
-       |  SELECT t.formation, g.barrier_profile, t.entry_price, g.max_bars,
+       |  SELECT t.formation, t.event_type, g.barrier_profile, t.entry_price, g.max_bars,
        |    t.entry_price * (1.0 + g.tp_pct) AS tp_price,
        |    t.entry_price * (1.0 - g.sl_pct) AS sl_price,
        |    least(len(t.fwd_highs), g.max_bars) AS window_bars,
@@ -121,21 +126,24 @@ object SweepQueries {
        |         WHEN window_bars >= max_bars THEN fwd_closes[max_bars]
        |         ELSE 0 END AS exit_price
        |  FROM scan),
-       |trades AS (SELECT * FROM outcome WHERE exit_type != 'INCOMPLETE')
+       |trades AS (SELECT * FROM outcome WHERE exit_type != 'INCOMPLETE')""".stripMargin
+  }
+
+  val q43Sql: String =
+    s"""$sweepTradesCte
        |SELECT formation, barrier_profile,
        |  count(*) AS total_signals,
        |  count(*) FILTER (WHERE exit_type = 'TP') AS tp_count,
        |  count(*) FILTER (WHERE exit_type IN ('SL', 'TRAIL')) AS sl_count,
        |  count(*) FILTER (WHERE exit_type = 'TIME') AS time_count,
-       |  round($winRate, 6) + 0.0 AS win_rate,
-       |  round(sum($ret) FILTER (WHERE $isWin)
-       |    / nullif(abs(sum($ret) FILTER (WHERE $isLoss)), 0.0), 6) + 0.0 AS profit_factor,
-       |  round(avg($ret), 6) + 0.0 AS expected_value_pct,
+       |  round($winRateSql, 6) + 0.0 AS win_rate,
+       |  round(sum($retSql) FILTER (WHERE $isWinSql)
+       |    / nullif(abs(sum($retSql) FILTER (WHERE $isLossSql)), 0.0), 6) + 0.0 AS profit_factor,
+       |  round(avg($retSql), 6) + 0.0 AS expected_value_pct,
        |  round(avg(exit_bar), 6) + 0.0 AS avg_bars_held
        |FROM trades
        |GROUP BY formation, barrier_profile
        |ORDER BY formation, barrier_profile""".stripMargin
-  }
 
   // ---------------------------------------------------------------------------
   // q47 — E30: the gen800 regime-gated sweep (scripts/gen800_sweep.py:31-60):
@@ -189,10 +197,82 @@ object SweepQueries {
       .orderBy(col("formation"), col("regime_gate"), col("barrier_profile"))
   }
 
+  // ---------------------------------------------------------------------------
+  // q51 — cross-asset consistency rollup (eval/cross_asset.py:65-134, the
+  // xa_* inputs of the E15 ranking): run the sweep keyed by asset
+  // (event_type here), then per (formation, profile) aggregate across
+  // assets: n_positive = assets with finite PF > 1, avg_pf over tested
+  // assets, total signals over ALL assets, consistency = n_positive /
+  // n_assets (fraction of ALL assets, tested or not). A NULL profit
+  // factor (no losing trades ≈ the reference's non-finite PF) counts as
+  // not-tested, exactly the reference's isfinite gate.
+  def q51CrossAsset(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val w = BarFrame.series(Seq(col("event_type")), col("ts_us"), col("event_id"))
+    val flagged = EventBars.bars(spark, d)
+      .withColumn("dir_0", BarFrame.direction(col("open"), col("close")))
+      .withColumn("dir_1", lag(col("dir_0"), 1).over(w))
+      .withColumn("dir_2", lag(col("dir_0"), 2).over(w))
+    val anySignal = col("rn") > 100 && sweepFormations.map { case (_, p) => expr(p) }
+      .reduce(_ || _)
+    val sig = EventBars.signalForwardArrays(flagged, anySignal, K)
+      .withColumn("entry_price", try_element_at(col("fwd_opens"), lit(1)))
+      .filter(col("entry_price").isNotNull && col("entry_price") > 0)
+    val stackExpr = sweepFormations.map { case (name, p) =>
+      s"'$name', CASE WHEN $p THEN 1 ELSE 0 END"
+    }.mkString(s"stack(${sweepFormations.size}, ", ", ", ") as (formation, flag)")
+    val gridDf = grid.toDF("barrier_profile", "tp_pct", "sl_pct", "max_bars")
+    val trades = Barriers.tripleBarrier(
+      sig.select(col("*"), expr(stackExpr)).filter(col("flag") === 1)
+        .crossJoin(broadcast(gridDf)))
+    // per-asset PF rounded to the same 1e-6 grid as the oracle BEFORE the
+    // rollup, so the >1.0 gate and the average see identical doubles
+    val perAsset = Barriers.metricsAgg(trades,
+      col("formation"), col("barrier_profile"), col("event_type"))
+      .withColumn("profit_factor", round(col("profit_factor"), 6) + 0.0)
+    val nAssets = EventBars.bars(spark, d)
+      .agg(count_distinct(col("event_type")).as("n_assets"))
+    perAsset.groupBy(col("formation"), col("barrier_profile"))
+      .agg(
+        count_if(col("profit_factor").isNotNull && col("profit_factor") > 1.0)
+          .as("xa_n_positive"),
+        (round(avg(col("profit_factor")), 6) + 0.0).as("xa_avg_pf"),
+        sum(col("total_signals")).as("xa_total_signals"))
+      .crossJoin(broadcast(nAssets))
+      .withColumn("xa_consistency",
+        round(col("xa_n_positive").cast("double") / col("n_assets"), 6) + 0.0)
+      .drop("n_assets")
+      .orderBy(col("formation"), col("barrier_profile"))
+  }
+
+  val q51Sql: String =
+    s"""$sweepTradesCte,
+       |per_asset AS (
+       |  SELECT formation, barrier_profile, event_type,
+       |    count(*) AS total_signals,
+       |    round(sum($retSql) FILTER (WHERE $isWinSql)
+       |      / nullif(abs(sum($retSql) FILTER (WHERE $isLossSql)), 0.0), 6) + 0.0
+       |      AS profit_factor
+       |  FROM trades
+       |  GROUP BY formation, barrier_profile, event_type)
+       |SELECT formation, barrier_profile,
+       |  count(*) FILTER (WHERE profit_factor IS NOT NULL AND profit_factor > 1.0)
+       |    AS xa_n_positive,
+       |  round(avg(profit_factor), 6) + 0.0 AS xa_avg_pf,
+       |  CAST(sum(total_signals) AS BIGINT) AS xa_total_signals,
+       |  round(CAST(count(*) FILTER (WHERE profit_factor IS NOT NULL
+       |      AND profit_factor > 1.0) AS DOUBLE)
+       |    / (SELECT count(DISTINCT event_type) FROM bars), 6) + 0.0 AS xa_consistency
+       |FROM per_asset
+       |GROUP BY formation, barrier_profile
+       |ORDER BY formation, barrier_profile""".stripMargin
+
   val all: Map[String, Q] = Map(
     "q43_formation_barrier_sweep" -> (q43FormationBarrierSweep _),
-    "q47_regime_gated_sweep" -> (q47RegimeGatedSweep _))
+    "q47_regime_gated_sweep" -> (q47RegimeGatedSweep _),
+    "q51_cross_asset" -> (q51CrossAsset _))
 
   val oracles: Map[String, String] = Map(
-    "q43_formation_barrier_sweep" -> q43Sql)
+    "q43_formation_barrier_sweep" -> q43Sql,
+    "q51_cross_asset" -> q51Sql)
 }
