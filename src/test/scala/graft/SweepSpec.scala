@@ -134,6 +134,32 @@ class SweepSpec extends GraftSuite {
     assert(q47.count() > q43.length, "gated slices missing from q47")
   }
 
+  test("q51 xa metrics feed the E15 survivor analysis (cross_asset.py → ranking.py)") {
+    val xa = queries.SweepQueries.q51CrossAsset(spark, sf).collect()
+    assert(xa.length == 9) // 3 formations × 3 profiles
+    val ids = xa.map(r => r.getString(0) + "/" + r.getString(1))
+    def metric(name: String): Map[String, Option[Double]] =
+      ids.zip(xa.map { r =>
+        if (r.isNullAt(r.fieldIndex(name))) None
+        else Some(r.getAs[Any](name) match {
+          case d: Double => d
+          case l: Long => l.toDouble
+        })
+      }).toMap
+    val metricData = Map(
+      "xa_avg_pf" -> metric("xa_avg_pf"),
+      "xa_consistency" -> metric("xa_consistency"),
+      "xa_total_signals" -> metric("xa_total_signals"))
+    val res = graft.eval.Ranking.survivorAnalysis(metricData,
+      Map("xa_avg_pf" -> true, "xa_consistency" -> true, "xa_total_signals" -> true),
+      Map("xa_avg_pf" -> 50, "xa_consistency" -> 100, "xa_total_signals" -> 100))
+    // only the PF cutoff binds: survivors = top half by avg_pf
+    assert(res.nIntersection > 0 && res.nIntersection <= 5)
+    val topHalf = ids.zip(xa.map(_.getAs[Double]("xa_avg_pf")))
+      .sortBy { case (id, pf) => (-pf, id) }.take(5).map(_._1).toSet
+    assert(res.survivors.forall(topHalf.contains), s"${res.survivors} vs $topHalf")
+  }
+
   test("sweep metrics agree with the oracle-checked q43 on shared configs") {
     val out = Files.createTempDirectory("graft_sweep2").toString
     val mine = Sweep.run(spark, sf, SweepSpec("x",
