@@ -66,6 +66,11 @@ object EvalPipeline {
       ouLookback: Int = 1000): Dataset[ConfigStats] = {
     val spark = trades.sparkSession
     import spark.implicits._
+    // The bar series is collected + broadcast: ~16 MB per 10⁶ bars, fine
+    // for the reference's single-symbol series. A corpus-scale bar table
+    // (10⁹+ rows) would need a range-join of trades to bar windows
+    // instead — the broadcast keeps per-trade calibration O(lookback)
+    // with zero shuffle, which is the right trade at this shape.
     val barsBc = ouBars.map { b =>
       val arr = b.select(col("ts_us").cast("long"), col("close").cast("double"))
         .orderBy(col("ts_us")).collect()

@@ -201,6 +201,12 @@ object DedupQueries {
   // small keys; the only pairwise work is on LSH candidates, never the
   // corpus. Output is integer counts + an order-independent max, so
   // cross-engine parity is exact.
+  //
+  // Scale note: as one lazy plan the shingle frame is recomputed for the
+  // signature pass and each verify join (Spark reuses exchanges only for
+  // identical subplans). At 100 TB you'd checkpoint the interstage frames
+  // — exactly what the Sweep orchestrator's ResultSink partitioned writes
+  // demonstrate; the single-job form is right at query scale.
   private val JaccardThreshold = 0.5
 
   def q49DedupPipeline(spark: SparkSession, d: String): DataFrame = {

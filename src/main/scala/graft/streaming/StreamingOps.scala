@@ -103,4 +103,19 @@ object StreamingOps {
       .groupBy(window(col("event_time"), windowLen), col("series"))
       .agg(count(lit(1)).as("n"), avg(col("value")).as("avg_value"),
         min(col("value")).as("min_value"), max(col("value")).as("max_value"))
+
+  /** Streaming exact dedup over a document stream — the online form of
+    * q24/q49's exact stage: key by content hash, keep only the FIRST
+    * arrival, drop every later duplicate. State is one tombstone per
+    * distinct hash with an event-time watermark bound
+    * (`dropDuplicatesWithinWatermark`): duplicates separated by more than
+    * the watermark re-emit (documented and inherent to bounded state —
+    * the batch pipeline is the exact backstop).
+    * Input needs (doc_id, ts_us, text). */
+  def streamingExactDedup(docs: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    docs
+      .withColumn("event_time", timestamp_micros(col("ts_us")))
+      .withColumn("text_hash", md5(col("text")))
+      .withWatermark("event_time", watermark)
+      .dropDuplicatesWithinWatermark("text_hash")
 }

@@ -116,4 +116,30 @@ class StreamingSpec extends GraftSuite {
       assert(got.keys.map(_._1).toSet.size == 2, "expected two 1-minute windows")
     } finally query.stop()
   }
+
+  test("streamingExactDedup: first arrival survives, later duplicates drop " +
+    "across batch boundaries") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[(Long, Long, String)]
+    val docs = mem.toDS().toDF("doc_id", "ts_us", "text")
+    val query = StreamingOps.streamingExactDedup(docs)
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try {
+      // batch 1: two distinct texts + one in-batch duplicate
+      mem.addData((1L, 1000000L, "alpha"), (2L, 2000000L, "beta"),
+        (3L, 3000000L, "alpha"))
+      query.processAllAvailable()
+      // batch 2: cross-batch duplicate of "beta" + a new text
+      mem.addData((4L, 4000000L, "beta"), (5L, 5000000L, "gamma"))
+      query.processAllAvailable()
+      val rows = spark.table("dedup_out").collect()
+      val texts = rows.map(_.getAs[String]("text")).sorted.toSeq
+      assert(texts == Seq("alpha", "beta", "gamma"), s"got $texts")
+      // the SURVIVOR of each text is its first arrival
+      val byText = rows.map(r => r.getAs[String]("text") -> r.getAs[Long]("doc_id")).toMap
+      assert(byText("alpha") == 1L && byText("beta") == 2L && byText("gamma") == 5L)
+    } finally query.stop()
+  }
 }
