@@ -152,9 +152,10 @@ object SweepQueries {
   // signal frame. Regime gates (gen800_sweep.py REGIME_GATES):
   // bullish_only (regime = 2), not_bearish (regime ≥ 1), any_regime.
   //
-  // The Laguerre recursion is sequential per series (flatMapGroups), so no
-  // DuckDB oracle exists for the gated slices — the driver records the
-  // rows-only check; SweepSpec pins (a) the any_regime slice row-for-row
+  // The Laguerre recursion is sequential per series (flatMapGroups); the
+  // DuckDB oracle replays it as a WITH RECURSIVE over (L0..L3 + running
+  // sums) — see laguerreRecCte below, bit-exact vs the Scala loop.
+  // SweepSpec additionally pins (a) the any_regime slice row-for-row
   // against oracle-checked q43 and (b) gate monotonicity + a census
   // cross-check against an independent Scala recomputation.
   private val regimeGates = Seq(
@@ -267,6 +268,150 @@ object SweepQueries {
        |GROUP BY formation, barrier_profile
        |ORDER BY formation, barrier_profile""".stripMargin
 
+  // ---------------------------------------------------------------------------
+  // q47 oracle — a DuckDB WITH RECURSIVE replay of the Laguerre RSI
+  // recursion (operators/Laguerre.scala:33-93), bit-exact against the Scala
+  // loop (validated per-bar at sf0.01: 9995/9995 rsi values identical).
+  //
+  // Parity strategy: the Scala filter keeps RUNNING-SUM accumulators
+  // (trSum for ATR, s for the SMA smoother) whose float residue differs
+  // from a fresh windowed sum — so the oracle carries the same
+  // accumulators in the recursion state and updates them in the same
+  // operation order: (prev + cur) - old, never a window re-sum. The
+  // trailing-32 ATR min/max window rides along as a list (min/max are
+  // order-insensitive, hence exact); likewise the trailing-5 raw-RSI list
+  // feeds the smoother's subtraction term. All series advance in lockstep,
+  // one recursive iteration per bar index; `lt` is MATERIALIZED so the
+  // window precompute runs once, not once per iteration.
+  private val laguerreRecCte: String =
+    """lt AS MATERIALIZED (
+      |  SELECT event_type, ts_us, event_id, open, high, low, close, rn,
+      |    row_number() OVER lw AS li,
+      |    CASE WHEN lag(close) OVER lw IS NULL THEN high - low
+      |         ELSE greatest(high, lag(close) OVER lw) - least(low, lag(close) OVER lw)
+      |    END AS tr
+      |  FROM bars
+      |  WINDOW lw AS (PARTITION BY event_type ORDER BY ts_us, event_id)),
+      |seed AS (
+      |  SELECT event_type, 0 AS li,
+      |    CAST(0.0 AS DOUBLE) AS tr_sum, CAST([] AS DOUBLE[]) AS atrs,
+      |    first(close ORDER BY li) AS l0, first(close ORDER BY li) AS l1,
+      |    first(close ORDER BY li) AS l2, first(close ORDER BY li) AS l3,
+      |    CAST(0.0 AS DOUBLE) AS s_sum, CAST([] AS DOUBLE[]) AS raws,
+      |    CAST(NULL AS DOUBLE) AS rsi
+      |  FROM lt GROUP BY event_type),
+      |rec AS (
+      |  SELECT * FROM seed
+      |  UNION ALL
+      |  SELECT event_type, li, n_tr_sum, n_atrs, n_l0, n_l1, n_l2, n_l3,
+      |    n_s_sum, n_raws, n_rsi
+      |  FROM (
+      |    SELECT cur.event_type AS event_type, cur.li AS li,
+      |      prev.tr_sum + cur.tr - coalesce(old.tr, 0.0) AS n_tr_sum,
+      |      n_tr_sum / least(cur.li, 32) AS atr,
+      |      CASE WHEN len(prev.atrs) >= 32 THEN prev.atrs[2:] ELSE prev.atrs END
+      |        || [atr] AS n_atrs,
+      |      list_min(n_atrs) AS mn, list_max(n_atrs) AS mx,
+      |      CASE WHEN mx > mn THEN (atr - mn) / (mx - mn) ELSE 0.5 END AS ratio,
+      |      1.0 - (2.0 / 33.0) * (0.75 + (1.0 - 0.75) * ratio) AS g,
+      |      (1.0 - g) * cur.close + g * prev.l0 AS n_l0,
+      |      -g * n_l0 + prev.l0 + g * prev.l1 AS n_l1,
+      |      -g * n_l1 + prev.l1 + g * prev.l2 AS n_l2,
+      |      -g * n_l2 + prev.l2 + g * prev.l3 AS n_l3,
+      |      (CASE WHEN n_l0 >= n_l1 THEN n_l0 - n_l1 ELSE 0.0 END)
+      |        + (CASE WHEN n_l1 >= n_l2 THEN n_l1 - n_l2 ELSE 0.0 END)
+      |        + (CASE WHEN n_l2 >= n_l3 THEN n_l2 - n_l3 ELSE 0.0 END) AS cu,
+      |      (CASE WHEN n_l0 >= n_l1 THEN 0.0 ELSE n_l1 - n_l0 END)
+      |        + (CASE WHEN n_l1 >= n_l2 THEN 0.0 ELSE n_l2 - n_l1 END)
+      |        + (CASE WHEN n_l2 >= n_l3 THEN 0.0 ELSE n_l3 - n_l2 END) AS cd,
+      |      CASE WHEN cu + cd > 0.0
+      |           THEN least(1.0, greatest(0.0, cu / (cu + cd))) ELSE 0.0 END AS raw,
+      |      prev.s_sum + raw
+      |        - coalesce(CASE WHEN cur.li >= 6 THEN prev.raws[1] END, 0.0) AS n_s_sum,
+      |      CASE WHEN len(prev.raws) >= 5 THEN prev.raws[2:] ELSE prev.raws END
+      |        || [raw] AS n_raws,
+      |      least(1.0, greatest(0.0, n_s_sum / least(cur.li, 5))) AS n_rsi
+      |    FROM rec prev
+      |    JOIN lt cur ON cur.event_type = prev.event_type AND cur.li = prev.li + 1
+      |    LEFT JOIN lt old ON old.event_type = prev.event_type AND old.li = prev.li - 31
+      |  )),
+      |rbars AS (
+      |  SELECT l.event_type, l.ts_us, l.event_id, l.open, l.high, l.low,
+      |    l.close, l.rn,
+      |    CASE WHEN r.rsi < 0.15 THEN 0 WHEN r.rsi > 0.85 THEN 2 ELSE 1 END
+      |      AS regime
+      |  FROM rec r
+      |  JOIN lt l ON l.event_type = r.event_type AND l.li = r.li)""".stripMargin
+
+  val q47Sql: String = {
+    val formationBlocks = sweepFormations.map { case (name, p) =>
+      s"SELECT '$name' AS formation, * FROM signals WHERE $p"
+    }.mkString("\n  UNION ALL\n  ")
+    val gateBlocks = regimeGates.map { case (name, p) =>
+      s"SELECT '$name' AS regime_gate, * FROM tagged WHERE $p"
+    }.mkString("\n  UNION ALL\n  ")
+    val gridValues = grid.map { case (n, tp, sl, mb) => s"('$n', $tp, $sl, $mb)" }
+      .mkString(", ")
+    s"""${EventBars.duckCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+       |$laguerreRecCte,
+       |dirs AS (
+       |  SELECT *,
+       |    CASE WHEN close > open THEN 1 ELSE 0 END AS dir_0,
+       |    lag(CASE WHEN close > open THEN 1 ELSE 0 END, 1) OVER dw AS dir_1,
+       |    lag(CASE WHEN close > open THEN 1 ELSE 0 END, 2) OVER dw AS dir_2
+       |  FROM rbars
+       |  WINDOW dw AS (PARTITION BY event_type ORDER BY ts_us, event_id)),
+       |${EventBars.duckFwdCte(K).replace("FROM bars", "FROM dirs")},
+       |signals AS (
+       |  SELECT *, fwd_opens[1] AS entry_price
+       |  FROM fwd
+       |  WHERE rn > 100 AND fwd_opens[1] IS NOT NULL AND fwd_opens[1] > 0),
+       |tagged AS (
+       |  $formationBlocks),
+       |gated AS (
+       |  $gateBlocks),
+       |grid AS (
+       |  SELECT * FROM (VALUES $gridValues)
+       |    g(barrier_profile, tp_pct, sl_pct, max_bars)),
+       |scan AS (
+       |  SELECT t.formation, t.regime_gate, g.barrier_profile, t.entry_price,
+       |    g.max_bars,
+       |    t.entry_price * (1.0 + g.tp_pct) AS tp_price,
+       |    t.entry_price * (1.0 - g.sl_pct) AS sl_price,
+       |    least(len(t.fwd_highs), g.max_bars) AS window_bars,
+       |    coalesce(list_position(list_transform(list_slice(t.fwd_highs, 1, g.max_bars),
+       |      x -> x >= t.entry_price * (1.0 + g.tp_pct)), true), 0) AS raw_tp_bar,
+       |    coalesce(list_position(list_transform(list_slice(t.fwd_lows, 1, g.max_bars),
+       |      x -> x <= t.entry_price * (1.0 - g.sl_pct)), true), 0) AS raw_sl_bar,
+       |    t.fwd_opens, t.fwd_closes
+       |  FROM gated t CROSS JOIN grid g),
+       |outcome AS (
+       |  SELECT *,
+       |    CASE WHEN $slWins THEN 'SL' WHEN $tpWins THEN 'TP'
+       |         WHEN window_bars >= max_bars THEN 'TIME' ELSE 'INCOMPLETE' END AS exit_type,
+       |    CASE WHEN $slWins THEN raw_sl_bar WHEN $tpWins THEN raw_tp_bar
+       |         WHEN window_bars >= max_bars THEN max_bars ELSE 0 END AS exit_bar,
+       |    CASE WHEN $slWins THEN least(fwd_opens[raw_sl_bar], sl_price)
+       |         WHEN $tpWins THEN tp_price
+       |         WHEN window_bars >= max_bars THEN fwd_closes[max_bars]
+       |         ELSE 0 END AS exit_price
+       |  FROM scan),
+       |trades AS (SELECT * FROM outcome WHERE exit_type != 'INCOMPLETE')
+       |SELECT formation, regime_gate, barrier_profile,
+       |  count(*) AS total_signals,
+       |  count(*) FILTER (WHERE exit_type = 'TP') AS tp_count,
+       |  count(*) FILTER (WHERE exit_type IN ('SL', 'TRAIL')) AS sl_count,
+       |  count(*) FILTER (WHERE exit_type = 'TIME') AS time_count,
+       |  round($winRateSql, 6) + 0.0 AS win_rate,
+       |  round(sum($retSql) FILTER (WHERE $isWinSql)
+       |    / nullif(abs(sum($retSql) FILTER (WHERE $isLossSql)), 0.0), 6) + 0.0 AS profit_factor,
+       |  round(avg($retSql), 6) + 0.0 AS expected_value_pct,
+       |  round(avg(exit_bar), 6) + 0.0 AS avg_bars_held
+       |FROM trades
+       |GROUP BY formation, regime_gate, barrier_profile
+       |ORDER BY formation, regime_gate, barrier_profile""".stripMargin
+  }
+
   val all: Map[String, Q] = Map(
     "q43_formation_barrier_sweep" -> (q43FormationBarrierSweep _),
     "q47_regime_gated_sweep" -> (q47RegimeGatedSweep _),
@@ -274,5 +419,6 @@ object SweepQueries {
 
   val oracles: Map[String, String] = Map(
     "q43_formation_barrier_sweep" -> q43Sql,
+    "q47_regime_gated_sweep" -> q47Sql,
     "q51_cross_asset" -> q51Sql)
 }
