@@ -9,6 +9,15 @@ object Verify {
     // dev-loop extra: an optional comma-separated query-name filter (the
     // driver always passes exactly two args, so this never changes its run)
     val only: Option[Set[String]] = args.lift(2).map(_.split(',').toSet)
+    // fail fast on misspelled filter names — a silent empty run looks
+    // identical to a successful one in a dev loop
+    only.foreach { names =>
+      val unknown = names -- SparkEntry.queries.keySet
+      if (unknown.nonEmpty) {
+        System.err.println(s"[verify] unknown query names: ${unknown.mkString(",")}")
+        sys.exit(2)
+      }
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

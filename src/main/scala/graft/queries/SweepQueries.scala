@@ -309,8 +309,8 @@ object SweepQueries {
       |    SELECT cur.event_type AS event_type, cur.li AS li,
       |      prev.tr_sum + cur.tr - coalesce(old.tr, 0.0) AS n_tr_sum,
       |      n_tr_sum / least(cur.li, 32) AS atr,
-      |      CASE WHEN len(prev.atrs) >= 32 THEN prev.atrs[2:] ELSE prev.atrs END
-      |        || [atr] AS n_atrs,
+      |      list_append(CASE WHEN len(prev.atrs) >= 32 THEN prev.atrs[2:]
+      |        ELSE prev.atrs END, atr) AS n_atrs,
       |      list_min(n_atrs) AS mn, list_max(n_atrs) AS mx,
       |      CASE WHEN mx > mn THEN (atr - mn) / (mx - mn) ELSE 0.5 END AS ratio,
       |      1.0 - (2.0 / 33.0) * (0.75 + (1.0 - 0.75) * ratio) AS g,
@@ -328,8 +328,8 @@ object SweepQueries {
       |           THEN least(1.0, greatest(0.0, cu / (cu + cd))) ELSE 0.0 END AS raw,
       |      prev.s_sum + raw
       |        - coalesce(CASE WHEN cur.li >= 6 THEN prev.raws[1] END, 0.0) AS n_s_sum,
-      |      CASE WHEN len(prev.raws) >= 5 THEN prev.raws[2:] ELSE prev.raws END
-      |        || [raw] AS n_raws,
+      |      list_append(CASE WHEN len(prev.raws) >= 5 THEN prev.raws[2:]
+      |        ELSE prev.raws END, raw) AS n_raws,
       |      least(1.0, greatest(0.0, n_s_sum / least(cur.li, 5))) AS n_rsi
       |    FROM rec prev
       |    JOIN lt cur ON cur.event_type = prev.event_type AND cur.li = prev.li + 1
