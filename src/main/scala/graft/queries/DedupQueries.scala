@@ -202,21 +202,26 @@ object DedupQueries {
   // corpus. Output is integer counts + an order-independent max, so
   // cross-engine parity is exact.
   //
-  // Scale note: as one lazy plan the shingle frame is recomputed for the
-  // signature pass and each verify join (Spark reuses exchanges only for
-  // identical subplans). At 100 TB you'd checkpoint the interstage frames
-  // — exactly what the Sweep orchestrator's ResultSink partitioned writes
-  // demonstrate; the single-job form is right at query scale.
+  // Scale note: the census is a SINGLE aggregate pass over the scored
+  // candidate frame (candidate count, verified count, max Jaccard and
+  // distinct-removed all as filtered aggregates of one scan), so the
+  // expensive tokenize→shingle→minhash→band→join chain is evaluated
+  // exactly once per run. `reps`/`shingled` are persisted because the
+  // verify join scans the shingle frame from both sides; at 100 TB the
+  // same two frames are what you'd checkpoint between stages.
   private val JaccardThreshold = 0.5
 
   def q49DedupPipeline(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
     val docs = Tables.documents(spark, d)
     val reps = docs.withColumn("th", md5(col("text")))
       .groupBy(col("th")).agg(min(col("doc_id")).as("doc_id"))
       .select(col("doc_id"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val shingled = withShingleSet(spark, d)
       .join(reps, "doc_id")
       .select(col("doc_id"), col("shset"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val hashed = shingled.select(col("doc_id"), explode(col("shset")).as("shingle"))
       .withColumn("h", md5Int(col("shingle")))
     val lanes = (0 until 16).map(j =>
@@ -234,21 +239,24 @@ object DedupQueries {
         col("band") === col("band_r") && col("band_key") === col("band_key_r") &&
           col("d1") < col("d2"))
       .select(col("d1"), col("d2")).distinct()
-    val verified = cand
+    // candidates scored but NOT filtered: the verified/removed census
+    // columns become filtered aggregates of this one frame
+    val scored = cand
       .join(shingled.select(col("doc_id").as("d1"), col("shset").as("s1")), "d1")
       .join(shingled.select(col("doc_id").as("d2"), col("shset").as("s2")), "d2")
       .withColumn("jac",
         size(array_intersect(col("s1"), col("s2"))).cast("double") /
           size(array_union(col("s1"), col("s2"))).cast("double"))
-      .filter(col("jac") >= JaccardThreshold)
-    val removed = verified.select(col("d2")).distinct()
+    val isVerified = col("jac") >= JaccardThreshold
+    val census = scored.agg(
+      count(lit(1)).as("n_candidate_pairs"),
+      count(when(isVerified, 1)).as("n_verified_pairs"),
+      round(coalesce(max(when(isVerified, col("jac"))), lit(0.0)), 4)
+        .as("max_jaccard"),
+      countDistinct(when(isVerified, col("d2"))).as("n_near_removed"))
     docs.agg(count(lit(1)).as("n_docs"))
       .crossJoin(reps.agg(count(lit(1)).as("n_after_exact")))
-      .crossJoin(cand.agg(count(lit(1)).as("n_candidate_pairs")))
-      .crossJoin(verified.agg(
-        count(lit(1)).as("n_verified_pairs"),
-        round(coalesce(max(col("jac")), lit(0.0)), 4).as("max_jaccard")))
-      .crossJoin(removed.agg(count(lit(1)).as("n_near_removed")))
+      .crossJoin(census)
       .select(
         col("n_docs"),
         (col("n_docs") - col("n_after_exact")).as("n_exact_removed"),

@@ -156,15 +156,24 @@ object SimilarityQueries {
     val probes = v.filter(col("vec_id") < 8)
       .select(col("vec_id").as("q_vec_id"), col("e").as("qe"),
         col("nrm").as("qn"), col("bucket").as("qb"))
+    // INNER broadcast join (a left-outer can't build its preserved side, so
+    // the hint would be dropped and the corpus shuffled at scale); probes
+    // whose bucket is empty are re-attached by the tiny-to-tiny left join
+    // below with the documented defaults.
     val cand = broadcast(probes)
-      .join(v, col("bucket") === col("qb") && col("vec_id") =!= col("q_vec_id"), "left")
+      .join(v, col("bucket") === col("qb") && col("vec_id") =!= col("q_vec_id"))
       .withColumn("cos", round(dot("qe", "e") / nullif(col("qn") * col("nrm"), lit(0.0)), 6))
-    cand.groupBy(col("q_vec_id"))
+    val perProbe = cand.groupBy(col("q_vec_id"))
       .agg(
-        count(col("vec_id")).as("n_candidates"),
-        coalesce(max_by(col("vec_id"), struct(col("cos"), -col("vec_id"))), lit(-1L))
-          .as("top1_id"),
-        round(coalesce(max(col("cos")), lit(-2.0)), 4).as("top1_cos"))
+        count(col("vec_id")).as("nc"),
+        max_by(col("vec_id"), struct(col("cos"), -col("vec_id"))).as("t1"),
+        round(max(col("cos")), 4).as("tc"))
+    probes.select(col("q_vec_id"))
+      .join(broadcast(perProbe), Seq("q_vec_id"), "left")
+      .select(col("q_vec_id"),
+        coalesce(col("nc"), lit(0L)).as("n_candidates"),
+        coalesce(col("t1"), lit(-1L)).as("top1_id"),
+        coalesce(col("tc"), lit(-2.0)).as("top1_cos"))
       .orderBy(col("q_vec_id"))
   }
 
@@ -221,16 +230,22 @@ object SimilarityQueries {
       .filter(col("crnk") <= nProbe)
       .select(col("vec_id").as("q_vec_id"), col("e").as("qe"),
         col("nrm").as("qn"), col("cid").as("qcell"))
+    // same inner-join + re-attach shape as q30: the broadcast survives and
+    // the inverted lists are never shuffled
     val cand = broadcast(pcells)
-      .join(assigned, col("cell") === col("qcell") && col("vec_id") =!= col("q_vec_id"),
-        "left")
+      .join(assigned, col("cell") === col("qcell") && col("vec_id") =!= col("q_vec_id"))
       .withColumn("cos", round(dot("qe", "e") / nullif(col("qn") * col("nrm"), lit(0.0)), 6))
-    cand.groupBy(col("q_vec_id"))
+    val perProbe = cand.groupBy(col("q_vec_id"))
       .agg(
-        count(col("vec_id")).as("n_candidates"),
-        coalesce(max_by(col("vec_id"), struct(col("cos"), -col("vec_id"))), lit(-1L))
-          .as("top1_id"),
-        round(coalesce(max(col("cos")), lit(-2.0)), 4).as("top1_cos"))
+        count(col("vec_id")).as("nc"),
+        max_by(col("vec_id"), struct(col("cos"), -col("vec_id"))).as("t1"),
+        round(max(col("cos")), 4).as("tc"))
+    pcells.select(col("q_vec_id")).distinct()
+      .join(broadcast(perProbe), Seq("q_vec_id"), "left")
+      .select(col("q_vec_id"),
+        coalesce(col("nc"), lit(0L)).as("n_candidates"),
+        coalesce(col("t1"), lit(-1L)).as("top1_id"),
+        coalesce(col("tc"), lit(-2.0)).as("top1_cos"))
       .orderBy(col("q_vec_id"))
   }
 

@@ -64,6 +64,20 @@ class PlanShapeSpec extends GraftSuite {
     assert(exchanges <= 3, s"too many exchanges ($exchanges):\n$p")
   }
 
+  test("q30/q48 honor the probe-side broadcast (no dropped hint, no corpus shuffle)") {
+    // a left-outer join cannot build its preserved side, so the old shape
+    // silently dropped the broadcast hint (HintErrorLogger WARN) and at
+    // scale would shuffle the corpus; the inner-join + re-attach shape
+    // must keep every join a BroadcastHashJoin
+    for (q <- Seq(SimilarityQueries.q30AnnLsh _, SimilarityQueries.q48AnnIvf _)) {
+      val df = q(spark, sf)
+      val p = plan(df)
+      assert(p.contains("BroadcastHashJoin"), s"probe join not broadcast:\n$p")
+      assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+        s"corpus shuffled for an ANN probe join:\n$p")
+    }
+  }
+
   test("q01 pushes filters into the scan (PushedFilters)") {
     val p = plan(CoreQueries.q01FilteredScan(spark, sf))
     assert(p.contains("PushedFilters") && p.contains("l_quantity"))
