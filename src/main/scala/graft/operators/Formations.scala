@@ -66,6 +66,9 @@ object Formations {
     // two up bars, short (gen600_2up_s_template.sql)
     "2up_s" -> (col("dir_1") === 1 && col("dir_0") === 1 &&
       col("ti_p95").isNotNull && col("ti") > col("ti_p95")),
+    // no-gate two-up short — the ng twin of 2down_ng
+    // (gen600_2up_ng_s_template.sql; completes the 22-template registry)
+    "2up_ng_s" -> (col("dir_1") === 1 && col("dir_0") === 1),
     // exhaustion long: down bar with extreme intensity (gen600_exh_l_template.sql)
     "exh_l" -> (col("dir_0") === 0 &&
       col("ti_p75").isNotNull && col("ti") > col("ti_p75")),

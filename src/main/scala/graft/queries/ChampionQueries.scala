@@ -138,6 +138,7 @@ object ChampionQueries {
       "dud" -> "(dir_2 = 0 AND dir_1 = 1 AND dir_0 = 0)",
       "duu_s" -> "(dir_2 = 0 AND dir_1 = 1 AND dir_0 = 1)",
       "2up_s" -> "(dir_1 = 1 AND dir_0 = 1 AND ti_p95 IS NOT NULL AND ti > ti_p95)",
+      "2up_ng_s" -> "(dir_1 = 1 AND dir_0 = 1)",
       "exh_l" -> "(dir_0 = 0 AND ti_p75 IS NOT NULL AND ti > ti_p75)",
       "vwap_l" -> "(r_p10 IS NOT NULL AND r < r_p10)",
       "hvd" -> "(dir_0 = 0 AND ti_p90 IS NOT NULL AND ti > ti_p90)",
