@@ -104,6 +104,85 @@ case class QuantileExactExclusive(left: Expression, right: Expression)
   override def prettyName: String = "quantile_exact_exclusive"
 }
 
+/** All percentiles of one array in a single sort — the multi-gate variant
+  * of [[QuantileExactExclusive]]. The formation frame needs p75/p90/p95 of
+  * the same prior-intensity window: as three separate expressions each
+  * carries its own collect_list window buffer and its own sort; as one
+  * expression the frame is buffered once, sorted once, and every gate
+  * interpolates from the same order statistics. Returns a double array
+  * aligned with `qs` (empty/all-NULL input → NULL, same as the scalar
+  * form), so per-element semantics are bit-identical to the scalar
+  * expression.
+  */
+case class QuantileMultiExclusive(child: Expression, qs: Seq[Double])
+    extends UnaryExpression {
+  require(qs.nonEmpty)
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = true
+  private lazy val qArr: Array[Double] = qs.toArray
+
+  override def nullSafeEval(arrAny: Any): Any =
+    QuantileMultiExclusive.evalArray(arrAny.asInstanceOf[ArrayData], qArr)
+
+  // same shape as QuantileExactExclusive: one static call, WholeStageCodegen
+  // span stays intact
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val qsRef = ctx.addReferenceObj("qs", qArr, "double[]")
+    nullSafeCodeGen(ctx, ev, arr => {
+      s"""
+         |org.apache.spark.sql.catalyst.util.ArrayData ${ev.value}_r =
+         |  graft.functions.QuantileMultiExclusive.evalArray($arr, $qsRef);
+         |if (${ev.value}_r == null) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = ${ev.value}_r;
+         |}
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(c: Expression): QuantileMultiExclusive =
+    copy(child = c)
+  override def prettyName: String = "quantile_multi_exclusive"
+}
+
+object QuantileMultiExclusive {
+  /** One sort, k interpolations; element k follows the exact scalar
+    * evalArray semantics for qs(k). */
+  def evalArray(ad: ArrayData, qs: Array[Double]): ArrayData = {
+    val n0 = ad.numElements()
+    val buf = new Array[Double](n0)
+    var m = 0
+    var i = 0
+    while (i < n0) {
+      if (!ad.isNullAt(i)) { buf(m) = ad.getDouble(i); m += 1 }
+      i += 1
+    }
+    if (m == 0) null
+    else {
+      java.util.Arrays.sort(buf, 0, m)
+      val out = new Array[Double](qs.length)
+      var k = 0
+      while (k < qs.length) {
+        val h = qs(k) * (m + 1)
+        out(k) =
+          if (h < 1.0) buf(0)
+          else if (h >= m) buf(m - 1)
+          else {
+            val fh = math.floor(h)
+            val idx = fh.toInt
+            buf(idx - 1) + (h - fh) * (buf(idx) - buf(idx - 1))
+          }
+        k += 1
+      }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+    }
+  }
+}
+
 object QuantileExactExclusive {
   /** Static evaluator shared by the interpreted and codegen paths. */
   def evalArray(ad: ArrayData, q: Double): java.lang.Double = {
@@ -141,6 +220,11 @@ object GraftFunctions {
   def quantileExactExclusive(arr: Column, q: Double): Column =
     GraftBridge.toColumn(QuantileExactExclusive(
       GraftBridge.toExpr(arr), GraftBridge.toExpr(lit(q))))
+
+  /** All of `qs` from one sorted pass over the array (see
+    * [[QuantileMultiExclusive]]); result(i) == quantileExactExclusive(qs(i)). */
+  def quantileMultiExclusive(arr: Column, qs: Seq[Double]): Column =
+    GraftBridge.toColumn(QuantileMultiExclusive(GraftBridge.toExpr(arr), qs))
 
   /** Exclusive quantile as an incremental aggregate (TypedImperativeAggregate)
     * — use for plain aggregation and EXPANDING window frames (SURVEY §4.3.1b);

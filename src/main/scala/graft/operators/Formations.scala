@@ -41,11 +41,18 @@ object Formations {
         when(col("dir_0") === 1, (col("open") - col("low")))
           .otherwise(col("high") - col("open")) /
           nullif(col("high") - col("low"), lit(0.0)))
-      .withColumn("ti_p75", GraftFunctions.quantileExactExclusive(priorTi, 0.75))
-      .withColumn("ti_p90", GraftFunctions.quantileExactExclusive(priorTi, 0.90))
-      .withColumn("ti_p95", GraftFunctions.quantileExactExclusive(priorTi, 0.95))
-      .withColumn("r_p10", GraftFunctions.quantileExactExclusive(priorR, 0.10))
-      .withColumn("r_p90", GraftFunctions.quantileExactExclusive(priorR, 0.90))
+      // one collect + one sort per gate family: the multi-quantile
+      // expression materializes each prior-window list once and every
+      // percentile interpolates from the same sorted buffer (vs one window
+      // buffer + one sort per gate — 5 frames → 2)
+      .withColumn("tiq", GraftFunctions.quantileMultiExclusive(priorTi, Seq(0.75, 0.90, 0.95)))
+      .withColumn("rq", GraftFunctions.quantileMultiExclusive(priorR, Seq(0.10, 0.90)))
+      .withColumn("ti_p75", col("tiq").getItem(0))
+      .withColumn("ti_p90", col("tiq").getItem(1))
+      .withColumn("ti_p95", col("tiq").getItem(2))
+      .withColumn("r_p10", col("rq").getItem(0))
+      .withColumn("r_p90", col("rq").getItem(1))
+      .drop("tiq", "rq")
   }
 
   /** The registry: name → formation predicate over the prepared frame.

@@ -35,6 +35,29 @@ class GraftFunctionsSpec extends GraftSuite {
     assert(qexc(Seq(), 0.5).isEmpty)
   }
 
+  test("quantile_multi_exclusive agrees element-wise with the scalar form") {
+    val qs = Seq(0.1, 0.25, 0.5, 0.75, 0.9, 0.95)
+    val rnd = new scala.util.Random(7)
+    for (n <- Seq(1, 2, 5, 100)) {
+      val xs = Seq.fill(n)(rnd.nextDouble() * 10 - 5)
+      val arr = array(xs.map(lit): _*)
+      val row = Seq(1).toDF("i").select(
+        GraftFunctions.quantileMultiExclusive(arr, qs).as("multi") +:
+          qs.zipWithIndex.map { case (q, i) =>
+            GraftFunctions.quantileExactExclusive(arr, q).as(s"s$i")
+          }: _*).first()
+      val multi = row.getSeq[Double](0)
+      qs.indices.foreach { i =>
+        assert(multi(i) === row.getDouble(i + 1), s"n=$n q=${qs(i)}")
+      }
+    }
+    // empty/all-null input → NULL, same as the scalar expression
+    val nullRow = Seq(1).toDF("i").select(
+      GraftFunctions.quantileMultiExclusive(
+        array(lit(null).cast("double")), qs).as("m")).first()
+    assert(nullRow.isNullAt(0))
+  }
+
   test("erf matches known table values to 1e-12") {
     val got = Seq(0.0, 0.5, 1.0, 2.0, -1.0).toDF("x")
       .select(GraftFunctions.erf(col("x")).as("e")).collect().map(_.getDouble(0))
