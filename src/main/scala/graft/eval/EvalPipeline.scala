@@ -142,21 +142,37 @@ object EvalPipeline {
     *   configs than this survive the n≥10 floor, only the strongest (by
     *   Sharpe) are tested — the max-t bootstrap needs their full return
     *   vectors on the driver, so the collect must stay bounded.
+    * @param ouDistributed when true the per-trade OU ratios come from
+    *   [[OuRangeJoin]] (chunked range join — the bar table is never
+    *   collected or broadcast) instead of the broadcast-series path;
+    *   identical ratios, different scale envelope. Use for bar tables
+    *   too large to broadcast (≳10⁷ rows).
     */
   def run(trades: DataFrame, slEmp: Double = 0.0125, ouRatio: Double = 1.0,
       nBlocks: Int = 8, nBootstrap: Int = 500,
       varSrEmpirical: Boolean = false, rwMaxConfigs: Int = 256,
       ouBars: Option[DataFrame] = None, empiricalTpFrac: Double = 0.0125,
-      ouLookback: Int = 1000): PipelineResult = {
+      ouLookback: Int = 1000, ouDistributed: Boolean = false): PipelineResult = {
     // cross-config time range for CSCV block binning (one tiny agg job)
     val range = trades.agg(min(col("ts_us")), max(col("ts_us"))).collect().head
     val (tsMin, tsMax) =
       if (range.isNullAt(0)) (0L, 0L) else (range.getLong(0), range.getLong(1))
 
+    // distributed OU path: per-config medians from the chunked range join,
+    // merged into the collected stats (O(nConfigs) rows); the broadcast
+    // path stays inside perConfigStats
+    val ouOverride: Map[String, Double] =
+      if (ouDistributed && ouBars.isDefined)
+        OuRangeJoin.perConfigMedians(ouBars.get, trades, empiricalTpFrac, ouLookback)
+          .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      else Map.empty
+
     val stats = perConfigStats(trades, nBlocks, tsMin, tsMax,
-      ouBars, empiricalTpFrac, ouLookback)
+      if (ouDistributed) None else ouBars, empiricalTpFrac, ouLookback)
       .collect()
       .sortBy(_.configId)
+      .map(s =>
+        if (ouDistributed) s.copy(ouRatio = ouOverride.get(s.configId)) else s)
 
     val nTrials = math.max(stats.length, 2)
     val varSr =

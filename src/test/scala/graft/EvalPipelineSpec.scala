@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.eval.{EvalPipeline, Extraction, Ranking}
+import graft.eval.{EvalPipeline, Extraction, OuRangeJoin, Ranking}
 
 /** End-to-end §3.2 pipeline over a synthetic multi-config trade frame, plus
   * extraction-layer and Spearman goldens.
@@ -140,6 +140,64 @@ class EvalPipelineSpec extends GraftSuite {
       val want = graft.eval.Stats.tamrs(st.rachev, slCdar, st.ouRatio)
       assert(r.tamrs.isDefined == want.isDefined)
       for (w <- want; g <- r.tamrs) assert(math.abs(g - w) < 1e-12)
+    }
+  }
+
+  test("E7 distributed OU range join: identical ratios to the broadcast path") {
+    import spark.implicits._
+    val rng = new scala.util.Random(11)
+    val n = 600
+    var x = 100.0
+    val bars = (0 until n).map { i =>
+      val sigma = if (i < 300) 0.05 else 0.25
+      x = x + 0.2 * (100.0 - x) + rng.nextGaussian() * sigma
+      (i.toLong * 1000000L, x)
+    }
+    val barsDf = bars.toDF("ts_us", "close")
+    val tr = new scala.util.Random(7)
+    // trade times include: warmup region (idx < lookback → NULL ratio),
+    // before the first bar, exactly on a bar ts, after the last bar, and
+    // chunk-sparse gaps (50 s chunks over 600 s of bars)
+    val trades = ((0 until 30).flatMap { i =>
+      Seq(("early", (150L + i) * 1000000L, 0.004 + tr.nextGaussian() * 0.01),
+        ("late", (450L + i) * 1000000L, 0.004 + tr.nextGaussian() * 0.01))
+    } ++ Seq(("edge", 5L * 1000000L, 0.001),      // warmup → None
+      ("edge", -1000000L, 0.001),                  // before first bar → None
+      ("edge", 300L * 1000000L, 0.001),            // exactly on a bar ts
+      ("edge", 999L * 1000000L, 0.001)))           // after last bar
+      .toDF("config_id", "ts_us", "return_pct")
+
+    val chunkUs = 50L * 1000000L
+    val got = OuRangeJoin.perTradeRatios(barsDf, trades, 0.002, 100, chunkUs)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+      .sortBy(t => (t._1, t._2))
+    val barTs = bars.map(_._1).toArray
+    val closes = bars.map(_._2).toArray
+    got.foreach { case (cid, ts, ratio) =>
+      val want = graft.eval.Stats.rollingOuRatios(barTs, closes, Array(ts), 0.002, 100).head
+      assert(ratio.isDefined == want.isDefined, s"$cid@$ts: $ratio vs $want")
+      for (w <- want; g <- ratio) assert(math.abs(g - w) < 1e-12, s"$cid@$ts")
+    }
+    // every trade row comes back exactly once
+    assert(got.length === trades.count())
+
+    // end-to-end: run(ouDistributed = true) reproduces the broadcast run
+    val mainTrades = trades.filter(col("config_id") =!= "edge")
+    val a = EvalPipeline.run(mainTrades, nBootstrap = 50,
+      ouBars = Some(barsDf), empiricalTpFrac = 0.002, ouLookback = 100)
+    val b = EvalPipeline.run(mainTrades, nBootstrap = 50,
+      ouBars = Some(barsDf), empiricalTpFrac = 0.002, ouLookback = 100,
+      ouDistributed = true)
+    val ar = a.reports.sortBy(_.configId)
+    val br = b.reports.sortBy(_.configId)
+    assert(ar.map(_.configId) === br.map(_.configId))
+    ar.zip(br).foreach { case (x1, x2) =>
+      assert(x1.tamrs.isDefined == x2.tamrs.isDefined, x1.configId)
+      for (t1 <- x1.tamrs; t2 <- x2.tamrs)
+        assert(math.abs(t1 - t2) < 1e-12, x1.configId)
+      assert(x1.screenTier === x2.screenTier, x1.configId)
     }
   }
 
