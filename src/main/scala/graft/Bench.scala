@@ -14,6 +14,16 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // dev-loop extra: optional comma-separated query filter (same contract
+    // as Verify; the driver passes no args, so its runs are unaffected)
+    val only: Option[Set[String]] = args.headOption.map(_.split(',').toSet)
+    only.foreach { names =>
+      val unknown = names -- SparkEntry.queries.keySet
+      if (unknown.nonEmpty) {
+        System.err.println(s"[bench] unknown query names: ${unknown.mkString(",")}")
+        sys.exit(2)
+      }
+    }
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -26,7 +36,9 @@ object Bench {
     // whichever query happens to run first
     spark.range(1L << 20).selectExpr("sum(id) AS s")
       .write.format("noop").mode("overwrite").save()
-    val results = SparkEntry.queries.toSeq.map { case (name, fn) =>
+    val results = SparkEntry.queries.toSeq
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       System.gc() // isolate queries: a predecessor's garbage is not this query's cost
       val t0 = System.nanoTime()
       // noop sink: forces full evaluation of every output column (a bare

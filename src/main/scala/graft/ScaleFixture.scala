@@ -1,0 +1,173 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deterministic scale-rehearsal fixture generator (dev tool, not part of
+  * the query surface). Expands a driver testdata directory by
+  * `seriesK × timeK` along the two axes a production deployment actually
+  * grows on:
+  *
+  *   - seriesK: more independent series/assets (new `event_type` values) —
+  *     the horizontal-scale axis; window stages parallelize across them.
+  *   - timeK:   longer history per series (disjoint time segments appended
+  *     per series) — the hard axis for sequential per-series operators
+  *     (rolling-quantile replay, Laguerre recursion).
+  *
+  * TPC-H-ish tables are replicated `seriesK*timeK` times with consistent
+  * foreign-key shifts so every join still resolves. Documents are expanded
+  * with a half-splice construction (first half of doc i + second half of a
+  * partner doc) so the corpus grows with *genuinely new* documents that
+  * carry realistic partial-duplicate structure — naive full copies would
+  * make every LSH bucket quadratic in the replication factor, which
+  * benchmarks the pathology rather than the scale. Embeddings get a small
+  * deterministic per-replica perturbation for the same reason.
+  *
+  * All arithmetic is seed-free and closed-form: same inputs, same fixture.
+  *
+  * Usage: runMain graft.ScaleFixture <srcDir> <dstDir> [seriesK] [timeK]
+  */
+object ScaleFixture {
+
+  def main(args: Array[String]): Unit = {
+    val src = args(0)
+    val dst = args(1)
+    val seriesK = args.lift(2).map(_.toInt).getOrElse(5)
+    val timeK = args.lift(3).map(_.toInt).getOrElse(2)
+    val k = seriesK * timeK
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession
+      .builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def write(df: DataFrame, name: String): Unit = {
+      df.coalesce(8).write.mode("overwrite").parquet(s"$dst/$name.parquet")
+      println(s"[scale] wrote $name")
+    }
+
+    def maxOf(df: DataFrame, c: String): Long =
+      df.agg(max(col(c))).head.getLong(0)
+
+    // replica index table: one row per replica, id 0 keeps the original rows
+    val reps = spark.range(k).select(col("id").as("rep"))
+
+    // --- small dims: fixed cardinality at any scale, copy verbatim ---
+    for (t <- Seq("region", "nation"))
+      write(Tables.table(spark, src, t), t)
+
+    // --- star schema: replicate with consistent key shifts so joins hold ---
+    val cust = Tables.customer(spark, src)
+    val supp = Tables.supplier(spark, src)
+    val prt = Tables.part(spark, src)
+    val ord = Tables.orders(spark, src)
+    val li = Tables.lineitem(spark, src)
+    val (cM, sM, pM, oM) = (
+      maxOf(cust, "c_custkey") + 1,
+      maxOf(supp, "s_suppkey") + 1,
+      maxOf(prt, "p_partkey") + 1,
+      maxOf(ord, "o_orderkey") + 1
+    )
+
+    def shiftRep(df: DataFrame, shifts: Map[String, Long]): DataFrame =
+      df.crossJoin(reps)
+        .select(df.columns.map { c =>
+          shifts.get(c) match {
+            case Some(m) => (col(c) + col("rep") * m).as(c)
+            case None    => col(c)
+          }
+        }: _*)
+
+    write(shiftRep(cust, Map("c_custkey" -> cM)), "customer")
+    write(shiftRep(supp, Map("s_suppkey" -> sM)), "supplier")
+    write(shiftRep(prt, Map("p_partkey" -> pM)), "part")
+    write(shiftRep(ord, Map("o_orderkey" -> oM, "o_custkey" -> cM)), "orders")
+    write(
+      shiftRep(
+        li,
+        Map("l_orderkey" -> oM, "l_partkey" -> pM, "l_suppkey" -> sM)
+      ),
+      "lineitem"
+    )
+
+    // --- events: seriesK new series × timeK appended time segments ---
+    val ev = Tables.events(spark, src)
+    val evStats =
+      ev.agg(max("event_id"), max("ts"), min("ts")).head
+    val eM = evStats.getLong(0) + 1
+    // one-hour gap between appended segments so they never interleave
+    val span = evStats.getLong(1) - evStats.getLong(2) + 3600L * 1000 * 1000 * 1000
+    val evReps = spark
+      .range(seriesK)
+      .select(col("id").as("s"))
+      .crossJoin(spark.range(timeK).select(col("id").as("t")))
+      .withColumn("rep", col("s") * timeK + col("t"))
+    val evScaled = ev
+      .crossJoin(evReps)
+      .select(
+        (col("event_id") + col("rep") * eM).as("event_id"),
+        (col("ts") + col("t") * span).as("ts"),
+        col("user_id"),
+        when(col("s") === 0, col("event_type"))
+          .otherwise(concat(col("event_type"), lit("#"), col("s")))
+          .as("event_type"),
+        col("value"),
+        col("props")
+      )
+    write(evScaled, "events")
+
+    // --- documents: half-splice expansion (new docs, partial-dup structure) ---
+    val docs = Tables.documents(spark, src).cache()
+    val dM = maxOf(docs, "doc_id") + 1
+    val nDocs = docs.count()
+    val partners = docs.select(
+      col("doc_id").as("p_key"),
+      col("text").as("p_text")
+    )
+    val expanded = docs
+      .crossJoin(reps)
+      // partner walks a different stride per replica; rep 0 keeps originals
+      .withColumn("p_key", pmod(col("doc_id") + col("rep") * 37L, lit(nDocs)))
+      .join(broadcast(partners), Seq("p_key"), "left")
+      .select(
+        (col("doc_id") + col("rep") * dM).as("doc_id"),
+        when(col("rep") === 0 || col("p_text").isNull, col("text"))
+          .otherwise(
+            concat(
+              col("text").substr(lit(1), (length(col("text")) / 2).cast("int")),
+              col("p_text").substr(
+                (length(col("p_text")) / 2 + 1).cast("int"),
+                lit(100000)
+              )
+            )
+          )
+          .as("text"),
+        col("lang"),
+        col("source")
+      )
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    write(expanded, "documents")
+    docs.unpersist()
+
+    // --- embeddings: replicate with a small deterministic perturbation ---
+    val emb = Tables.embeddings(spark, src)
+    val vM = maxOf(emb, "vec_id") + 1
+    val embScaled = emb
+      .crossJoin(reps)
+      .select(
+        (col("vec_id") + col("rep") * vM).as("vec_id"),
+        expr(
+          "transform(embedding, (x, i) -> cast(x + 0.02 * sin(vec_id * 31.0d + i + rep * 7.0d) as float))"
+        ).as("embedding"),
+        col("label")
+      )
+    write(embScaled, "embeddings")
+
+    println(s"[scale] done: $src -> $dst at ${seriesK}x${timeK} = ${k}x")
+    spark.stop()
+  }
+}
