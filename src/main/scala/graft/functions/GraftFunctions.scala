@@ -183,6 +183,120 @@ object QuantileMultiExclusive {
   }
 }
 
+/** Sequential-fold dot product of two numeric-array columns — the
+  * codegen'd kernel behind every cosine in the similarity layer.
+  *
+  * Semantics are exactly `aggregate(zip_with(a, b, (x,y) -> x*y), 0D,
+  * (acc,v) -> acc+v)` — a strict LEFT fold in element order, so doubles are
+  * bit-identical to the HOF form and to the DuckDB `list_reduce` oracle —
+  * but evaluated as one static loop instead of interpreted lambda closures
+  * that materialize a zipped array per call. On the blocked pairwise
+  * verifier (q28) the HOF form was ~80× the per-pair cost of this loop at
+  * the 10× rehearsal scale. Accepts float or double arrays (floats promote
+  * exactly, as the explicit double-cast did); length mismatch or a NULL
+  * element poisons to NULL, matching zip_with + `acc + NULL`.
+  */
+case class DotFold(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  private def isFloat(e: Expression): Boolean = e.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def nullSafeEval(aAny: Any, bAny: Any): Any =
+    DotFold.evalDot(
+      aAny.asInstanceOf[ArrayData], bAny.asInstanceOf[ArrayData],
+      isFloat(left), isFloat(right))
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      s"""
+         |java.lang.Double ${ev.value}_r = graft.functions.DotFold.evalDot(
+         |  $a, $b, ${isFloat(left)}, ${isFloat(right)});
+         |if (${ev.value}_r == null) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = ${ev.value}_r.doubleValue();
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+  override def prettyName: String = "dot_fold"
+}
+
+object DotFold {
+  def evalDot(a: ArrayData, b: ArrayData, aF: Boolean, bF: Boolean): java.lang.Double = {
+    val n = a.numElements()
+    if (n != b.numElements()) return null
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      val x = if (aF) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (bF) b.getFloat(i).toDouble else b.getDouble(i)
+      acc += x * y
+      i += 1
+    }
+    acc
+  }
+}
+
+/** Intersection cardinality of two SORTED, DISTINCT, null-free string
+  * arrays — the codegen'd kernel behind every shingle-set Jaccard
+  * (|A∪B| = |A|+|B|−|A∩B| makes the union size free).
+  *
+  * `size(array_intersect(a, b))` builds a hash set and an output array per
+  * evaluation; on the blocked pairwise verifier (q25) that allocation was
+  * ~75× the per-pair cost of this merge walk at the 10× rehearsal scale.
+  * Caller contract: both inputs pre-sorted with `sort_array` (one sort per
+  * document, amortized over all its pairs) — binary UTF8 order, the same
+  * ordering this merge uses.
+  */
+case class SortedIntersectCount(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(aAny: Any, bAny: Any): Any =
+    SortedIntersectCount.evalCount(
+      aAny.asInstanceOf[ArrayData], bAny.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.SortedIntersectCount.evalCount($a, $b)")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+  override def prettyName: String = "sorted_intersect_count"
+}
+
+object SortedIntersectCount {
+  def evalCount(a: ArrayData, b: ArrayData): Int = {
+    val (na, nb) = (a.numElements(), b.numElements())
+    var i = 0
+    var j = 0
+    var n = 0
+    while (i < na && j < nb) {
+      val cmp = a.getUTF8String(i).compareTo(b.getUTF8String(j))
+      if (cmp == 0) { n += 1; i += 1; j += 1 }
+      else if (cmp < 0) i += 1
+      else j += 1
+    }
+    n
+  }
+}
+
 object QuantileExactExclusive {
   /** Static evaluator shared by the interpreted and codegen paths. */
   def evalArray(ad: ArrayData, q: Double): java.lang.Double = {
@@ -225,6 +339,17 @@ object GraftFunctions {
     * [[QuantileMultiExclusive]]); result(i) == quantileExactExclusive(qs(i)). */
   def quantileMultiExclusive(arr: Column, qs: Seq[Double]): Column =
     GraftBridge.toColumn(QuantileMultiExclusive(GraftBridge.toExpr(arr), qs))
+
+  /** Sequential-fold dot product (see [[DotFold]]); bit-identical to
+    * `aggregate(zip_with(a, b, (x,y) -> x*y), 0D, (acc,v) -> acc+v)`. */
+  def dotFold(a: Column, b: Column): Column =
+    GraftBridge.toColumn(DotFold(GraftBridge.toExpr(a), GraftBridge.toExpr(b)))
+
+  /** |A∩B| of two sorted distinct null-free string arrays (see
+    * [[SortedIntersectCount]]). */
+  def sortedIntersectCount(a: Column, b: Column): Column =
+    GraftBridge.toColumn(SortedIntersectCount(
+      GraftBridge.toExpr(a), GraftBridge.toExpr(b)))
 
   /** Exclusive quantile as an incremental aggregate (TypedImperativeAggregate)
     * — use for plain aggregation and EXPANDING window frames (SURVEY §4.3.1b);

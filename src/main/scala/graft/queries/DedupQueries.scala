@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables
@@ -28,14 +28,26 @@ object DedupQueries {
 
   type Q = (SparkSession, String) => DataFrame
 
-  /** doc_id + distinct word-2-shingle set (the unit of Jaccard/MinHash). */
+  /** doc_id + distinct word-2-shingle set (the unit of Jaccard/MinHash).
+    * The set is SORTED (one sort per document) so every pairwise Jaccard
+    * downstream is a single merge walk (SortedIntersectCount) instead of a
+    * per-pair hash-set build — set consumers (explode/minhash) are
+    * order-insensitive, so this costs nothing there. */
   private def withShingleSet(spark: SparkSession, d: String): DataFrame =
     Tables.documents(spark, d)
       .withColumn("tok", split(trim(col("text")), "\\s+"))
       .withColumn("sh2",
         expr("transform(sequence(1, greatest(size(tok) - 1, 1))," +
           " i -> concat_ws(' ', slice(tok, i, 2)))"))
-      .withColumn("shset", array_distinct(col("sh2")))
+      .withColumn("shset", sort_array(array_distinct(col("sh2"))))
+
+  /** Exact Jaccard of two sorted distinct shingle sets:
+    * |A∩B| / (|A|+|B|−|A∩B|) — same integers, same double division as the
+    * array_intersect/array_union form, via one merge walk. */
+  private def jaccard(s1: Column, s2: Column): Column = {
+    val inter = graft.functions.GraftFunctions.sortedIntersectCount(s1, s2)
+    inter.cast("double") / (size(s1) + size(s2) - inter).cast("double")
+  }
 
   private val shingleSetSql: String =
     s"""SELECT doc_id, lang, source,
@@ -64,9 +76,7 @@ object DedupQueries {
     val pairs = a.join(b,
       col("lang") === col("lang_b") && col("source") === col("source_b") &&
         col("doc_id_1") < col("doc_id_2"))
-      .withColumn("jac",
-        size(array_intersect(col("s1"), col("s2"))).cast("double") /
-          size(array_union(col("s1"), col("s2"))).cast("double"))
+      .withColumn("jac", jaccard(col("s1"), col("s2")))
     val w = Window.partitionBy(col("lang"))
       .orderBy(col("jac").desc, col("doc_id_1"), col("doc_id_2"))
     pairs.withColumn("rnk", row_number().over(w))
@@ -244,9 +254,7 @@ object DedupQueries {
     val scored = cand
       .join(shingled.select(col("doc_id").as("d1"), col("shset").as("s1")), "d1")
       .join(shingled.select(col("doc_id").as("d2"), col("shset").as("s2")), "d2")
-      .withColumn("jac",
-        size(array_intersect(col("s1"), col("s2"))).cast("double") /
-          size(array_union(col("s1"), col("s2"))).cast("double"))
+      .withColumn("jac", jaccard(col("s1"), col("s2")))
     val isVerified = col("jac") >= JaccardThreshold
     val census = scored.agg(
       count(lit(1)).as("n_candidate_pairs"),

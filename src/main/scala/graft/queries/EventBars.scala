@@ -87,24 +87,31 @@ object EventBars {
     * empty (last bar of a series) produce no row here (inner join) — the
     * contract is equivalence AFTER the P3 entry filter (`entry_price IS NOT
     * NULL` implies ≥1 forward bar), which every caller applies upstream.
+    * (event_type, rn) must uniquely key `signals` rows.
     */
   def forwardArraysFor(signals: DataFrame, bars: DataFrame, k: Int): DataFrame = {
-    val sigCols = signals.columns.map(col)
-    val s = signals.withColumn("s_chunk",
-      explode(expr(s"sequence(rn div $k, (rn + $k) div $k)")))
+    // shuffle-width discipline: the band join fans every signal out to ~k
+    // bar rows, so ONLY the join key (event_type, rn) rides through the
+    // fan-out and the array aggregation — the full signal payload would be
+    // duplicated k× through two shuffles otherwise. Arrays are built on the
+    // narrow frame and joined back to the (much smaller, un-fanned) signal
+    // frame at the end.
+    val s = signals.select(col("event_type"), col("rn"))
+      .withColumn("s_chunk",
+        explode(expr(s"sequence(rn div $k, (rn + $k) div $k)")))
     val barsC = bars.select(
       col("event_type").as("b_et"), col("rn").as("b_rn"),
       col("high").as("b_high"), col("low").as("b_low"),
       col("open").as("b_open"), col("close").as("b_close"))
       .withColumn("b_chunk", expr(s"b_rn div $k"))
-    val joined = s.join(barsC,
+    val arrays = s.join(barsC,
       col("event_type") === col("b_et") && col("s_chunk") === col("b_chunk") &&
         col("b_rn") > col("rn") && col("b_rn") <= col("rn") + k)
-    joined
-      .groupBy(sigCols: _*)
+      .groupBy(col("event_type"), col("rn"))
       .agg(sort_array(collect_list(struct(
         col("b_rn"), col("b_high"), col("b_low"), col("b_open"), col("b_close"))))
         .as("fwd"))
+    signals.join(arrays, Seq("event_type", "rn"))
       .withColumn("fwd_highs", expr("transform(fwd, x -> x.b_high)"))
       .withColumn("fwd_lows", expr("transform(fwd, x -> x.b_low)"))
       .withColumn("fwd_opens", expr("transform(fwd, x -> x.b_open)"))

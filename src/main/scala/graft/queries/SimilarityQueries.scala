@@ -25,16 +25,23 @@ object SimilarityQueries {
 
   type Q = (SparkSession, String) => DataFrame
 
-  /** Sequential-fold dot product of two double-array columns. */
+  /** Sequential-fold dot product — the codegen'd DotFold kernel,
+    * bit-identical to the interpreted
+    * `aggregate(zip_with(a, b, (x,y) -> x*y), 0D, (acc,v) -> acc+v)` form
+    * (same left-fold order; float elements promote exactly). */
   private def dot(a: String, b: String): Column =
-    expr(s"aggregate(zip_with($a, $b, (x, y) -> x * y), 0D, (acc, v) -> acc + v)")
+    graft.functions.GraftFunctions.dotFold(col(a), col(b))
 
   private def dotSql(a: String, b: String): String =
     s"list_reduce(list_transform(range(1, len($a) + 1), i -> $a[i] * $b[i]), (x, y) -> x + y)"
 
+  // `e` stays the RAW float array: DotFold promotes per element, so no
+  // doubled copy of the corpus is materialized, halving every join /
+  // broadcast payload in this file. Values are unchanged (float→double
+  // promotion is exact).
   private def withNorm(spark: SparkSession, d: String): DataFrame =
     Tables.embeddings(spark, d)
-      .withColumn("e", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+      .withColumn("e", col("embedding"))
       .withColumn("nrm", sqrt(dot("e", "e")))
 
   private val withNormSql: String =

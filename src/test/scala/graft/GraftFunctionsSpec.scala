@@ -58,6 +58,53 @@ class GraftFunctionsSpec extends GraftSuite {
     assert(nullRow.isNullAt(0))
   }
 
+  test("dot_fold is bit-identical to the aggregate(zip_with) fold, float and double") {
+    // double arrays: random-ish values, compare against the HOF form
+    val d = spark.range(200).select(
+      expr("transform(sequence(0, 63), i -> sin(id * 64 + i) * 10.0)").as("a"),
+      expr("transform(sequence(0, 63), i -> cos(id * 64 + i) * 10.0)").as("b"))
+    val both = d.select(
+      GraftFunctions.dotFold(col("a"), col("b")).as("fast"),
+      expr("aggregate(zip_with(a, b, (x, y) -> x * y), 0D, (acc, v) -> acc + v)").as("slow"))
+    assert(both.filter(col("fast") =!= col("slow")).count() === 0)
+    // float arrays: promotion must equal the explicit double cast
+    val f = spark.range(200).select(
+      expr("transform(sequence(0, 63), i -> CAST(sin(id * 64 + i) AS FLOAT))").as("a"),
+      expr("transform(sequence(0, 63), i -> CAST(cos(id * 64 + i) AS FLOAT))").as("b"))
+    val bothF = f.select(
+      GraftFunctions.dotFold(col("a"), col("b")).as("fast"),
+      expr("aggregate(zip_with(transform(a, x -> CAST(x AS DOUBLE))," +
+        " transform(b, x -> CAST(x AS DOUBLE)), (x, y) -> x * y)," +
+        " 0D, (acc, v) -> acc + v)").as("slow"))
+    assert(bothF.filter(col("fast") =!= col("slow")).count() === 0)
+    // edge semantics: empty → 0.0; null element or length mismatch → NULL
+    val edge = Seq(1).toDF("i").select(
+      GraftFunctions.dotFold(
+        expr("CAST(array() AS ARRAY<DOUBLE>)"), expr("CAST(array() AS ARRAY<DOUBLE>)")).as("empty"),
+      GraftFunctions.dotFold(
+        expr("array(1.0D, CAST(NULL AS DOUBLE))"), expr("array(1.0D, 2.0D)")).as("nul"),
+      GraftFunctions.dotFold(
+        expr("array(1.0D)"), expr("array(1.0D, 2.0D)")).as("mismatch")).first()
+    assert(edge.getDouble(0) === 0.0)
+    assert(edge.isNullAt(1) && edge.isNullAt(2))
+  }
+
+  test("sorted_intersect_count equals size(array_intersect) on sorted distinct arrays") {
+    val d = spark.range(300).select(
+      sort_array(array_distinct(
+        expr("transform(sequence(0, CAST(id % 17 AS INT)), i -> concat('w', (id * 7 + i * 3) % 23))"))).as("a"),
+      sort_array(array_distinct(
+        expr("transform(sequence(0, CAST(id % 13 AS INT)), i -> concat('w', (id * 5 + i * 2) % 23))"))).as("b"))
+    val both = d.select(
+      GraftFunctions.sortedIntersectCount(col("a"), col("b")).as("fast"),
+      size(array_intersect(col("a"), col("b"))).as("slow"),
+      (size(col("a")) + size(col("b")) -
+        GraftFunctions.sortedIntersectCount(col("a"), col("b"))).as("unionFast"),
+      size(array_union(col("a"), col("b"))).as("unionSlow"))
+    assert(both.filter(col("fast") =!= col("slow")).count() === 0)
+    assert(both.filter(col("unionFast") =!= col("unionSlow")).count() === 0)
+  }
+
   test("erf matches known table values to 1e-12") {
     val got = Seq(0.0, 0.5, 1.0, 2.0, -1.0).toDF("x")
       .select(GraftFunctions.erf(col("x")).as("e")).collect().map(_.getDouble(0))
