@@ -297,6 +297,218 @@ object SortedIntersectCount {
   }
 }
 
+/** 32-bit-prefix MD5 hash of a string, as a long — semantically identical
+  * to `conv(substring(md5(c), 1, 8), 16, 10)` (the engine's shared
+  * deterministic shingle/token hash, mirrored as
+  * `('0x' || substr(md5(x),1,8))::BIGINT` in the DuckDB oracles) but
+  * evaluated as one digest call over the UTF-8 bytes: no 32-char hex
+  * string, no substring, no base-16 parse, and the MessageDigest instance
+  * is thread-cached. The first 8 hex chars of the digest ARE its first 4
+  * bytes, so the value is the big-endian unsigned int of those bytes.
+  */
+case class Md5PrefixInt(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(v: Any): Any =
+    Md5PrefixInt.evalHash(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Md5PrefixInt.evalHash($c)")
+  override protected def withNewChildInternal(c: Expression): Md5PrefixInt = copy(c)
+  override def prettyName: String = "md5_prefix_int"
+}
+
+object Md5PrefixInt {
+  private val mdLocal: ThreadLocal[java.security.MessageDigest] =
+    ThreadLocal.withInitial(() => java.security.MessageDigest.getInstance("MD5"))
+  private val outLocal: ThreadLocal[Array[Byte]] =
+    ThreadLocal.withInitial(() => new Array[Byte](16))
+
+  def evalHash(s: org.apache.spark.unsafe.types.UTF8String): Long = {
+    val md = mdLocal.get()
+    md.reset()
+    md.update(s.getBytes)
+    val out = outLocal.get()
+    md.digest(out, 0, 16)
+    hash32(out)
+  }
+
+  private[functions] def hash32(d: Array[Byte]): Long =
+    ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+      ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+
+  /** Digest of `bytes[off, off+len)` → 32-bit-prefix long (zero-alloc path
+    * for byte-range windows; same value as evalHash on that slice). */
+  private[functions] def hashRange(bytes: Array[Byte], off: Int, len: Int): Long = {
+    val md = mdLocal.get()
+    md.reset()
+    md.update(bytes, off, len)
+    val out = outLocal.get()
+    md.digest(out, 0, 16)
+    hash32(out)
+  }
+}
+
+/** The whole q23 winnowing-fingerprint document loop as one expression:
+  * 5-char shingles → 32-bit-prefix MD5 hashes → rolling min of each 4-hash
+  * window → (n_shingles, n_fp = distinct mins, fp_min, fp_max).
+  *
+  * Semantically identical to the composed form
+  *   sh   = transform(sequence(1, greatest(length(text)-4, 1)), i -> substring(text, i, 5))
+  *   h    = transform(sh, md5Int)
+  *   mins = size<4 ? [array_min(h)] : transform(..., least of 4)
+  * but one static call per document: char→byte offsets computed once (so
+  * shingle windows are byte ranges, not per-position UTF8String
+  * allocations), one thread-cached digest, no hex round-trip, no
+  * interpreted higher-order lambdas. The rolling-hash CPU is the inherent
+  * cost; everything else was wrapper.
+  */
+case class WinnowStats(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_shingles", IntegerType, nullable = false),
+    StructField("n_fp", IntegerType, nullable = false),
+    StructField("fp_min", LongType, nullable = false),
+    StructField("fp_max", LongType, nullable = false)))
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(v: Any): Any =
+    WinnowStats.evalText(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.WinnowStats.evalText($c)")
+
+  override protected def withNewChildInternal(c: Expression): WinnowStats = copy(c)
+  override def prettyName: String = "winnow_stats"
+}
+
+object WinnowStats {
+  private final val K = 5 // shingle chars
+  private final val W = 4 // winnow window (hashes)
+
+  def evalText(s: org.apache.spark.unsafe.types.UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    val bytes = s.getBytes
+    // byte offset of each char start, plus the end sentinel
+    val nChars = s.numChars()
+    val offs = new Array[Int](nChars + 1)
+    var i = 0
+    var o = 0
+    while (i < nChars) {
+      offs(i) = o
+      o += org.apache.spark.unsafe.types.UTF8String.numBytesForFirstByte(bytes(o))
+      i += 1
+    }
+    offs(nChars) = bytes.length
+    // substring(text, i, 5) semantics: 1-based char start, shorter at the
+    // tail; n_shingles = greatest(nChars - 4, 1) (one whole-text shingle
+    // for short docs)
+    val nSh = math.max(nChars - (K - 1), 1)
+    val hashes = new Array[Long](nSh)
+    i = 0
+    while (i < nSh) {
+      val from = offs(math.min(i, nChars))
+      val until = offs(math.min(i + K, nChars))
+      hashes(i) = Md5PrefixInt.hashRange(bytes, from, until - from)
+      i += 1
+    }
+    // rolling min of each W-hash window; short docs: one global min
+    val nMins = if (nSh < W) 1 else nSh - (W - 1)
+    val mins = new Array[Long](nMins)
+    if (nSh < W) {
+      var m = Long.MaxValue
+      i = 0
+      while (i < nSh) { if (hashes(i) < m) m = hashes(i); i += 1 }
+      mins(0) = m
+    } else {
+      i = 0
+      while (i < nMins) {
+        var m = hashes(i)
+        var j = i + 1
+        while (j < i + W) { if (hashes(j) < m) m = hashes(j); j += 1 }
+        mins(i) = m
+        i += 1
+      }
+    }
+    var fpMin = Long.MaxValue
+    var fpMax = Long.MinValue
+    i = 0
+    while (i < nMins) {
+      if (mins(i) < fpMin) fpMin = mins(i)
+      if (mins(i) > fpMax) fpMax = mins(i)
+      i += 1
+    }
+    val sorted = java.util.Arrays.copyOf(mins, nMins)
+    java.util.Arrays.sort(sorted)
+    var nFp = 1
+    i = 1
+    while (i < nMins) { if (sorted(i) != sorted(i - 1)) nFp += 1; i += 1 }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](nSh, nFp, fpMin, fpMax))
+  }
+}
+
+/** Sorted distinct word-bigram set of a document — the shingle unit of the
+  * dedup family (q25/q26/q49) as ONE static call per document.
+  * Semantically identical to the composed chain
+  *   tok   = split(trim(text), "\\s+")
+  *   sh2   = transform(sequence(1, greatest(size(tok)-1, 1)),
+  *                     i -> concat_ws(' ', slice(tok, i, 2)))
+  *   shset = sort_array(array_distinct(sh2))
+  * (single-token docs yield that token as their one "bigram", exactly like
+  * slice's 1-element tail) but without the per-token interpreted lambda,
+  * slice allocation and two array rebuilds — the prep was ~4× the cost of
+  * the minhash aggregation it feeds at the 10× rehearsal scale. Sort order
+  * is binary UTF8, the same order sort_array uses, so downstream merge
+  * intersections (SortedIntersectCount) see identical arrays.
+  */
+case class WordBigrams(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(v: Any): Any =
+    WordBigrams.evalText(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.WordBigrams.evalText($c)")
+
+  override protected def withNewChildInternal(c: Expression): WordBigrams = copy(c)
+  override def prettyName: String = "word_bigrams"
+}
+
+object WordBigrams {
+  import org.apache.spark.unsafe.types.UTF8String
+
+  def evalText(s: UTF8String): ArrayData = {
+    // trim() is space-only (0x20), matching functions.trim; the regex split
+    // matches split(col, "\\s+") which delegates to Java String.split
+    val toks = s.trim().toString.split("\\s+", -1)
+    val n = math.max(toks.length - 1, 1)
+    val set = new java.util.TreeSet[UTF8String]()
+    var i = 0
+    while (i < n) {
+      val bigram =
+        if (i + 1 < toks.length) toks(i) + " " + toks(i + 1)
+        else toks(i) // 1-element tail slice (single-token doc)
+      set.add(UTF8String.fromString(bigram))
+      i += 1
+    }
+    val out = new Array[AnyRef](set.size())
+    val it = set.iterator()
+    i = 0
+    while (it.hasNext) { out(i) = it.next(); i += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
 object QuantileExactExclusive {
   /** Static evaluator shared by the interpreted and codegen paths. */
   def evalArray(ad: ArrayData, q: Double): java.lang.Double = {
@@ -350,6 +562,19 @@ object GraftFunctions {
   def sortedIntersectCount(a: Column, b: Column): Column =
     GraftBridge.toColumn(SortedIntersectCount(
       GraftBridge.toExpr(a), GraftBridge.toExpr(b)))
+
+  /** 32-bit-prefix MD5 hash (see [[Md5PrefixInt]]); drop-in for
+    * `conv(substring(md5(c), 1, 8), 16, 10)`. */
+  def md5PrefixInt(c: Column): Column =
+    GraftBridge.toColumn(Md5PrefixInt(GraftBridge.toExpr(c)))
+
+  /** Winnowing fingerprint stats struct (see [[WinnowStats]]). */
+  def winnowStats(text: Column): Column =
+    GraftBridge.toColumn(WinnowStats(GraftBridge.toExpr(text)))
+
+  /** Sorted distinct word-bigram shingle set (see [[WordBigrams]]). */
+  def wordBigrams(text: Column): Column =
+    GraftBridge.toColumn(WordBigrams(GraftBridge.toExpr(text)))
 
   /** Exclusive quantile as an incremental aggregate (TypedImperativeAggregate)
     * — use for plain aggregation and EXPANDING window frames (SURVEY §4.3.1b);

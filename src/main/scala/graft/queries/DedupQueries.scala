@@ -35,11 +35,7 @@ object DedupQueries {
     * order-insensitive, so this costs nothing there. */
   private def withShingleSet(spark: SparkSession, d: String): DataFrame =
     Tables.documents(spark, d)
-      .withColumn("tok", split(trim(col("text")), "\\s+"))
-      .withColumn("sh2",
-        expr("transform(sequence(1, greatest(size(tok) - 1, 1))," +
-          " i -> concat_ws(' ', slice(tok, i, 2)))"))
-      .withColumn("shset", sort_array(array_distinct(col("sh2"))))
+      .withColumn("shset", graft.functions.GraftFunctions.wordBigrams(col("text")))
 
   /** Exact Jaccard of two sorted distinct shingle sets:
     * |A∩B| / (|A|+|B|−|A∩B|) — same integers, same double division as the
@@ -66,16 +62,30 @@ object DedupQueries {
   // ~20× (near-dups overwhelmingly share a source); the quadratic term is
   // then bounded per block, which is what keeps this shape viable as blocks
   // scale — anything cross-block belongs to the LSH path (q26).
+  // Pair-stage parallelism is EXPLICIT (salt + repartition), not an
+  // accident of input splits: a small parquet reads as one split, and if
+  // the planner then broadcasts the other side there is no shuffle
+  // anywhere — the entire O(B²) stage lands on ONE task (observed at the
+  // 10× rehearsal: 32 cores, 1 busy). Salting doc_id_1 into nSalt cells
+  // and replicating the right side per salt keeps every pair exactly once
+  // while spreading each (lang, source) block across nSalt tasks — the
+  // block count no longer caps parallelism, and the repartition pins the
+  // probe side to shuffle.partitions regardless of join strategy.
+  private val PairSalt = 8
+
   def q25NgramJaccard(spark: SparkSession, d: String): DataFrame = {
     val docs = withShingleSet(spark, d).select(
       col("lang"), col("source"), col("doc_id"), col("shset"))
     val a = docs.select(col("lang"), col("source"),
       col("doc_id").as("doc_id_1"), col("shset").as("s1"))
+      .withColumn("salt", pmod(col("doc_id_1"), lit(PairSalt)))
+      .repartition(col("lang"), col("source"), col("salt"))
     val b = docs.select(col("lang").as("lang_b"), col("source").as("source_b"),
       col("doc_id").as("doc_id_2"), col("shset").as("s2"))
+      .withColumn("salt_b", explode(array((0 until PairSalt).map(lit): _*)))
     val pairs = a.join(b,
       col("lang") === col("lang_b") && col("source") === col("source_b") &&
-        col("doc_id_1") < col("doc_id_2"))
+        col("salt") === col("salt_b") && col("doc_id_1") < col("doc_id_2"))
       .withColumn("jac", jaccard(col("s1"), col("s2")))
     val w = Window.partitionBy(col("lang"))
       .orderBy(col("jac").desc, col("doc_id_1"), col("doc_id_2"))

@@ -56,12 +56,21 @@ object SimilarityQueries {
   // label, pair counts at cosine ≥ 0.8 / ≥ 0.9 plus distribution stats.
   // Cosines are rounded to 1e-6 before thresholding so the comparison is a
   // grid equality, not a raw-double one.
+  // Pair-stage parallelism is explicit (same salt pattern as q25): with a
+  // handful of labels and a one-split scan, the planner's broadcast join
+  // would otherwise run the whole O(B²) stage on one task.
+  private val PairSalt = 8
+
   def q28EmbeddingNeardup(spark: SparkSession, d: String): DataFrame = {
     val v = withNorm(spark, d)
     val a = v.select(col("label"), col("vec_id").as("id1"), col("e").as("e1"), col("nrm").as("n1"))
+      .withColumn("salt", pmod(col("id1"), lit(PairSalt)))
+      .repartition(col("label"), col("salt"))
     val b = v.select(col("label").as("label_b"), col("vec_id").as("id2"),
       col("e").as("e2"), col("nrm").as("n2"))
-    a.join(b, col("label") === col("label_b") && col("id1") < col("id2"))
+      .withColumn("salt_b", explode(array((0 until PairSalt).map(lit): _*)))
+    a.join(b, col("label") === col("label_b") && col("salt") === col("salt_b") &&
+        col("id1") < col("id2"))
       // P4 nullIf guard: a zero vector zeroes the norm product (ANSI-safe)
       .withColumn("cos", round(dot("e1", "e2") / nullif(col("n1") * col("n2"), lit(0.0)), 6))
       .groupBy(col("label"))

@@ -19,9 +19,11 @@ import graft.Tables
 object TextOps {
 
   /** 32-bit unsigned int from the first 8 hex chars of md5 — the shared
-    * deterministic hash for shingles/tokens (same formula in oracle SQL). */
-  def md5Int(c: Column): Column =
-    conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+    * deterministic hash for shingles/tokens (same formula in oracle SQL).
+    * Evaluated by the Md5PrefixInt kernel: one digest over the UTF-8
+    * bytes, no hex round-trip (bit-identical to
+    * `conv(substring(md5(c), 1, 8), 16, 10)`, pinned by spec). */
+  def md5Int(c: Column): Column = graft.functions.GraftFunctions.md5PrefixInt(c)
 
   def md5IntSql(x: String): String =
     s"('0x' || substr(md5($x),1,8))::BIGINT"
@@ -158,26 +160,20 @@ object TextQueries {
   // mins are the fingerprint set. All-integer output, bit-exact vs the
   // oracle. Per-row array work stays inside one projection — at 100 TB the
   // cost is CPU-per-row, not shuffle.
+  // The whole per-document loop is the WinnowStats kernel (one static call:
+  // byte-range shingle windows, thread-cached digest, rolling min in-place)
+  // — semantically the composed shingle→hash→window-min chain, pinned
+  // element-wise against that chain by spec. Per-shingle MD5 is the
+  // inherent cost; the wrapper allocations were ~10× on top of it.
   def q23Fingerprint(spark: SparkSession, d: String): DataFrame =
     Tables.documents(spark, d)
-      .withColumn("sh",
-        expr("transform(sequence(1, greatest(length(text) - 4, 1)), i -> substring(text, i, 5))"))
-      .withColumn("h", transform(col("sh"), s => md5Int(s)))
-      // rolling 4-window min via element_at + least — no per-position array
-      // allocation (slice+array_min allocated one array per window and was
-      // the hot spot); short docs keep the slice semantics (min of all).
-      .withColumn("mins",
-        expr("""CASE WHEN size(h) < 4 THEN array(array_min(h))
-          |ELSE transform(sequence(1, size(h) - 3), i ->
-          |  least(element_at(h, i), element_at(h, i + 1),
-          |        element_at(h, i + 2), element_at(h, i + 3)))
-          |END""".stripMargin))
+      .withColumn("ws", graft.functions.GraftFunctions.winnowStats(col("text")))
       .select(
         col("doc_id"),
-        size(col("sh")).as("n_shingles"),
-        size(array_distinct(col("mins"))).as("n_fp"),
-        array_min(col("mins")).as("fp_min"),
-        array_max(col("mins")).as("fp_max"))
+        col("ws.n_shingles").as("n_shingles"),
+        col("ws.n_fp").as("n_fp"),
+        col("ws.fp_min").as("fp_min"),
+        col("ws.fp_max").as("fp_max"))
       .orderBy(col("doc_id"))
 
   val q23Sql: String =

@@ -105,6 +105,72 @@ class GraftFunctionsSpec extends GraftSuite {
     assert(both.filter(col("unionFast") =!= col("unionSlow")).count() === 0)
   }
 
+  test("md5_prefix_int equals conv(substring(md5, 1, 8), 16, 10)") {
+    val d = spark.range(500).select(
+      concat(lit("w"), (col("id") * 37 % 97).cast("string"),
+        when(col("id") % 7 === 0, lit(" é✓")).otherwise(lit(""))).as("s"))
+      .union(Seq("", " ", "é", "✓✓✓✓✓✓").toDF("s"))
+    val both = d.select(
+      GraftFunctions.md5PrefixInt(col("s")).as("fast"),
+      conv(substring(md5(col("s")), 1, 8), 16, 10).cast("long").as("slow"))
+    assert(both.filter(col("fast") =!= col("slow")).count() === 0)
+  }
+
+  test("winnow_stats equals the composed shingle→hash→window-min chain") {
+    // the pre-kernel q23 chain, spelled out
+    val composed = Seq(
+      ("sh", "transform(sequence(1, greatest(length(text) - 4, 1)), i -> substring(text, i, 5))"),
+      ("h", null), ("mins",
+        """CASE WHEN size(h) < 4 THEN array(array_min(h))
+          |ELSE transform(sequence(1, size(h) - 3), i ->
+          |  least(element_at(h, i), element_at(h, i + 1),
+          |        element_at(h, i + 2), element_at(h, i + 3)))
+          |END""".stripMargin))
+    val texts = Seq("", "a", "abcd", "abcde", "abcdef",
+      "héllo wörld ✓ mixed unicode text",
+      "the quick brown fox jumps over the lazy dog repeatedly and then some more")
+      .toDF("text")
+      .union(spark.range(100).select(
+        concat_ws(" ", (0 to 20).map(i =>
+          concat(lit("tok"), ((col("id") + i) * 31 % 59).cast("string"))): _*).as("text")))
+    val chain = texts
+      .withColumn("sh", expr(composed.head._2))
+      .withColumn("h", transform(col("sh"),
+        s => conv(substring(md5(s), 1, 8), 16, 10).cast("long")))
+      .withColumn("mins", expr(composed(2)._2))
+      .select(col("text"),
+        size(col("sh")).as("w_n_shingles"),
+        size(array_distinct(col("mins"))).as("w_n_fp"),
+        array_min(col("mins")).as("w_fp_min"),
+        array_max(col("mins")).as("w_fp_max"))
+    val both = chain
+      .withColumn("ws", GraftFunctions.winnowStats(col("text")))
+      .filter(
+        col("ws.n_shingles") =!= col("w_n_shingles") ||
+          col("ws.n_fp") =!= col("w_n_fp") ||
+          col("ws.fp_min") =!= col("w_fp_min") ||
+          col("ws.fp_max") =!= col("w_fp_max"))
+    assert(both.count() === 0)
+  }
+
+  test("word_bigrams equals the composed tokenize→bigram→distinct→sort chain") {
+    val texts = Seq("", " ", "one", "one two", "a b a b a",
+      "  padded   with	tabs\nand newlines  ",
+      "héllo wörld héllo wörld ✓")
+      .toDF("text")
+      .union(spark.range(100).select(
+        concat_ws(" ", (0 to 15).map(i =>
+          concat(lit("w"), ((col("id") + i) * 13 % 31).cast("string"))): _*).as("text")))
+    val chain = texts
+      .withColumn("tok", split(trim(col("text")), "\\s+"))
+      .withColumn("sh2",
+        expr("transform(sequence(1, greatest(size(tok) - 1, 1))," +
+          " i -> concat_ws(' ', slice(tok, i, 2)))"))
+      .withColumn("slow", sort_array(array_distinct(col("sh2"))))
+      .withColumn("fast", GraftFunctions.wordBigrams(col("text")))
+    assert(chain.filter(col("fast") =!= col("slow")).count() === 0)
+  }
+
   test("erf matches known table values to 1e-12") {
     val got = Seq(0.0, 0.5, 1.0, 2.0, -1.0).toDF("x")
       .select(GraftFunctions.erf(col("x")).as("e")).collect().map(_.getDouble(0))
