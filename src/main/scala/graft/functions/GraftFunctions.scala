@@ -509,6 +509,65 @@ object WordBigrams {
   }
 }
 
+/** Seeded running maximum of a double array — element i is
+  * max(seed, arr[1..i]) (1-based prefixes). Semantically identical to
+  *   transform(sequence(1, size(a)), i -> greatest(seed, array_max(slice(a, 1, i))))
+  * (the trailing-stop running high of gen201, seeded with the entry price)
+  * but a single O(n) scan instead of the O(n²) per-trade slice+max chain —
+  * at the reference's 200-bar forward windows that is 40,000 → 200 ops per
+  * trade. Max is associative and commutative over doubles, so the scan's
+  * values are bit-identical to the slice form. NULL elements poison the
+  * prefix from their position on, exactly like array_max over a slice
+  * containing NULL... which never occurs here (forward arrays are built
+  * from non-null OHLC); inputs with NULLs return NULL for safety.
+  */
+case class RunningMaxSeeded(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(arrAny: Any, seedAny: Any): Any =
+    RunningMaxSeeded.evalScan(
+      arrAny.asInstanceOf[ArrayData], seedAny.asInstanceOf[Double])
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, (arr, seed) => {
+      s"""
+         |org.apache.spark.sql.catalyst.util.ArrayData ${ev.value}_r =
+         |  graft.functions.RunningMaxSeeded.evalScan($arr, $seed);
+         |if (${ev.value}_r == null) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = ${ev.value}_r;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+  override def prettyName: String = "running_max_seeded"
+}
+
+object RunningMaxSeeded {
+  def evalScan(ad: ArrayData, seed: Double): ArrayData = {
+    val n = ad.numElements()
+    val out = new Array[Double](n)
+    var m = seed
+    var i = 0
+    while (i < n) {
+      if (ad.isNullAt(i)) return null
+      val v = ad.getDouble(i)
+      if (v > m) m = v
+      out(i) = m
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
 object QuantileExactExclusive {
   /** Static evaluator shared by the interpreted and codegen paths. */
   def evalArray(ad: ArrayData, q: Double): java.lang.Double = {
@@ -575,6 +634,12 @@ object GraftFunctions {
   /** Sorted distinct word-bigram shingle set (see [[WordBigrams]]). */
   def wordBigrams(text: Column): Column =
     GraftBridge.toColumn(WordBigrams(GraftBridge.toExpr(text)))
+
+  /** Seeded prefix maximum array (see [[RunningMaxSeeded]]); one O(n) scan
+    * replacing the O(n²) transform/array_max(slice) chain. */
+  def runningMaxSeeded(arr: Column, seed: Column): Column =
+    GraftBridge.toColumn(RunningMaxSeeded(
+      GraftBridge.toExpr(arr), GraftBridge.toExpr(seed)))
 
   /** Exclusive quantile as an incremental aggregate (TypedImperativeAggregate)
     * — use for plain aggregation and EXPANDING window frames (SURVEY §4.3.1b);

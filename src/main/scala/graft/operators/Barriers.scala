@@ -75,9 +75,10 @@ object Barriers {
     val entry = col("entry_price")
     val scanned = df
       .withColumn("tp_price", entry * (lit(1.0) + col("tp_pct")))
-      .withColumn("running_maxes",
-        transform(sequence(lit(1), size(col("fwd_highs"))),
-          i => greatest(entry, array_max(slice(col("fwd_highs"), lit(1), i)))))
+      .withColumn("running_maxes", // O(n) seeded prefix-max scan (vs the
+        // O(n²) slice+array_max chain; max is order-independent, so values
+        // are bit-identical — pinned by spec)
+        graft.functions.GraftFunctions.runningMaxSeeded(col("fwd_highs"), entry))
       .withColumn("trailing_sls",
         transform(col("running_maxes"), rm => rm * (lit(1.0) - col("trail_pct"))))
       .withColumn("window_bars",
@@ -179,9 +180,10 @@ object Barriers {
     val scanned = df
       .withColumn("tp_price", entry * (lit(1.0) + col("tp_pct")))
       .withColumn("sl_price", entry * (lit(1.0) - col("sl_pct")))
-      .withColumn("running_maxes",
-        transform(sequence(lit(1), size(col("fwd_highs"))),
-          i => greatest(entry, array_max(slice(col("fwd_highs"), lit(1), i)))))
+      .withColumn("running_maxes", // O(n) seeded prefix-max scan (vs the
+        // O(n²) slice+array_max chain; max is order-independent, so values
+        // are bit-identical — pinned by spec)
+        graft.functions.GraftFunctions.runningMaxSeeded(col("fwd_highs"), entry))
       .withColumn("trailing_sls",
         transform(col("running_maxes"), rm => rm * (lit(1.0) - col("trail_pct"))))
       .withColumn("window_bars",

@@ -171,6 +171,19 @@ class GraftFunctionsSpec extends GraftSuite {
     assert(chain.filter(col("fast") =!= col("slow")).count() === 0)
   }
 
+  test("running_max_seeded equals the transform/array_max(slice) chain") {
+    // non-empty arrays only: the barrier engine guarantees ≥1 forward bar
+    // (entry filter), and sequence(1, 0) would turn descending in the
+    // composed chain rather than empty
+    val d = spark.range(200).select(
+      expr("transform(sequence(1, 1 + CAST(id % 40 AS INT)), i -> sin(id * 40 + i) * 100.0)").as("a"),
+      (col("id").cast("double") % 50.0).as("seed"))
+    val both = d.select(
+      GraftFunctions.runningMaxSeeded(col("a"), col("seed")).as("fast"),
+      expr("transform(sequence(1, size(a)), i -> greatest(seed, array_max(slice(a, 1, i))))").as("slow"))
+    assert(both.filter(col("fast") =!= col("slow")).count() === 0)
+  }
+
   test("erf matches known table values to 1e-12") {
     val got = Seq(0.0, 0.5, 1.0, 2.0, -1.0).toDF("x")
       .select(GraftFunctions.erf(col("x")).as("e")).collect().map(_.getDouble(0))
