@@ -54,11 +54,21 @@ object SweepQueries {
     val stackExpr = sweepFormations.map { case (name, p) =>
       s"'$name', CASE WHEN $p THEN 1 ELSE 0 END"
     }.mkString(s"stack(${sweepFormations.size}, ", ", ", ") as (formation, flag)")
-    val perFormation = sig
+    val gridDf = grid.toDF("barrier_profile", "tp_pct", "sl_pct", "max_bars")
+    // scan BEFORE the formation stack: the barrier outcome is independent
+    // of which formation(s) tagged the signal, so the array scan runs once
+    // per (signal × profile) instead of once per (signal × formation ×
+    // profile), and the stack explodes narrow outcome rows (Catalyst
+    // prunes the forward arrays above the Generate, so they never ride
+    // through the explode)
+    val scanned = Barriers.tripleBarrier(sig.crossJoin(broadcast(gridDf)))
+      // explicit narrow projection: only the stack inputs + metric columns
+      // ride through the explode (not left to optimizer pruning)
+      .select(col("dir_0"), col("dir_1"), col("dir_2"), col("barrier_profile"),
+        col("entry_price"), col("exit_type"), col("exit_bar"), col("exit_price"))
+    val trades = scanned
       .select(col("*"), expr(stackExpr))
       .filter(col("flag") === 1)
-    val gridDf = grid.toDF("barrier_profile", "tp_pct", "sl_pct", "max_bars")
-    val trades = Barriers.tripleBarrier(perFormation.crossJoin(broadcast(gridDf)))
     Barriers.metricsAgg(trades, col("formation"), col("barrier_profile"))
       .select(col("formation"), col("barrier_profile"),
         col("total_signals"), col("tp_count"), col("sl_count"), col("time_count"),
@@ -183,11 +193,16 @@ object SweepQueries {
     val gateStack = regimeGates.map { case (name, p) =>
       s"'$name', CASE WHEN $p THEN 1 ELSE 0 END"
     }.mkString(s"stack(${regimeGates.size}, ", ", ", ") as (regime_gate, gate_flag)")
-    val perCombo = sig
+    val gridDf = grid.toDF("barrier_profile", "tp_pct", "sl_pct", "max_bars")
+    // same scan-before-stack shape as q43: outcomes are formation/gate
+    // independent, so the two stacks explode narrow post-scan rows
+    val scanned = Barriers.tripleBarrier(sig.crossJoin(broadcast(gridDf)))
+      .select(col("dir_0"), col("dir_1"), col("dir_2"), col("regime"),
+        col("barrier_profile"), col("entry_price"), col("exit_type"),
+        col("exit_bar"), col("exit_price"))
+    val trades = scanned
       .select(col("*"), expr(formationStack)).filter(col("flag") === 1)
       .select(col("*"), expr(gateStack)).filter(col("gate_flag") === 1)
-    val gridDf = grid.toDF("barrier_profile", "tp_pct", "sl_pct", "max_bars")
-    val trades = Barriers.tripleBarrier(perCombo.crossJoin(broadcast(gridDf)))
     Barriers.metricsAgg(trades, col("formation"), col("regime_gate"), col("barrier_profile"))
       .select(col("formation"), col("regime_gate"), col("barrier_profile"),
         col("total_signals"), col("tp_count"), col("sl_count"), col("time_count"),
@@ -223,9 +238,12 @@ object SweepQueries {
       s"'$name', CASE WHEN $p THEN 1 ELSE 0 END"
     }.mkString(s"stack(${sweepFormations.size}, ", ", ", ") as (formation, flag)")
     val gridDf = grid.toDF("barrier_profile", "tp_pct", "sl_pct", "max_bars")
-    val trades = Barriers.tripleBarrier(
-      sig.select(col("*"), expr(stackExpr)).filter(col("flag") === 1)
-        .crossJoin(broadcast(gridDf)))
+    // scan-before-stack (see q43): outcome is formation-independent
+    val trades = Barriers.tripleBarrier(sig.crossJoin(broadcast(gridDf)))
+      .select(col("dir_0"), col("dir_1"), col("dir_2"), col("event_type"),
+        col("barrier_profile"), col("entry_price"), col("exit_type"),
+        col("exit_bar"), col("exit_price"))
+      .select(col("*"), expr(stackExpr)).filter(col("flag") === 1)
     // per-asset PF rounded to the same 1e-6 grid as the oracle BEFORE the
     // rollup, so the >1.0 gate and the average see identical doubles
     val perAsset = Barriers.metricsAgg(trades,
