@@ -39,7 +39,13 @@ object Bench {
     val results = SparkEntry.queries.toSeq
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
-      System.gc() // isolate queries: a predecessor's garbage is not this query's cost
+      // isolate queries: a predecessor's cached frames are not this query's
+      // head start (CacheManager matches canonicalized plans ACROSS queries,
+      // so two queries persisting the same bar frame would otherwise share
+      // one materialization and skew the per-query numbers), and a
+      // predecessor's garbage is not this query's cost
+      spark.catalog.clearCache()
+      System.gc()
       val t0 = System.nanoTime()
       // noop sink: forces full evaluation of every output column (a bare
       // count() lets Catalyst prune projections and undercounts the work)

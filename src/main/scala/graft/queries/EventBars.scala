@@ -74,8 +74,18 @@ object EventBars {
     * Emits the same schema as withForwardArrays restricted to signal rows
     * (verified row-for-row in ForwardArraysSpec).
     */
-  def signalForwardArrays(bars: DataFrame, isSignal: Column, k: Int): DataFrame =
-    forwardArraysFor(bars.filter(isSignal), bars, k)
+  def signalForwardArrays(bars: DataFrame, isSignal: Column, k: Int): DataFrame = {
+    // The band join reads `bars` from three subtrees (the signal filter, the
+    // chunked array source, and the join-back of the signal payload).
+    // Without a shared materialization Catalyst plans an independent
+    // scan + shuffle + sort + window stack per subtree — observed as 3×
+    // parquet scans in the q43 plan. Persisting the frame is the local form
+    // of the stage checkpoint a 100 TB run would write between the bar-prep
+    // and sweep stages; MEMORY_AND_DISK spills instead of recomputing when
+    // the bar frame outgrows executor storage.
+    val shared = bars.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    forwardArraysFor(shared.filter(isSignal), shared, k)
+  }
 
   /** Banded-join forward-array attachment for an ALREADY-FILTERED signal
     * frame (the general form of [[signalForwardArrays]]): `signals` needs

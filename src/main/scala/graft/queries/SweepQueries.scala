@@ -249,7 +249,9 @@ object SweepQueries {
     val perAsset = Barriers.metricsAgg(trades,
       col("formation"), col("barrier_profile"), col("event_type"))
       .withColumn("profit_factor", round(col("profit_factor"), 6) + 0.0)
-    val nAssets = EventBars.bars(spark, d)
+    // count assets from the (persisted) flagged frame, not a fourth
+    // scan+window stack over the raw events parquet
+    val nAssets = flagged
       .agg(count_distinct(col("event_type")).as("n_assets"))
     perAsset.groupBy(col("formation"), col("barrier_profile"))
       .agg(
