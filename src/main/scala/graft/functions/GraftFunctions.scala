@@ -150,6 +150,29 @@ case class QuantileMultiExclusive(child: Expression, qs: Seq[Double])
 }
 
 object QuantileMultiExclusive {
+  /** Exclusive-quantile interpolation over an ALREADY-SORTED prefix
+    * `buf[0, m)` — the single shared arithmetic behind the declarative
+    * expression AND the per-series replay kernel
+    * (operators/Formations.withFormationColumnsReplay), so the two paths
+    * are bit-identical by construction. Caller guarantees m > 0. */
+  def interpolate(buf: Array[Double], m: Int, qs: Array[Double]): Array[Double] = {
+    val out = new Array[Double](qs.length)
+    var k = 0
+    while (k < qs.length) {
+      val h = qs(k) * (m + 1)
+      out(k) =
+        if (h < 1.0) buf(0)
+        else if (h >= m) buf(m - 1)
+        else {
+          val fh = math.floor(h)
+          val idx = fh.toInt
+          buf(idx - 1) + (h - fh) * (buf(idx) - buf(idx - 1))
+        }
+      k += 1
+    }
+    out
+  }
+
   /** One sort, k interpolations; element k follows the exact scalar
     * evalArray semantics for qs(k). */
   def evalArray(ad: ArrayData, qs: Array[Double]): ArrayData = {
@@ -164,21 +187,7 @@ object QuantileMultiExclusive {
     if (m == 0) null
     else {
       java.util.Arrays.sort(buf, 0, m)
-      val out = new Array[Double](qs.length)
-      var k = 0
-      while (k < qs.length) {
-        val h = qs(k) * (m + 1)
-        out(k) =
-          if (h < 1.0) buf(0)
-          else if (h >= m) buf(m - 1)
-          else {
-            val fh = math.floor(h)
-            val idx = fh.toInt
-            buf(idx - 1) + (h - fh) * (buf(idx) - buf(idx - 1))
-          }
-        k += 1
-      }
-      new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(interpolate(buf, m, qs))
     }
   }
 }

@@ -1,8 +1,9 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Encoders, Row}
 import org.apache.spark.sql.expressions.WindowSpec
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, IntegerType}
 import graft.functions.GraftFunctions
 
 /** Signal-formation registry (SURVEY.md §2.2 P5): the reference's 22
@@ -53,6 +54,139 @@ object Formations {
       .withColumn("r_p10", col("rq").getItem(0))
       .withColumn("r_p90", col("rq").getItem(1))
       .drop("tiq", "rq")
+  }
+
+  /** Incrementally-maintained sorted multiset of the prior-lookback window —
+    * the replay kernel's state. Binary-search insert/remove keep the buffer
+    * sorted under java.lang.Double total order (same comparator as
+    * Arrays.sort in the declarative expression, so the sorted content — and
+    * therefore every order statistic — is identical by construction). O(L)
+    * memmove per op; at the reference's L ≤ 1000 that is ~8 KB/row, far
+    * below the declarative path's per-row array materialization + sort.
+    */
+  private final class SortedWindow(cap: Int) {
+    private val buf = new Array[Double](cap)
+    private var m = 0
+    def insert(v: Double): Unit = {
+      var idx = java.util.Arrays.binarySearch(buf, 0, m, v)
+      if (idx < 0) idx = -idx - 1
+      System.arraycopy(buf, idx, buf, idx + 1, m - idx)
+      buf(idx) = v
+      m += 1
+    }
+    def remove(v: Double): Unit = {
+      val idx = java.util.Arrays.binarySearch(buf, 0, m, v)
+      // idx >= 0 by invariant: we only remove previously-inserted values
+      System.arraycopy(buf, idx + 1, buf, idx, m - idx - 1)
+      m -= 1
+    }
+    /** null when the window holds no non-null values (same contract as the
+      * declarative expression). */
+    def quantiles(qs: Array[Double]): Array[Double] =
+      if (m == 0) null
+      else graft.functions.QuantileMultiExclusive.interpolate(buf, m, qs)
+  }
+
+  private val tiQs = Array(0.75, 0.90, 0.95)
+  private val rQs = Array(0.10, 0.90)
+
+  /** Replay twin of [[withFormationColumns]] (+ a `next_dir` lead): the same
+    * appended columns from one per-series pass instead of a five-stage
+    * window stack. Spark's WindowExec replays the whole sliding frame per
+    * output row through interpreted aggregate machinery (no retraction), so
+    * the declarative rolling-quantile gates materialize AND sort a
+    * lookback-length array for every bar — the q41 profile showed that as
+    * the dominant cost. Here each series is one sorted in-memory pass with
+    * two incrementally-maintained sorted windows; arithmetic (division
+    * guards, direction, wick fraction, quantile interpolation) is shared
+    * with or identical to the declarative form, asserted row-for-row by
+    * FormationsReplaySpec.
+    *
+    * Partitioning contract matches WindowExec: one exchange on the series
+    * key, series processed independently — the 1000-executor layout is the
+    * same. Memory: one series' rows are buffered in the task (the
+    * reference's longest series is ~1.4M bars ≈ ~100 MB of Rows); the
+    * declarative [[withFormationColumns]] remains the fallback where a
+    * single series outgrows a task.
+    *
+    * Input must carry (event_type, ts_us, event_id, open, high, low, close);
+    * all input columns pass through.
+    */
+  def withFormationColumnsReplay(bars: DataFrame, lookback: Int = 100): DataFrame = {
+    val schema = bars.schema
+      .add("r", DoubleType).add("ti", DoubleType)
+      .add("dir_0", IntegerType).add("dir_1", IntegerType).add("dir_2", IntegerType)
+      .add("owp", DoubleType)
+      .add("ti_p75", DoubleType).add("ti_p90", DoubleType).add("ti_p95", DoubleType)
+      .add("r_p10", DoubleType).add("r_p90", DoubleType)
+      .add("next_dir", IntegerType)
+    val etIdx = bars.schema.fieldIndex("event_type")
+    val tsIdx = bars.schema.fieldIndex("ts_us")
+    val eidIdx = bars.schema.fieldIndex("event_id")
+    val oIdx = bars.schema.fieldIndex("open")
+    val hIdx = bars.schema.fieldIndex("high")
+    val lIdx = bars.schema.fieldIndex("low")
+    val cIdx = bars.schema.fieldIndex("close")
+    bars.groupByKey((row: Row) => row.getString(etIdx))(Encoders.STRING)
+      .flatMapGroups { (_: String, it: Iterator[Row]) =>
+        val rows = it.toArray
+        java.util.Arrays.sort(rows, Ordering.by((row: Row) =>
+          (row.getLong(tsIdx), row.getLong(eidIdx))))
+        val n = rows.length
+        val open = new Array[Double](n); val high = new Array[Double](n)
+        val low = new Array[Double](n); val close = new Array[Double](n)
+        var i = 0
+        while (i < n) {
+          val row = rows(i)
+          open(i) = row.getDouble(oIdx); high(i) = row.getDouble(hIdx)
+          low(i) = row.getDouble(lIdx); close(i) = row.getDouble(cIdx)
+          i += 1
+        }
+        // nullable per-row features, boxed once (null ⇔ zero-open guard)
+        val rArr = new Array[java.lang.Double](n)
+        val tiArr = new Array[java.lang.Double](n)
+        val dir = new Array[Int](n)
+        i = 0
+        while (i < n) {
+          if (open(i) != 0.0) {
+            val rv = (close(i) - open(i)) / open(i)
+            rArr(i) = rv; tiArr(i) = math.abs(rv)
+          }
+          dir(i) = if (close(i) > open(i)) 1 else 0
+          i += 1
+        }
+        val tiWin = new SortedWindow(lookback + 1)
+        val rWin = new SortedWindow(lookback + 1)
+        Iterator.tabulate(n) { i =>
+          val evict = i - lookback - 1
+          if (evict >= 0) {
+            if (tiArr(evict) != null) tiWin.remove(tiArr(evict))
+            if (rArr(evict) != null) rWin.remove(rArr(evict))
+          }
+          val tq = tiWin.quantiles(tiQs)
+          val rq = rWin.quantiles(rQs)
+          // insert AFTER evaluating: the frame is prior-only (… -1), row i
+          // joins the window only for rows > i
+          if (tiArr(i) != null) tiWin.insert(tiArr(i))
+          if (rArr(i) != null) rWin.insert(rArr(i))
+          val hl = high(i) - low(i)
+          val owp: java.lang.Double =
+            if (hl == 0.0) null
+            else if (dir(i) == 1) (open(i) - low(i)) / hl
+            else (high(i) - open(i)) / hl
+          def q(a: Array[Double], k: Int): java.lang.Double =
+            if (a == null) null else a(k)
+          Row.fromSeq(rows(i).toSeq ++ Seq[Any](
+            rArr(i), tiArr(i),
+            dir(i),
+            if (i >= 1) Int.box(dir(i - 1)) else null,
+            if (i >= 2) Int.box(dir(i - 2)) else null,
+            owp,
+            q(tq, 0), q(tq, 1), q(tq, 2), q(rq, 0), q(rq, 1),
+            if (i + 1 < n) Int.box(dir(i + 1)) else null))
+        }
+      }(Encoders.row(schema))
+      .toDF()
   }
 
   /** The registry: name → formation predicate over the prepared frame.

@@ -108,9 +108,11 @@ object ChampionQueries {
   // exclusive-quantile gates and next-bar hit rates per (formation,
   // event_type).
   def q41FormationCensus(spark: SparkSession, d: String): DataFrame = {
-    val w = BarFrame.series(Seq(col("event_type")), col("ts_us"), col("event_id"))
-    val prepped = Formations.withFormationColumns(EventBars.bars(spark, d), w)
-      .withColumn("next_dir", lead(col("dir_0"), 1).over(w))
+    // replay form: the five-stage window stack (two of them sliding-frame
+    // rolling quantiles that WindowExec re-materializes+sorts per row) is
+    // one per-series pass with incrementally-maintained sorted windows;
+    // FormationsReplaySpec pins row-for-row equality to the declarative form
+    val prepped = Formations.withFormationColumnsReplay(EventBars.bars(spark, d))
       .filter(Formations.warmupGate(100) && col("next_dir").isNotNull)
     val flagged = Formations.registry.foldLeft(prepped) { case (df, (name, pred)) =>
       df.withColumn(s"f_$name", when(pred, 1).otherwise(0))

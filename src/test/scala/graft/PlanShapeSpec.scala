@@ -10,8 +10,15 @@ import graft.queries._
   */
 class PlanShapeSpec extends GraftSuite {
 
-  private def plan(df: org.apache.spark.sql.DataFrame): String =
+  private def plan(df: org.apache.spark.sql.DataFrame): String = {
+    // plan shapes must be asserted cache-free: CacheManager substitutes
+    // InMemoryRelation into ANY later plan whose subtree matches a frame a
+    // previous suite persisted (e.g. signalForwardArrays' shared bar
+    // frame), which moves exchanges around and makes these assertions
+    // depend on suite ordering
+    spark.catalog.clearCache()
     df.queryExecution.executedPlan.toString
+  }
 
   test("q24 scans only the columns it needs (column pruning)") {
     val p = plan(TextQueries.q24ExactDedup(spark, sf))
