@@ -104,6 +104,96 @@ object StreamingOps {
       .agg(count(lit(1)).as("n"), avg(col("value")).as("avg_value"),
         min(col("value")).as("min_value"), max(col("value")).as("max_value"))
 
+  // ---------------------------------------------------------------------------
+  // Streaming triple-barrier (B1 in §2.10 form): the batch engine scans a
+  // pre-collected forward array per signal; a live feed has no forward
+  // arrays — the scan becomes a per-series state machine over open trades.
+
+  final case class StreamBar(series: String, tsUs: Long, eventId: Long,
+      open: Double, high: Double, low: Double, close: Double, rn: Long)
+
+  final case class BarrierConfig(tpPct: Double, slPct: Double, maxBars: Int)
+
+  final case class StreamTrade(series: String, signalTsUs: Long,
+      signalEventId: Long, entryPrice: Double, exitType: String,
+      exitBar: Int, exitPrice: Double, returnPct: Double)
+
+  /** One in-flight trade: `entryPrice` NaN ⇒ awaiting the next bar's open
+    * (B5 next-bar-open entry); `barsSeen` counts barriers-scanned bars,
+    * aligned with the batch engine's 1-based fwd-array index. */
+  final case class OpenTrade(signalTsUs: Long, signalEventId: Long,
+      entryPrice: Double, barsSeen: Int)
+
+  final case class BarrierState(trades: List[OpenTrade])
+
+  /** Streaming form of [[graft.operators.Barriers.tripleBarrier]]: signals
+    * fire on `signalPred`, enter at the NEXT bar's open (B5, entry must be
+    * > 0 — P3), then every arriving bar is scanned with the batch rules —
+    * SL-wins-ties within a bar (AP-12), SL fills at `min(open, sl_price)`
+    * (AP-13 gap fill), TP fills at exactly `tp_price`, and the trade times
+    * out at `maxBars` bars with a close fill. Trades still open when the
+    * stream ends stay in state — the batch twin classifies exactly those as
+    * INCOMPLETE and drops them, so emitted trades match the batch engine
+    * trade-for-trade (StreamingSpec pins this against q18's pipeline).
+    *
+    * Contract: bars arrive in (tsUs, eventId) order per series across
+    * micro-batches (within a batch they are sorted here). State is
+    * O(open trades) per series — bounded by maxBars × signal rate, NOT by
+    * stream length; parallelism is the series axis, same as the batch
+    * engine's partitioning.
+    */
+  def streamingTripleBarrier(bars: Dataset[StreamBar],
+      signalPred: StreamBar => Boolean,
+      cfg: BarrierConfig): Dataset[StreamTrade] = {
+    val spark = bars.sparkSession
+    import spark.implicits._
+    bars.groupByKey(_.series)
+      .flatMapGroupsWithState[BarrierState, StreamTrade](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (series, rows, state: GroupState[BarrierState]) =>
+          var open = state.getOption.map(_.trades).getOrElse(Nil)
+          val completed = List.newBuilder[StreamTrade]
+          rows.toSeq.sortBy(b => (b.tsUs, b.eventId)).foreach { b =>
+            // advance every in-flight trade through this bar, oldest first
+            open = open.flatMap { t =>
+              if (t.entryPrice.isNaN) {
+                // B5: this bar supplies the entry; P3 validity gate; the
+                // entry bar itself is also barrier-scanned (fwd index 1)
+                if (b.open > 0) scanBar(t.copy(entryPrice = b.open, barsSeen = 0), b, cfg, series, completed)
+                else None // invalid entry — batch drops the signal too
+              } else scanBar(t, b, cfg, series, completed)
+            }
+            // detect a signal on this bar AFTER scanning (a trade entered
+            // on a later bar can never scan its own signal bar)
+            if (signalPred(b))
+              open = open :+ OpenTrade(b.tsUs, b.eventId, Double.NaN, -1)
+          }
+          state.update(BarrierState(open))
+          completed.result().iterator
+      }
+  }
+
+  /** Advance one open trade through one bar; Some(updated) if still open,
+    * None if completed (trade appended to `out`). Exit rules mirror
+    * Barriers.tripleBarrier column-for-column. */
+  private def scanBar(t: OpenTrade, b: StreamBar, cfg: BarrierConfig,
+      series: String,
+      out: scala.collection.mutable.Builder[StreamTrade, List[StreamTrade]])
+      : Option[OpenTrade] = {
+    val k = t.barsSeen + 1
+    val tpPrice = t.entryPrice * (1.0 + cfg.tpPct)
+    val slPrice = t.entryPrice * (1.0 - cfg.slPct)
+    def emit(exitType: String, exitPrice: Double): None.type = {
+      out += StreamTrade(series, t.signalTsUs, t.signalEventId, t.entryPrice,
+        exitType, k, exitPrice, (exitPrice - t.entryPrice) / t.entryPrice)
+      None
+    }
+    if (b.low <= slPrice) emit("SL", math.min(b.open, slPrice)) // AP-12 ties + AP-13 gap
+    else if (b.high >= tpPrice) emit("TP", tpPrice)
+    else if (k >= cfg.maxBars) emit("TIME", b.close)
+    else Some(t.copy(barsSeen = k))
+  }
+
   /** Streaming exact dedup over a document stream — the online form of
     * q24/q49's exact stage: key by content hash, keep only the FIRST
     * arrival, drop every later duplicate. State is one tombstone per

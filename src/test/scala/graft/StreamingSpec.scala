@@ -142,4 +142,59 @@ class StreamingSpec extends GraftSuite {
       assert(byText("alpha") == 1L && byText("beta") == 2L && byText("gamma") == 5L)
     } finally query.stop()
   }
+
+  test("streamingTripleBarrier matches the batch engine trade-for-trade " +
+    "across batch boundaries") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.StreamingOps.{BarrierConfig, StreamBar}
+
+    // q18's exact configuration on the same sf0.001 bar series
+    val cfg = BarrierConfig(tpPct = 0.01, slPct = 0.005, maxBars = 20)
+    val allBars = graft.queries.EventBars.bars(spark, sf)
+      .select("event_type", "ts_us", "event_id", "open", "high", "low", "close", "rn")
+      .collect()
+      .map(r => StreamBar(r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getDouble(6), r.getInt(7)))
+      .sortBy(b => (b.tsUs, b.eventId)) // global arrival order, per-series order implied
+    assert(allBars.length > 500)
+
+    val mem = MemoryStream[StreamBar]
+    val query = StreamingOps.streamingTripleBarrier(mem.toDS(), _.rn % 25 == 0, cfg)
+      .writeStream.format("memory").queryName("stream_trades")
+      .outputMode("append").start()
+    try {
+      // feed in 7 uneven chunks so open trades routinely straddle
+      // micro-batch boundaries
+      val cuts = Seq(0.03, 0.10, 0.25, 0.4, 0.55, 0.8, 1.0).map(f => (allBars.length * f).toInt)
+      var lo = 0
+      cuts.foreach { hi =>
+        if (hi > lo) mem.addData(allBars.slice(lo, hi).toIndexedSeq: _*)
+        query.processAllAvailable()
+        lo = hi
+      }
+      def grid6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+      val streamed = spark.table("stream_trades").collect()
+        .map(r => (r.getAs[String]("series"), r.getAs[Long]("signalEventId")) ->
+          (r.getAs[String]("exitType"), r.getAs[Int]("exitBar"),
+            grid6(r.getAs[Double]("entryPrice")), grid6(r.getAs[Double]("exitPrice"))))
+        .toMap
+
+      val batch = graft.queries.BarrierQueries.q18TripleBarrier(spark, sf).collect()
+        .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("event_id")) ->
+          (r.getAs[String]("exit_type"), r.getAs[Long]("exit_bar").toInt,
+            r.getAs[Double]("entry_price"), r.getAs[Double]("exit_price")))
+        .toMap
+
+      // the batch engine also completes trades whose barriers resolve, and
+      // ONLY those (INCOMPLETE is dropped on both sides)
+      assert(streamed.keySet == batch.keySet,
+        s"trade sets differ: stream-only=${streamed.keySet -- batch.keySet} " +
+          s"batch-only=${batch.keySet -- streamed.keySet}")
+      assert(streamed.nonEmpty, "no trades completed — fixture too small")
+      streamed.foreach { case (k, s) =>
+        assert(s == batch(k), s"trade $k: streamed=$s batch=${batch(k)}")
+      }
+    } finally query.stop()
+  }
 }
