@@ -258,6 +258,78 @@ object DotFold {
   }
 }
 
+/** Sign-random-projection LSH bucket: bit j of the result is the sign of
+  * `planes(j) · e` (sequential left fold, float elements promote exactly) —
+  * the codegen'd kernel behind the ANN bucketing (q30/q48 shape).
+  *
+  * The previous form unrolled planes×dims literal multiply-add terms into
+  * the plan (to escape interpreted HOF lambdas); at 8×64 that is a 512-term
+  * expression whose generated source blew past 1.5 MB task binaries and
+  * dominated the query in janino COMPILE time, re-paid per stage that
+  * referenced the bucket. This expression is a constant-size static call
+  * with the plane matrix as a reference object — same arithmetic, same
+  * left-fold order, bit-identical buckets (pinned vs the unrolled form in
+  * GraftFunctionsSpec).
+  *
+  * Edge parity with the unrolled form: a NULL element or an array shorter
+  * than a plane makes that plane's dot NULL, which contributed 0 there
+  * (`when(null >= 0, 2^j) otherwise 0`) — so the whole bucket degrades to
+  * the same value plane-by-plane.
+  */
+case class SrpBucket(child: Expression, planes: Array[Array[Double]])
+    extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = true
+
+  private def isFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def nullSafeEval(aAny: Any): Any =
+    SrpBucket.evalBucket(aAny.asInstanceOf[ArrayData], planes, isFloat)
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val planesRef = ctx.addReferenceObj("planes", planes, "double[][]")
+    defineCodeGen(ctx, ev,
+      a => s"graft.functions.SrpBucket.evalBucket($a, $planesRef, $isFloat)")
+  }
+
+  override protected def withNewChildInternal(c: Expression): SrpBucket =
+    copy(child = c)
+  override def prettyName: String = "srp_bucket"
+}
+
+object SrpBucket {
+  def evalBucket(e: ArrayData, planes: Array[Array[Double]], f: Boolean): Int = {
+    val n = e.numElements()
+    var bucket = 0
+    var j = 0
+    while (j < planes.length) {
+      val p = planes(j)
+      if (n >= p.length) {
+        var s = 0.0
+        var d = 0
+        var ok = true
+        while (ok && d < p.length) {
+          if (e.isNullAt(d)) ok = false
+          else {
+            val x = if (f) e.getFloat(d).toDouble else e.getDouble(d)
+            s += x * p(d)
+            d += 1
+          }
+        }
+        if (ok && s >= 0.0) bucket |= 1 << j
+      }
+      j += 1
+    }
+    bucket
+  }
+}
+
 /** Intersection cardinality of two SORTED, DISTINCT, null-free string
   * arrays — the codegen'd kernel behind every shingle-set Jaccard
   * (|A∪B| = |A|+|B|−|A∩B| makes the union size free).
@@ -624,6 +696,12 @@ object GraftFunctions {
     * `aggregate(zip_with(a, b, (x,y) -> x*y), 0D, (acc,v) -> acc+v)`. */
   def dotFold(a: Column, b: Column): Column =
     GraftBridge.toColumn(DotFold(GraftBridge.toExpr(a), GraftBridge.toExpr(b)))
+
+  /** Sign-random-projection LSH bucket (see [[SrpBucket]]); bit j is the
+    * sign of planes(j)·e as a sequential left fold. */
+  def srpBucket(e: Column, planes: Seq[Seq[Double]]): Column =
+    GraftBridge.toColumn(SrpBucket(GraftBridge.toExpr(e),
+      planes.map(_.toArray).toArray))
 
   /** |A∩B| of two sorted distinct null-free string arrays (see
     * [[SortedIntersectCount]]). */

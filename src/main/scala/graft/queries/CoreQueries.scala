@@ -79,9 +79,15 @@ object CoreQueries {
     Tables.lineitem(spark, d)
       .groupBy(col("l_returnflag"))
       .agg(
-        round(percentile(col("l_extendedprice"), lit(0.5)), 4).as("p50"),
-        round(percentile(col("l_extendedprice"), lit(0.95)), 4).as("p95"),
+        // one buffer for both extendedprice percentiles (the array form
+        // shares the per-group value counts-map; two scalar calls buffer
+        // the column twice)
+        percentile(col("l_extendedprice"), array(lit(0.5), lit(0.95))).as("pe"),
         round(percentile(col("l_quantity"), lit(0.25)), 4).as("q25_qty"))
+      .select(col("l_returnflag"),
+        round(element_at(col("pe"), 1), 4).as("p50"),
+        round(element_at(col("pe"), 2), 4).as("p95"),
+        col("q25_qty"))
       .orderBy(col("l_returnflag"))
 
   val q03Sql: String =

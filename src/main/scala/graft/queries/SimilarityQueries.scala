@@ -151,7 +151,16 @@ object SimilarityQueries {
     (0 until 8).map(j => (0 until 64).map(dd =>
       ((1103515245L * (j * 64 + dd) + 12345L) % 2001L - 1000L) / 1000.0))
 
-  private def bucketExpr(e: String): Column =
+  // The compact SrpBucket kernel replaced an 8×64-term literal-unrolled
+  // expression here: same left-fold arithmetic (GraftFunctionsSpec pins
+  // bucket equality against the unrolled form below), but constant-size
+  // generated code instead of >1.5 MB task binaries re-compiled per stage.
+  private[graft] def bucketExpr(e: String): Column =
+    graft.functions.GraftFunctions.srpBucket(col(e), lshPlanes)
+
+  /** The literal-unrolled twin of [[bucketExpr]] — kept as the spec's
+    * reference implementation of the bucket arithmetic. */
+  private[graft] def bucketExprUnrolled(e: String): Column =
     lshPlanes.zipWithIndex.map { case (plane, j) =>
       val dotJ = plane.zipWithIndex.map { case (c, dd) =>
         col(e).getItem(dd) * lit(c)

@@ -208,6 +208,18 @@ class GraftFunctionsSpec extends GraftSuite {
     assert(r.getDouble(1) === 2.5)
   }
 
+  test("srp_bucket equals the literal-unrolled hyperplane expression") {
+    // real float vectors from the fixture corpus — the kernel and the
+    // 512-term unrolled form must bucket every one identically
+    val v = graft.Tables.embeddings(spark, sf).withColumn("e", col("embedding"))
+    val both = v.select(
+      graft.queries.SimilarityQueries.bucketExpr("e").as("fast"),
+      graft.queries.SimilarityQueries.bucketExprUnrolled("e").as("slow"))
+    assert(both.filter(col("fast") =!= col("slow")).count() == 0)
+    assert(both.select(countDistinct(col("fast"))).head().getLong(0) > 1,
+      "degenerate bucketing — all vectors in one bucket")
+  }
+
   test("moment shims reproduce sample G1/G2 from a driver-side computation") {
     val xs = Seq(1.0, 2.0, 2.5, 3.0, 4.5, 5.0, 7.5, 9.0, 11.0, 2.0)
     val n = xs.size
