@@ -23,10 +23,28 @@ object Explain {
     spark.sparkContext.setLogLevel("WARN")
     val df = fn(spark, sfDir)
     df.explain("formatted")
-    if (args.lift(2).contains("run")) {
+    if (args.lift(2).contains("codegen")) {
+      // per-subtree generated-source sizes — janino compile time scales
+      // with these, and a runaway expression shows up as a huge subtree.
+      // (AQE hides WholeStageCodegen subtrees until execution, so disable
+      // it for this diagnostic pass.)
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val df2 = fn(spark, sfDir)
+      val s = org.apache.spark.sql.execution.debug.codegenString(df2.queryExecution.executedPlan)
+      s.split("== Subtree ").drop(1).foreach { sub =>
+        val head = sub.linesIterator.take(3).mkString(" | ")
+        println(f"[codegen] ${sub.length}%8d chars  $head")
+      }
+    }
+    val reps = args.lift(2) match {
+      case Some("run") => 1
+      case Some("run2") => 2 // second run isolates codegen/compile cost
+      case _ => 0
+    }
+    (1 to reps).foreach { i =>
       val t0 = System.nanoTime()
       df.write.format("noop").mode("overwrite").save()
-      println(f"[explain] $name ran in ${(System.nanoTime() - t0) / 1e9}%.3f s")
+      println(f"[explain] $name run $i in ${(System.nanoTime() - t0) / 1e9}%.3f s")
     }
     spark.stop()
   }

@@ -60,6 +60,14 @@ object Sweep {
     val sig = EventBars.signalForwardArrays(flagged, anySignal, spec.forwardBars)
       .withColumn("entry_price", try_element_at(col("fwd_opens"), lit(1)))
       .filter(col("entry_price").isNotNull && col("entry_price") > 0)
+      // explicit fan-out partitioning: the signal frame is SMALL post-join,
+      // so AQE coalesces it to one or two partitions — and then the
+      // grid × signal explosion below (10⁴× rows for a 30k-config grid)
+      // inherits that parallelism: observed as 1 of 32 cores busy for
+      // 10 minutes at the 30k-config rehearsal. An explicit numPartitions
+      // repartition is AQE-stable (REPARTITION_BY_NUM is never coalesced)
+      // and pins the barrier-scan fan-out to the executor count.
+      .repartition(spark.sparkContext.defaultParallelism)
       .cache() // the shared frame every config reads
 
     val stackExpr = spec.formations.map { case (name, p) =>
@@ -70,10 +78,18 @@ object Sweep {
     }.mkString(s"stack(${spec.regimeGates.size}, ", ", ", ") as (regime_gate, gate_flag)")
     val gridDf = spec.grid.map(g => (g.profile, g.tpPct, g.slPct, g.maxBars))
       .toDF("barrier_profile", "tp_pct", "sl_pct", "max_bars")
-    val trades = Barriers.tripleBarrier(
-      sig.select(col("*"), expr(stackExpr)).filter(col("flag") === 1)
-        .select(col("*"), expr(gateStack)).filter(col("gate_flag") === 1)
-        .crossJoin(broadcast(gridDf)))
+    // scan BEFORE the formation/gate stacks (the q43 lesson): the barrier
+    // outcome is independent of which formation(s)/gate(s) tagged the
+    // signal, so the array scan runs once per (signal × barrier config)
+    // and the stacks explode narrow outcome rows — a signal firing f
+    // formations costs one scan, not f
+    val scanned = Barriers.tripleBarrier(sig.crossJoin(broadcast(gridDf)))
+      .select(col("dir_0"), col("dir_1"), col("dir_2"), col("regime"),
+        col("barrier_profile"), col("tp_pct"), col("sl_pct"), col("max_bars"),
+        col("entry_price"), col("exit_type"), col("exit_bar"), col("exit_price"))
+    val trades = scanned
+      .select(col("*"), expr(stackExpr)).filter(col("flag") === 1)
+      .select(col("*"), expr(gateStack)).filter(col("gate_flag") === 1)
     val metrics = Barriers
       .metricsAgg(trades, col("formation"), col("regime_gate"), col("barrier_profile"),
         col("tp_pct"), col("sl_pct"), col("max_bars"))

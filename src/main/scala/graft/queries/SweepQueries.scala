@@ -51,6 +51,10 @@ object SweepQueries {
     val sig = EventBars.signalForwardArrays(flagged, anySignal, K)
       .withColumn("entry_price", try_element_at(col("fwd_opens"), lit(1)))
       .filter(col("entry_price").isNotNull && col("entry_price") > 0)
+      // AQE coalesces the small post-band-join frame to ~1 partition; the
+      // grid fan-out below would inherit that (see Sweep.run) — pin the
+      // scan parallelism explicitly (REPARTITION_BY_NUM survives AQE)
+      .repartition(spark.sparkContext.defaultParallelism)
     val stackExpr = sweepFormations.map { case (name, p) =>
       s"'$name', CASE WHEN $p THEN 1 ELSE 0 END"
     }.mkString(s"stack(${sweepFormations.size}, ", ", ", ") as (formation, flag)")
@@ -187,6 +191,10 @@ object SweepQueries {
     val sig = EventBars.signalForwardArrays(flagged, anySignal, K)
       .withColumn("entry_price", try_element_at(col("fwd_opens"), lit(1)))
       .filter(col("entry_price").isNotNull && col("entry_price") > 0)
+      // AQE coalesces the small post-band-join frame to ~1 partition; the
+      // grid fan-out below would inherit that (see Sweep.run) — pin the
+      // scan parallelism explicitly (REPARTITION_BY_NUM survives AQE)
+      .repartition(spark.sparkContext.defaultParallelism)
     val formationStack = sweepFormations.map { case (name, p) =>
       s"'$name', CASE WHEN $p THEN 1 ELSE 0 END"
     }.mkString(s"stack(${sweepFormations.size}, ", ", ", ") as (formation, flag)")
@@ -234,6 +242,10 @@ object SweepQueries {
     val sig = EventBars.signalForwardArrays(flagged, anySignal, K)
       .withColumn("entry_price", try_element_at(col("fwd_opens"), lit(1)))
       .filter(col("entry_price").isNotNull && col("entry_price") > 0)
+      // AQE coalesces the small post-band-join frame to ~1 partition; the
+      // grid fan-out below would inherit that (see Sweep.run) — pin the
+      // scan parallelism explicitly (REPARTITION_BY_NUM survives AQE)
+      .repartition(spark.sparkContext.defaultParallelism)
     val stackExpr = sweepFormations.map { case (name, p) =>
       s"'$name', CASE WHEN $p THEN 1 ELSE 0 END"
     }.mkString(s"stack(${sweepFormations.size}, ", ", ", ") as (formation, flag)")
