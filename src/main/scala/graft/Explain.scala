@@ -13,13 +13,19 @@ object Explain {
     val fn = SparkEntry.queries.getOrElse(name,
       sys.error(s"unknown query $name; have: ${SparkEntry.queries.keys.toSeq.sorted.mkString(",")}"))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // SPARK_GRAFT_EVENTLOG=/dir enables the event log for stage-level
+    // profiling (parse SparkListenerStageCompleted for durations)
+    val spark = sys.env.get("SPARK_GRAFT_EVENTLOG").fold(builder) { dir =>
+      new java.io.File(dir).mkdirs()
+      builder.config("spark.eventLog.enabled", "true")
+        .config("spark.eventLog.dir", dir)
+    }.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val df = fn(spark, sfDir)
     df.explain("formatted")

@@ -346,16 +346,29 @@ case class SortedIntersectCount(left: Expression, right: Expression)
   override def dataType: DataType = IntegerType
   override def nullable: Boolean = true
 
+  // dispatch once at plan time: string-element merge (q25's exact shingle
+  // sets) vs long-element merge (the hashed corpus-pipeline sets)
+  private def isLongArr: Boolean = left.dataType match {
+    case ArrayType(LongType, _) => true
+    case _ => false
+  }
+
   override def nullSafeEval(aAny: Any, bAny: Any): Any =
-    SortedIntersectCount.evalCount(
-      aAny.asInstanceOf[ArrayData], bAny.asInstanceOf[ArrayData])
+    if (isLongArr)
+      SortedIntersectCount.evalCountLong(
+        aAny.asInstanceOf[ArrayData], bAny.asInstanceOf[ArrayData])
+    else
+      SortedIntersectCount.evalCount(
+        aAny.asInstanceOf[ArrayData], bAny.asInstanceOf[ArrayData])
 
   override protected def doGenCode(
       ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
       ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
-      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val m = if (isLongArr) "evalCountLong" else "evalCount"
     defineCodeGen(ctx, ev,
-      (a, b) => s"graft.functions.SortedIntersectCount.evalCount($a, $b)")
+      (a, b) => s"graft.functions.SortedIntersectCount.$m($a, $b)")
+  }
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
@@ -372,6 +385,21 @@ object SortedIntersectCount {
       val cmp = a.getUTF8String(i).compareTo(b.getUTF8String(j))
       if (cmp == 0) { n += 1; i += 1; j += 1 }
       else if (cmp < 0) i += 1
+      else j += 1
+    }
+    n
+  }
+
+  def evalCountLong(a: ArrayData, b: ArrayData): Int = {
+    val (na, nb) = (a.numElements(), b.numElements())
+    var i = 0
+    var j = 0
+    var n = 0
+    while (i < na && j < nb) {
+      val x = a.getLong(i)
+      val y = b.getLong(j)
+      if (x == y) { n += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
       else j += 1
     }
     n
@@ -590,6 +618,63 @@ object WordBigrams {
   }
 }
 
+/** Sorted distinct md5-32 hashes of a document's word bigrams — the
+  * HASHED twin of [[WordBigrams]], equal by construction to
+  * `sort_array(array_distinct(transform(word_bigrams(text), md5_prefix_int)))`
+  * but built in one kernel pass.
+  *
+  * This is the corpus-pipeline representation: a shingle travels as 8
+  * bytes instead of a ~15-char string, which shrinks the persisted shingle
+  * frame and every candidate-verification shuffle/sort by an order of
+  * magnitude — at the 10× rehearsal the string form spilled 21 GB in the
+  * verify join's sort alone. Jaccard over distinct hashes equals Jaccard
+  * over distinct strings absent 32-bit collisions inside a document pair's
+  * union (~10⁻⁶ per pair at 10³ shingles); both engines hash identically,
+  * so the cross-engine compare stays bit-exact regardless. The string form
+  * remains the exact verifier (q25).
+  */
+case class HashedWordBigrams(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(v: Any): Any =
+    HashedWordBigrams.evalText(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashedWordBigrams.evalText($c)")
+
+  override protected def withNewChildInternal(c: Expression): HashedWordBigrams = copy(c)
+  override def prettyName: String = "hashed_word_bigrams"
+}
+
+object HashedWordBigrams {
+  import org.apache.spark.unsafe.types.UTF8String
+
+  def evalText(s: UTF8String): ArrayData = {
+    // same tokenization + tail-slice contract as WordBigrams.evalText
+    val toks = s.trim().toString.split("\\s+", -1)
+    val n = math.max(toks.length - 1, 1)
+    val set = new java.util.TreeSet[java.lang.Long]()
+    var i = 0
+    while (i < n) {
+      val bigram =
+        if (i + 1 < toks.length) toks(i) + " " + toks(i + 1)
+        else toks(i)
+      set.add(Md5PrefixInt.evalHash(UTF8String.fromString(bigram)))
+      i += 1
+    }
+    val out = new Array[Long](set.size())
+    val it = set.iterator()
+    i = 0
+    while (it.hasNext) { out(i) = it.next(); i += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
 /** Seeded running maximum of a double array — element i is
   * max(seed, arr[1..i]) (1-based prefixes). Semantically identical to
   *   transform(sequence(1, size(a)), i -> greatest(seed, array_max(slice(a, 1, i))))
@@ -721,6 +806,11 @@ object GraftFunctions {
   /** Sorted distinct word-bigram shingle set (see [[WordBigrams]]). */
   def wordBigrams(text: Column): Column =
     GraftBridge.toColumn(WordBigrams(GraftBridge.toExpr(text)))
+
+  /** Sorted distinct md5-32 hashes of the word-bigram set (see
+    * [[HashedWordBigrams]]) — the 8-byte-per-shingle pipeline form. */
+  def hashedWordBigrams(text: Column): Column =
+    GraftBridge.toColumn(HashedWordBigrams(GraftBridge.toExpr(text)))
 
   /** Seeded prefix maximum array (see [[RunningMaxSeeded]]); one O(n) scan
     * replacing the O(n²) transform/array_max(slice) chain. */

@@ -238,12 +238,19 @@ object DedupQueries {
       .groupBy(col("th")).agg(min(col("doc_id")).as("doc_id"))
       .select(col("doc_id"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val shingled = withShingleSet(spark, d)
+    // HASHED shingle sets (sorted distinct md5-32 longs): the pipeline's
+    // shingle representation — 8 bytes per shingle through the persisted
+    // frame and both sides of the verify join, vs ~15-char strings that
+    // spilled 21 GB in that join's sort at the 10× rehearsal. Hash values
+    // are the same md5Int both engines compute, so minhash signatures are
+    // unchanged and the oracle stays bit-exact; q25 keeps the string-exact
+    // Jaccard as the verifier form.
+    val shingled = docs
       .join(reps, "doc_id")
-      .select(col("doc_id"), col("shset"))
+      .select(col("doc_id"),
+        graft.functions.GraftFunctions.hashedWordBigrams(col("text")).as("shset"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val hashed = shingled.select(col("doc_id"), explode(col("shset")).as("shingle"))
-      .withColumn("h", md5Int(col("shingle")))
+    val hashed = shingled.select(col("doc_id"), explode(col("shset")).as("h"))
     val lanes = (0 until 16).map(j =>
       min((col("h") * lit(2L * j + 1) + lit(j * 104729L)) % lit(P)).as(s"m$j"))
     val sigs = hashed.groupBy(col("doc_id")).agg(lanes.head, lanes.tail: _*)
@@ -289,12 +296,14 @@ object DedupQueries {
       |s0 AS (
       |  $shingleSetSql),
       |s AS (
-      |  SELECT s0.doc_id, s0.shset FROM s0 JOIN reps USING (doc_id)),
+      |  SELECT s0.doc_id,
+      |    list_sort(list_distinct(list_transform(s0.shset,
+      |      sh -> ${md5IntSql("sh")}))) AS shset
+      |  FROM s0 JOIN reps USING (doc_id)),
       |sig AS (
       |  SELECT doc_id,
       |    list_transform(range(0, 16), j -> list_min(list_transform(
-      |      list_transform(shset, sh -> ${md5IntSql("sh")}),
-      |      h -> ((j*2 + 1) * h + j*104729) % $P))) AS sig
+      |      shset, h -> ((j*2 + 1) * h + j*104729) % $P))) AS sig
       |  FROM s),
       |bands AS (
       |  SELECT doc_id, g.band,
