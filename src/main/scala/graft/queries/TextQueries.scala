@@ -55,6 +55,15 @@ object TextQueries {
   private def toks(c: Column): Column = split(trim(c), "\\s+")
   private val toksSql = raw"regexp_split_to_array(trim(text), '\s+')"
 
+  // BPE-style pre-tokenizer (the GPT-2 pattern family, minus the trailing
+  // negative lookahead — RE2, hence the DuckDB oracle, has no lookahead):
+  // contractions | optional-space letter runs | optional-space digit runs |
+  // optional-space punctuation runs | whitespace runs. A "token" here is a
+  // pre-tokenizer match — the unit a BPE vocabulary would then split —
+  // which is the count that matters for training-data budgeting.
+  private val bpeRe =
+    raw"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+
   // ---------------------------------------------------------------------------
   // q21 — token counting + quality scoring, aggregated per (lang, source).
   // Per-doc work is pure projection (codegen'd, no shuffle); the only
@@ -65,6 +74,7 @@ object TextQueries {
     val df = Tables.documents(spark, d)
       .withColumn("tok", toks(col("text")))
       .withColumn("n_tok", size(col("tok")).cast("double"))
+      .withColumn("n_bpe", regexp_count(col("text"), lit(bpeRe)).cast("double"))
       .withColumn("stop_ratio",
         // P4: a doc that tokenizes to nothing must yield NULL, not an
         // ANSI DIVIDE_BY_ZERO (none in the testdata — latent guard)
@@ -83,6 +93,7 @@ object TextQueries {
       .agg(
         count(lit(1)).as("n_docs"),
         round(avg(col("n_tok")), 4).as("avg_tokens"),
+        round(avg(col("n_bpe")), 4).as("avg_bpe_tokens"),
         round(avg(col("stop_ratio")), 4).as("avg_stop_ratio"),
         round(avg(col("punct_ratio")), 4).as("avg_punct_ratio"),
         round(avg(col("quality")), 4).as("avg_quality"))
@@ -93,6 +104,9 @@ object TextQueries {
     s"""WITH t AS (
       |  SELECT lang, source, n_chars,
       |    len($toksSql)::DOUBLE AS n_tok,
+      |    len(regexp_extract_all(text,
+      |      '''(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+'))::DOUBLE
+      |      AS n_bpe,
       |    len(list_filter($toksSql, t -> t IN (${TextOps.stopwords.map("'" + _ + "'").mkString(",")})))::DOUBLE
       |      / nullif(len($toksSql)::DOUBLE, 0.0) AS stop_ratio,
       |    (length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))::DOUBLE
@@ -102,6 +116,7 @@ object TextQueries {
       |  FROM documents)
       |SELECT lang, source, count(*) AS n_docs,
       |  round(avg(n_tok), 4) AS avg_tokens,
+      |  round(avg(n_bpe), 4) AS avg_bpe_tokens,
       |  round(avg(stop_ratio), 4) AS avg_stop_ratio,
       |  round(avg(punct_ratio), 4) AS avg_punct_ratio,
       |  round(avg(least(n_tok/100.0, 1.0)*0.3 + stop_ratio*0.3 + alpha_ratio*0.4), 4) AS avg_quality
