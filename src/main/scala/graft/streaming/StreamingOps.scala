@@ -126,6 +126,50 @@ object StreamingOps {
 
   final case class BarrierState(trades: List[OpenTrade])
 
+  /** Direction-pattern signal detection over a live bar feed: maintains
+    * (dir_1, dir_2) and the bar count per series in state and applies a
+    * dir-pattern predicate — the streaming form of the formation registry's
+    * dir-only patterns (the gated ones additionally need the rolling
+    * quantile state of [[runningStats]]). Emits the input bar augmented
+    * with (rn, dir_0, dir_1, dir_2, is_signal), so composing with
+    * [[streamingTripleBarrier]] via `_.isSignal` gives the full
+    * formation→barrier pipeline online. State is three ints per series.
+    *
+    * `warmupBars` mirrors the batch warmup gate (`rn > warmup`); rn here
+    * counts arrived bars per series, matching the batch frame's row_number
+    * when the feed starts at series start.
+    */
+  final case class FlaggedBar(series: String, tsUs: Long, eventId: Long,
+      open: Double, high: Double, low: Double, close: Double, rn: Long,
+      dir0: Int, dir1: Option[Int], dir2: Option[Int], isSignal: Boolean)
+
+  final case class DirState(n: Long, dir1: Int, dir2: Int)
+
+  def streamingFormationSignals(bars: Dataset[StreamBar],
+      pattern: (Int, Option[Int], Option[Int]) => Boolean,
+      warmupBars: Int = 100): Dataset[FlaggedBar] = {
+    val spark = bars.sparkSession
+    import spark.implicits._
+    bars.groupByKey(_.series)
+      .flatMapGroupsWithState[DirState, FlaggedBar](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (series, rows, state: GroupState[DirState]) =>
+          var st = state.getOption.getOrElse(DirState(0L, -1, -1))
+          val out = rows.toSeq.sortBy(b => (b.tsUs, b.eventId)).map { b =>
+            val dir0 = if (b.close > b.open) 1 else 0
+            val d1 = if (st.n >= 1) Some(st.dir1) else None
+            val d2 = if (st.n >= 2) Some(st.dir2) else None
+            val n = st.n + 1
+            val fired = n > warmupBars && pattern(dir0, d1, d2)
+            st = DirState(n, dir0, st.dir1)
+            FlaggedBar(series, b.tsUs, b.eventId, b.open, b.high, b.low,
+              b.close, n, dir0, d1, d2, fired)
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
   /** Streaming form of [[graft.operators.Barriers.tripleBarrier]]: signals
     * fire on `signalPred`, enter at the NEXT bar's open (B5, entry must be
     * > 0 — P3), then every arriving bar is scanned with the batch rules —
@@ -144,30 +188,46 @@ object StreamingOps {
     */
   def streamingTripleBarrier(bars: Dataset[StreamBar],
       signalPred: StreamBar => Boolean,
-      cfg: BarrierConfig): Dataset[StreamTrade] = {
-    val spark = bars.sparkSession
+      cfg: BarrierConfig): Dataset[StreamTrade] =
+    tripleBarrierCore(bars, identity[StreamBar], signalPred, cfg)
+
+  /** Composition form: a [[streamingFormationSignals]] output drives the
+    * barrier engine directly off its `isSignal` flags — the full online
+    * formation→barrier pipeline. */
+  def streamingTripleBarrier(flagged: Dataset[FlaggedBar],
+      cfg: BarrierConfig): Dataset[StreamTrade] =
+    tripleBarrierCore(flagged,
+      (f: FlaggedBar) => StreamBar(f.series, f.tsUs, f.eventId,
+        f.open, f.high, f.low, f.close, f.rn),
+      (f: FlaggedBar) => f.isSignal, cfg)
+
+  private def tripleBarrierCore[T](rows: Dataset[T], toBar: T => StreamBar,
+      isSignal: T => Boolean, cfg: BarrierConfig): Dataset[StreamTrade] = {
+    val spark = rows.sparkSession
     import spark.implicits._
-    bars.groupByKey(_.series)
+    rows.groupByKey(r => toBar(r).series)
       .flatMapGroupsWithState[BarrierState, StreamTrade](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        case (series, rows, state: GroupState[BarrierState]) =>
+        case (series, it, state: GroupState[BarrierState]) =>
           var open = state.getOption.map(_.trades).getOrElse(Nil)
           val completed = List.newBuilder[StreamTrade]
-          rows.toSeq.sortBy(b => (b.tsUs, b.eventId)).foreach { b =>
-            // advance every in-flight trade through this bar, oldest first
-            open = open.flatMap { t =>
-              if (t.entryPrice.isNaN) {
-                // B5: this bar supplies the entry; P3 validity gate; the
-                // entry bar itself is also barrier-scanned (fwd index 1)
-                if (b.open > 0) scanBar(t.copy(entryPrice = b.open, barsSeen = 0), b, cfg, series, completed)
-                else None // invalid entry — batch drops the signal too
-              } else scanBar(t, b, cfg, series, completed)
+          it.toSeq.map(r => (toBar(r), isSignal(r)))
+            .sortBy { case (b, _) => (b.tsUs, b.eventId) }
+            .foreach { case (b, fired) =>
+              // advance every in-flight trade through this bar, oldest first
+              open = open.flatMap { t =>
+                if (t.entryPrice.isNaN) {
+                  // B5: this bar supplies the entry; P3 validity gate; the
+                  // entry bar itself is also barrier-scanned (fwd index 1)
+                  if (b.open > 0) scanBar(t.copy(entryPrice = b.open, barsSeen = 0), b, cfg, series, completed)
+                  else None // invalid entry — batch drops the signal too
+                } else scanBar(t, b, cfg, series, completed)
+              }
+              // detect a signal on this bar AFTER scanning (a trade entered
+              // on a later bar can never scan its own signal bar)
+              if (fired)
+                open = open :+ OpenTrade(b.tsUs, b.eventId, Double.NaN, -1)
             }
-            // detect a signal on this bar AFTER scanning (a trade entered
-            // on a later bar can never scan its own signal bar)
-            if (signalPred(b))
-              open = open :+ OpenTrade(b.tsUs, b.eventId, Double.NaN, -1)
-          }
           state.update(BarrierState(open))
           completed.result().iterator
       }

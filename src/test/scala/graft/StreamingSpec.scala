@@ -143,6 +143,72 @@ class StreamingSpec extends GraftSuite {
     } finally query.stop()
   }
 
+  test("streamingFormationSignals ∘ streamingTripleBarrier == the batch " +
+    "formation→barrier chain") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import graft.streaming.StreamingOps.{BarrierConfig, StreamBar}
+    import graft.operators.{Barriers, BarFrame}
+    import graft.queries.EventBars
+
+    val cfg = BarrierConfig(tpPct = 0.0075, slPct = 0.0075, maxBars = 20)
+    val bars = EventBars.bars(spark, sf)
+    val allBars = bars
+      .select("event_type", "ts_us", "event_id", "open", "high", "low", "close", "rn")
+      .collect()
+      .map(r => StreamBar(r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getDouble(6), r.getInt(7)))
+      .sortBy(b => (b.tsUs, b.eventId))
+
+    // batch twin: 2down_ng over the same series, one barrier config.
+    // Stream rn counts ARRIVED bars; the bars frame starts at rn=2 (first
+    // raw row has no open), so stream warmup 20 ⇔ batch rn > 21.
+    val w = BarFrame.series(Seq(col("event_type")), col("ts_us"), col("event_id"))
+    val flagged = bars
+      .withColumn("dir_0", BarFrame.direction(col("open"), col("close")))
+      .withColumn("dir_1", lag(col("dir_0"), 1).over(w))
+    val isSig = col("rn") > 21 && col("dir_1") === 0 && col("dir_0") === 0
+    val sig = EventBars.signalForwardArrays(flagged, isSig, 35)
+      .withColumn("entry_price", try_element_at(col("fwd_opens"), lit(1)))
+      .filter(col("entry_price").isNotNull && col("entry_price") > 0)
+      .withColumn("tp_pct", lit(cfg.tpPct))
+      .withColumn("sl_pct", lit(cfg.slPct))
+      .withColumn("max_bars", lit(cfg.maxBars))
+    val batch = Barriers.tripleBarrier(sig).collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("event_id")) ->
+        (r.getAs[String]("exit_type"), r.getAs[Long]("exit_bar").toInt))
+      .toMap
+
+    val mem = MemoryStream[StreamBar]
+    val flaggedStream = graft.streaming.StreamingOps.streamingFormationSignals(
+      mem.toDS(),
+      (d0, d1, _) => d0 == 0 && d1.contains(0),
+      warmupBars = 20)
+    val trades = graft.streaming.StreamingOps.streamingTripleBarrier(flaggedStream, cfg)
+    val query = trades
+      .writeStream.format("memory").queryName("composed_trades")
+      .outputMode("append").start()
+    try {
+      val cuts = Seq(0.2, 0.5, 0.9, 1.0).map(f => (allBars.length * f).toInt)
+      var lo = 0
+      cuts.foreach { hi =>
+        if (hi > lo) mem.addData(allBars.slice(lo, hi).toIndexedSeq: _*)
+        query.processAllAvailable()
+        lo = hi
+      }
+      val streamed = spark.table("composed_trades").collect()
+        .map(r => (r.getAs[String]("series"), r.getAs[Long]("signalEventId")) ->
+          (r.getAs[String]("exitType"), r.getAs[Int]("exitBar")))
+        .toMap
+      assert(streamed.nonEmpty, "composed stream produced no trades")
+      assert(streamed.keySet == batch.keySet,
+        s"signal sets differ: stream-only=${streamed.keySet -- batch.keySet} " +
+          s"batch-only=${batch.keySet -- streamed.keySet}")
+      streamed.foreach { case (k, s) => assert(s == batch(k), s"$k: $s vs ${batch(k)}") }
+    } finally query.stop()
+  }
+
   test("streamingTripleBarrier matches the batch engine trade-for-trade " +
     "across batch boundaries") {
     implicit val sqlCtx = spark.sqlContext
