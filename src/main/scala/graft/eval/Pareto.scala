@@ -80,17 +80,95 @@ object Pareto {
   private def attains(points: Array[Array[Double]], z: Array[Double]): Boolean =
     points.exists(p => p.indices.forall(j => p(j) <= z(j)))
 
-  /** Minimal points of the level-k attainment set: grid cells attained by
-    * ≥ k folds, Pareto-filtered. */
+  /** Per-grid-corner attainment COUNTS over the coordinate grid spanned by
+    * the folds' nondominated points — the shared EAF structure behind
+    * [[attainmentSurface]] and [[vorobT]].
+    *
+    * Each fold's points are Pareto-prefiltered (an exact identity:
+    * attainment depends only on nondominated points), each fold's
+    * attainment indicator is seeded at its points' grid corners and closed
+    * upward by a prefix-OR DP along each axis (attainment regions are
+    * upward-closed), and counts are the sum of indicators. O(K * cells * d)
+    * with no per-cell point scans and no tuple materialization — the
+    * previous form enumerated every grid tuple and Pareto-filtered the
+    * attained set quadratically, which OOM'd / spun for minutes at a
+    * 64-candidate x 8-fold input (the EvalScale rehearsal).
+    */
+  private final case class Eaf(axes: Array[Array[Double]], counts: Array[Int],
+      strides: Array[Int], nCells: Int)
+
+  private def eafCounts(folds: Array[Array[Array[Double]]]): Eaf = {
+    val nd = folds.map(paretoFront)
+    val d = folds.head.head.length
+    val axes = Array.tabulate(d)(j => nd.flatten.map(_(j)).distinct.sorted)
+    val dims = axes.map(_.length)
+    val nCells = dims.product
+    val strides = new Array[Int](d)
+    strides(d - 1) = 1
+    var j = d - 2
+    while (j >= 0) { strides(j) = strides(j + 1) * dims(j + 1); j -= 1 }
+    val counts = new Array[Int](nCells)
+    val att = new Array[Boolean](nCells)
+    nd.foreach { fold =>
+      java.util.Arrays.fill(att, false)
+      // seed: point p attains exactly the corner at its own coordinates
+      fold.foreach { p =>
+        var c = 0
+        var jj = 0
+        while (jj < d) {
+          c += strides(jj) * java.util.Arrays.binarySearch(axes(jj), p(jj))
+          jj += 1
+        }
+        att(c) = true
+      }
+      // upward closure: prefix-OR along each axis in turn
+      var jj = 0
+      while (jj < d) {
+        val stride = strides(jj)
+        var c = 0
+        while (c < nCells) {
+          if (!att(c) && (c / stride) % dims(jj) > 0 && att(c - stride))
+            att(c) = true
+          c += 1
+        }
+        jj += 1
+      }
+      var c = 0
+      while (c < nCells) { if (att(c)) counts(c) += 1; c += 1 }
+    }
+    Eaf(axes, counts, strides, nCells)
+  }
+
+  /** Minimal points of the level-k attainment set. A grid corner is
+    * minimal iff attained by >= k folds and no single-step-down neighbor
+    * is (the region is upward-closed, so grid-local minimality IS Pareto
+    * minimality). */
   def attainmentSurface(folds: Array[Array[Array[Double]]], k: Int): Array[Array[Double]] = {
     require(k >= 1 && k <= folds.length, s"level $k out of 1..${folds.length}")
-    val d = folds.head.head.length
-    val axes = Array.tabulate(d)(j => folds.flatten.map(_(j)).distinct.sorted)
-    val cells = axes.foldLeft(Array(Array.empty[Double])) { (acc, ax) =>
-      acc.flatMap(prefix => ax.map(v => prefix :+ v))
+    surfaceAt(eafCounts(folds), k)
+  }
+
+  private def surfaceAt(eaf: Eaf, k: Int): Array[Array[Double]] = {
+    val d = eaf.axes.length
+    val dims = eaf.axes.map(_.length)
+    val out = Array.newBuilder[Array[Double]]
+    var c = 0
+    while (c < eaf.nCells) {
+      if (eaf.counts(c) >= k) {
+        var minimal = true
+        var jj = 0
+        while (minimal && jj < d) {
+          val idx = (c / eaf.strides(jj)) % dims(jj)
+          if (idx > 0 && eaf.counts(c - eaf.strides(jj)) >= k) minimal = false
+          jj += 1
+        }
+        if (minimal)
+          out += Array.tabulate(d)(jj =>
+            eaf.axes(jj)((c / eaf.strides(jj)) % dims(jj)))
+      }
+      c += 1
     }
-    val attained = cells.filter(z => folds.count(attains(_, z)) >= k)
-    paretoFront(attained)
+    out.result()
   }
 
   final case class VorobResult(threshold: Double, level: Int, avgHyp: Double,
@@ -98,22 +176,46 @@ object Pareto {
 
   /** Vorob'ev threshold + expectation (moocore.vorob_t): mean fold
     * hypervolume, then the smallest attainment level whose surface
-    * hypervolume drops to ≤ avg_hyp (hv is non-increasing in the level;
+    * hypervolume drops to <= avg_hyp (hv is non-increasing in the level;
     * level 1 bounds it above, level K below, so the crossing exists).
     * threshold is that level as a percentile of K — the value moocore's
-    * dichotomic percentile search converges to. */
+    * dichotomic percentile search converges to.
+    *
+    * One EAF pass yields every level's hypervolume: box decomposition of
+    * the grid, clipped at `ref` — a box counts toward vol_k iff its lower
+    * corner is attained by >= k folds, which is exactly hv(Q_k, ref)
+    * because Q_k is upward-closed and constant within grid boxes. The
+    * expectation surface is materialized once, at the crossing level. */
   def vorobT(folds: Array[Array[Array[Double]]], ref: Array[Double]): VorobResult = {
     val kMax = folds.length
     val avgHyp = folds.map(hypervolume(_, ref)).sum / kMax
-    var k = 1
-    var surface = attainmentSurface(folds, k)
-    var hv = hypervolume(surface, ref)
-    while (hv > avgHyp && k < kMax) {
-      k += 1
-      surface = attainmentSurface(folds, k)
-      hv = hypervolume(surface, ref)
+    val eaf = eafCounts(folds)
+    val d = eaf.axes.length
+    val dims = eaf.axes.map(_.length)
+    val vols = new Array[Double](kMax + 2) // vols(k) = hv(Q_k, ref) after suffix-sum
+    var c = 0
+    while (c < eaf.nCells) {
+      val cnt = eaf.counts(c)
+      if (cnt > 0) {
+        var vol = 1.0
+        var jj = 0
+        while (vol > 0.0 && jj < d) {
+          val idx = (c / eaf.strides(jj)) % dims(jj)
+          val lo = eaf.axes(jj)(idx)
+          val hi = if (idx + 1 < dims(jj)) math.min(eaf.axes(jj)(idx + 1), ref(jj))
+            else ref(jj)
+          vol *= math.max(0.0, hi - lo)
+          jj += 1
+        }
+        if (vol > 0.0) vols(math.min(cnt, kMax)) += vol
+      }
+      c += 1
     }
-    VorobResult(100.0 * k / kMax, k, avgHyp, hv, surface)
+    var k = kMax - 1
+    while (k >= 1) { vols(k) += vols(k + 1); k -= 1 }
+    k = 1
+    while (vols(k) > avgHyp && k < kMax) k += 1
+    VorobResult(100.0 * k / kMax, k, avgHyp, vols(k), surfaceAt(eaf, k))
   }
 
   /** Vorob'ev deviation (moocore.vorob_dev): mean over folds of

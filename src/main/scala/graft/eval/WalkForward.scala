@@ -76,12 +76,26 @@ object WalkForward {
       }
       .collect().toSeq.sortBy(r => (r.barrierId, r.foldId))
 
+    // --- Stage 1: top-K by median OOS omega
+    val omegasByBid = foldRows.groupBy(_.barrierId)
+      .map { case (bid, rs) =>
+        bid -> Folds.median(rs.map(_.omega).sorted.toArray)
+      }
+    val topBids = omegasByBid.toSeq.sortBy { case (bid, o) => (-o, bid) }
+      .take(screenTopK).map(_._1)
+
     // --- Vorob'ev stability (walk_forward.py:775-905): benefit metrics
-    // negated, ref = zeros; skip marker instead of a bare None
+    // negated, ref = zeros; skip marker instead of a bare None.
+    // Computed over the SCREENED candidates' fold fronts — identical to
+    // the all-candidates form whenever nBarriers ≤ screenTopK (every
+    // spec/golden case), and the bound that keeps the driver-side EAF
+    // grid independent of the barrier-axis width at rehearsal scale.
+    val topSet = topBids.toSet
+    val vorobRows = foldRows.filter(r => topSet(r.barrierId))
     val (vorob, vorobSkip) =
-      if (foldRows.length < 3) (None, Some("insufficient_data"))
+      if (vorobRows.length < 3) (None, Some("insufficient_data"))
       else {
-        val byFold = foldRows.groupBy(_.foldId).toSeq.sortBy(_._1)
+        val byFold = vorobRows.groupBy(_.foldId).toSeq.sortBy(_._1)
         val fronts = byFold.map(_._2.map(r =>
           Array(-r.omega, -r.rachev, -r.totalReturn)).toArray).toArray
         val ref = Array(0.0, 0.0, 0.0)
@@ -93,14 +107,6 @@ object WalkForward {
         (Some(VorobStability(vt.threshold, vd, vt.avgHyp, fs.perFold, hvCv,
           unstable = vd > 10.0)), None)
       }
-
-    // --- Stage 1: top-K by median OOS omega
-    val omegasByBid = foldRows.groupBy(_.barrierId)
-      .map { case (bid, rs) =>
-        bid -> Folds.median(rs.map(_.omega).sorted.toArray)
-      }
-    val topBids = omegasByBid.toSeq.sortBy { case (bid, o) => (-o, bid) }
-      .take(screenTopK).map(_._1)
 
     // --- Stage 2: CPCV + nested selection + PBO over the screened set
     // (cpcv_n_folds = max(6, min(12, n/200)), walk_forward_barriers.py:301)
