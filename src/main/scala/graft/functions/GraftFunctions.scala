@@ -630,8 +630,9 @@ object WordBigrams {
   * verify join's sort alone. Jaccard over distinct hashes equals Jaccard
   * over distinct strings absent 32-bit collisions inside a document pair's
   * union (~10⁻⁶ per pair at 10³ shingles); both engines hash identically,
-  * so the cross-engine compare stays bit-exact regardless. The string form
-  * remains the exact verifier (q25).
+  * so the cross-engine compare stays bit-exact regardless. The whole dedup
+  * family (q25/q26/q49) uses this representation; [[WordBigrams]] keeps
+  * the literal shingles available for text ops that need them.
   */
 case class HashedWordBigrams(child: Expression)
     extends UnaryExpression {

@@ -28,14 +28,21 @@ object DedupQueries {
 
   type Q = (SparkSession, String) => DataFrame
 
-  /** doc_id + distinct word-2-shingle set (the unit of Jaccard/MinHash).
-    * The set is SORTED (one sort per document) so every pairwise Jaccard
-    * downstream is a single merge walk (SortedIntersectCount) instead of a
-    * per-pair hash-set build — set consumers (explode/minhash) are
-    * order-insensitive, so this costs nothing there. */
+  /** doc_id + the HASHED distinct word-2-shingle set (sorted md5-32
+    * longs) — the unit of Jaccard/MinHash across the whole dedup family.
+    * Sorted: every pairwise Jaccard downstream is one long-merge walk
+    * (SortedIntersectCount) instead of a per-pair hash-set build. Hashed:
+    * a shingle travels as 8 bytes through every block shuffle and the
+    * persisted frames (vs ~15-char strings — the q49 verify join spilled
+    * 21 GB in the string form at the 10× rehearsal). Jaccard over distinct
+    * hashes equals Jaccard over distinct strings absent 32-bit collisions
+    * within one pair's union (~10⁻⁶ at 10³ shingles), and both engines
+    * hash identically (TextOps.md5Int ≡ md5IntSql), so the cross-engine
+    * compare is exact either way. The string set (WordBigrams) remains
+    * available for text ops that need the literal shingles. */
   private def withShingleSet(spark: SparkSession, d: String): DataFrame =
     Tables.documents(spark, d)
-      .withColumn("shset", graft.functions.GraftFunctions.wordBigrams(col("text")))
+      .withColumn("shset", graft.functions.GraftFunctions.hashedWordBigrams(col("text")))
 
   /** Exact Jaccard of two sorted distinct shingle sets:
     * |A∩B| / (|A|+|B|−|A∩B|) — same integers, same double division as the
@@ -47,9 +54,11 @@ object DedupQueries {
 
   private val shingleSetSql: String =
     s"""SELECT doc_id, lang, source,
-      |    list_distinct(list_transform(
-      |      range(1, greatest(len(tok) - 1, 1) + 1),
-      |      i -> array_to_string(list_slice(tok, i, i + 1), ' '))) AS shset
+      |    list_sort(list_distinct(list_transform(
+      |      list_transform(
+      |        range(1, greatest(len(tok) - 1, 1) + 1),
+      |        i -> array_to_string(list_slice(tok, i, i + 1), ' ')),
+      |      sh -> ${md5IntSql("sh")}))) AS shset
       |  FROM (SELECT doc_id, lang, source, ${TextOps.tokensSql("text")} AS tok FROM documents)""".stripMargin
 
   // ---------------------------------------------------------------------------
@@ -128,8 +137,7 @@ object DedupQueries {
   // (higher-order functions skip whole-stage codegen) and was ~10× slower.
   def q26MinhashLsh(spark: SparkSession, d: String): DataFrame = {
     val hashed = withShingleSet(spark, d)
-      .select(col("doc_id"), explode(col("shset")).as("shingle"))
-      .withColumn("h", md5Int(col("shingle")))
+      .select(col("doc_id"), explode(col("shset")).as("h"))
     val lanes = (0 until 16).map(j =>
       min((col("h") * lit(2L * j + 1) + lit(j * 104729L)) % lit(P)).as(s"m$j"))
     val sigs = hashed.groupBy(col("doc_id")).agg(lanes.head, lanes.tail: _*)
@@ -155,8 +163,7 @@ object DedupQueries {
       |sig AS (
       |  SELECT doc_id,
       |    list_transform(range(0, 16), j -> list_min(list_transform(
-      |      list_transform(shset, sh -> ${md5IntSql("sh")}),
-      |      h -> ((j*2 + 1) * h + j*104729) % $P))) AS sig
+      |      shset, h -> ((j*2 + 1) * h + j*104729) % $P))) AS sig
       |  FROM s),
       |bands AS (
       |  SELECT doc_id, g.band,
@@ -243,8 +250,8 @@ object DedupQueries {
     // frame and both sides of the verify join, vs ~15-char strings that
     // spilled 21 GB in that join's sort at the 10× rehearsal. Hash values
     // are the same md5Int both engines compute, so minhash signatures are
-    // unchanged and the oracle stays bit-exact; q25 keeps the string-exact
-    // Jaccard as the verifier form.
+    // unchanged and the oracle stays bit-exact (see withShingleSet — the
+    // whole dedup family shares this representation).
     val shingled = docs
       .join(reps, "doc_id")
       .select(col("doc_id"),
@@ -296,10 +303,7 @@ object DedupQueries {
       |s0 AS (
       |  $shingleSetSql),
       |s AS (
-      |  SELECT s0.doc_id,
-      |    list_sort(list_distinct(list_transform(s0.shset,
-      |      sh -> ${md5IntSql("sh")}))) AS shset
-      |  FROM s0 JOIN reps USING (doc_id)),
+      |  SELECT s0.doc_id, s0.shset FROM s0 JOIN reps USING (doc_id)),
       |sig AS (
       |  SELECT doc_id,
       |    list_transform(range(0, 16), j -> list_min(list_transform(
