@@ -76,10 +76,6 @@ object Pareto {
   // (≤ ~10² points); this is a driver-side eval procedure, matching the
   // reference's own single-process moocore usage.
 
-  /** z is attained by `points` (minimization): some p ≤ z componentwise. */
-  private def attains(points: Array[Array[Double]], z: Array[Double]): Boolean =
-    points.exists(p => p.indices.forall(j => p(j) <= z(j)))
-
   /** Per-grid-corner attainment COUNTS over the coordinate grid spanned by
     * the folds' nondominated points — the shared EAF structure behind
     * [[attainmentSurface]] and [[vorobT]].

@@ -343,6 +343,44 @@ object CoreQueries {
       |    AS avg_qty_above
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  // ---------------------------------------------------------------------------
+  // q52 — A11: multi-dimensional rollup in one pass — CUBE over
+  // (returnflag, linestatus) with grouping_id disambiguating the 4 grouping
+  // sets, plus DISTINCT aggregates (single- and multi-column). Spark expands
+  // CUBE before aggregation, so it remains one shuffle on the expanded keys;
+  // distinct aggregates add the standard two-phase expand. The HLL sketch
+  // variant (approx_count_distinct) is covered by a golden spec instead —
+  // its estimate is implementation-defined, so no cross-engine oracle can
+  // hash-match it. Ref: the reference's per-dimension census queries
+  // (sql/gen600 family runs one GROUP BY per cut; CUBE folds them into one).
+  def q52CubeDistinct(spark: SparkSession, d: String): DataFrame =
+    Tables.lineitem(spark, d)
+      // the CUBE×multi-DISTINCT rewrite expands every input row 12× before
+      // the dedup aggregate; a single-file scan would feed that explosion
+      // from 1-2 partitions, so spread it first (same class of fix as the
+      // sweep fan-out — parallelism must be decided before the blow-up)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        grouping_id().as("gid"),
+        count(lit(1)).as("n"),
+        countDistinct(col("l_orderkey")).as("n_orders"),
+        countDistinct(col("l_partkey"), col("l_suppkey")).as("n_part_supp"),
+        round(sum(col("l_quantity")), R).as("sum_qty"))
+      .orderBy(col("gid"), col("l_returnflag").asc_nulls_last,
+        col("l_linestatus").asc_nulls_last)
+
+  val q52Sql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  GROUPING(l_returnflag, l_linestatus) AS gid,
+      |  count(*) AS n,
+      |  count(DISTINCT l_orderkey) AS n_orders,
+      |  count(DISTINCT (l_partkey, l_suppkey)) AS n_part_supp,
+      |  round(sum(l_quantity), 2) AS sum_qty
+      |FROM lineitem
+      |GROUP BY CUBE (l_returnflag, l_linestatus)
+      |ORDER BY gid, l_returnflag NULLS LAST, l_linestatus NULLS LAST""".stripMargin
+
   val all: Map[String, Q] = Map(
     "q44_scalar_subquery" -> (q44ScalarSubquery _),
     "q01_filtered_scan" -> (q01FilteredScan _),
@@ -356,7 +394,8 @@ object CoreQueries {
     "q09_union" -> (q09Union _),
     "q10_scalar_funcs" -> (q10ScalarFuncs _),
     "q11_lastn_align" -> (q11LastNAlign _),
-    "q12_running_count" -> (q12RunningCount _))
+    "q12_running_count" -> (q12RunningCount _),
+    "q52_cube_distinct" -> (q52CubeDistinct _))
 
   val oracles: Map[String, String] = Map(
     "q44_scalar_subquery" -> q44Sql,
@@ -371,5 +410,6 @@ object CoreQueries {
     "q09_union" -> q09Sql,
     "q10_scalar_funcs" -> q10Sql,
     "q11_lastn_align" -> q11Sql,
-    "q12_running_count" -> q12Sql)
+    "q12_running_count" -> q12Sql,
+    "q52_cube_distinct" -> q52Sql)
 }

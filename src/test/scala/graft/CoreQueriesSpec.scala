@@ -46,4 +46,28 @@ class CoreQueriesSpec extends GraftSuite {
     assert(plan.contains("PushedFilters") && plan.contains("l_quantity"),
       s"no pushed filters in plan:\n$plan")
   }
+
+  test("q52 cube: grouping sets reconcile and the HLL sketch tracks exact") {
+    val li = Tables.lineitem(spark, sf)
+    val cube = queries.CoreQueries.q52CubeDistinct(spark, sf).collect()
+    // the gid=3 grand-total row equals the whole table; detail rows (gid=0)
+    // partition it
+    val grand = cube.filter(_.getAs[Long]("gid") == 3L)
+    assert(grand.length == 1)
+    assert(grand.head.getAs[Long]("n") == li.count())
+    assert(cube.filter(_.getAs[Long]("gid") == 0L).map(_.getAs[Long]("n")).sum
+      == li.count())
+    // rollup is the cube minus the column-rolled grouping set
+    val rollupN = li.rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1))).count()
+    assert(rollupN == cube.length - cube.count(_.getAs[Long]("gid") == 2L))
+    // HLL (A11): approx_count_distinct's default rsd is 5%; assert the
+    // sketch lands within 3 sigma of the exact distinct count
+    val Array(exact, approx) = li
+      .agg(countDistinct(col("l_orderkey")).cast("double"),
+        approx_count_distinct(col("l_orderkey")).cast("double"))
+      .first().toSeq.map(_.asInstanceOf[Double]).toArray
+    assert(math.abs(approx - exact) / exact <= 0.15,
+      s"HLL estimate $approx too far from exact $exact")
+  }
 }
