@@ -312,17 +312,183 @@ object TextQueries {
       |FROM g GROUP BY source ORDER BY source""".stripMargin
   }
 
+  // ---------------------------------------------------------------------------
+  // q53 — deterministic train/val/test split + per-language stratified
+  // downsampling, as a per-(lang, split) census. Split and sample decisions
+  // are pure hash functions of the row (md5 of doc_id / of lang:doc_id), so
+  // they are reproducible across runs, engines, and cluster layouts — the
+  // property a training-data pipeline needs (a rerun or a backfill must
+  // assign every document to the same shard). Map-only projection + tiny
+  // groupBy; nothing shuffles but the census keys, at any corpus size.
+  // Rates: downsample the dominant languages (en 50%, zh 80%), keep the rest.
+  private val sampleRateSql =
+    "CASE lang WHEN 'en' THEN 500000 WHEN 'zh' THEN 800000 ELSE 1000000 END"
+
+  def q53StratifiedSplit(spark: SparkSession, d: String): DataFrame = {
+    val bucket = md5Int(col("doc_id").cast("string")) % 100
+    val shash =
+      md5Int(concat_ws(":", col("lang"), col("doc_id").cast("string"))) % 1000000
+    val thresh = when(col("lang") === "en", 500000L)
+      .when(col("lang") === "zh", 800000L).otherwise(1000000L)
+    Tables.documents(spark, d)
+      .withColumn("split",
+        when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test"))
+      .withColumn("n_tok", size(toks(col("text"))))
+      .withColumn("sampled", shash < thresh)
+      .groupBy(col("lang"), col("split"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        count_if(col("sampled")).as("n_sampled"),
+        sum(when(col("sampled"), col("n_tok")).otherwise(0L)).as("sampled_tokens"))
+      .orderBy(col("lang"), col("split"))
+  }
+
+  val q53Sql: String =
+    s"""WITH t AS (
+      |  SELECT lang,
+      |    ${md5IntSql("CAST(doc_id AS VARCHAR)")} % 100 AS bucket,
+      |    ${md5IntSql("lang || ':' || CAST(doc_id AS VARCHAR)")} % 1000000
+      |      AS shash,
+      |    len($toksSql) AS n_tok
+      |  FROM documents)
+      |SELECT lang,
+      |  CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val'
+      |       ELSE 'test' END AS split,
+      |  count(*) AS n_docs,
+      |  count(*) FILTER (WHERE shash < $sampleRateSql) AS n_sampled,
+      |  CAST(coalesce(sum(n_tok) FILTER (WHERE shash < $sampleRateSql), 0)
+      |    AS BIGINT) AS sampled_tokens
+      |FROM t GROUP BY lang, split ORDER BY lang, split""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // q54 — sequence packing: concatenate each source shard's token stream in
+  // deterministic hash order and cut it into fixed 512-token training
+  // sequences; a document's pack is the sequence its first token lands in.
+  // The running token count is one window cumsum per shard (per-series
+  // sequential, parallel across shards — the same axis the bar operators
+  // scale on), then two small groupBys. Census per source: pack count, mean
+  // pack occupancy, and the largest single-pack document count.
+  private val PackBudget = 512
+
+  def q54SequencePack(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val order = Window.partitionBy(col("source"))
+      .orderBy(md5Int(col("doc_id").cast("string")), col("doc_id"))
+    Tables.documents(spark, d)
+      .withColumn("n_tok", size(toks(col("text"))).cast("long"))
+      .withColumn("cum_before",
+        coalesce(sum(col("n_tok")).over(
+          order.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("pack_id", expr(s"cum_before div $PackBudget"))
+      .groupBy(col("source"), col("pack_id"))
+      .agg(count(lit(1)).as("pack_docs"), sum(col("n_tok")).as("pack_tokens"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_packs"),
+        sum(col("pack_docs")).as("n_docs"),
+        sum(col("pack_tokens")).as("total_tokens"),
+        max(col("pack_docs")).as("max_pack_docs"),
+        round(avg(col("pack_tokens")), 4).as("avg_pack_tokens"))
+      .orderBy(col("source"))
+  }
+
+  val q54Sql: String =
+    s"""WITH t AS (
+      |  SELECT source, doc_id, len($toksSql)::BIGINT AS n_tok,
+      |    ${md5IntSql("CAST(doc_id AS VARCHAR)")} AS h
+      |  FROM documents),
+      |c AS (
+      |  SELECT source, n_tok,
+      |    coalesce(sum(n_tok) OVER (PARTITION BY source ORDER BY h, doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |      // $PackBudget AS pack_id
+      |  FROM t),
+      |p AS (
+      |  SELECT source, pack_id, count(*) AS pack_docs, sum(n_tok) AS pack_tokens
+      |  FROM c GROUP BY source, pack_id)
+      |SELECT source, count(*) AS n_packs,
+      |  CAST(sum(pack_docs) AS BIGINT) AS n_docs,
+      |  CAST(sum(pack_tokens) AS BIGINT) AS total_tokens,
+      |  max(pack_docs) AS max_pack_docs,
+      |  round(avg(pack_tokens), 4) AS avg_pack_tokens
+      |FROM p GROUP BY source ORDER BY source""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // q55 — benchmark decontamination: flag corpus documents that share any
+  // word 5-gram with a held-out "benchmark" set (here a deterministic ~1%
+  // hash slice of the corpus standing in for an eval suite). The benchmark
+  // n-gram set is DISTINCT'd small and broadcast, so the corpus side is one
+  // map-side explode + broadcast semi-join — the corpus text never
+  // shuffles, which is what makes this shape viable at 100 TB (the
+  // benchmark set is fixed-size no matter the corpus).
+  def q55Decontamination(spark: SparkSession, d: String): DataFrame = {
+    val gramStrings = expr(
+      "array_distinct(transform(sequence(1, greatest(size(tok) - 4, 1)), " +
+        "i -> array_join(slice(tok, i, 5), ' ')))")
+    val docs = Tables.documents(spark, d)
+      .withColumn("tok", toks(col("text")))
+      .withColumn("is_bench", md5Int(col("doc_id").cast("string")) % 97 === 0)
+      .withColumn("gh", transform(gramStrings, g => md5Int(g)))
+      .select(col("doc_id"), col("lang"), col("is_bench"), col("gh"))
+    val benchGrams = docs.filter(col("is_bench"))
+      .select(explode(col("gh")).as("g")).distinct()
+    val corpus = docs.filter(!col("is_bench"))
+    val contaminated = corpus
+      .select(col("doc_id"), col("lang"), explode(col("gh")).as("g"))
+      .join(broadcast(benchGrams), Seq("g"), "left_semi")
+      .select(col("doc_id"), col("lang")).distinct()
+      .groupBy(col("lang")).agg(count(lit(1)).as("n_contaminated"))
+    corpus.groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+      .join(contaminated, Seq("lang"), "left")
+      .na.fill(0L, Seq("n_contaminated"))
+      .withColumn("pct_contaminated",
+        round(col("n_contaminated").cast("double") / col("n_docs"), 6) + 0.0)
+      .orderBy(col("lang"))
+  }
+
+  val q55Sql: String = {
+    val gramHash = md5IntSql("array_to_string(list_slice(tok, i, i + 4), ' ')")
+    s"""WITH t AS (
+      |  SELECT doc_id, lang, $toksSql AS tok,
+      |    ${md5IntSql("CAST(doc_id AS VARCHAR)")} % 97 = 0 AS is_bench
+      |  FROM documents),
+      |g AS (
+      |  SELECT doc_id, lang, is_bench,
+      |    list_distinct(list_transform(
+      |      range(1, greatest(len(tok) - 4, 1) + 1), i -> $gramHash)) AS gh
+      |  FROM t),
+      |bg AS (SELECT DISTINCT unnest(gh) AS gr FROM g WHERE is_bench),
+      |cont AS (
+      |  SELECT DISTINCT c.doc_id, c.lang
+      |  FROM (SELECT doc_id, lang, unnest(gh) AS gr FROM g WHERE NOT is_bench) c
+      |  JOIN bg USING (gr)),
+      |cc AS (SELECT lang, count(*) AS n_contaminated FROM cont GROUP BY lang)
+      |SELECT g.lang, count(*) AS n_docs,
+      |  coalesce(any_value(cc.n_contaminated), 0) AS n_contaminated,
+      |  round(coalesce(any_value(cc.n_contaminated), 0)::DOUBLE / count(*), 6)
+      |    + 0.0 AS pct_contaminated
+      |FROM g LEFT JOIN cc ON cc.lang = g.lang
+      |WHERE NOT g.is_bench
+      |GROUP BY g.lang ORDER BY g.lang""".stripMargin
+  }
+
   val all: Map[String, Q] = Map(
     "q21_text_stats" -> (q21TextStats _),
     "q22_lang_id" -> (q22LangId _),
     "q23_fingerprint" -> (q23Fingerprint _),
     "q24_exact_dedup" -> (q24ExactDedup _),
-    "q50_quality_filter_pipeline" -> (q50QualityFilterPipeline _))
+    "q50_quality_filter_pipeline" -> (q50QualityFilterPipeline _),
+    "q53_stratified_split" -> (q53StratifiedSplit _),
+    "q54_sequence_pack" -> (q54SequencePack _),
+    "q55_decontamination" -> (q55Decontamination _))
 
   val oracles: Map[String, String] = Map(
     "q21_text_stats" -> q21Sql,
     "q22_lang_id" -> q22Sql,
     "q23_fingerprint" -> q23Sql,
     "q24_exact_dedup" -> q24Sql,
-    "q50_quality_filter_pipeline" -> q50Sql)
+    "q50_quality_filter_pipeline" -> q50Sql,
+    "q53_stratified_split" -> q53Sql,
+    "q54_sequence_pack" -> q54Sql,
+    "q55_decontamination" -> q55Sql)
 }

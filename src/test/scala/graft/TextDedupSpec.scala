@@ -101,4 +101,65 @@ class TextDedupSpec extends GraftSuite {
       .filter(col("top1_cos") > col("brute_top1")).count()
     assert(bad == 0)
   }
+
+  test("q53 split: census partitions the corpus, rerun-stable, rates honored") {
+    val rows = queries.TextQueries.q53StratifiedSplit(spark, sf).collect()
+    val total = Tables.documents(spark, sf).count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == total)
+    rows.foreach(r =>
+      assert(r.getAs[Long]("n_sampled") <= r.getAs[Long]("n_docs")))
+    // non-downsampled languages keep everything
+    rows.filter(r => !Set("en", "zh").contains(r.getAs[String]("lang")))
+      .foreach(r =>
+        assert(r.getAs[Long]("n_sampled") == r.getAs[Long]("n_docs")))
+    // determinism: a rerun assigns identical shards
+    val again = queries.TextQueries.q53StratifiedSplit(spark, sf).collect()
+    assert(rows.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+  }
+
+  test("q54 packing matches a sequential Scala replay of each shard") {
+    val docs = Tables.documents(spark, sf)
+      .select(col("source"), col("doc_id"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("n_tok"),
+        graft.functions.GraftFunctions
+          .md5PrefixInt(col("doc_id").cast("string")).as("h"))
+      .collect()
+      .groupBy(_.getAs[String]("source"))
+    val replay = docs.map { case (src, rs) =>
+      val ordered = rs.sortBy(r => (r.getAs[Long]("h"), r.getAs[Long]("doc_id")))
+      var cum = 0L
+      val packs = ordered.map { r =>
+        val p = cum / 512; cum += r.getAs[Long]("n_tok"); p
+      }
+      src -> (packs.distinct.length.toLong, cum)
+    }
+    queries.TextQueries.q54SequencePack(spark, sf).collect().foreach { r =>
+      val (nPacks, totTok) = replay(r.getAs[String]("source"))
+      assert(r.getAs[Long]("n_packs") == nPacks)
+      assert(r.getAs[Long]("total_tokens") == totTok)
+    }
+  }
+
+  test("q55 decontamination matches a brute-force 5-gram intersection") {
+    val all = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("lang"), col("text"),
+        (graft.functions.GraftFunctions
+          .md5PrefixInt(col("doc_id").cast("string")) % 97 === 0).as("is_bench"))
+      .collect()
+    def grams(t: String): Set[String] = {
+      val tok = t.trim.split("\\s+")
+      (1 to math.max(tok.length - 4, 1))
+        .map(i => tok.slice(i - 1, i + 4).mkString(" ")).toSet
+    }
+    val benchSet = all.filter(_.getAs[Boolean]("is_bench"))
+      .flatMap(r => grams(r.getAs[String]("text"))).toSet
+    val want = all.filterNot(_.getAs[Boolean]("is_bench"))
+      .filter(r => grams(r.getAs[String]("text")).exists(benchSet))
+      .groupBy(_.getAs[String]("lang")).view.mapValues(_.length.toLong).toMap
+    queries.TextQueries.q55Decontamination(spark, sf).collect().foreach { r =>
+      assert(r.getAs[Long]("n_contaminated") ==
+        want.getOrElse(r.getAs[String]("lang"), 0L),
+        s"lang ${r.getAs[String]("lang")}")
+    }
+  }
 }
