@@ -56,4 +56,25 @@ object ResultSink {
 
   def readJsonl(spark: SparkSession, path: String): DataFrame =
     spark.read.json(path)
+
+  /** S7: Arrow IPC stream export (ref exports Arrow for the Python eval
+    * layer; here each task writes one `part-N.arrows` IPC-stream shard —
+    * the layout a downstream reader mmaps shard-parallel). Rows never
+    * touch the driver: each partition converts its own InternalRows
+    * through Spark's ArrowWriter in `batchRows` record batches. `dir`
+    * must be storage every executor can reach (local[, NFS, fuse] here;
+    * object storage via a channel provider at cluster scale). */
+  def writeArrow(df: DataFrame, dir: String, batchRows: Int = 4096): Unit = {
+    import org.apache.spark.sql.graftbridge.ArrowBridge
+    val schema = df.schema
+    new java.io.File(dir).mkdirs()
+    ArrowBridge.toRdd(df).foreachPartition { it =>
+      if (it.hasNext) {
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        val ch = new java.io.FileOutputStream(s"$dir/part-$pid.arrows").getChannel
+        try ArrowBridge.writeIpcStream(it, schema, "UTC", batchRows, ch)
+        finally ch.close()
+      }
+    }
+  }
 }

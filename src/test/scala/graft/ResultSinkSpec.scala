@@ -66,4 +66,49 @@ class ResultSinkSpec extends GraftSuite {
     val firstLine = scala.io.Source.fromFile(part).getLines().next()
     assert(firstLine.startsWith("{") && firstLine.endsWith("}"))
   }
+
+  test("Arrow IPC export round-trips through the public arrow reader (S7)") {
+    import org.apache.arrow.memory.RootAllocator
+    import org.apache.arrow.vector.ipc.ArrowStreamReader
+    val p = tmp()
+    val df = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_returnflag"))
+    ResultSink.writeArrow(df, p, batchRows = 1000)
+    val shards = new java.io.File(p).listFiles()
+      .filter(_.getName.endsWith(".arrows")).sortBy(_.getName)
+    assert(shards.nonEmpty)
+    val allocator = new RootAllocator(Long.MaxValue)
+    var rows = 0L
+    var keySum = 0L
+    var priceSum = 0.0
+    var flags = Set.empty[String]
+    shards.foreach { f =>
+      val in = new java.io.FileInputStream(f)
+      val r = new ArrowStreamReader(in, allocator)
+      val root = r.getVectorSchemaRoot
+      assert(root.getSchema.getFields.size() == 3)
+      while (r.loadNextBatch()) {
+        val n = root.getRowCount
+        val keys = root.getVector("l_orderkey")
+          .asInstanceOf[org.apache.arrow.vector.BigIntVector]
+        val prices = root.getVector("l_extendedprice")
+          .asInstanceOf[org.apache.arrow.vector.Float8Vector]
+        val rf = root.getVector("l_returnflag")
+          .asInstanceOf[org.apache.arrow.vector.VarCharVector]
+        (0 until n).foreach { i =>
+          keySum += keys.get(i); priceSum += prices.get(i)
+          flags += new String(rf.get(i), java.nio.charset.StandardCharsets.UTF_8)
+        }
+        rows += n
+      }
+      r.close(); in.close()
+    }
+    allocator.close()
+    val want = df.agg(count(lit(1)), sum("l_orderkey"),
+      sum("l_extendedprice"), countDistinct("l_returnflag")).first()
+    assert(rows == want.getLong(0))
+    assert(keySum == want.getLong(1))
+    assert(math.abs(priceSum - want.getDouble(2)) < 1e-6 * want.getDouble(2))
+    assert(flags.size == want.getLong(3))
+  }
 }
