@@ -655,17 +655,55 @@ case class HashedWordBigrams(child: Expression)
 object HashedWordBigrams {
   import org.apache.spark.unsafe.types.UTF8String
 
-  def evalText(s: UTF8String): ArrayData = {
-    // same tokenization + tail-slice contract as WordBigrams.evalText
+  def evalText(s: UTF8String): ArrayData = HashedWordNgrams.evalText(s, 2)
+}
+
+/** Sorted distinct md5-32 hashes of word n-grams — [[HashedWordBigrams]]
+  * generalized to any n (same tokenization and tail-slice contract:
+  * max(len−n+1, 1) positions, the final positions clamp to the token
+  * list's end, so a doc shorter than n yields its whole token list as one
+  * gram). Equal by construction to hashing
+  * `array_join(slice(tok, i, n), ' ')` per position and distinct-ing.
+  */
+case class HashedWordNgrams(child: Expression, n: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(v: Any): Any =
+    HashedWordNgrams.evalText(
+      v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], n)
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashedWordNgrams.evalText($c, $n)")
+
+  override protected def withNewChildInternal(c: Expression): HashedWordNgrams =
+    copy(child = c)
+  override def prettyName: String = s"hashed_word_${n}grams"
+}
+
+object HashedWordNgrams {
+  import org.apache.spark.unsafe.types.UTF8String
+
+  def evalText(s: UTF8String, n: Int): ArrayData = {
     val toks = s.trim().toString.split("\\s+", -1)
-    val n = math.max(toks.length - 1, 1)
+    val nPos = math.max(toks.length - n + 1, 1)
     val set = new java.util.TreeSet[java.lang.Long]()
+    val sb = new java.lang.StringBuilder()
     var i = 0
-    while (i < n) {
-      val bigram =
-        if (i + 1 < toks.length) toks(i) + " " + toks(i + 1)
-        else toks(i)
-      set.add(Md5PrefixInt.evalHash(UTF8String.fromString(bigram)))
+    while (i < nPos) {
+      sb.setLength(0)
+      val end = math.min(i + n, toks.length)
+      var j = i
+      while (j < end) {
+        if (j > i) sb.append(' ')
+        sb.append(toks(j))
+        j += 1
+      }
+      set.add(Md5PrefixInt.evalHash(UTF8String.fromString(sb.toString)))
       i += 1
     }
     val out = new Array[Long](set.size())
@@ -812,6 +850,11 @@ object GraftFunctions {
     * [[HashedWordBigrams]]) — the 8-byte-per-shingle pipeline form. */
   def hashedWordBigrams(text: Column): Column =
     GraftBridge.toColumn(HashedWordBigrams(GraftBridge.toExpr(text)))
+
+  /** Sorted distinct md5-32 hashes of word n-grams (see
+    * [[HashedWordNgrams]]). */
+  def hashedWordNgrams(text: Column, n: Int): Column =
+    GraftBridge.toColumn(HashedWordNgrams(GraftBridge.toExpr(text), n))
 
   /** Seeded prefix maximum array (see [[RunningMaxSeeded]]); one O(n) scan
     * replacing the O(n²) transform/array_max(slice) chain. */

@@ -422,13 +422,12 @@ object TextQueries {
   // shuffles, which is what makes this shape viable at 100 TB (the
   // benchmark set is fixed-size no matter the corpus).
   def q55Decontamination(spark: SparkSession, d: String): DataFrame = {
-    val gramStrings = expr(
-      "array_distinct(transform(sequence(1, greatest(size(tok) - 4, 1)), " +
-        "i -> array_join(slice(tok, i, 5), ' ')))")
+    // one kernel pass per document: tokenize → 5-gram → md5-32 → sorted
+    // distinct longs (8 bytes/gram on the wire; see HashedWordNgrams)
     val docs = Tables.documents(spark, d)
-      .withColumn("tok", toks(col("text")))
       .withColumn("is_bench", md5Int(col("doc_id").cast("string")) % 97 === 0)
-      .withColumn("gh", transform(gramStrings, g => md5Int(g)))
+      .withColumn("gh",
+        graft.functions.GraftFunctions.hashedWordNgrams(col("text"), 5))
       .select(col("doc_id"), col("lang"), col("is_bench"), col("gh"))
     val benchGrams = docs.filter(col("is_bench"))
       .select(explode(col("gh")).as("g")).distinct()

@@ -171,6 +171,26 @@ class GraftFunctionsSpec extends GraftSuite {
     assert(chain.filter(col("fast") =!= col("slow")).count() === 0)
   }
 
+  test("hashed_word_ngrams equals the tokenize→ngram→md5→distinct→sort chain") {
+    val texts = Seq("", " ", "one", "one two three four", "a b c d e f g a b c d e",
+      "  padded   with	tabs\nand newlines  ", "héllo wörld ✓ one two")
+      .toDF("text")
+      .union(spark.range(100).select(
+        concat_ws(" ", (0 to 20).map(i =>
+          concat(lit("w"), ((col("id") + i) * 13 % 31).cast("string"))): _*).as("text")))
+    Seq(2, 5).foreach { n =>
+      val chain = texts
+        .withColumn("tok", split(trim(col("text")), "\\s+"))
+        .withColumn("gs",
+          expr(s"transform(sequence(1, greatest(size(tok) - ${n - 1}, 1))," +
+            s" i -> array_join(slice(tok, i, $n), ' '))"))
+        .withColumn("slow", sort_array(array_distinct(
+          transform(col("gs"), g => GraftFunctions.md5PrefixInt(g)))))
+        .withColumn("fast", GraftFunctions.hashedWordNgrams(col("text"), n))
+      assert(chain.filter(col("fast") =!= col("slow")).count() === 0, s"n=$n")
+    }
+  }
+
   test("running_max_seeded equals the transform/array_max(slice) chain") {
     // non-empty arrays only: the barrier engine guarantees ≥1 forward bar
     // (entry filter), and sequence(1, 0) would turn descending in the
