@@ -365,7 +365,11 @@ object CoreQueries {
         grouping_id().as("gid"),
         count(lit(1)).as("n"),
         countDistinct(col("l_orderkey")).as("n_orders"),
-        countDistinct(col("l_partkey"), col("l_suppkey")).as("n_part_supp"),
+        // multi-column distinct on a bounded-cardinality pair: the dedup
+        // lane collapses map-side (a near-unique pair like (partkey,
+        // suppkey) would make this lane shuffle ~|rows| keys — at scale
+        // that calls for approx_count_distinct's mergeable HLL instead)
+        countDistinct(col("l_suppkey"), col("l_linenumber")).as("n_supp_line"),
         round(sum(col("l_quantity")), R).as("sum_qty"))
       .orderBy(col("gid"), col("l_returnflag").asc_nulls_last,
         col("l_linestatus").asc_nulls_last)
@@ -375,7 +379,7 @@ object CoreQueries {
       |  GROUPING(l_returnflag, l_linestatus) AS gid,
       |  count(*) AS n,
       |  count(DISTINCT l_orderkey) AS n_orders,
-      |  count(DISTINCT (l_partkey, l_suppkey)) AS n_part_supp,
+      |  count(DISTINCT (l_suppkey, l_linenumber)) AS n_supp_line,
       |  round(sum(l_quantity), 2) AS sum_qty
       |FROM lineitem
       |GROUP BY CUBE (l_returnflag, l_linestatus)

@@ -102,4 +102,31 @@ class PlanShapeSpec extends GraftSuite {
     assert(windows >= 3, s"adaptive chain lost its window stages:\n$p")
     assert(exchanges <= 2, s"W6 windows re-shuffled ($exchanges exchanges):\n$p")
   }
+
+  test("q55 decontamination: benchmark grams broadcast; corpus join is a semi-join") {
+    val p = plan(TextQueries.q55Decontamination(spark, sf))
+    assert(p.contains("BroadcastHashJoin LeftSemi") ||
+      (p.contains("LeftSemi") && p.contains("BroadcastExchange")),
+      s"benchmark set not broadcast-semi-joined:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"corpus shuffled for the benchmark join:\n$p")
+  }
+
+  test("q52 cube: one cube expand feeding partial aggregation, no extra scan") {
+    val p = plan(CoreQueries.q52CubeDistinct(spark, sf))
+    assert(p.linesIterator.count(_.contains("Expand")) >= 2,
+      s"multi-distinct cube rewrite missing:\n$p")
+    assert(p.linesIterator.count(_.contains("Scan parquet")) == 1,
+      s"cube re-scanned its input:\n$p")
+  }
+
+  test("q54 packing: a single window exchange per shard axis") {
+    val p = plan(TextQueries.q54SequencePack(spark, sf))
+    // one shuffle for the per-source window, then the two census groupBys
+    // ride AQE exchanges; the corpus text itself is projected to n_tok
+    // before any exchange (no document bytes on the wire)
+    val readSchema = p.linesIterator.filter(_.contains("windowspecdefinition")).size
+    assert(readSchema >= 1, s"window stage missing:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
 }
