@@ -387,8 +387,83 @@ object EvalQueries {
        |  round(max(ratio), 4) AS best_ratio
        |FROM rat GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // ---------------------------------------------------------------------------
+  // q56 — WFO fold construction + per-fold OOS metrics (E17+E20,
+  // eval/walk_forward.py:45-102,105-201) as ONE oracle-checkable query.
+  // Fold arithmetic is pure integer math on the per-series signal index
+  // (bar-index space, never timestamps — the reference's pinned rule), so
+  // it inlines as window expressions: nSplits = max(5, n/200), testSize =
+  // max(1, n/nSplits), trainSize = min(5·testSize, max(testSize,
+  // n−purge−testSize)), test fold k spans [trainSize+purge+k·testSize,
+  // +testSize), kept only when it fits and its (rolling, purged) train
+  // window holds ≥ 2·testSize rows. Identical formulas in the DuckDB
+  // oracle; FoldsSpec separately pins buildWfoFolds to the same indices,
+  // so the distributed query, the eval layer, and the oracle agree.
+  // Per-fold PF follows the reference's E20 rule: losses=0 → 10.0 when
+  // wins>0 else NULL; otherwise capped at 10.
+  def q56WfoFoldMetrics(spark: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type")).orderBy(col("ts_us"), col("event_id"))
+    val wAll = Window.partitionBy(col("event_type"))
+    val wins = sum(greatest(col("r"), lit(0.0)))
+    val losses = sum(greatest(-col("r"), lit(0.0)))
+    returns(spark, d)
+      .withColumn("idx", row_number().over(w).cast("long") - 1)
+      .withColumn("n", count(lit(1)).over(wAll))
+      .withColumn("test_size",
+        greatest(lit(1L), expr("n div greatest(5, n div 200)")))
+      .withColumn("train_size",
+        least(col("test_size") * 5,
+          greatest(col("test_size"), col("n") - 100 - col("test_size"))))
+      .filter(col("idx") >= col("train_size") + 100)
+      .withColumn("fold", expr("(idx - train_size - 100) div test_size"))
+      .withColumn("fold_start", col("train_size") + 100 + col("fold") * col("test_size"))
+      .filter(col("fold_start") + col("test_size") <= col("n") &&
+        least(col("fold_start") - 100, col("train_size")) >= col("test_size") * 2)
+      .groupBy(col("event_type"), col("fold"))
+      .agg(
+        count(lit(1)).as("n_test"),
+        round(count_if(col("r") > 0).cast("double") / count(lit(1)), 4).as("win_rate"),
+        round(when(losses === 0.0, when(wins > 0.0, lit(10.0)).otherwise(lit(null)))
+          .otherwise(least(wins / losses, lit(10.0))), 4).as("pf"),
+        round(sum(col("r")), 6).as("total_ret"))
+      .orderBy(col("event_type"), col("fold"))
+  }
+
+  val q56Sql: String =
+    s"""$duckReturnsCte,
+       |ix AS (
+       |  SELECT event_type, r,
+       |    row_number() OVER (PARTITION BY event_type
+       |      ORDER BY ts_us, event_id) - 1 AS idx,
+       |    count(*) OVER (PARTITION BY event_type) AS n
+       |  FROM rets),
+       |sz AS (
+       |  SELECT *, greatest(1, n // greatest(5, n // 200)) AS test_size,
+       |    least(greatest(1, n // greatest(5, n // 200)) * 5,
+       |      greatest(greatest(1, n // greatest(5, n // 200)),
+       |        n - 100 - greatest(1, n // greatest(5, n // 200)))) AS train_size
+       |  FROM ix),
+       |f AS (
+       |  SELECT *, (idx - train_size - 100) // test_size AS fold,
+       |    train_size + 100 + ((idx - train_size - 100) // test_size) * test_size
+       |      AS fold_start
+       |  FROM sz WHERE idx >= train_size + 100),
+       |kept AS (
+       |  SELECT * FROM f
+       |  WHERE fold_start + test_size <= n
+       |    AND least(fold_start - 100, train_size) >= test_size * 2)
+       |SELECT event_type, fold, count(*) AS n_test,
+       |  round(count(*) FILTER (WHERE r > 0) / count(*)::DOUBLE, 4) AS win_rate,
+       |  round(CASE WHEN sum(greatest(-r, 0.0)) = 0.0
+       |    THEN CASE WHEN sum(greatest(r, 0.0)) > 0.0 THEN 10.0 END
+       |    ELSE least(sum(greatest(r, 0.0)) / sum(greatest(-r, 0.0)), 10.0)
+       |  END, 4) AS pf,
+       |  round(sum(r), 6) AS total_ret
+       |FROM kept GROUP BY event_type, fold ORDER BY event_type, fold""".stripMargin
+
   val all: Map[String, Q] = Map(
     "q42_rolling_range_window" -> (q42RollingRangeWindow _),
+    "q56_wfo_fold_metrics" -> (q56WfoFoldMetrics _),
     "q33_omega_winrate" -> (q33OmegaWinrate _),
     "q34_rachev" -> (q34Rachev _),
     "q35_cdar" -> (q35Cdar _),
@@ -398,6 +473,7 @@ object EvalQueries {
 
   val oracles: Map[String, String] = Map(
     "q42_rolling_range_window" -> q42Sql,
+    "q56_wfo_fold_metrics" -> q56Sql,
     "q33_omega_winrate" -> q33Sql,
     "q34_rachev" -> q34Sql,
     "q35_cdar" -> q35Sql,

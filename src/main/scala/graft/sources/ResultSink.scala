@@ -57,6 +57,14 @@ object ResultSink {
   def readJsonl(spark: SparkSession, path: String): DataFrame =
     spark.read.json(path)
 
+  /** S10: compressed JSONL artifacts. The reference brotli-compresses its
+    * JSONL caches; Spark's line-reader splits and decompresses codec'd
+    * JSONL transparently on read, so the capability is the codec'd
+    * round-trip (gzip here — a brotli Hadoop codec would drop in the same
+    * way, but no JVM brotli codec ships with Spark). */
+  def writeJsonlGz(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).option("compression", "gzip").json(path)
+
   /** S7: Arrow IPC stream export (ref exports Arrow for the Python eval
     * layer; here each task writes one `part-N.arrows` IPC-stream shard —
     * the layout a downstream reader mmaps shard-parallel). Rows never

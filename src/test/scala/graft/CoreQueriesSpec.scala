@@ -7,10 +7,15 @@ class CoreQueriesSpec extends GraftSuite {
   test("every registered query has rows at sf0.001 and a matching oracle key") {
     val qs = SparkEntry.queries
     assert(qs.nonEmpty)
+    // q56's WFO folds are legitimately empty on sf0.001's short series
+    // (n < purge + 2·testSize, the reference's own early-return) — its
+    // rows>0 smoke runs at sf0.01 below, where folds exist.
     qs.foreach { case (name, fn) =>
       val df = fn(spark, sf)
-      assert(df.count() > 0, s"$name returned 0 rows")
+      if (name != "q56_wfo_fold_metrics")
+        assert(df.count() > 0, s"$name returned 0 rows")
     }
+    assert(qs("q56_wfo_fold_metrics")(spark, "/root/testdata/sf0.01").count() > 0)
     // Every oracle key must point at an existing query.
     SparkEntry.oracleSql.keys.foreach { k =>
       assert(qs.contains(k), s"oracle $k has no query")

@@ -67,6 +67,19 @@ class ResultSinkSpec extends GraftSuite {
     assert(firstLine.startsWith("{") && firstLine.endsWith("}"))
   }
 
+  test("gzip JSONL round trip; files are genuinely compressed (S10)") {
+    import spark.implicits._
+    val p = tmp()
+    val df = spark.range(500).select(col("id"),
+      concat(lit("payload-"), col("id")).as("s"))
+    ResultSink.writeJsonlGz(df, p)
+    val files = new java.io.File(p).listFiles().map(_.getName)
+    assert(files.exists(_.endsWith(".json.gz")), files.mkString(","))
+    val back = ResultSink.readJsonl(spark, p)
+    assert(back.count() == 500)
+    assert(back.agg(sum("id")).first().getLong(0) == (0L until 500L).sum)
+  }
+
   test("Arrow IPC export round-trips through the public arrow reader (S7)") {
     import org.apache.arrow.memory.RootAllocator
     import org.apache.arrow.vector.ipc.ArrowStreamReader

@@ -48,6 +48,37 @@ class WalkForwardSpec extends GraftSuite {
     assert(math.abs(got.maxDrawdown - want.maxDrawdown) < 1e-12)
   }
 
+  test("q56's SQL fold assignment equals Folds.buildWfoFolds index-for-index") {
+    val perSeries = queries.EventBars.bars(spark, sf)
+      .filter(col("open") =!= 0.0)
+      .withColumn("r", (col("close") - col("open")) / col("open"))
+      .select(col("event_type"), col("ts_us"), col("event_id"), col("r"))
+      .collect()
+      .groupBy(_.getAs[String]("event_type"))
+      .view.mapValues(_.sortBy(r => (r.getAs[Long]("ts_us"), r.getAs[Long]("event_id")))
+        .map(_.getAs[Double]("r")).toArray).toMap
+    val got = queries.EvalQueries.q56WfoFoldMetrics(spark, sf).collect()
+      .groupBy(_.getAs[String]("event_type"))
+    perSeries.foreach { case (et, rs) =>
+      val folds = Folds.buildWfoFolds(rs.length)
+      val rows = got.getOrElse(et, Array.empty).sortBy(_.getAs[Long]("fold"))
+      assert(rows.length == folds.length, s"$et fold count")
+      folds.zip(rows).foreach { case ((_, test), row) =>
+        assert(row.getAs[Long]("n_test") == test.length)
+        val r = test.map(rs)
+        val wins = r.map(math.max(_, 0.0)).sum
+        val losses = r.map(x => math.max(-x, 0.0)).sum
+        val pf = if (losses == 0.0) { if (wins > 0.0) 10.0 else Double.NaN }
+          else math.min(wins / losses, 10.0)
+        assert(math.abs(row.getAs[Double]("win_rate") -
+          r.count(_ > 0).toDouble / r.length) < 1e-4 + 1e-12)
+        if (!pf.isNaN)
+          assert(math.abs(row.getAs[Double]("pf") - pf) < 1e-4 + 1e-12)
+        assert(math.abs(row.getAs[Double]("total_ret") - r.sum) < 1e-6 + 1e-12)
+      }
+    }
+  }
+
   test("Vorob'ev stability is computed over the multi-fold fronts") {
     val v = report.vorob.getOrElse(fail(s"skipped: ${report.vorobSkipReason}"))
     assert(v.threshold > 0.0 && v.threshold <= 100.0)
