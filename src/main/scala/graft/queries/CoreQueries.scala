@@ -385,6 +385,53 @@ object CoreQueries {
       |GROUP BY CUBE (l_returnflag, l_linestatus)
       |ORDER BY gid, l_returnflag NULLS LAST, l_linestatus NULLS LAST""".stripMargin
 
+  // ---------------------------------------------------------------------------
+  // q57 — snowflake star: fact ⋈ three broadcast dimensions (part, supplier,
+  // supplier→nation), margin census per (brand, supplier nation). One
+  // shuffle total (the census groupBy): every dimension is broadcast, so
+  // the fact table never moves for the joins — the shape a 100 TB fact
+  // scan needs. Completes source coverage of the driver's TPC-H tables.
+  def q57PartSupplierMargin(spark: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(spark, d)
+    val p = Tables.part(spark, d)
+    val s = Tables.supplier(spark, d)
+    val n = Tables.nation(spark, d)
+    // money columns are exact 2-decimal values, so the margin is computed
+    // in integer 1e-4-dollar units and summed as BIGINT: partial-agg
+    // summation order cannot perturb an integer sum, so the result is
+    // bit-exact across engines and partitionings (625 output groups gave
+    // double sums two rounding-boundary hits before this)
+    val extC = round(col("l_extendedprice") * 100).cast("long")
+    val discB = round(col("l_discount") * 100).cast("long")
+    val qtyI = round(col("l_quantity")).cast("long")
+    val retC = round(col("p_retailprice") * 100).cast("long")
+    li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+      .join(broadcast(s), li("l_suppkey") === s("s_suppkey"))
+      .join(broadcast(n), s("s_nationkey") === n("n_nationkey"))
+      .groupBy(col("p_brand"), col("n_name"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(sum(extC * (lit(100L) - discB) - retC * qtyI * 100)
+          .cast("double") / 10000.0, 2).as("sum_margin"),
+        round(sum(retC).cast("double") / count(lit(1)) / 100.0, 4).as("avg_retail"))
+      .orderBy(col("p_brand"), col("n_name"))
+  }
+
+  val q57Sql: String =
+    """SELECT p_brand, n_name, count(*) AS n,
+      |  round(sum(CAST(round(l_extendedprice*100) AS BIGINT)
+      |      * (100 - CAST(round(l_discount*100) AS BIGINT))
+      |    - CAST(round(p_retailprice*100) AS BIGINT)
+      |      * CAST(round(l_quantity) AS BIGINT) * 100)::DOUBLE / 10000.0, 2)
+      |    AS sum_margin,
+      |  round(sum(CAST(round(p_retailprice*100) AS BIGINT))::DOUBLE
+      |    / count(*) / 100.0, 4) AS avg_retail
+      |FROM lineitem
+      |JOIN part ON l_partkey = p_partkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |GROUP BY p_brand, n_name ORDER BY p_brand, n_name""".stripMargin
+
   val all: Map[String, Q] = Map(
     "q44_scalar_subquery" -> (q44ScalarSubquery _),
     "q01_filtered_scan" -> (q01FilteredScan _),
@@ -399,7 +446,8 @@ object CoreQueries {
     "q10_scalar_funcs" -> (q10ScalarFuncs _),
     "q11_lastn_align" -> (q11LastNAlign _),
     "q12_running_count" -> (q12RunningCount _),
-    "q52_cube_distinct" -> (q52CubeDistinct _))
+    "q52_cube_distinct" -> (q52CubeDistinct _),
+    "q57_part_supplier_margin" -> (q57PartSupplierMargin _))
 
   val oracles: Map[String, String] = Map(
     "q44_scalar_subquery" -> q44Sql,
@@ -415,5 +463,6 @@ object CoreQueries {
     "q10_scalar_funcs" -> q10Sql,
     "q11_lastn_align" -> q11Sql,
     "q12_running_count" -> q12Sql,
-    "q52_cube_distinct" -> q52Sql)
+    "q52_cube_distinct" -> q52Sql,
+    "q57_part_supplier_margin" -> q57Sql)
 }
