@@ -268,4 +268,32 @@ object StreamingOps {
       .withColumn("text_hash", md5(col("text")))
       .withWatermark("event_time", watermark)
       .dropDuplicatesWithinWatermark("text_hash")
+
+  /** Streaming corpus curation — the online form of q50's quality gate +
+    * q55's benchmark decontamination over a live document feed. Entirely
+    * STATELESS: per-doc projections (token count, 5-gram hash set via the
+    * same HashedWordNgrams kernel as the batch path) plus one stream-static
+    * equi-join against a single broadcast row carrying the benchmark's
+    * sorted gram-hash set — so it runs at source parallelism with zero
+    * streaming state, and the benchmark set is shipped once per trigger,
+    * not per row. `benchGrams` is a static (g: Long) relation (e.g. the
+    * batch q55 benchmark extraction); flags match the batch semantics
+    * row-for-row (StreamingSpec). */
+  def streamingCurationGate(docs: DataFrame, benchGrams: DataFrame,
+      minTokens: Int = 5): DataFrame = {
+    val benchArr = benchGrams
+      .agg(sort_array(collect_set(col("g"))).as("bench_set"))
+      .withColumn("k", lit(1))
+    docs
+      .withColumn("n_tok", size(split(trim(col("text")), "\\s+")))
+      .withColumn("gh",
+        graft.functions.GraftFunctions.hashedWordNgrams(col("text"), 5))
+      .withColumn("k", lit(1))
+      .join(broadcast(benchArr), Seq("k"))
+      .withColumn("contaminated", arrays_overlap(col("gh"), col("bench_set")))
+      .withColumn("quality_ok", col("n_tok") >= minTokens)
+      .select(col("doc_id"), col("lang"), col("n_tok"),
+        col("quality_ok"), col("contaminated"),
+        (col("quality_ok") && !col("contaminated")).as("keep"))
+  }
 }

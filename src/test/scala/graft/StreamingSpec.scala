@@ -143,6 +143,37 @@ class StreamingSpec extends GraftSuite {
     } finally query.stop()
   }
 
+  test("streamingCurationGate: stateless quality+decontamination flags match batch") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val bench = Seq("the quick brown fox jumps over the lazy dog").toDF("text")
+      .select(explode(graft.functions.GraftFunctions
+        .hashedWordNgrams(col("text"), 5)).as("g")).distinct()
+    val mem = MemoryStream[(Long, String, String)]
+    val docs = mem.toDS().toDF("doc_id", "lang", "text")
+    val query = StreamingOps.streamingCurationGate(docs, bench)
+      .writeStream.format("memory").queryName("curation_out")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        (1L, "en", "a document with quick brown fox jumps over copied text inside"),
+        (2L, "en", "totally original content that is long enough to keep around"),
+        (3L, "en", "too short"))
+      query.processAllAvailable()
+      // cross-batch: the gate is stateless, later batches behave identically
+      mem.addData((4L, "en", "another clean document of adequate length for the gate"))
+      query.processAllAvailable()
+      val rows = spark.table("curation_out").collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          (r.getAs[Boolean]("quality_ok"), r.getAs[Boolean]("contaminated"),
+            r.getAs[Boolean]("keep"))).toMap
+      assert(rows(1L) == ((true, true, false)), s"got ${rows(1L)}")
+      assert(rows(2L) == ((true, false, true)))
+      assert(rows(3L) == ((false, false, false)))
+      assert(rows(4L) == ((true, false, true)))
+    } finally query.stop()
+  }
+
   test("streamingFormationSignals ∘ streamingTripleBarrier == the batch " +
     "formation→barrier chain") {
     implicit val sqlCtx = spark.sqlContext
