@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.functions.{ErfAS, GraftFunctions}
@@ -461,9 +461,101 @@ object EvalQueries {
        |  round(sum(r), 6) AS total_ret
        |FROM kept GROUP BY event_type, fold ORDER BY event_type, fold""".stripMargin
 
+  // ---------------------------------------------------------------------------
+  // q58 — combinatorial purged CV (E18, eval/walk_forward.py:331-380) as an
+  // oracle-checkable query: [0,n) split into 10 contiguous groups with
+  // floored bounds b_g = g·n/10; all C(10,2)=45 test-pair combos; train =
+  // everything outside the two test blocks minus a 100-bar purge before and
+  // a 10-bar embargo after each. Group membership inverts the floored
+  // bounds in closed form — g = (10·idx+9) div n — so the whole fold
+  // structure is row-local arithmetic against a 45-row broadcast combo
+  // table: one fact pass, fan-out 45, one groupBy. Per-combo IS/OOS
+  // metrics use the E20 PF rule; FoldsSpec-style parity with
+  // buildCpcvFolds is pinned index-for-index in WalkForwardSpec.
+  // Scale note: the 45× row fan-out is fine at the eval layer's size; for
+  // a fact-scale input the additive form is a ~30-segment sufficient-stats
+  // pass with combo assembly over segment sums — implemented for CSCV in
+  // eval/Resampling (per-block sufficient stats), the same trick applies.
+  private val cpcvCombos: Seq[(Int, Int, Int)] = (for {
+    a <- 0 until 10; b <- (a + 1) until 10
+  } yield (a, b)).zipWithIndex.map { case ((a, b), i) => (i, a, b) }
+
+  def q58CpcvFoldMetrics(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy(col("event_type")).orderBy(col("ts_us"), col("event_id"))
+    val wAll = Window.partitionBy(col("event_type"))
+    val combos = cpcvCombos.toDF("combo_id", "ga", "gb")
+    def blockExcl(g: String): Column =
+      expr(s"idx >= greatest($g * n div 10 - 100, 0) AND " +
+        s"idx < least(($g + 1) * n div 10 + 10, n)")
+    def pf(inSet: Column): Column = {
+      val wins = sum(when(inSet, greatest(col("r"), lit(0.0))).otherwise(0.0))
+      val losses = sum(when(inSet, greatest(-col("r"), lit(0.0))).otherwise(0.0))
+      when(losses === 0.0, when(wins > 0.0, lit(10.0)).otherwise(lit(null)))
+        .otherwise(least(wins / losses, lit(10.0)))
+    }
+    returns(spark, d)
+      .withColumn("idx", row_number().over(w).cast("long") - 1)
+      .withColumn("n", count(lit(1)).over(wAll))
+      .crossJoin(broadcast(combos))
+      .withColumn("g", expr("(10 * idx + 9) div n"))
+      .withColumn("is_test", col("g") === col("ga") || col("g") === col("gb"))
+      .withColumn("is_train", !(blockExcl("ga") || blockExcl("gb")))
+      .groupBy(col("event_type"), col("combo_id"))
+      .agg(
+        count_if(col("is_test")).as("n_test"),
+        count_if(col("is_train")).as("n_train"),
+        round(count_if(col("is_test") && col("r") > 0).cast("double") /
+          nullif(count_if(col("is_test")).cast("double"), lit(0.0)), 4)
+          .as("test_win_rate"),
+        round(pf(col("is_test")), 4).as("test_pf"),
+        round(pf(col("is_train")), 4).as("train_pf"),
+        round(sum(when(col("is_test"), col("r")).otherwise(0.0)), 6)
+          .as("test_total_ret"))
+      .orderBy(col("event_type"), col("combo_id"))
+  }
+
+  val q58Sql: String = {
+    val comboValues = cpcvCombos.map { case (i, a, b) => s"($i, $a, $b)" }.mkString(", ")
+    def blockExclSql(g: String): String =
+      s"(idx >= greatest($g * n // 10 - 100, 0) AND idx < least(($g + 1) * n // 10 + 10, n))"
+    def pfSql(set: String): String = {
+      val wins = s"sum(CASE WHEN $set THEN greatest(r, 0.0) ELSE 0.0 END)"
+      val losses = s"sum(CASE WHEN $set THEN greatest(-r, 0.0) ELSE 0.0 END)"
+      s"""CASE WHEN $losses = 0.0
+         |    THEN CASE WHEN $wins > 0.0 THEN 10.0 END
+         |    ELSE least($wins / $losses, 10.0) END""".stripMargin
+    }
+    s"""$duckReturnsCte,
+       |ix AS (
+       |  SELECT event_type, r,
+       |    row_number() OVER (PARTITION BY event_type
+       |      ORDER BY ts_us, event_id) - 1 AS idx,
+       |    count(*) OVER (PARTITION BY event_type) AS n
+       |  FROM rets),
+       |combos(combo_id, ga, gb) AS (VALUES $comboValues),
+       |x AS (
+       |  SELECT event_type, combo_id, r,
+       |    ((10 * idx + 9) // n = ga OR (10 * idx + 9) // n = gb) AS is_test,
+       |    NOT (${blockExclSql("ga")} OR ${blockExclSql("gb")}) AS is_train
+       |  FROM ix CROSS JOIN combos)
+       |SELECT event_type, combo_id,
+       |  count(*) FILTER (WHERE is_test) AS n_test,
+       |  count(*) FILTER (WHERE is_train) AS n_train,
+       |  round(count(*) FILTER (WHERE is_test AND r > 0)
+       |    / nullif(count(*) FILTER (WHERE is_test), 0)::DOUBLE, 4)
+       |    AS test_win_rate,
+       |  round(${pfSql("is_test")}, 4) AS test_pf,
+       |  round(${pfSql("is_train")}, 4) AS train_pf,
+       |  round(sum(CASE WHEN is_test THEN r ELSE 0.0 END), 6) AS test_total_ret
+       |FROM x GROUP BY event_type, combo_id
+       |ORDER BY event_type, combo_id""".stripMargin
+  }
+
   val all: Map[String, Q] = Map(
     "q42_rolling_range_window" -> (q42RollingRangeWindow _),
     "q56_wfo_fold_metrics" -> (q56WfoFoldMetrics _),
+    "q58_cpcv_fold_metrics" -> (q58CpcvFoldMetrics _),
     "q33_omega_winrate" -> (q33OmegaWinrate _),
     "q34_rachev" -> (q34Rachev _),
     "q35_cdar" -> (q35Cdar _),
@@ -474,6 +566,7 @@ object EvalQueries {
   val oracles: Map[String, String] = Map(
     "q42_rolling_range_window" -> q42Sql,
     "q56_wfo_fold_metrics" -> q56Sql,
+    "q58_cpcv_fold_metrics" -> q58Sql,
     "q33_omega_winrate" -> q33Sql,
     "q34_rachev" -> q34Sql,
     "q35_cdar" -> q35Sql,

@@ -79,6 +79,36 @@ class WalkForwardSpec extends GraftSuite {
     }
   }
 
+  test("q58's SQL CPCV folds equal Folds.buildCpcvFolds combo-for-combo") {
+    val perSeries = queries.EventBars.bars(spark, sf)
+      .filter(col("open") =!= 0.0)
+      .withColumn("r", (col("close") - col("open")) / col("open"))
+      .select(col("event_type"), col("ts_us"), col("event_id"), col("r"))
+      .collect()
+      .groupBy(_.getAs[String]("event_type"))
+      .view.mapValues(_.sortBy(r => (r.getAs[Long]("ts_us"), r.getAs[Long]("event_id")))
+        .map(_.getAs[Double]("r")).toArray).toMap
+    val got = queries.EvalQueries.q58CpcvFoldMetrics(spark, sf).collect()
+      .groupBy(_.getAs[String]("event_type"))
+    perSeries.foreach { case (et, rs) =>
+      val folds = Folds.buildCpcvFolds(rs.length)
+      val rows = got.getOrElse(et, Array.empty).sortBy(_.getAs[Int]("combo_id"))
+      assert(rows.length == folds.length, s"$et combo count")
+      folds.zip(rows).foreach { case ((train, test), row) =>
+        assert(row.getAs[Long]("n_test") == test.length)
+        assert(row.getAs[Long]("n_train") == train.length,
+          s"$et combo ${row.getAs[Int]("combo_id")} train size")
+        val r = test.map(rs)
+        assert(math.abs(row.getAs[Double]("test_total_ret") - r.sum) < 1e-6 + 1e-12)
+        val wins = r.map(math.max(_, 0.0)).sum
+        val losses = r.map(x => math.max(-x, 0.0)).sum
+        if (losses > 0.0)
+          assert(math.abs(row.getAs[Double]("test_pf") -
+            math.min(wins / losses, 10.0)) < 1e-4 + 1e-12)
+      }
+    }
+  }
+
   test("Vorob'ev stability is computed over the multi-fold fronts") {
     val v = report.vorob.getOrElse(fail(s"skipped: ${report.vorobSkipReason}"))
     assert(v.threshold > 0.0 && v.threshold <= 100.0)
