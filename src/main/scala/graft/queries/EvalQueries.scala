@@ -552,10 +552,129 @@ object EvalQueries {
        |ORDER BY event_type, combo_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------------------
+  // q59 — CSCV / PBO (E12, eval/cscv.py:75-210) in its AT-SCALE form, as an
+  // oracle query: one pass over the fact rows produces per-(config, block)
+  // sufficient statistics (n, Σr, Σr²) — 8 equal-width time blocks over the
+  // global ts range — and everything after is O(configs × blocks × splits):
+  // a 70-row C(8,4) TRAIN-bitmask table joins the 40-row stats frame, the
+  // pooled-Sharpe ranker is computed from summed moments (identical to
+  // pooling the arrays; Resampling.cscvFromBlockMoments is the Scala twin,
+  // pinned against it in WalkForwardSpec), the IS winner per split is the
+  // max-Sharpe config (ties → first in event_type order, matching the
+  // Scala maxBy over the sorted config array), and its OOS rank is the
+  // fraction of configs it beats out-of-sample. PBO = fraction of splits
+  // with rank < 0.5 (aggregated in the spec; rows here are per split).
+  private val cscvSplits: Seq[(Int, Int)] =
+    (0 until 8).combinations(4).toSeq.zipWithIndex.map { case (train, i) =>
+      (i, train.map(1 << _).sum)
+    }
+
+  def q59CscvPbo(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val splits = cscvSplits.toDF("split_id", "mask")
+    val rets = returns(spark, d)
+    val bounds = rets.agg(min(col("ts_us")).as("t0"), max(col("ts_us")).as("t1"))
+    val stats = rets
+      .crossJoin(broadcast(bounds))
+      .withColumn("b", least(
+        floor((col("ts_us") - col("t0")) / ((col("t1") - col("t0")) / 8.0)).cast("int"),
+        lit(7)))
+      .groupBy(col("event_type"), col("b"))
+      .agg(count(lit(1)).as("n"), sum(col("r")).as("s"), sum(col("r") * col("r")).as("ss"))
+    val mean = col("s") / col("n")
+    val v = (col("ss") - col("n") * mean * mean) / (col("n") - 1)
+    val side = stats
+      .crossJoin(broadcast(splits))
+      .withColumn("is_train", expr("(mask >> b) & 1") === 1)
+      .groupBy(col("event_type"), col("split_id"), col("is_train"))
+      .agg(sum(col("n")).as("n"), sum(col("s")).as("s"), sum(col("ss")).as("ss"))
+      .withColumn("sharpe",
+        when(col("n") < 2, 0.0)
+          .otherwise(when(v <= 0 || isnan(v), 0.0).otherwise(mean / sqrt(v))))
+    // IS/OOS pivot, then winner AND rank from ONE window pass over one
+    // frame evaluation — a self-join here (winner row re-joined to all
+    // configs) would re-evaluate the aggregate subtree per reference, and
+    // a parallel sum's order can differ between evaluations, making the
+    // winner's own OOS value compare unequal to itself in the last ulp
+    // (observed: DuckDB flipped ranks by 1/nConfigs run-to-run)
+    val both = side.filter(col("is_train")).select(col("event_type"),
+      col("split_id"), col("sharpe").as("is_sharpe"))
+      .join(side.filter(!col("is_train")).select(col("event_type"),
+        col("split_id"), col("sharpe").as("oos_sharpe")),
+        Seq("event_type", "split_id"))
+    val wWin = Window.partitionBy(col("split_id"))
+      .orderBy(col("is_sharpe").desc, col("event_type"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    both
+      .withColumn("winner", first(col("event_type")).over(wWin))
+      .withColumn("w_is", first(col("is_sharpe")).over(wWin))
+      .withColumn("w_oos", first(col("oos_sharpe")).over(wWin))
+      .groupBy(col("split_id"))
+      .agg(
+        first(col("winner")).as("winner"),
+        round(first(col("w_is")), 6).as("is_sharpe"),
+        round(first(col("w_oos")), 6).as("oos_sharpe"),
+        round(count_if(col("oos_sharpe") <= col("w_oos")).cast("double") /
+          count(lit(1)), 4).as("oos_rank"),
+        (count_if(col("oos_sharpe") <= col("w_oos")).cast("double") /
+          count(lit(1)) < 0.5).as("below_median"))
+      .orderBy(col("split_id"))
+  }
+
+  val q59Sql: String = {
+    val splitValues = cscvSplits.map { case (i, m) => s"($i, $m)" }.mkString(", ")
+    s"""$duckReturnsCte,
+       |bounds AS (SELECT min(ts_us) AS t0, max(ts_us) AS t1 FROM rets),
+       |blk AS (
+       |  SELECT event_type, r,
+       |    least(CAST(floor((ts_us - t0) / ((t1 - t0) / 8.0)) AS INT), 7) AS b
+       |  FROM rets CROSS JOIN bounds),
+       |stats AS (
+       |  SELECT event_type, b, count(*) AS n, sum(r) AS s, sum(r*r) AS ss
+       |  FROM blk GROUP BY event_type, b),
+       |splits(split_id, mask) AS (VALUES $splitValues),
+       |side AS (
+       |  SELECT event_type, split_id, ((mask >> b) & 1) = 1 AS is_train,
+       |    sum(n) AS n, sum(s) AS s, sum(ss) AS ss
+       |  FROM stats CROSS JOIN splits
+       |  GROUP BY event_type, split_id, ((mask >> b) & 1) = 1),
+       |sh AS (
+       |  SELECT event_type, split_id, is_train,
+       |    CASE WHEN n < 2 THEN 0.0
+       |      WHEN (ss - n*(s/n)*(s/n))/(n-1) <= 0
+       |        OR isnan((ss - n*(s/n)*(s/n))/(n-1)) THEN 0.0
+       |      ELSE (s/n) / sqrt((ss - n*(s/n)*(s/n))/(n-1)) END AS sharpe
+       |  FROM side),
+       |pair AS MATERIALIZED (
+       |  SELECT i.event_type, i.split_id, i.sharpe AS is_sharpe,
+       |    o.sharpe AS oos_sharpe
+       |  FROM sh i JOIN sh o ON i.event_type = o.event_type
+       |    AND i.split_id = o.split_id AND i.is_train AND NOT o.is_train),
+       |wn AS (
+       |  SELECT *,
+       |    first_value(event_type) OVER ww AS winner,
+       |    first_value(is_sharpe) OVER ww AS w_is,
+       |    first_value(oos_sharpe) OVER ww AS w_oos
+       |  FROM pair
+       |  WINDOW ww AS (PARTITION BY split_id
+       |    ORDER BY is_sharpe DESC, event_type
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))
+       |SELECT split_id, any_value(winner) AS winner,
+       |  round(any_value(w_is), 6) AS is_sharpe,
+       |  round(any_value(w_oos), 6) AS oos_sharpe,
+       |  round(count(*) FILTER (WHERE oos_sharpe <= w_oos)::DOUBLE
+       |    / count(*), 4) AS oos_rank,
+       |  count(*) FILTER (WHERE oos_sharpe <= w_oos)::DOUBLE
+       |    / count(*) < 0.5 AS below_median
+       |FROM wn GROUP BY split_id ORDER BY split_id""".stripMargin
+  }
+
   val all: Map[String, Q] = Map(
     "q42_rolling_range_window" -> (q42RollingRangeWindow _),
     "q56_wfo_fold_metrics" -> (q56WfoFoldMetrics _),
     "q58_cpcv_fold_metrics" -> (q58CpcvFoldMetrics _),
+    "q59_cscv_pbo" -> (q59CscvPbo _),
     "q33_omega_winrate" -> (q33OmegaWinrate _),
     "q34_rachev" -> (q34Rachev _),
     "q35_cdar" -> (q35Cdar _),
@@ -567,6 +686,7 @@ object EvalQueries {
     "q42_rolling_range_window" -> q42Sql,
     "q56_wfo_fold_metrics" -> q56Sql,
     "q58_cpcv_fold_metrics" -> q58Sql,
+    "q59_cscv_pbo" -> q59Sql,
     "q33_omega_winrate" -> q33Sql,
     "q34_rachev" -> q34Sql,
     "q35_cdar" -> q35Sql,

@@ -109,6 +109,35 @@ class WalkForwardSpec extends GraftSuite {
     }
   }
 
+  test("q59's SQL CSCV equals Resampling.cscv split-for-split") {
+    import graft.eval.Resampling
+    val rows = queries.EventBars.bars(spark, sf)
+      .filter(col("open") =!= 0.0)
+      .withColumn("r", (col("close") - col("open")) / col("open"))
+      .select(col("event_type"), col("ts_us"), col("r"))
+      .collect()
+    val tsMin = rows.map(_.getAs[Long]("ts_us")).min
+    val tsMax = rows.map(_.getAs[Long]("ts_us")).max
+    val configs = rows.map(_.getAs[String]("event_type")).distinct.sorted
+    val blockReturns = configs.map { et =>
+      val rs = rows.filter(_.getAs[String]("event_type") == et)
+      Resampling.assignBlocks(rs.map(_.getAs[Double]("r")),
+        rs.map(_.getAs[Long]("ts_us")), tsMin, tsMax, 8)
+    }
+    val want = Resampling.cscv(blockReturns, Resampling.sharpeRanker)
+    val got = queries.EvalQueries.q59CscvPbo(spark, sf).collect()
+      .sortBy(_.getAs[Int]("split_id"))
+    assert(got.length == want.oosRanks.length)
+    got.zipWithIndex.foreach { case (row, s) =>
+      assert(row.getAs[String]("winner") == configs(want.isWinnerPerSplit(s)),
+        s"split $s winner")
+      assert(math.abs(row.getAs[Double]("oos_rank") - want.oosRanks(s)) < 1e-4,
+        s"split $s rank")
+    }
+    val pbo = got.count(_.getAs[Boolean]("below_median")).toDouble / got.length
+    assert(math.abs(pbo - want.pbo) < 1e-12)
+  }
+
   test("Vorob'ev stability is computed over the multi-fold fronts") {
     val v = report.vorob.getOrElse(fail(s"skipped: ${report.vorobSkipReason}"))
     assert(v.threshold > 0.0 && v.threshold <= 100.0)
