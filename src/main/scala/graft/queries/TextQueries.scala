@@ -471,6 +471,105 @@ object TextQueries {
       |GROUP BY g.lang ORDER BY g.lang""".stripMargin
   }
 
+  // ---------------------------------------------------------------------------
+  // q60 — the end-to-end corpus PREPARATION pipeline, one query: the
+  // training-data funnel a user runs before tokenization. Stages (each a
+  // flag on one shared pass over the corpus, so the census can report the
+  // funnel attrition per stage):
+  //   1. deterministic split assignment (q53's hash buckets),
+  //   2. benchmark holdout (q55's ~1% hash slice — dropped from training),
+  //   3. exact dedup on normalized text (q24's norm-md5; survivor = lowest
+  //      doc_id, deterministic),
+  //   4. decontamination (any word-5-gram shared with the benchmark slice,
+  //      q55's broadcast semi-join),
+  //   5. quality gate (≥5 tokens and ≥20% ASCII-alpha mass).
+  // Census per (lang, split): candidates and survivors after each stage +
+  // the final token budget. Scale shape: one corpus pass for the flags
+  // (window on an 8-byte hash for dedup; broadcast semi-join for
+  // decontamination), census keys only in the final shuffle.
+  def q60CorpusPrep(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bucket = md5Int(col("doc_id").cast("string")) % 100
+    val docs = Tables.documents(spark, d)
+      .withColumn("split",
+        when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test"))
+      .withColumn("is_bench", md5Int(col("doc_id").cast("string")) % 97 === 0)
+      .withColumn("n_tok", size(toks(col("text"))).cast("long"))
+      .withColumn("hn",
+        md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ")))
+      .withColumn("gh",
+        graft.functions.GraftFunctions.hashedWordNgrams(col("text"), 5))
+      .withColumn("alpha_ok",
+        length(regexp_replace(lower(col("text")), "[^a-z]", "")).cast("double") >=
+          col("n_chars").cast("double") * 0.2)
+    val dupW = Window.partitionBy(col("hn")).orderBy(col("doc_id"))
+    val flagged = docs
+      .withColumn("is_dup", row_number().over(dupW) > 1)
+    val benchGrams = docs.filter(col("is_bench"))
+      .select(explode(col("gh")).as("g")).distinct()
+    val contam = flagged.filter(!col("is_bench"))
+      .select(col("doc_id"), explode(col("gh")).as("g"))
+      .join(broadcast(benchGrams), Seq("g"), "left_semi")
+      .select(col("doc_id")).distinct()
+      .withColumn("is_contam", lit(true))
+    flagged.filter(!col("is_bench"))
+      .join(contam, Seq("doc_id"), "left")
+      .na.fill(false, Seq("is_contam"))
+      .withColumn("quality_ok", col("n_tok") >= 5 && col("alpha_ok"))
+      .withColumn("s1", !col("is_dup"))
+      .withColumn("s2", col("s1") && !col("is_contam"))
+      .withColumn("keep", col("s2") && col("quality_ok"))
+      .groupBy(col("lang"), col("split"))
+      .agg(
+        count(lit(1)).as("n_candidates"),
+        count_if(col("s1")).as("n_after_dedup"),
+        count_if(col("s2")).as("n_after_decontam"),
+        count_if(col("keep")).as("n_final"),
+        sum(when(col("keep"), col("n_tok")).otherwise(0L)).as("final_tokens"))
+      .orderBy(col("lang"), col("split"))
+  }
+
+  val q60Sql: String = {
+    val gramHash = md5IntSql("array_to_string(list_slice(tok, i, i + 4), ' ')")
+    s"""WITH base AS (
+      |  SELECT doc_id, lang, n_chars, text, $toksSql AS tok,
+      |    CASE WHEN ${md5IntSql("CAST(doc_id AS VARCHAR)")} % 100 < 80
+      |      THEN 'train'
+      |      WHEN ${md5IntSql("CAST(doc_id AS VARCHAR)")} % 100 < 90 THEN 'val'
+      |      ELSE 'test' END AS split,
+      |    ${md5IntSql("CAST(doc_id AS VARCHAR)")} % 97 = 0 AS is_bench,
+      |    md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS hn,
+      |    length(regexp_replace(lower(text), '[^a-z]', '', 'g'))::DOUBLE
+      |      >= n_chars::DOUBLE * 0.2 AS alpha_ok
+      |  FROM documents),
+      |g AS (
+      |  SELECT *, len(tok)::BIGINT AS n_tok,
+      |    list_distinct(list_transform(
+      |      range(1, greatest(len(tok) - 4, 1) + 1), i -> $gramHash)) AS gh,
+      |    row_number() OVER (PARTITION BY hn ORDER BY doc_id) > 1 AS is_dup
+      |  FROM base),
+      |bg AS (SELECT DISTINCT unnest(gh) AS gr FROM g WHERE is_bench),
+      |contam AS (
+      |  SELECT DISTINCT c.doc_id
+      |  FROM (SELECT doc_id, unnest(gh) AS gr FROM g WHERE NOT is_bench) c
+      |  JOIN bg USING (gr)),
+      |f AS (
+      |  SELECT g.lang, g.split, g.n_tok,
+      |    NOT g.is_dup AS s1,
+      |    NOT g.is_dup AND contam.doc_id IS NULL AS s2,
+      |    NOT g.is_dup AND contam.doc_id IS NULL
+      |      AND g.n_tok >= 5 AND g.alpha_ok AS keep
+      |  FROM g LEFT JOIN contam ON contam.doc_id = g.doc_id
+      |  WHERE NOT g.is_bench)
+      |SELECT lang, split, count(*) AS n_candidates,
+      |  count(*) FILTER (WHERE s1) AS n_after_dedup,
+      |  count(*) FILTER (WHERE s2) AS n_after_decontam,
+      |  count(*) FILTER (WHERE keep) AS n_final,
+      |  CAST(coalesce(sum(n_tok) FILTER (WHERE keep), 0) AS BIGINT)
+      |    AS final_tokens
+      |FROM f GROUP BY lang, split ORDER BY lang, split""".stripMargin
+  }
+
   val all: Map[String, Q] = Map(
     "q21_text_stats" -> (q21TextStats _),
     "q22_lang_id" -> (q22LangId _),
@@ -479,7 +578,8 @@ object TextQueries {
     "q50_quality_filter_pipeline" -> (q50QualityFilterPipeline _),
     "q53_stratified_split" -> (q53StratifiedSplit _),
     "q54_sequence_pack" -> (q54SequencePack _),
-    "q55_decontamination" -> (q55Decontamination _))
+    "q55_decontamination" -> (q55Decontamination _),
+    "q60_corpus_prep" -> (q60CorpusPrep _))
 
   val oracles: Map[String, String] = Map(
     "q21_text_stats" -> q21Sql,
@@ -489,5 +589,6 @@ object TextQueries {
     "q50_quality_filter_pipeline" -> q50Sql,
     "q53_stratified_split" -> q53Sql,
     "q54_sequence_pack" -> q54Sql,
-    "q55_decontamination" -> q55Sql)
+    "q55_decontamination" -> q55Sql,
+    "q60_corpus_prep" -> q60Sql)
 }

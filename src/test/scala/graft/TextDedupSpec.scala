@@ -140,6 +140,20 @@ class TextDedupSpec extends GraftSuite {
     }
   }
 
+  test("q60 corpus-prep funnel is monotone and partitions the non-benchmark corpus") {
+    val rows = queries.TextQueries.q60CorpusPrep(spark, sf).collect()
+    rows.foreach { r =>
+      val (c, d, dc, f) = (r.getAs[Long]("n_candidates"), r.getAs[Long]("n_after_dedup"),
+        r.getAs[Long]("n_after_decontam"), r.getAs[Long]("n_final"))
+      assert(c >= d && d >= dc && dc >= f, s"funnel not monotone: $r")
+      assert(f >= 0 && r.getAs[Long]("final_tokens") >= 0)
+    }
+    val nonBench = Tables.documents(spark, sf)
+      .filter(graft.functions.GraftFunctions
+        .md5PrefixInt(col("doc_id").cast("string")) % 97 =!= 0).count()
+    assert(rows.map(_.getAs[Long]("n_candidates")).sum == nonBench)
+  }
+
   test("q55 decontamination matches a brute-force 5-gram intersection") {
     val all = Tables.documents(spark, sf)
       .select(col("doc_id"), col("lang"), col("text"),
