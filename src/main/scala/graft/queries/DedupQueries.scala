@@ -238,7 +238,15 @@ object DedupQueries {
   // same two frames are what you'd checkpoint between stages.
   private val JaccardThreshold = 0.5
 
-  def q49DedupPipeline(spark: SparkSession, d: String): DataFrame = {
+  /** The shared exact-dedup → MinHash → LSH-band → candidate → Jaccard
+    * chain: returns (docs, reps, scored) where `scored` is every DISTINCT
+    * LSH candidate pair with its true Jaccard (unfiltered — q49's census
+    * wants the candidates too; q61 filters to the verified edges).
+    * `reps`/`shingled` are persisted because the verify join scans the
+    * shingle frame from both sides; at 100 TB these are the checkpointed
+    * staging tables between pipeline stages. */
+  private[graft] def scoredCandidatePairs(spark: SparkSession, d: String)
+      : (DataFrame, DataFrame, DataFrame) = {
     import org.apache.spark.storage.StorageLevel
     val docs = Tables.documents(spark, d)
     val reps = docs.withColumn("th", md5(col("text")))
@@ -279,6 +287,12 @@ object DedupQueries {
       .join(shingled.select(col("doc_id").as("d1"), col("shset").as("s1")), "d1")
       .join(shingled.select(col("doc_id").as("d2"), col("shset").as("s2")), "d2")
       .withColumn("jac", jaccard(col("s1"), col("s2")))
+      .select(col("d1"), col("d2"), col("jac"))
+    (docs, reps, scored)
+  }
+
+  def q49DedupPipeline(spark: SparkSession, d: String): DataFrame = {
+    val (docs, reps, scored) = scoredCandidatePairs(spark, d)
     val isVerified = col("jac") >= JaccardThreshold
     val census = scored.agg(
       count(lit(1)).as("n_candidate_pairs"),
@@ -297,8 +311,11 @@ object DedupQueries {
         (col("n_after_exact") - col("n_near_removed")).as("n_survivors"))
   }
 
-  val q49Sql: String =
-    s"""WITH reps AS (
+  /** SQL twin of [[scoredCandidatePairs]] + the Jaccard filter: CTEs
+    * `reps` → `s` → `sig` → `bands` → `cand` → `verified`. Interpolated
+    * into both the q49 and q61 oracles. */
+  private val verifiedChainSql: String =
+    s"""reps AS (
       |  SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
       |s0 AS (
       |  $shingleSetSql),
@@ -323,7 +340,10 @@ object DedupQueries {
       |      len(list_intersect(a.shset, b.shset))::DOUBLE /
       |        len(list_distinct(list_concat(a.shset, b.shset)))::DOUBLE AS jac
       |    FROM cand c JOIN s a ON a.doc_id = c.d1 JOIN s b ON b.doc_id = c.d2)
-      |  WHERE jac >= $JaccardThreshold),
+      |  WHERE jac >= $JaccardThreshold)""".stripMargin
+
+  val q49Sql: String =
+    s"""WITH $verifiedChainSql,
       |removed AS (SELECT DISTINCT d2 FROM verified)
       |SELECT
       |  (SELECT count(*) FROM documents) AS n_docs,
@@ -335,15 +355,91 @@ object DedupQueries {
       |  (SELECT count(*) FROM removed) AS n_near_removed,
       |  (SELECT count(*) FROM reps) - (SELECT count(*) FROM removed) AS n_survivors""".stripMargin
 
+  // ---------------------------------------------------------------------------
+  // q61 — duplicate clusters as CONNECTED COMPONENTS of the verified
+  // near-dup pair graph (the q49 chain closed under transitivity). q49's
+  // greedy pair removal is the per-pair approximation; the component view
+  // is the semantics a corpus pipeline actually wants — "all transitive
+  // near-copies of one document form one cluster, keep exactly one
+  // representative" — and the two disagree exactly when a middle document
+  // links two pairs whose endpoints never shared an LSH bucket.
+  //
+  // Algorithm: iterative min-label propagation. labels start as node ids;
+  // each round every node takes min(own label, neighbors' labels); fixpoint
+  // = every node holds its component's min doc_id. Each round is one
+  // equi-join + one groupBy on the EDGE LIST ONLY (the corpus is never in
+  // the loop — at 100 TB the edge list is orders of magnitude smaller than
+  // the corpus since it holds only LSH-verified pairs), and rounds are
+  // bounded by component diameter: near-dup clusters at Jaccard ≥ 0.5 are
+  // near-cliques (diameter 2-3). For adversarial chain graphs the same
+  // join shape upgrades to large-star/small-star (O(log n) rounds); the
+  // loop fails loudly rather than emit a non-fixpoint labeling.
+  // localCheckpoint() per round truncates lineage so the plan does not
+  // grow with iterations (the classic iterative-DataFrame trap).
+  def q61DupComponents(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val (_, _, scored) = scoredCandidatePairs(spark, d)
+    val edges = scored.filter(col("jac") >= JaccardThreshold)
+      .select(col("d1"), col("d2"))
+    val adj = edges.union(edges.select(col("d2"), col("d1")))
+      .toDF("node", "nbr")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = adj.select(col("node")).distinct()
+      .withColumn("label", col("node"))
+      .localCheckpoint()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < 20) {
+      val nbrMin = adj
+        .join(labels.select(col("node").as("nbr"), col("label").as("nl")), "nbr")
+        .groupBy(col("node")).agg(min(col("nl")).as("nbr_label"))
+      val next = labels
+        .join(nbrMin, Seq("node"), "left")
+        .select(col("node"),
+          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
+        .localCheckpoint()
+      converged = next.join(labels.withColumnRenamed("label", "old"), "node")
+        .filter(col("label") =!= col("old")).isEmpty
+      labels = next
+      iter += 1
+    }
+    require(converged, s"q61 label propagation did not converge in $iter rounds")
+    adj.unpersist()
+    labels.groupBy(col("label").as("cluster_root"))
+      .agg(count(lit(1)).as("n_members"), max(col("node")).as("max_doc_id"))
+      .orderBy(col("cluster_root"))
+  }
+
+  /** Oracle: transitive closure of the verified edge set via a recursive
+    * CTE (fine at oracle scale — component sizes are tiny), then per-node
+    * component label = min reachable id, then the same census. */
+  val q61Sql: String =
+    s"""WITH RECURSIVE $verifiedChainSql,
+      |e AS (
+      |  SELECT d1 AS a, d2 AS b FROM verified
+      |  UNION SELECT d2, d1 FROM verified),
+      |reach(src, dst) AS (
+      |  SELECT a, b FROM e
+      |  UNION
+      |  SELECT r.src, e.b FROM reach r JOIN e ON e.a = r.dst),
+      |labels AS (
+      |  SELECT src AS node, least(src, min(dst)) AS label
+      |  FROM reach GROUP BY src)
+      |SELECT label AS cluster_root, count(*) AS n_members,
+      |  max(node) AS max_doc_id
+      |FROM labels GROUP BY label ORDER BY cluster_root""".stripMargin
+
   val all: Map[String, Q] = Map(
     "q25_ngram_jaccard" -> (q25NgramJaccard _),
     "q26_minhash_lsh" -> (q26MinhashLsh _),
     "q27_simhash" -> (q27Simhash _),
-    "q49_dedup_pipeline" -> (q49DedupPipeline _))
+    "q49_dedup_pipeline" -> (q49DedupPipeline _),
+    "q61_dup_components" -> (q61DupComponents _))
 
   val oracles: Map[String, String] = Map(
     "q25_ngram_jaccard" -> q25Sql,
     "q26_minhash_lsh" -> q26Sql,
     "q27_simhash" -> q27Sql,
-    "q49_dedup_pipeline" -> q49Sql)
+    "q49_dedup_pipeline" -> q49Sql,
+    "q61_dup_components" -> q61Sql)
 }

@@ -140,6 +140,36 @@ class TextDedupSpec extends GraftSuite {
     }
   }
 
+  test("q61 components match a driver-side union-find over the same verified edges") {
+    val rows = queries.DedupQueries.q61DupComponents(spark, sf).collect()
+    // independent model: collect the verified edge list (tiny) and run a
+    // classic union-find, then compare the full census
+    val (_, _, scored) = queries.DedupQueries.scoredCandidatePairs(spark, sf)
+    val edges = scored.filter(col("jac") >= 0.5)
+      .select(col("d1").cast("long"), col("d2").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expected = parent.keys.toSeq.groupBy(find)
+      .map { case (root, ms) => (root, ms.size.toLong, ms.max) }
+      .toSeq.sortBy(_._1)
+    val got = rows.toSeq.map(r => (r.getAs[Long]("cluster_root"),
+      r.getAs[Long]("n_members"), r.getAs[Long]("max_doc_id")))
+    assert(got == expected)
+    // every cluster is a genuine merge of >= 2 docs rooted at its min id
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_members") >= 2L)
+      assert(r.getAs[Long]("cluster_root") < r.getAs[Long]("max_doc_id"))
+    }
+  }
+
   test("q60 corpus-prep funnel is monotone and partitions the non-benchmark corpus") {
     val rows = queries.TextQueries.q60CorpusPrep(spark, sf).collect()
     rows.foreach { r =>
