@@ -570,6 +570,107 @@ object TextQueries {
       |FROM f GROUP BY lang, split ORDER BY lang, split""".stripMargin
   }
 
+  // ---------------------------------------------------------------------------
+  // q62 — repetition-based quality rules (the Gopher/MassiveText family):
+  // per-document duplicate-line fraction, duplicate-line CHARACTER
+  // fraction, most-frequent-word-bigram coverage, and duplicate-5-gram
+  // fraction, gated at Gopher-ish thresholds, then a per-lang census.
+  // Everything per-doc is a map-only HOF/kernel pass over the token array
+  // (no explode, no per-doc shuffle — the corpus never leaves its input
+  // partitions); the only shuffle is the tiny lang census. The O(L²)
+  // duplicate-line scan is bounded by lines-per-doc, not corpus size.
+  //
+  // N-gram conventions mirror the dedup family (shingleSetSql): a doc
+  // shorter than the gram order contributes one degenerate gram, so both
+  // engines agree on tiny docs. The bigram max-multiplicity is a sort +
+  // one max-run fold (Spark) vs list mode (DuckDB) — same integer.
+  def q62RepetitionRules(spark: SparkSession, d: String): DataFrame = {
+    val tok = toks(col("text"))
+    def grams(n: Int): Column =
+      transform(sequence(lit(1), greatest(size(col("tok")) - (n - 1), lit(1))),
+        i => md5Int(concat_ws(" ", slice(col("tok"), i, lit(n)))))
+    val docs = Tables.documents(spark, d)
+      .withColumn("tok", tok)
+      .withColumn("lines",
+        filter(transform(split(col("text"), "\n"), l => trim(l)), l => l =!= ""))
+      .withColumn("g2", sort_array(grams(2)))
+      .withColumn("g5", grams(5))
+    val nLines = size(col("lines")).cast("double")
+    val dupLines = nLines - size(array_distinct(col("lines"))).cast("double")
+    val lineChars = aggregate(col("lines"), lit(0L), (acc, x) => acc + length(x))
+    val dupLineChars = aggregate(
+      filter(col("lines"), x => size(filter(col("lines"), y => y === x)) > 1),
+      lit(0L), (acc, x) => acc + length(x))
+    // longest run in the sorted bigram hashes == max multiplicity
+    val top2Cnt = aggregate(col("g2"),
+      struct(lit(-1L).as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+      (acc, x) => {
+        val run = when(x === acc.getField("prev"), acc.getField("run") + 1L)
+          .otherwise(lit(1L))
+        struct(x.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
+    val scored = docs
+      .withColumn("dup_line_frac", dupLines / nullif(nLines, lit(0.0)))
+      .withColumn("dup_line_char_frac",
+        dupLineChars.cast("double") / nullif(lineChars.cast("double"), lit(0.0)))
+      .withColumn("top2_frac",
+        top2Cnt.cast("double") / size(col("g2")).cast("double"))
+      .withColumn("dup5_frac",
+        (size(col("g5")) - size(array_distinct(col("g5")))).cast("double") /
+          size(col("g5")).cast("double"))
+      .withColumn("flagged",
+        coalesce(col("dup_line_frac") > 0.30, lit(false)) ||
+          col("top2_frac") > 0.20 || col("dup5_frac") > 0.30)
+    scored.groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        count_if(col("flagged")).as("n_flagged"),
+        round(avg(col("dup_line_frac")), 6).as("avg_dup_line_frac"),
+        round(avg(col("dup_line_char_frac")), 6).as("avg_dup_line_char_frac"),
+        round(avg(col("top2_frac")), 6).as("avg_top2_frac"),
+        round(avg(col("dup5_frac")), 6).as("avg_dup5_frac"))
+      .orderBy(col("lang"))
+  }
+
+  val q62Sql: String = {
+    def gramSql(n: Int): String =
+      s"list_transform(range(1, greatest(len(tok) - ${n - 1}, 1) + 1), " +
+        s"i -> ${md5IntSql(s"array_to_string(list_slice(tok, i, i + ${n - 1}), ' ')")})"
+    s"""WITH base AS (
+      |  SELECT lang, $toksSql AS tok,
+      |    list_filter(list_transform(str_split(text, chr(10)), l -> trim(l)),
+      |      l -> l <> '') AS lines,
+      |    ${gramSql(2)} AS g2, ${gramSql(5)} AS g5
+      |  FROM documents),
+      |scored AS (
+      |  SELECT lang,
+      |    (len(lines) - len(list_distinct(lines)))::DOUBLE
+      |      / nullif(len(lines)::DOUBLE, 0.0) AS dup_line_frac,
+      |    coalesce(list_sum(list_transform(
+      |        list_filter(lines, x -> len(list_filter(lines, y -> y = x)) > 1),
+      |        x -> length(x))), 0)::DOUBLE
+      |      / nullif(coalesce(list_sum(list_transform(lines, x -> length(x))), 0)::DOUBLE,
+      |               0.0) AS dup_line_char_frac,
+      |    len(list_filter(g2, g -> g = list_aggregate(g2, 'mode')))::DOUBLE
+      |      / len(g2)::DOUBLE AS top2_frac,
+      |    (len(g5) - len(list_distinct(g5)))::DOUBLE / len(g5)::DOUBLE AS dup5_frac
+      |  FROM base),
+      |f AS (
+      |  SELECT lang, dup_line_frac, dup_line_char_frac, top2_frac, dup5_frac,
+      |    coalesce(dup_line_frac > 0.30, false)
+      |      OR top2_frac > 0.20 OR dup5_frac > 0.30 AS flagged
+      |  FROM scored)
+      |SELECT lang, count(*) AS n_docs,
+      |  count(*) FILTER (WHERE flagged) AS n_flagged,
+      |  round(avg(dup_line_frac), 6) + 0.0 AS avg_dup_line_frac,
+      |  round(avg(dup_line_char_frac), 6) + 0.0 AS avg_dup_line_char_frac,
+      |  round(avg(top2_frac), 6) + 0.0 AS avg_top2_frac,
+      |  round(avg(dup5_frac), 6) + 0.0 AS avg_dup5_frac
+      |FROM f GROUP BY lang ORDER BY lang""".stripMargin
+  }
+
   val all: Map[String, Q] = Map(
     "q21_text_stats" -> (q21TextStats _),
     "q22_lang_id" -> (q22LangId _),
@@ -579,7 +680,8 @@ object TextQueries {
     "q53_stratified_split" -> (q53StratifiedSplit _),
     "q54_sequence_pack" -> (q54SequencePack _),
     "q55_decontamination" -> (q55Decontamination _),
-    "q60_corpus_prep" -> (q60CorpusPrep _))
+    "q60_corpus_prep" -> (q60CorpusPrep _),
+    "q62_repetition_rules" -> (q62RepetitionRules _))
 
   val oracles: Map[String, String] = Map(
     "q21_text_stats" -> q21Sql,
@@ -590,5 +692,6 @@ object TextQueries {
     "q53_stratified_split" -> q53Sql,
     "q54_sequence_pack" -> q54Sql,
     "q55_decontamination" -> q55Sql,
-    "q60_corpus_prep" -> q60Sql)
+    "q60_corpus_prep" -> q60Sql,
+    "q62_repetition_rules" -> q62Sql)
 }

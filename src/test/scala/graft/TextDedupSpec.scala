@@ -170,6 +170,21 @@ class TextDedupSpec extends GraftSuite {
     }
   }
 
+  test("q62 repetition fractions are valid and the flag census is bounded") {
+    val rows = queries.TextQueries.q62RepetitionRules(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_flagged") <= r.getAs[Long]("n_docs"))
+      Seq("avg_dup_line_frac", "avg_dup_line_char_frac", "avg_top2_frac",
+        "avg_dup5_frac").foreach { c =>
+        val v = r.getAs[Double](c)
+        assert(v >= 0.0 && v <= 1.0, s"$c out of range: $v")
+      }
+      // a most-frequent bigram exists in every doc, so the avg is > 0
+      assert(r.getAs[Double]("avg_top2_frac") > 0.0)
+    }
+  }
+
   test("q60 corpus-prep funnel is monotone and partitions the non-benchmark corpus") {
     val rows = queries.TextQueries.q60CorpusPrep(spark, sf).collect()
     rows.foreach { r =>
