@@ -312,15 +312,179 @@ object SimilarityQueries {
       |FROM r GROUP BY q_vec_id ORDER BY q_vec_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------------------
+  // q63 — SemDeDup-style semantic dedup: deterministic k-means over the
+  // embeddings (2 Lloyd rounds), then a within-cluster cosine near-dup
+  // census — "cluster the corpus, drop near-copies inside each cluster".
+  //
+  // Cross-engine exactness WITHOUT sequential-fold coupling: k-means runs
+  // in INTEGER MICRO-UNITS (x → round(x·10⁶) as long). Squared distances,
+  // seed dot products, and per-dimension centroid sums are then integer
+  // values ≤ ~6·10¹⁵ < 2⁵³, so every double that carries them is exact and
+  // ANY summation order gives bit-identical results in both engines; the
+  // only rounding is the centroid update round(sum/count) — half away from
+  // zero on both sides (BigDecimal HALF_UP ≡ DuckDB round). Ties in the
+  // argmin break on cluster id, an integer compare.
+  //
+  // Scale shape: assignment is MAP-ONLY (centroids are a collected K×64
+  // bounded literal — the broadcast-centroid pattern); the update is one
+  // groupBy(cid) with 64 codegen'd sum lanes and map-side combine (the
+  // minhash-lane pattern); the pairwise stage is bounded per cluster and
+  // salted for explicit parallelism (q25/q28 pattern). At 100 TB you add
+  // rounds and K, not new shapes — and megaclusters route through the LSH
+  // path (q26/q30) instead of the quadratic verifier.
+  private val KClusters = 8
+  private val Dim = 64
+
+  def q63SemanticDedup(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val v = withNorm(spark, d)
+      .withColumn("mud",
+        transform(col("e"), x => round(x * lit(1e6)).cast("long").cast("double")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // deterministic "random" seeds: the K smallest (md5(vec_id), vec_id)
+    val seeds: Array[Array[Double]] = v
+      .select(col("vec_id"), col("mud"))
+      .withColumn("hk",
+        graft.functions.GraftFunctions.md5PrefixInt(col("vec_id").cast("string")))
+      .orderBy(col("hk"), col("vec_id"))
+      .limit(KClusters)
+      .collect()
+      .map(_.getAs[scala.collection.Seq[Double]]("mud").toArray)
+    // map-only argmin assignment against literal centroids: squared L2 via
+    // dot(m,m) − 2·dot(m,c) + dot(c,c), every term an exact integer-valued
+    // double; sort_array on (dist, cid) structs breaks ties on cid
+    def assign(cents: Array[Array[Double]], outCol: String)(df: DataFrame): DataFrame = {
+      val mm = graft.functions.GraftFunctions.dotFold(col("mud"), col("mud"))
+      val structs = cents.zipWithIndex.map { case (c, cid) =>
+        val cc = c.foldLeft(0.0)((a, x) => a + x * x)
+        val dist = mm - lit(2.0) *
+          graft.functions.GraftFunctions.dotFold(col("mud"), typedLit(c.toSeq)) + lit(cc)
+        struct(dist.as("dist"), lit(cid).as("cid"))
+      }
+      df.withColumn(outCol, sort_array(array(structs.toIndexedSeq: _*))(0).getField("cid"))
+    }
+    val a1 = assign(seeds, "c1")(v)
+    // centroid update: 64 integer sum lanes + count per cluster, collected
+    // (K×64 longs — bounded by construction), rounded on the driver with
+    // the same half-away-from-zero rule the oracle uses
+    val lanes = (0 until Dim).map(i =>
+      sum(element_at(col("mud"), i + 1).cast("long")).as(s"s$i"))
+    val sums = a1.groupBy(col("c1"))
+      .agg(count(lit(1)).as("cnt"), lanes: _*)
+      .collect()
+      .map { r =>
+        val cnt = r.getAs[Long]("cnt").toDouble
+        r.getAs[Int]("c1") -> (0 until Dim).map { i =>
+          new java.math.BigDecimal(r.getAs[Long](s"s$i") / cnt)
+            .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue()
+        }.toArray
+      }.toMap
+    // a cluster whose seed lost an argmin tie can be empty: keep its seed
+    val cents2 = (0 until KClusters).map(c => sums.getOrElse(c, seeds(c))).toArray
+    val a2 = assign(cents2, "cid")(a1)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val members = a2.groupBy(col("cid")).agg(
+      count(lit(1)).as("n_members"),
+      count_if(col("c1") =!= col("cid")).as("n_moved"))
+    val l = a2.select(col("cid"), col("vec_id").as("id1"),
+      col("e").as("e1"), col("nrm").as("n1"))
+      .withColumn("salt", pmod(col("id1"), lit(PairSalt)))
+      .repartition(col("cid"), col("salt"))
+    val r = a2.select(col("cid").as("cid_r"), col("vec_id").as("id2"),
+      col("e").as("e2"), col("nrm").as("n2"))
+      .withColumn("salt_r", explode(array((0 until PairSalt).map(lit): _*)))
+    val pairs = l.join(r,
+      col("cid") === col("cid_r") && col("salt") === col("salt_r") &&
+        col("id1") < col("id2"))
+      .withColumn("cos", round(dot("e1", "e2") / nullif(col("n1") * col("n2"), lit(0.0)), 6))
+      .groupBy(col("cid"))
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        count_if(col("cos") >= 0.9).as("n_neardup_pairs"),
+        countDistinct(when(col("cos") >= 0.9, col("id2"))).as("n_sem_removed"),
+        (round(max(col("cos")), 4) + 0.0).as("max_cos"))
+    members.join(pairs, Seq("cid"), "left")
+      .select(col("cid"), col("n_members"), col("n_moved"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("n_neardup_pairs"), lit(0L)).as("n_neardup_pairs"),
+        coalesce(col("n_sem_removed"), lit(0L)).as("n_sem_removed"),
+        coalesce(col("max_cos"), lit(0.0)).as("max_cos"))
+      .orderBy(col("cid"))
+  }
+
+  val q63Sql: String = {
+    val sqDist = (m: String, c: String) =>
+      s"list_reduce(list_transform(range(1, ${Dim + 1}), " +
+        s"i -> ($m[i] - $c[i]) * ($m[i] - $c[i])), (x, y) -> x + y)"
+    s"""WITH v AS (
+      |  $withNormSql),
+      |md AS (
+      |  SELECT vec_id, e, nrm,
+      |    list_transform(e, x -> round(x * 1000000.0)::BIGINT::DOUBLE) AS mud
+      |  FROM v),
+      |seeds AS (
+      |  SELECT mud, rn - 1 AS cid FROM (
+      |    SELECT mud, row_number() OVER (
+      |      ORDER BY ('0x' || substr(md5(vec_id::VARCHAR), 1, 8))::BIGINT, vec_id) AS rn
+      |    FROM md) WHERE rn <= $KClusters),
+      |a1 AS (
+      |  SELECT vec_id, cid AS c1 FROM (
+      |    SELECT md.vec_id, s.cid,
+      |      row_number() OVER (PARTITION BY md.vec_id
+      |        ORDER BY ${sqDist("md.mud", "s.mud")}, s.cid) AS rn
+      |    FROM md CROSS JOIN seeds s) WHERE rn = 1),
+      |sums AS (
+      |  SELECT a1.c1 AS cid, t.i, sum(m2.mud[t.i])::BIGINT AS s, count(*) AS cnt
+      |  FROM a1 JOIN md m2 USING (vec_id) CROSS JOIN range(1, ${Dim + 1}) t(i)
+      |  GROUP BY 1, 2),
+      |c2 AS (
+      |  SELECT cid, list(round(s::DOUBLE / cnt)::BIGINT::DOUBLE ORDER BY i) AS cmu
+      |  FROM sums GROUP BY cid),
+      |c2f AS (
+      |  SELECT s.cid, coalesce(c2.cmu, s.mud) AS cmu
+      |  FROM seeds s LEFT JOIN c2 USING (cid)),
+      |a2 AS (
+      |  SELECT vec_id, c1, cid FROM (
+      |    SELECT md.vec_id, a1.c1, c.cid,
+      |      row_number() OVER (PARTITION BY md.vec_id
+      |        ORDER BY ${sqDist("md.mud", "c.cmu")}, c.cid) AS rn
+      |    FROM md JOIN a1 USING (vec_id) CROSS JOIN c2f c) WHERE rn = 1),
+      |members AS (
+      |  SELECT cid, count(*) AS n_members,
+      |    count(*) FILTER (WHERE c1 <> cid) AS n_moved
+      |  FROM a2 GROUP BY cid),
+      |p AS (
+      |  SELECT x.cid, count(*) AS n_pairs,
+      |    count(*) FILTER (WHERE cos >= 0.9) AS n_neardup_pairs,
+      |    count(DISTINCT id2) FILTER (WHERE cos >= 0.9) AS n_sem_removed,
+      |    round(max(cos), 4) + 0.0 AS max_cos
+      |  FROM (
+      |    SELECT xa.cid, xb.vec_id AS id2,
+      |      round(${dotSql("xa.e", "xb.e")} / nullif(xa.nrm * xb.nrm, 0.0), 6) AS cos
+      |    FROM (SELECT a2.cid, md.vec_id, md.e, md.nrm FROM a2 JOIN md USING (vec_id)) xa
+      |    JOIN (SELECT a2.cid, md.vec_id, md.e, md.nrm FROM a2 JOIN md USING (vec_id)) xb
+      |      ON xa.cid = xb.cid AND xa.vec_id < xb.vec_id) x
+      |  GROUP BY x.cid)
+      |SELECT m.cid, m.n_members, m.n_moved,
+      |  coalesce(p.n_pairs, 0) AS n_pairs,
+      |  coalesce(p.n_neardup_pairs, 0) AS n_neardup_pairs,
+      |  coalesce(p.n_sem_removed, 0) AS n_sem_removed,
+      |  coalesce(p.max_cos, 0.0) AS max_cos
+      |FROM members m LEFT JOIN p USING (cid) ORDER BY m.cid""".stripMargin
+  }
+
   val all: Map[String, Q] = Map(
     "q28_embedding_neardup" -> (q28EmbeddingNeardup _),
     "q29_ann_topk" -> (q29AnnTopk _),
     "q30_ann_lsh" -> (q30AnnLsh _),
-    "q48_ann_ivf" -> (q48AnnIvf _))
+    "q48_ann_ivf" -> (q48AnnIvf _),
+    "q63_semantic_dedup" -> (q63SemanticDedup _))
 
   val oracles: Map[String, String] = Map(
     "q28_embedding_neardup" -> q28Sql,
     "q29_ann_topk" -> q29Sql,
     "q30_ann_lsh" -> q30Sql,
-    "q48_ann_ivf" -> q48Sql)
+    "q48_ann_ivf" -> q48Sql,
+    "q63_semantic_dedup" -> q63Sql)
 }

@@ -185,6 +185,20 @@ class TextDedupSpec extends GraftSuite {
     }
   }
 
+  test("q63 k-means clusters partition the corpus and pair counts are exact") {
+    val rows = queries.SimilarityQueries.q63SemanticDedup(spark, sf).collect()
+    val total = Tables.embeddings(spark, sf).count()
+    assert(rows.map(_.getAs[Long]("n_members")).sum == total)
+    rows.foreach { r =>
+      val m = r.getAs[Long]("n_members")
+      assert(r.getAs[Long]("n_pairs") == m * (m - 1) / 2,
+        s"pair count not C(m,2): $r")
+      assert(r.getAs[Long]("n_moved") <= m)
+      assert(r.getAs[Long]("n_sem_removed") <= r.getAs[Long]("n_neardup_pairs"))
+      assert(r.getAs[Double]("max_cos") <= 1.0)
+    }
+  }
+
   test("q60 corpus-prep funnel is monotone and partitions the non-benchmark corpus") {
     val rows = queries.TextQueries.q60CorpusPrep(spark, sf).collect()
     rows.foreach { r =>
