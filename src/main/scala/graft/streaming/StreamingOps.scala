@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -279,6 +279,58 @@ object StreamingOps {
     * not per row. `benchGrams` is a static (g: Long) relation (e.g. the
     * batch q55 benchmark extraction); flags match the batch semantics
     * row-for-row (StreamingSpec). */
+  /** Per-row MinHash band keys (8 bands × 2 of 16 lanes over the hashed
+    * word-bigram shingle set) — the q26/q49 signature computed as a
+    * STATELESS per-row expression chain (HOF min per lane instead of the
+    * batch path's explode + min aggregate; same lane formula, same band
+    * keys by construction). */
+  private val MinhashP = 2147483647L // 2^31 − 1
+  private def bandKeyArray(text: Column): Column = {
+    val shset = graft.functions.GraftFunctions.hashedWordBigrams(text)
+    val lanes = (0 until 16).map { j =>
+      array_min(transform(shset,
+        h => (h * lit(2L * j + 1) + lit(j * 104729L)) % lit(MinhashP)))
+    }
+    array((0 until 8).map { b =>
+      graft.queries.TextOps.md5Int(
+        concat_ws("_", lit(b), lanes(2 * b), lanes(2 * b + 1)))
+    }: _*)
+  }
+
+  /** Occupied LSH bucket set of a static corpus: the distinct (band,
+    * band_key) pairs hashed to one long each — the static side of
+    * [[streamingNearDupGate]]. Computed with the same per-row expressions
+    * as the stream side, so stream and index agree by construction. */
+  def nearDupBandIndex(corpus: DataFrame): DataFrame =
+    corpus.select(explode(bandKeyArray(col("text"))).as("bk")).distinct()
+
+  /** Streaming NEAR-duplicate gate — the online form of q26/q49's LSH
+    * candidate stage against a static reference corpus: a live doc is
+    * flagged when any of its 8 MinHash band keys hits an occupied corpus
+    * bucket. Entirely STATELESS (per-row signature + one broadcast row
+    * carrying the sorted occupied-bucket set), so it runs at source
+    * parallelism; the flag has exactly the batch path's LSH-candidate
+    * semantics (a hit means "would have been candidate-paired with some
+    * corpus doc", subject to the same banding probability).
+    *
+    * Scale bound: the single-row set broadcast holds to ~10⁷ occupied
+    * buckets (80 MB); past that, route through the batch pipeline or a
+    * state-store-backed stream-stream join — the signature side of this
+    * operator is unchanged either way. */
+  def streamingNearDupGate(docs: DataFrame, bandIndex: DataFrame): DataFrame = {
+    val idx = bandIndex
+      .agg(sort_array(collect_set(col("bk"))).as("bucket_set"))
+      .withColumn("k", lit(1))
+    docs
+      .withColumn("bks", bandKeyArray(col("text")))
+      .withColumn("k", lit(1))
+      .join(broadcast(idx), Seq("k"))
+      .withColumn("n_shared_bands",
+        size(array_intersect(col("bks"), col("bucket_set"))))
+      .select(col("doc_id"), col("n_shared_bands"),
+        (col("n_shared_bands") > 0).as("near_dup_candidate"))
+  }
+
   def streamingCurationGate(docs: DataFrame, benchGrams: DataFrame,
       minTokens: Int = 5): DataFrame = {
     val benchArr = benchGrams

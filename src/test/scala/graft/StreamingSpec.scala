@@ -143,6 +143,33 @@ class StreamingSpec extends GraftSuite {
     } finally query.stop()
   }
 
+  test("streamingNearDupGate: LSH band hits flag near-copies of the static corpus") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val corpusText =
+      "the quick brown fox jumps over the lazy dog near the old river bank today"
+    val corpus = Seq((100L, corpusText)).toDF("doc_id", "text")
+    val index = StreamingOps.nearDupBandIndex(corpus)
+    val mem = MemoryStream[(Long, String)]
+    val docs = mem.toDS().toDF("doc_id", "text")
+    val query = StreamingOps.streamingNearDupGate(docs, index)
+      .writeStream.format("memory").queryName("neardup_out")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        (1L, corpusText), // exact copy: every band must hit
+        (2L, corpusText.replace("today", "tonight")), // near-copy
+        (3L, "completely unrelated content about spark catalyst physical plans"))
+      query.processAllAvailable()
+      val rows = spark.table("neardup_out").collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          (r.getAs[Int]("n_shared_bands"), r.getAs[Boolean]("near_dup_candidate"))).toMap
+      assert(rows(1L) == ((8, true)), s"exact copy: ${rows(1L)}")
+      assert(rows(2L)._2, s"near copy should share a band: ${rows(2L)}")
+      assert(rows(3L) == ((0, false)), s"fresh doc: ${rows(3L)}")
+    } finally query.stop()
+  }
+
   test("streamingCurationGate: stateless quality+decontamination flags match batch") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
