@@ -120,6 +120,29 @@ class PlanShapeSpec extends GraftSuite {
       s"cube re-scanned its input:\n$p")
   }
 
+  test("q60 corpus prep: decontamination rides a broadcast semi-join, no quadratic joins") {
+    val p = plan(TextQueries.q60CorpusPrep(spark, sf))
+    assert(p.contains("LeftSemi") && p.contains("BroadcastExchange"),
+      s"benchmark grams not broadcast-semi-joined:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"quadratic join in the funnel:\n$p")
+  }
+
+  test("q62 repetition rules: map-only kernels — one scan, no joins, no window") {
+    val p = plan(TextQueries.q62RepetitionRules(spark, sf))
+    assert(p.linesIterator.count(_.contains("Scan parquet")) == 1,
+      s"corpus re-scanned:\n$p")
+    assert(!p.contains("Join") && !p.contains("windowspecdefinition"),
+      s"unexpected join/window in a map-only census:\n$p")
+  }
+
+  test("q63 semantic dedup: pairwise stage keyed on (cid, salt), no quadratic fallback") {
+    val p = plan(SimilarityQueries.q63SemanticDedup(spark, sf))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"pairwise stage fell back to a quadratic join:\n$p")
+    assert(p.contains("cid"), s"cluster key missing from the plan:\n$p")
+  }
+
   test("q54 packing: a single window exchange per shard axis") {
     val p = plan(TextQueries.q54SequencePack(spark, sf))
     // one shuffle for the per-source window, then the two census groupBys
