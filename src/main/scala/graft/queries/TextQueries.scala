@@ -671,6 +671,106 @@ object TextQueries {
       |FROM f GROUP BY lang ORDER BY lang""".stripMargin
   }
 
+  // ---------------------------------------------------------------------------
+  // q64 — BPE vocabulary induction, the first 3 merge rounds, distributed:
+  // the corpus is scanned ONCE into a weighted distinct-word table (the
+  // classic combiner-friendly word count — the only corpus-sized shuffle);
+  // every round then runs on that table: adjacent symbol-pair counts
+  // (explode + groupBy, weighted by word frequency), argmax with a
+  // (count desc, pair asc) tie-break — a 1-row bounded collect, like the
+  // k-means centroids — and a map-only merge of the winning pair into
+  // every word's segmentation. At 100 TB the word table is still tiny
+  // relative to the corpus (vocabulary grows ~logarithmically), which is
+  // exactly why production BPE trainers work off the aggregated word
+  // histogram, never the raw corpus.
+  //
+  // Merge semantics: greedy LEFT-TO-RIGHT non-overlapping, implemented as
+  // a string replace over the space-joined segmentation (' a b ' → ' ab ')
+  // — regexp_replace (Spark) and replace (DuckDB) share those exact
+  // semantics, so consecutive-repeat edge cases ('g g g') agree
+  // bit-for-bit across engines by construction.
+  private val BpeRounds = 3
+
+  def q64BpeMerges(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val words = Tables.documents(spark, d)
+      .select(explode(toks(col("text"))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      .withColumn("seg",
+        concat(lit(" "), regexp_replace(col("w"), "(.)", "$1 ")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var seg = words
+    val out = Seq.newBuilder[(Int, String, Long, Long)]
+    for (r <- 1 to BpeRounds) {
+      val syms = split(trim(col("seg")), " ")
+      val pairs = seg
+        .withColumn("syms", syms)
+        .select(col("cnt"), explode(
+          when(size(col("syms")) >= 2,
+            transform(sequence(lit(1), size(col("syms")) - 1),
+              i => concat(element_at(col("syms"), i), lit("+"),
+                element_at(col("syms"), i + 1))))
+            .otherwise(array().cast("array<string>"))).as("pair"))
+        .groupBy(col("pair")).agg(sum(col("cnt")).as("pcnt"))
+        .orderBy(col("pcnt").desc, col("pair"))
+        .limit(1)
+        .collect()
+      val Array(a, b) = pairs.head.getAs[String]("pair").split("\\+", 2)
+      val pcnt = pairs.head.getAs[Long]("pcnt")
+      seg = seg.withColumn("seg",
+        regexp_replace(col("seg"),
+          java.util.regex.Pattern.quote(s" $a $b "), s" $a$b "))
+        .localCheckpoint()
+      val vocab = seg
+        .select(explode(split(trim(col("seg")), " ")).as("sym"))
+        .agg(countDistinct(col("sym"))).head.getLong(0)
+      out += ((r, s"$a+$b", pcnt, vocab))
+    }
+    words.unpersist()
+    import spark.implicits._
+    out.result().toDF("round", "merged_pair", "pair_count", "vocab_size")
+      .orderBy(col("round"))
+  }
+
+  val q64Sql: String = {
+    // one round: (words_in) -> top pair p<r> -> merged words w<r> + vocab v<r>
+    def round(r: Int, in: String): String =
+      s"""p$r AS (
+        |  SELECT split_part(pair, '+', 1) AS a, split_part(pair, '+', 2) AS b,
+        |    pcnt FROM (
+        |    SELECT pair, CAST(sum(cnt) AS BIGINT) AS pcnt FROM (
+        |      SELECT cnt, unnest(list_transform(range(1, greatest(len(s), 1)),
+        |        i -> s[i] || '+' || s[i + 1])) AS pair
+        |      FROM (SELECT cnt, string_split(trim(seg), ' ') AS s FROM $in))
+        |    GROUP BY pair)
+        |  ORDER BY pcnt DESC, pair LIMIT 1),
+        |w$r AS (
+        |  SELECT w, cnt,
+        |    replace(seg, ' ' || p$r.a || ' ' || p$r.b || ' ',
+        |      ' ' || p$r.a || p$r.b || ' ') AS seg
+        |  FROM $in, p$r),
+        |v$r AS (
+        |  SELECT count(DISTINCT sym) AS vocab FROM (
+        |    SELECT unnest(string_split(trim(seg), ' ')) AS sym FROM w$r))""".stripMargin
+    val rounds = (1 to BpeRounds)
+      .map(r => round(r, if (r == 1) "words" else s"w${r - 1}"))
+      .mkString(",\n")
+    val unions = (1 to BpeRounds).map(r =>
+      s"SELECT $r AS round, p$r.a || '+' || p$r.b AS merged_pair, " +
+        s"p$r.pcnt AS pair_count, v$r.vocab AS vocab_size FROM p$r, v$r")
+      .mkString("\nUNION ALL\n")
+    s"""WITH toks AS (
+      |  SELECT unnest($toksSql) AS w FROM documents),
+      |words AS (
+      |  SELECT w, count(*) AS cnt,
+      |    ' ' || regexp_replace(w, '(.)', '\\1 ', 'g') AS seg
+      |  FROM toks GROUP BY w),
+      |$rounds
+      |SELECT * FROM (
+      |$unions
+      |) ORDER BY round""".stripMargin
+  }
+
   val all: Map[String, Q] = Map(
     "q21_text_stats" -> (q21TextStats _),
     "q22_lang_id" -> (q22LangId _),
@@ -681,7 +781,8 @@ object TextQueries {
     "q54_sequence_pack" -> (q54SequencePack _),
     "q55_decontamination" -> (q55Decontamination _),
     "q60_corpus_prep" -> (q60CorpusPrep _),
-    "q62_repetition_rules" -> (q62RepetitionRules _))
+    "q62_repetition_rules" -> (q62RepetitionRules _),
+    "q64_bpe_merges" -> (q64BpeMerges _))
 
   val oracles: Map[String, String] = Map(
     "q21_text_stats" -> q21Sql,
@@ -693,5 +794,6 @@ object TextQueries {
     "q54_sequence_pack" -> q54Sql,
     "q55_decontamination" -> q55Sql,
     "q60_corpus_prep" -> q60Sql,
-    "q62_repetition_rules" -> q62Sql)
+    "q62_repetition_rules" -> q62Sql,
+    "q64_bpe_merges" -> q64Sql)
 }

@@ -199,6 +199,38 @@ class TextDedupSpec extends GraftSuite {
     }
   }
 
+  test("q64 BPE merges match a driver-side replay of the same greedy semantics") {
+    val got = queries.TextQueries.q64BpeMerges(spark, sf).collect()
+      .map(r => (r.getAs[Int]("round"), r.getAs[String]("merged_pair"),
+        r.getAs[Long]("pair_count"), r.getAs[Long]("vocab_size"))).toSeq
+    // independent model: word histogram + 3 greedy merge rounds in Scala
+    val words = scala.collection.mutable.Map[String, Long]()
+    Tables.documents(spark, sf).select(col("text")).collect().foreach { r =>
+      r.getString(0).trim.split("\\s+").foreach(w =>
+        words(w) = words.getOrElse(w, 0L) + 1L)
+    }
+    var seg: Map[String, Long] =
+      words.toMap.map { case (w, c) => (" " + w.map(_ + " ").mkString, c) }
+    val expected = (1 to 3).map { r =>
+      val pairs = scala.collection.mutable.Map[String, Long]()
+      seg.foreach { case (s, c) =>
+        val syms = s.trim.split(" ")
+        syms.indices.dropRight(1).foreach { i =>
+          val p = syms(i) + "+" + syms(i + 1)
+          pairs(p) = pairs.getOrElse(p, 0L) + c
+        }
+      }
+      val (best, cnt) = pairs.toSeq.minBy { case (p, c) => (-c, p) }
+      val Array(a, b) = best.split("\\+", 2)
+      seg = seg.map { case (s, c) => (s.replace(s" $a $b ", s" $a$b "), c) }
+      val vocab = seg.keys.flatMap(_.trim.split(" ")).toSet.size.toLong
+      (r, best, cnt, vocab)
+    }
+    assert(got == expected)
+    // merged-pair counts never increase across rounds
+    assert(got.map(_._3) == got.map(_._3).sorted.reverse)
+  }
+
   test("q60 corpus-prep funnel is monotone and partitions the non-benchmark corpus") {
     val rows = queries.TextQueries.q60CorpusPrep(spark, sf).collect()
     rows.foreach { r =>
