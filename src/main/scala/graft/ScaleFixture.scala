@@ -95,12 +95,14 @@ object ScaleFixture {
     )
 
     // --- events: seriesK new series × timeK appended time segments ---
-    val ev = Tables.events(spark, src)
+    val ev0 = Tables.events(spark, src)
+    // normalize to µs-since-epoch longs (robust to ns-Long vs timestamp ts)
+    val ev = ev0.withColumn("ts_us", Tables.tsUs(ev0)).drop("ts")
     val evStats =
-      ev.agg(max("event_id"), max("ts"), min("ts")).head
+      ev.agg(max("event_id"), max("ts_us"), min("ts_us")).head
     val eM = evStats.getLong(0) + 1
     // one-hour gap between appended segments so they never interleave
-    val span = evStats.getLong(1) - evStats.getLong(2) + 3600L * 1000 * 1000 * 1000
+    val span = evStats.getLong(1) - evStats.getLong(2) + 3600L * 1000 * 1000
     val evReps = spark
       .range(seriesK)
       .select(col("id").as("s"))
@@ -110,7 +112,7 @@ object ScaleFixture {
       .crossJoin(evReps)
       .select(
         (col("event_id") + col("rep") * eM).as("event_id"),
-        (col("ts") + col("t") * span).as("ts"),
+        timestamp_micros(col("ts_us") + col("t") * span).as("ts"),
         col("user_id"),
         when(col("s") === 0, col("event_type"))
           .otherwise(concat(col("event_type"), lit("#"), col("s")))

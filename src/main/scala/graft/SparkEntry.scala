@@ -11,11 +11,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SparkEntry {
 
   /** Session confs the queries rely on regardless of who built the session.
-    * nanosAsLong: events.parquet carries TIMESTAMP(NANOS) which Spark cannot
-    * read natively; the legacy conf maps it to LongType (ns since epoch),
-    * matching DuckDB's epoch_ns() on the oracle side. */
+    * nanosAsLong: pre-r5 fixtures carry TIMESTAMP(NANOS) which Spark cannot
+    * read natively; the legacy conf maps it to LongType (ns since epoch).
+    * r5 testdata ships native timestamp[us] instead — Tables.tsUs handles
+    * both layouts. UTC session tz makes the NTZ→TZ cast in tsUs match the
+    * oracle's epoch_us() reading of the same naive timestamps. */
   def ensureConfs(spark: SparkSession): SparkSession = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark
   }
 

@@ -14,6 +14,22 @@ object Tables {
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
+  /** Microseconds-since-epoch for the events `ts` column, robust to the
+    * physical type the fixture was written with: TIMESTAMP(NANOS) read as
+    * LongType under `nanosAsLong` (pre-r5 testdata, ScaleFixture output),
+    * or a native timestamp[us] column (r5 testdata), read as TIMESTAMP or
+    * TIMESTAMP_NTZ. The NTZ→TZ cast interprets the naive datetime in the
+    * session timezone — pinned to UTC by SparkEntry.ensureConfs — which is
+    * exactly how the DuckDB oracle's epoch_us(ts) reads the same column. */
+  def tsUs(ev: DataFrame): org.apache.spark.sql.Column =
+    ev.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        org.apache.spark.sql.functions.expr("ts div 1000")
+      case _ =>
+        org.apache.spark.sql.functions.unix_micros(
+          org.apache.spark.sql.functions.col("ts").cast("timestamp"))
+    }
+
   def lineitem(spark: SparkSession, d: String): DataFrame = table(spark, d, "lineitem")
   def orders(spark: SparkSession, d: String): DataFrame = table(spark, d, "orders")
   def customer(spark: SparkSession, d: String): DataFrame = table(spark, d, "customer")

@@ -104,8 +104,9 @@ object CoreQueries {
   // reference's single-series ORDER BY becomes partitionBy+orderBy (§2.5 W9).
   def q04WindowLagLead(spark: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy(col("event_type")).orderBy(col("ts_us"), col("event_id"))
-    Tables.events(spark, d)
-      .select(col("event_id"), col("event_type"), expr("ts div 1000").as("ts_us"), col("value"))
+    val ev = Tables.events(spark, d)
+    ev
+      .select(col("event_id"), col("event_type"), Tables.tsUs(ev).as("ts_us"), col("value"))
       .withColumn("prev_value", lag(col("value"), 1).over(w))
       .withColumn("prev2_value", lag(col("value"), 2).over(w))
       .withColumn("next_value", lead(col("value"), 1).over(w))
@@ -274,8 +275,9 @@ object CoreQueries {
   def q11LastNAlign(spark: SparkSession, d: String): DataFrame = {
     val wDesc = Window.partitionBy(col("event_type"))
       .orderBy(col("ts_us").desc, col("event_id").desc)
-    Tables.events(spark, d)
-      .withColumn("ts_us", expr("ts div 1000"))
+    val ev = Tables.events(spark, d)
+    ev
+      .withColumn("ts_us", Tables.tsUs(ev))
       .withColumn("rdesc", row_number().over(wDesc))
       .filter(col("rdesc") <= 100)
       .groupBy(col("event_type"))
@@ -300,9 +302,10 @@ object CoreQueries {
   def q12RunningCount(spark: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
       .rowsBetween(Window.unboundedPreceding, 0)
-    Tables.events(spark, d)
+    val ev = Tables.events(spark, d)
+    ev
       .filter(col("user_id") < 10)
-      .select(col("event_id"), col("user_id"), expr("ts div 1000").as("ts_us"), col("value"))
+      .select(col("event_id"), col("user_id"), Tables.tsUs(ev).as("ts_us"), col("value"))
       .withColumn("bar_count", count(lit(1)).over(w))
       .withColumn("running_value", round(sum(col("value")).over(w), 4))
       .orderBy(col("event_id"))

@@ -19,8 +19,9 @@ object EventBars {
 
   def bars(spark: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy(col("event_type")).orderBy(col("ts_us"), col("event_id"))
-    Tables.events(spark, d)
-      .select(col("event_type"), expr("ts div 1000").as("ts_us"),
+    val ev = Tables.events(spark, d)
+    ev
+      .select(col("event_type"), Tables.tsUs(ev).as("ts_us"),
         col("event_id"), col("value").as("close"))
       .withColumn("open", lag(col("close"), 1).over(w))
       .withColumn("rn", row_number().over(w))

@@ -97,8 +97,9 @@ object QuantQueries {
   // `value > p90_prior` mirrors the adaptive-threshold formation gate.
   def q15RollingQuantile(spark: SparkSession, d: String): DataFrame = {
     val w = BarFrame.series(Seq(col("event_type")), col("ts_us"), col("event_id"))
-    Tables.events(spark, d)
-      .select(col("event_id"), col("event_type"), expr("ts div 1000").as("ts_us"), col("value"))
+    val ev = Tables.events(spark, d)
+    ev
+      .select(col("event_id"), col("event_type"), Tables.tsUs(ev).as("ts_us"), col("value"))
       .withColumn("rn", row_number().over(w))
       .withColumn("p90_prior",
         round(BarFrame.rollingExclusiveQuantile(col("value"), 0.90, 100, w), 6))
@@ -130,8 +131,9 @@ object QuantQueries {
   // (A5/W5; ref sql/gen111_true_nolookahead.sql:49-52 + rn > warmup gate :47).
   def q16ExpandingQuantile(spark: SparkSession, d: String): DataFrame = {
     val w = BarFrame.series(Seq(col("event_type")), col("ts_us"), col("event_id"))
-    Tables.events(spark, d)
-      .select(col("event_id"), col("event_type"), expr("ts div 1000").as("ts_us"), col("value"))
+    val ev = Tables.events(spark, d)
+    ev
+      .select(col("event_id"), col("event_type"), Tables.tsUs(ev).as("ts_us"), col("value"))
       .withColumn("rn", row_number().over(w))
       .withColumn("p95_prior",
         round(BarFrame.expandingExclusiveQuantile(col("value"), 0.95, w), 6))
