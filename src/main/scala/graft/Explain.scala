@@ -27,7 +27,11 @@ object Explain {
         .config("spark.eventLog.dir", dir)
     }.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val tc = System.nanoTime()
     val df = fn(spark, sfDir)
+    // queries with driver-side iteration (q61's propagation loop, q64's
+    // merge rounds) do their distributed work during construction — time it
+    println(f"[explain] $name constructed in ${(System.nanoTime() - tc) / 1e9}%.3f s")
     df.explain("formatted")
     if (args.lift(2).contains("codegen")) {
       // per-subtree generated-source sizes — janino compile time scales

@@ -379,8 +379,13 @@ object DedupQueries {
   def q61DupComponents(spark: SparkSession, d: String): DataFrame = {
     import org.apache.spark.storage.StorageLevel
     val (_, _, scored) = scoredCandidatePairs(spark, d)
+    // eager checkpoint: the union below references the edge list twice, and
+    // without materialization each branch would re-run the whole LSH+verify
+    // chain (measured 2× the q49 chain cost at sf0.1). The verified edge
+    // list is tiny — checkpoint it once, then both branches read the copy.
     val edges = scored.filter(col("jac") >= JaccardThreshold)
       .select(col("d1"), col("d2"))
+      .localCheckpoint()
     val adj = edges.union(edges.select(col("d2"), col("d1")))
       .toDF("node", "nbr")
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -419,6 +424,7 @@ object DedupQueries {
       iter += 1
     }
     require(converged, s"q61 label propagation did not converge in $iter rounds")
+    System.err.println(s"[q61] converged in $iter rounds")
     adj.unpersist()
     labels.groupBy(col("label").as("cluster_root"))
       .agg(count(lit(1)).as("n_members"), max(col("node")).as("max_doc_id"))
