@@ -302,13 +302,66 @@ object CurationQueries {
        |FROM documents GROUP BY source ORDER BY source""".stripMargin
   }
 
+  // ---------------------------------------------------------------------------
+  // q73 — hashed linear quality-classifier scoring (the fastText-style
+  // inference pass every production curation pipeline runs: hash each
+  // token into a bounded feature space, sum the per-bucket weights, gate
+  // on the sign). The weight VECTOR is a deterministic arithmetic stand-in
+  // for a trained model (the container ships no model artifacts — same
+  // honesty rule as the multimodal codec stub): bucket b's micro-weight is
+  // ((b·2654435761) mod 2003) − 1001 ∈ [−1001, 1001], exactly computable
+  // in both engines (products < 2^42). What IS real and load-bearing is
+  // the Spark shape: map-only tokenize→hash→weight-sum per document
+  // (BIGINT micro-units — order-insensitive, partial-agg safe), the
+  // sign gate in exact integers, and a (lang, source) census as the only
+  // shuffle. Swapping in real weights = broadcasting a 2^20-row weight
+  // table and joining on the bucket — the q66 DSIR join shape.
+  private val ClsBuckets = 1024
+
+  def q73QualityClassifier(spark: SparkSession, d: String): DataFrame = {
+    val scored = Tables.documents(spark, d)
+      .select(col("doc_id"), col("lang"), col("source"),
+        explode(toks(col("text"))).as("w"))
+      .withColumn("hb", md5Int(col("w")) % lit(ClsBuckets))
+      .withColumn("wm", (col("hb") * lit(2654435761L)) % lit(2003L) - lit(1001L))
+      .groupBy(col("doc_id"), col("lang"), col("source"))
+      .agg(sum(col("wm")).as("s_micro"), count(lit(1)).as("n_tok"))
+    scored
+      .groupBy(col("lang"), col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        count_if(col("s_micro") > 0).as("n_accepted"),
+        round(avg(col("s_micro").cast("double")
+          / col("n_tok").cast("double") / lit(1000.0)), 6).as("avg_doc_score"))
+      .orderBy(col("lang"), col("source"))
+  }
+
+  val q73Sql: String =
+    s"""WITH ex AS (
+       |  SELECT doc_id, lang, source,
+       |    ${md5IntSql("w")} % $ClsBuckets AS hb
+       |  FROM (SELECT doc_id, lang, source, unnest($toksSql) AS w
+       |        FROM documents)),
+       |scored AS (
+       |  SELECT doc_id, lang, source,
+       |    CAST(sum((hb * 2654435761) % 2003 - 1001) AS BIGINT) AS s_micro,
+       |    count(*) AS n_tok
+       |  FROM ex GROUP BY doc_id, lang, source)
+       |SELECT lang, source, count(*) AS n_docs,
+       |  count(*) FILTER (WHERE s_micro > 0) AS n_accepted,
+       |  round(avg(s_micro::DOUBLE / n_tok::DOUBLE / 1000.0), 6) + 0.0
+       |    AS avg_doc_score
+       |FROM scored GROUP BY lang, source ORDER BY lang, source""".stripMargin
+
   val all: Map[String, Q] = Map(
     "q65_mixture_waterfill" -> (q65MixtureWaterfill _),
     "q66_dsir_selection" -> (q66DsirSelection _),
-    "q67_pii_census" -> (q67PiiCensus _))
+    "q67_pii_census" -> (q67PiiCensus _),
+    "q73_quality_classifier" -> (q73QualityClassifier _))
 
   val oracles: Map[String, String] = Map(
     "q65_mixture_waterfill" -> q65Sql,
     "q66_dsir_selection" -> q66Sql,
-    "q67_pii_census" -> q67Sql)
+    "q67_pii_census" -> q67Sql,
+    "q73_quality_classifier" -> q73Sql)
 }

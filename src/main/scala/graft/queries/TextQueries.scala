@@ -691,7 +691,13 @@ object TextQueries {
   // bit-for-bit across engines by construction.
   private val BpeRounds = 3
 
-  def q64BpeMerges(spark: SparkSession, d: String): DataFrame = {
+  /** Runs the BpeRounds merge loop on the weighted word histogram and
+    * returns (final per-word segmentation frame (w, cnt, seg), per-round
+    * stats). Shared by q64 (vocabulary induction stats) and q74 (encode
+    * apply): the merge table is learned once, corpus-wide, exactly like a
+    * production tokenizer train step. */
+  private[graft] def bpeSegmentation(spark: SparkSession, d: String)
+      : (DataFrame, Seq[(Int, String, Long, Long)]) = {
     import org.apache.spark.storage.StorageLevel
     val words = Tables.documents(spark, d)
       .select(explode(toks(col("text"))).as("w"))
@@ -727,12 +733,20 @@ object TextQueries {
       out += ((r, s"$a+$b", pcnt, vocab))
     }
     words.unpersist()
+    (seg, out.result())
+  }
+
+  def q64BpeMerges(spark: SparkSession, d: String): DataFrame = {
+    val (_, stats) = bpeSegmentation(spark, d)
     import spark.implicits._
-    out.result().toDF("round", "merged_pair", "pair_count", "vocab_size")
+    stats.toDF("round", "merged_pair", "pair_count", "vocab_size")
       .orderBy(col("round"))
   }
 
-  val q64Sql: String = {
+  /** The shared DuckDB CTE chain deriving the word histogram and the
+    * BpeRounds merge rounds (p<r>/w<r>/v<r>); w<BpeRounds> carries the
+    * final segmentation. Used by both q64Sql and q74Sql. */
+  private val bpeCtes: String = {
     // one round: (words_in) -> top pair p<r> -> merged words w<r> + vocab v<r>
     def round(r: Int, in: String): String =
       s"""p$r AS (
@@ -755,21 +769,70 @@ object TextQueries {
     val rounds = (1 to BpeRounds)
       .map(r => round(r, if (r == 1) "words" else s"w${r - 1}"))
       .mkString(",\n")
-    val unions = (1 to BpeRounds).map(r =>
-      s"SELECT $r AS round, p$r.a || '+' || p$r.b AS merged_pair, " +
-        s"p$r.pcnt AS pair_count, v$r.vocab AS vocab_size FROM p$r, v$r")
-      .mkString("\nUNION ALL\n")
-    s"""WITH toks AS (
+    s"""toks AS (
       |  SELECT unnest($toksSql) AS w FROM documents),
       |words AS (
       |  SELECT w, count(*) AS cnt,
       |    ' ' || regexp_replace(w, '(.)', '\\1 ', 'g') AS seg
       |  FROM toks GROUP BY w),
-      |$rounds
+      |$rounds""".stripMargin
+  }
+
+  val q64Sql: String = {
+    val unions = (1 to BpeRounds).map(r =>
+      s"SELECT $r AS round, p$r.a || '+' || p$r.b AS merged_pair, " +
+        s"p$r.pcnt AS pair_count, v$r.vocab AS vocab_size FROM p$r, v$r")
+      .mkString("\nUNION ALL\n")
+    s"""WITH $bpeCtes
       |SELECT * FROM (
       |$unions
       |) ORDER BY round""".stripMargin
   }
+
+  // ---------------------------------------------------------------------------
+  // q74 — BPE encode APPLY at corpus scale: the q64-learned merge table is
+  // applied to every document and the per-language token economics are
+  // censused. This is the production tokenizer-apply shape: the vocabulary
+  // (per-word subtoken counts, derived once from the corpus-wide word
+  // histogram) is BROADCAST and the corpus side is a map-only explode +
+  // broadcast join — document text never shuffles, and the only shuffle
+  // carries (lang) census keys. At 100 TB the vocab table stays
+  // ~vocabulary-sized (log-ish in corpus size) no matter the corpus.
+  def q74BpeEncode(spark: SparkSession, d: String): DataFrame = {
+    val (seg, _) = bpeSegmentation(spark, d)
+    val vocab = seg.select(col("w"),
+      size(split(trim(col("seg")), " ")).as("n_sub"))
+    Tables.documents(spark, d)
+      .select(col("doc_id"), col("lang"), explode(toks(col("text"))).as("w"))
+      .join(broadcast(vocab), "w")
+      .groupBy(col("lang"))
+      .agg(
+        countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_words"),
+        sum(length(col("w"))).as("n_char_tokens"),
+        sum(col("n_sub")).as("n_bpe_tokens"))
+      .withColumn("compression",
+        round(col("n_char_tokens").cast("double")
+          / col("n_bpe_tokens").cast("double"), 6))
+      .orderBy(col("lang"))
+  }
+
+  val q74Sql: String =
+    s"""WITH $bpeCtes,
+      |vocab AS (
+      |  SELECT w, len(string_split(trim(seg), ' ')) AS n_sub
+      |  FROM w$BpeRounds),
+      |docw AS (
+      |  SELECT doc_id, lang, unnest($toksSql) AS w FROM documents)
+      |SELECT lang,
+      |  count(DISTINCT doc_id) AS n_docs,
+      |  count(*) AS n_words,
+      |  CAST(sum(length(w)) AS BIGINT) AS n_char_tokens,
+      |  CAST(sum(n_sub) AS BIGINT) AS n_bpe_tokens,
+      |  round(CAST(sum(length(w)) AS BIGINT)::DOUBLE
+      |    / CAST(sum(n_sub) AS BIGINT)::DOUBLE, 6) AS compression
+      |FROM docw JOIN vocab USING (w)
+      |GROUP BY lang ORDER BY lang""".stripMargin
 
   val all: Map[String, Q] = Map(
     "q21_text_stats" -> (q21TextStats _),
@@ -782,7 +845,8 @@ object TextQueries {
     "q55_decontamination" -> (q55Decontamination _),
     "q60_corpus_prep" -> (q60CorpusPrep _),
     "q62_repetition_rules" -> (q62RepetitionRules _),
-    "q64_bpe_merges" -> (q64BpeMerges _))
+    "q64_bpe_merges" -> (q64BpeMerges _),
+    "q74_bpe_encode" -> (q74BpeEncode _))
 
   val oracles: Map[String, String] = Map(
     "q21_text_stats" -> q21Sql,
@@ -795,5 +859,6 @@ object TextQueries {
     "q55_decontamination" -> q55Sql,
     "q60_corpus_prep" -> q60Sql,
     "q62_repetition_rules" -> q62Sql,
-    "q64_bpe_merges" -> q64Sql)
+    "q64_bpe_merges" -> q64Sql,
+    "q74_bpe_encode" -> q74Sql)
 }
