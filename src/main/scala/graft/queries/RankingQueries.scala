@@ -583,8 +583,175 @@ object RankingQueries {
        |LEFT JOIN cov ON cov.cfg = base.cfg
        |ORDER BY base.cfg""".stripMargin
 
+  // ---------------------------------------------------------------------------
+  // q75 — the gen800 rolling return/drawdown pipeline END TO END (E29,
+  // scripts/gen800_rolling_rdd.py: 90-day calendar windows stepping 1 day,
+  // ratio = window return / window max-drawdown capped at 50, then a
+  // per-config distribution (median / worst / consistency) ranked by
+  // TOPSIS over (0.5, 0.3, 0.2)). At the synthetic corpus' 30-day span the
+  // window geometry scales to 1-day windows stepping 1 hour — same
+  // windows-per-span ratio, same operator shape. q42 pins the RANGE-frame
+  // primitive; this query pins the whole pipeline.
+  //
+  // Scale shape: each bar belongs to ≤24 step windows, made explicit by a
+  // sequence-explode (the calendar re-windowing multiplier — the
+  // reference pays ×90 for the same reason). The per-(series, window)
+  // drawdown scan partitions on (series, step) — a far wider parallelism
+  // axis than series alone — and everything after the window census is
+  // O(series) broadcast math. Ratios are rounded to 8 dp before the
+  // distribution so median/min/consistency order identically in both
+  // engines.
+  private val HourUs = 3600L * 1000 * 1000
+  private val DayUs = 24 * HourUs
+
+  def q75RollingRddTopsis(spark: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(spark, d)
+    val ws = Window.partitionBy(col("event_type")).orderBy(col("ts_us"), col("event_id"))
+    val rets = ev
+      .select(col("event_type"), Tables.tsUs(ev).as("ts_us"), col("event_id"), col("value"))
+      .withColumn("prev", lag(col("value"), 1).over(ws))
+      .filter(col("prev").isNotNull && col("prev") =!= 0.0)
+      .withColumn("r", (col("value") - col("prev")) / col("prev"))
+    val bounds = rets.agg(
+      (floor(min(col("ts_us")) / HourUs) + 25).as("h0"),
+      floor(max(col("ts_us")) / HourUs).as("h1"))
+    val spans = rets.crossJoin(broadcast(bounds))
+      .withColumn("hlo", greatest(floor(col("ts_us") / HourUs) + 1, col("h0")))
+      .withColumn("hhi", least(floor((col("ts_us") + DayUs) / HourUs), col("h1")))
+      .filter(col("hlo") <= col("hhi"))
+      .select(col("event_type"), col("ts_us"), col("event_id"), col("r"),
+        explode(sequence(col("hlo"), col("hhi"))).as("h"))
+    val ww = Window.partitionBy(col("event_type"), col("h"))
+      .orderBy(col("ts_us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val win = spans
+      .withColumn("cum", sum(col("r")).over(ww))
+      .withColumn("runmax", max(col("cum")).over(ww))
+      .groupBy(col("event_type"), col("h"))
+      .agg(sum(col("r")).as("ret"),
+        max(col("runmax") - col("cum")).as("maxdd"))
+      .withColumn("ratio", round(
+        when(col("maxdd") > 0, least(col("ret") / col("maxdd"), lit(50.0)))
+          .when(col("ret") > 0, lit(50.0)).otherwise(lit(0.0)), 8))
+    val dist = win.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_windows"),
+        round(expr("percentile(ratio, 0.5D)"), 6).as("med_ratio"),
+        round(min(col("ratio")), 6).as("worst_ratio"),
+        round(count_if(col("ratio") > 1.0).cast("double") / count(lit(1)), 6)
+          .as("consistency"))
+    val norms = dist.agg(
+      sqrt(sum(col("med_ratio") * col("med_ratio"))).as("nm"),
+      sqrt(sum(col("worst_ratio") * col("worst_ratio"))).as("nw"),
+      sqrt(sum(col("consistency") * col("consistency"))).as("nc"))
+    def safe(c: String) = when(col(c) === 0.0, 1.0).otherwise(col(c))
+    val wtd = dist.crossJoin(broadcast(norms))
+      .withColumn("vm", col("med_ratio") / safe("nm") * 0.5)
+      .withColumn("vw", col("worst_ratio") / safe("nw") * 0.3)
+      .withColumn("vc", col("consistency") / safe("nc") * 0.2)
+    val bnd = wtd.agg(
+      max(col("vm")).as("im"), min(col("vm")).as("am"),
+      max(col("vw")).as("iw"), min(col("vw")).as("aw"),
+      max(col("vc")).as("ic"), min(col("vc")).as("ac"))
+    def sq(c: org.apache.spark.sql.Column) = c * c
+    wtd.crossJoin(broadcast(bnd))
+      .withColumn("di", sqrt(sq(col("vm") - col("im")) + sq(col("vw") - col("iw"))
+        + sq(col("vc") - col("ic"))))
+      .withColumn("dn", sqrt(sq(col("vm") - col("am")) + sq(col("vw") - col("aw"))
+        + sq(col("vc") - col("ac"))))
+      .withColumn("closeness",
+        round(when(col("di") + col("dn") === 0.0, 0.0)
+          .otherwise(col("dn") / (col("di") + col("dn"))), 6))
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("closeness").desc, col("event_type"))))
+      .select(col("event_type"), col("n_windows"), col("med_ratio"),
+        col("worst_ratio"), col("consistency"), col("closeness"), col("rank"))
+      .orderBy(col("rank"))
+  }
+
+  val q75Sql: String = {
+    val hour = HourUs
+    val day = DayUs
+    s"""WITH rets AS (
+       |  SELECT event_type, ts_us, event_id,
+       |    (value - prev) / prev AS r
+       |  FROM (
+       |    SELECT event_type, epoch_us(ts) AS ts_us, event_id, value,
+       |      lag(value) OVER (PARTITION BY event_type
+       |        ORDER BY epoch_us(ts), event_id) AS prev
+       |    FROM events)
+       |  WHERE prev IS NOT NULL AND prev <> 0),
+       |bounds AS (
+       |  SELECT floor(min(ts_us) / $hour) + 25 AS h0,
+       |    floor(max(ts_us) / $hour) AS h1
+       |  FROM rets),
+       |spans AS (
+       |  SELECT event_type, ts_us, event_id, r,
+       |    unnest(range(CAST(greatest(floor(ts_us / $hour) + 1, h0) AS BIGINT),
+       |      CAST(least(floor((ts_us + $day) / $hour), h1) AS BIGINT) + 1)) AS h
+       |  FROM rets, bounds
+       |  WHERE greatest(floor(ts_us / $hour) + 1, h0)
+       |    <= least(floor((ts_us + $day) / $hour), h1)),
+       |cum0 AS (
+       |  SELECT event_type, h, r, ts_us, event_id,
+       |    sum(r) OVER w AS cum
+       |  FROM spans
+       |  WINDOW w AS (PARTITION BY event_type, h ORDER BY ts_us, event_id
+       |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+       |cums AS (
+       |  SELECT event_type, h, r, cum,
+       |    max(cum) OVER (PARTITION BY event_type, h ORDER BY ts_us, event_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS runmax
+       |  FROM cum0),
+       |win AS (
+       |  SELECT event_type, h,
+       |    round(CASE
+       |      WHEN max(runmax - cum) > 0
+       |        THEN least(sum(r) / max(runmax - cum), 50.0)
+       |      WHEN sum(r) > 0 THEN 50.0 ELSE 0.0 END, 8) AS ratio
+       |  FROM cums GROUP BY event_type, h),
+       |dist AS (
+       |  SELECT event_type, count(*) AS n_windows,
+       |    round(quantile_cont(ratio, 0.5), 6) AS med_ratio,
+       |    round(min(ratio), 6) AS worst_ratio,
+       |    round(count(*) FILTER (WHERE ratio > 1.0)::DOUBLE / count(*), 6)
+       |      AS consistency
+       |  FROM win GROUP BY event_type),
+       |norms AS (
+       |  SELECT sqrt(sum(med_ratio * med_ratio)) AS nm,
+       |    sqrt(sum(worst_ratio * worst_ratio)) AS nw,
+       |    sqrt(sum(consistency * consistency)) AS nc
+       |  FROM dist),
+       |wtd AS (
+       |  SELECT event_type, n_windows, med_ratio, worst_ratio, consistency,
+       |    med_ratio / (CASE WHEN nm = 0 THEN 1.0 ELSE nm END) * 0.5 AS vm,
+       |    worst_ratio / (CASE WHEN nw = 0 THEN 1.0 ELSE nw END) * 0.3 AS vw,
+       |    consistency / (CASE WHEN nc = 0 THEN 1.0 ELSE nc END) * 0.2 AS vc
+       |  FROM dist, norms),
+       |bnd AS (
+       |  SELECT max(vm) AS im, min(vm) AS am, max(vw) AS iw, min(vw) AS aw,
+       |    max(vc) AS ic, min(vc) AS ac
+       |  FROM wtd),
+       |scored AS (
+       |  SELECT event_type, n_windows, med_ratio, worst_ratio, consistency,
+       |    round(CASE WHEN
+       |        sqrt((vm-im)*(vm-im) + (vw-iw)*(vw-iw) + (vc-ic)*(vc-ic))
+       |      + sqrt((vm-am)*(vm-am) + (vw-aw)*(vw-aw) + (vc-ac)*(vc-ac)) = 0
+       |      THEN 0.0
+       |      ELSE sqrt((vm-am)*(vm-am) + (vw-aw)*(vw-aw) + (vc-ac)*(vc-ac))
+       |        / (sqrt((vm-im)*(vm-im) + (vw-iw)*(vw-iw) + (vc-ic)*(vc-ic))
+       |         + sqrt((vm-am)*(vm-am) + (vw-aw)*(vw-aw) + (vc-ac)*(vc-ac)))
+       |    END, 6) AS closeness
+       |  FROM wtd, bnd)
+       |SELECT event_type, n_windows, med_ratio, worst_ratio, consistency,
+       |  closeness,
+       |  CAST(row_number() OVER (ORDER BY closeness DESC, event_type) AS BIGINT)
+       |    AS rank
+       |FROM scored ORDER BY rank""".stripMargin
+  }
+
   val all: Map[String, Q] = Map(
     "q68_topsis" -> (q68Topsis _),
+    "q75_rolling_rdd_topsis" -> (q75RollingRddTopsis _),
     "q69_ebh_fdr" -> (q69EbhFdr _),
     "q70_gt_composite" -> (q70GtComposite _),
     "q71_knee" -> (q71Knee _),
@@ -592,6 +759,7 @@ object RankingQueries {
 
   val oracles: Map[String, String] = Map(
     "q68_topsis" -> q68Sql,
+    "q75_rolling_rdd_topsis" -> q75Sql,
     "q69_ebh_fdr" -> q69Sql,
     "q70_gt_composite" -> q70Sql,
     "q71_knee" -> q71Sql,
