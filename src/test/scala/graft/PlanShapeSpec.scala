@@ -152,4 +152,32 @@ class PlanShapeSpec extends GraftSuite {
     assert(readSchema >= 1, s"window stage missing:\n$p")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
   }
+
+  test("q73 classifier: map-only scoring — one corpus scan, no joins") {
+    val p = plan(CurationQueries.q73QualityClassifier(spark, sf))
+    assert(p.linesIterator.count(_.contains("Scan parquet")) == 1,
+      s"corpus re-scanned:\n$p")
+    assert(!p.contains("Join"), s"unexpected join in a map-only scorer:\n$p")
+  }
+
+  test("q74 encode apply: vocab is broadcast; corpus side never shuffles for the join") {
+    val p = plan(TextQueries.q74BpeEncode(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), s"vocab not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"corpus shuffled for the vocab join:\n$p")
+  }
+
+  test("q72 regularity: the KDE grid rides a broadcast join, not a shuffle") {
+    val p = plan(RankingQueries.q72SignalRegularity(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), s"grid not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"KDE degenerated to a cross join:\n$p")
+  }
+
+  test("q68 selection stages: one fact shuffle, cross-config math on broadcast one-row frames") {
+    // (q70 embeds the q59 CSCV machinery whose static plan carries its own
+    // equi-joins pre-AQE, so only the pure selection-layer query is pinned)
+    val p = plan(RankingQueries.q68Topsis(spark, sf))
+    assert(!p.contains("SortMergeJoin"),
+      s"cross-config stage shuffled a tiny frame:\n$p")
+  }
 }
