@@ -1,0 +1,136 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.queries.{CurationQueries, RankingQueries, TextQueries}
+
+/** Brute-force replays for the round-5 additions q73/q74/q75: each query's
+  * census is recomputed in plain Scala from the raw tables (same hash, same
+  * merge semantics, same window geometry) and compared row-for-row. The
+  * DuckDB oracle pins engine parity; this pins the semantics against an
+  * implementation with no shared code.
+  */
+class TrainingOpsSpec extends GraftSuite {
+
+  private def md5Int(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+    ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+      ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+  }
+
+  test("q73 classifier: per-doc micro-scores replay with plain-Scala hashing") {
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("lang"), col("source"), col("text")).collect()
+    // expected per-(lang, source) census
+    case class Acc(var docs: Int = 0, var accepted: Int = 0, var scoreSum: Double = 0.0)
+    val acc = scala.collection.mutable.Map.empty[(String, String), Acc]
+    docs.foreach { r =>
+      val toks = r.getAs[String]("text").trim.split("\\s+")
+      var s = 0L
+      toks.foreach { w =>
+        val hb = md5Int(w) % 1024
+        s += (hb * 2654435761L) % 2003L - 1001L
+      }
+      val a = acc.getOrElseUpdate(
+        (r.getAs[String]("lang"), r.getAs[String]("source")), Acc())
+      a.docs += 1
+      if (s > 0) a.accepted += 1
+      a.scoreSum += s.toDouble / toks.length / 1000.0
+    }
+    val got = CurationQueries.q73QualityClassifier(spark, sf).collect()
+    assert(got.length == acc.size)
+    got.foreach { r =>
+      val a = acc((r.getAs[String]("lang"), r.getAs[String]("source")))
+      assert(r.getAs[Long]("n_docs") == a.docs)
+      assert(r.getAs[Long]("n_accepted") == a.accepted)
+      assert(math.abs(r.getAs[Double]("avg_doc_score") - a.scoreSum / a.docs) < 1e-6)
+    }
+  }
+
+  test("q74 encode apply: subtoken counts replay the learned merges greedily") {
+    val merges = TextQueries.q64BpeMerges(spark, sf)
+      .orderBy(col("round")).collect()
+      .map(_.getAs[String]("merged_pair").split("\\+", 2) match {
+        case Array(a, b) => (a, b)
+      })
+    def encode(w: String): Int = {
+      var seg = " " + w.toCharArray.map(_.toString).mkString(" ") + " "
+      merges.foreach { case (a, b) =>
+        // same left-to-right non-overlapping replace-all semantics as the
+        // engine-side replace(' a b ' -> ' ab ')
+        seg = seg.replace(s" $a $b ", s" $a$b ")
+      }
+      seg.trim.split(" ").length
+    }
+    val expect = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("lang"), col("text")).collect()
+      .flatMap(r => r.getAs[String]("text").trim.split("\\s+")
+        .map(w => (r.getAs[String]("lang"), w)))
+      .groupBy(_._1)
+      .map { case (lang, ws) =>
+        lang -> (ws.length, ws.map(_._2.length).sum.toLong,
+          ws.map(w => encode(w._2).toLong).sum)
+      }
+    val got = TextQueries.q74BpeEncode(spark, sf).collect()
+    assert(got.length == expect.size)
+    got.foreach { r =>
+      val (nw, nchar, nbpe) = expect(r.getAs[String]("lang"))
+      assert(r.getAs[Long]("n_words") == nw.toLong)
+      assert(r.getAs[Long]("n_char_tokens") == nchar)
+      assert(r.getAs[Long]("n_bpe_tokens") == nbpe,
+        s"${r.getAs[String]("lang")}: ${r.getAs[Long]("n_bpe_tokens")} vs $nbpe")
+      assert(nbpe <= nchar)
+    }
+  }
+
+  test("q75 rolling windows: one series' ratio distribution replays brute-force") {
+    val hourUs = 3600L * 1000 * 1000
+    val dayUs = 24 * hourUs
+    val ev = Tables.events(spark, sf)
+    val rets = ev.select(col("event_type"), Tables.tsUs(ev).as("ts_us"),
+        col("event_id"), col("value")).collect()
+      .groupBy(_.getAs[String]("event_type"))
+      .map { case (et, rs) =>
+        val sorted = rs.sortBy(r => (r.getAs[Long]("ts_us"), r.getAs[Long]("event_id")))
+        et -> sorted.sliding(2).collect {
+          case Array(p, c) if p.getAs[Double]("value") != 0.0 =>
+            (c.getAs[Long]("ts_us"),
+              (c.getAs[Double]("value") - p.getAs[Double]("value"))
+                / p.getAs[Double]("value"))
+        }.toArray
+      }
+    val allTs = rets.values.flatten.map(_._1)
+    val h0 = allTs.min / hourUs + 25
+    val h1 = allTs.max / hourUs
+    def ratios(series: Array[(Long, Double)]): Seq[Double] =
+      (h0 to h1).flatMap { h =>
+        val lo = h * hourUs - dayUs
+        val hi = h * hourUs
+        val in = series.filter(t => t._1 >= lo && t._1 < hi)
+        if (in.isEmpty) None
+        else {
+          var cum = 0.0; var runmax = Double.NegativeInfinity; var dd = 0.0
+          in.foreach { case (_, r) =>
+            cum += r; runmax = math.max(runmax, cum); dd = math.max(dd, runmax - cum)
+          }
+          val ret = in.map(_._2).sum
+          Some(math.rint((if (dd > 0) math.min(ret / dd, 50.0)
+            else if (ret > 0) 50.0 else 0.0) * 1e8) / 1e8)
+        }
+      }
+    val got = RankingQueries.q75RollingRddTopsis(spark, sf).collect()
+      .map(r => r.getAs[String]("event_type") -> r).toMap
+    rets.foreach { case (et, series) =>
+      val rs = ratios(series).sorted
+      val r = got(et)
+      assert(r.getAs[Long]("n_windows") == rs.length.toLong, s"$et windows")
+      assert(math.abs(r.getAs[Double]("worst_ratio") - rs.head) < 1e-6, s"$et worst")
+      val med =
+        if (rs.length % 2 == 1) rs(rs.length / 2)
+        else (rs(rs.length / 2 - 1) + rs(rs.length / 2)) / 2.0
+      assert(math.abs(r.getAs[Double]("med_ratio") - med) < 1e-6, s"$et med")
+      val cons = rs.count(_ > 1.0).toDouble / rs.length
+      assert(math.abs(r.getAs[Double]("consistency") - cons) < 1e-6, s"$et cons")
+    }
+  }
+}
