@@ -429,6 +429,10 @@ object RankingQueries {
     val grid = hh.select(col("cfg"), col("n"), col("h"), col("ng"),
         explode(sequence(lit(0L), col("ng") - 1)).as("i"))
       .withColumn("gx", col("i").cast("double") / (col("ng") - 1).cast("double"))
+    // (an |gx−x| ≤ k·h kernel band would shrink this join ~2×, but it
+    // breaks grid-row totality — zero-density grid points must keep their
+    // rows or the lag/lead peak logic diverges from the unbanded oracle —
+    // so the exact full-pair form stays)
     val dens = nrm.select(col("cfg"), col("x"))
       .join(broadcast(grid), "cfg")
       .groupBy(col("cfg"), col("i"))
