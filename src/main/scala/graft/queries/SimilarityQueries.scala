@@ -474,17 +474,110 @@ object SimilarityQueries {
       |FROM members m LEFT JOIN p USING (cid) ORDER BY m.cid""".stripMargin
   }
 
+  // ---------------------------------------------------------------------------
+  // q76 — int8 scalar-quantized ANN (the faiss IndexScalarQuantizer/SQ8
+  // production path: 4× smaller vectors, integer arithmetic in the hot
+  // loop). Two-pass build exactly like production SQ training: (1) ONE
+  // aggregation for per-dimension [min, max] (64 keys, map-side combined);
+  // (2) a map-only encode pass against the BROADCAST 64-entry bound
+  // arrays — codes c_i = clamp(⌊(x_i−mn_i)/(mx_i−mn_i)·256⌋, 0, 255).
+  // Similarity is then computed entirely in EXACT BIGINT arithmetic
+  // (Σ c_q·c_v ≤ 64·255² per pair): the dot products and squared norms
+  // are order-insensitive integer sums, so the oracle matches bit-for-bit
+  // with no rounding discipline needed until the final cosine division.
+  // At 100 TB: bounds are 64 floats broadcast; codes shrink the vector
+  // table 4×; probes broadcast as in q29 — the corpus never shuffles.
+  def q76AnnSq8(spark: SparkSession, d: String): DataFrame = {
+    val v = Tables.embeddings(spark, d).select(col("vec_id"), col("embedding"))
+    val bounds = v
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "x")))
+      .groupBy(col("dim")).agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+      .agg(
+        expr("transform(array_sort(collect_list(struct(dim, mn))), s -> s.mn)").as("mns"),
+        expr("transform(array_sort(collect_list(struct(dim, mx))), s -> s.mx)").as("mxs"))
+    val coded = v.crossJoin(broadcast(bounds))
+      .withColumn("code", expr(
+        """transform(sequence(0, size(embedding) - 1), i ->
+          |  CASE WHEN element_at(mxs, i + 1) > element_at(mns, i + 1)
+          |  THEN least(255L, greatest(0L, CAST(floor(
+          |    (CAST(element_at(embedding, i + 1) AS DOUBLE)
+          |      - CAST(element_at(mns, i + 1) AS DOUBLE))
+          |    / (CAST(element_at(mxs, i + 1) AS DOUBLE)
+          |      - CAST(element_at(mns, i + 1) AS DOUBLE)) * 256.0) AS BIGINT)))
+          |  ELSE 0L END)""".stripMargin))
+      .withColumn("n2", expr(
+        "aggregate(transform(code, a -> a * a), 0L, (acc, x) -> acc + x)"))
+      .select(col("vec_id"), col("code"), col("n2"))
+    val probes = coded.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("q_vec_id"), col("code").as("qc"), col("n2").as("qn2"))
+    val cand = broadcast(probes).join(coded, col("vec_id") =!= col("q_vec_id"))
+      .withColumn("dot8", expr(
+        "aggregate(zip_with(qc, code, (a, b) -> a * b), 0L, (acc, x) -> acc + x)"))
+      .withColumn("cos8", round(col("dot8").cast("double") /
+        nullif(sqrt(col("qn2").cast("double")) * sqrt(col("n2").cast("double")),
+          lit(0.0)), 6))
+    val w = Window.partitionBy(col("q_vec_id")).orderBy(
+      col("cos8").desc, col("vec_id"))
+    cand.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 5)
+      .select(col("q_vec_id"), col("rnk"), col("vec_id").as("neighbor_id"),
+        col("dot8"), col("cos8"))
+      .orderBy(col("q_vec_id"), col("rnk"))
+  }
+
+  val q76Sql: String =
+    s"""WITH dims AS (
+      |  SELECT vec_id, unnest(embedding) AS x,
+      |    generate_subscripts(embedding, 1) - 1 AS dim
+      |  FROM embeddings),
+      |bounds AS (
+      |  SELECT dim, min(x) AS mn, max(x) AS mx FROM dims GROUP BY dim),
+      |barr AS (
+      |  SELECT list(mn ORDER BY dim) AS mns, list(mx ORDER BY dim) AS mxs
+      |  FROM bounds),
+      |coded AS (
+      |  SELECT vec_id,
+      |    list_transform(range(1, len(embedding) + 1), i ->
+      |      CASE WHEN mxs[i] > mns[i]
+      |      THEN least(255, greatest(0, CAST(floor(
+      |        (embedding[i]::DOUBLE - mns[i]::DOUBLE)
+      |        / (mxs[i]::DOUBLE - mns[i]::DOUBLE) * 256.0) AS BIGINT)))
+      |      ELSE 0 END) AS code
+      |  FROM embeddings, barr),
+      |withn AS (
+      |  SELECT vec_id, code,
+      |    CAST(list_sum(list_transform(code, a -> a * a)) AS BIGINT) AS n2
+      |  FROM coded),
+      |c AS (
+      |  SELECT q.vec_id AS q_vec_id, v.vec_id AS neighbor_id,
+      |    CAST(list_sum(list_transform(range(1, len(q.code) + 1),
+      |      i -> q.code[i] * v.code[i])) AS BIGINT) AS dot8,
+      |    q.n2 AS qn2, v.n2 AS vn2
+      |  FROM withn q JOIN withn v ON q.vec_id < 8 AND v.vec_id <> q.vec_id),
+      |r AS (
+      |  SELECT q_vec_id, neighbor_id, dot8,
+      |    round(dot8::DOUBLE / nullif(sqrt(qn2::DOUBLE) * sqrt(vn2::DOUBLE),
+      |      0.0), 6) AS cos8,
+      |    row_number() OVER (PARTITION BY q_vec_id ORDER BY
+      |      round(dot8::DOUBLE / nullif(sqrt(qn2::DOUBLE) * sqrt(vn2::DOUBLE),
+      |        0.0), 6) DESC, neighbor_id) AS rnk
+      |  FROM c)
+      |SELECT q_vec_id, rnk, neighbor_id, dot8, cos8
+      |FROM r WHERE rnk <= 5 ORDER BY q_vec_id, rnk""".stripMargin
+
   val all: Map[String, Q] = Map(
     "q28_embedding_neardup" -> (q28EmbeddingNeardup _),
     "q29_ann_topk" -> (q29AnnTopk _),
     "q30_ann_lsh" -> (q30AnnLsh _),
     "q48_ann_ivf" -> (q48AnnIvf _),
-    "q63_semantic_dedup" -> (q63SemanticDedup _))
+    "q63_semantic_dedup" -> (q63SemanticDedup _),
+    "q76_ann_sq8" -> (q76AnnSq8 _))
 
   val oracles: Map[String, String] = Map(
     "q28_embedding_neardup" -> q28Sql,
     "q29_ann_topk" -> q29Sql,
     "q30_ann_lsh" -> q30Sql,
     "q48_ann_ivf" -> q48Sql,
-    "q63_semantic_dedup" -> q63Sql)
+    "q63_semantic_dedup" -> q63Sql,
+    "q76_ann_sq8" -> q76Sql)
 }
