@@ -388,15 +388,131 @@ object CurationQueries {
        |    AS avg_doc_score
        |FROM scored GROUP BY lang, source ORDER BY lang, source""".stripMargin
 
+  // ---------------------------------------------------------------------------
+  // q77 — hashed bigram LM perplexity filter (the KenLM-style quality gate
+  // production pipelines run: train a small LM on the high-quality slice,
+  // drop documents the model finds surprising). Train = TWO bounded
+  // aggregations over the target (en) slice's word bigrams: context
+  // counts onto 1024 hash buckets and pair counts onto 4096 — both
+  // map-side combined, shuffles carry only bucket keys. Score = a map-only
+  // pass joining each document's bigrams against the two BROADCAST count
+  // tables: per-pair log P(w|ctx) = ln((cp+1)/(cc+4096)) under +1
+  // smoothing, floored to integer micro-units so per-doc sums are exact
+  // BIGINT math. The keep gate is RELATIVE (per-bigram avg log-prob beats
+  // the corpus average) in exact integer cross-multiplication — the same
+  // discipline as q66, because absolute smoothed log-probs carry a
+  // systematic hash-space offset. Documents with <2 tokens have no
+  // bigrams and are excluded (undefined perplexity), identically in both
+  // engines. q66 scores marginal token likelihood ratios; this scores
+  // CONDITIONAL bigram likelihood — the two disagree exactly where word
+  // order matters, which is the point.
+  private val LmCtxBuckets = 1024
+  private val LmPairBuckets = 4096
+
+  def q77PerplexityFilter(spark: SparkSession, d: String): DataFrame = {
+    val pairs = Tables.documents(spark, d)
+      .select(col("doc_id"), col("lang"),
+        explode(expr(
+          """transform(sequence(1, greatest(size(split(trim(text), '\\s+')) - 1, 0)),
+            |  i -> struct(element_at(split(trim(text), '\\s+'), i) AS p,
+            |              element_at(split(trim(text), '\\s+'), i + 1) AS w))"""
+            .stripMargin)).as("pr"))
+      .select(col("doc_id"), col("lang"),
+        (md5Int(col("pr.p")) % lit(LmCtxBuckets)).as("cb"),
+        (md5Int(concat(col("pr.p"), lit(" "), col("pr.w")))
+          % lit(LmPairBuckets)).as("pb"))
+    val ctx = pairs.filter(col("lang") === "en")
+      .groupBy(col("cb")).agg(count(lit(1)).as("cc"))
+    val pair = pairs.filter(col("lang") === "en")
+      .groupBy(col("cb"), col("pb")).agg(count(lit(1)).as("cp"))
+    val lm = pair.join(ctx, Seq("cb"))
+      .withColumn("lp_micro", floor(log(
+        (col("cp") + lit(1L)).cast("double") /
+          (col("cc") + lit(LmPairBuckets.toLong)).cast("double")) * lit(1e6))
+        .cast("long"))
+      .select(col("cb"), col("pb"), col("lp_micro"))
+    // bigrams unseen in the target slice: +1-smoothed against the context
+    // count if the context is known, else against an empty context
+    val ctxOnly = ctx.withColumn("lp0_micro", floor(log(
+        lit(1.0) / (col("cc") + lit(LmPairBuckets.toLong)).cast("double")) * lit(1e6))
+      .cast("long"))
+      .select(col("cb"), col("lp0_micro"))
+    val defaultLp = math.floor(math.log(1.0 / LmPairBuckets) * 1e6).toLong
+    val scored = pairs
+      .join(broadcast(lm), Seq("cb", "pb"), "left")
+      .join(broadcast(ctxOnly), Seq("cb"), "left")
+      .withColumn("lp", coalesce(col("lp_micro"), col("lp0_micro"), lit(defaultLp)))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(sum(col("lp")).as("s_micro"), count(lit(1)).as("n_bg"))
+    val gtot = scored.agg(
+      sum(col("s_micro")).as("tot_s"), sum(col("n_bg")).as("tot_n"))
+    scored.crossJoin(broadcast(gtot))
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        count_if(col("s_micro") * col("tot_n") > col("tot_s") * col("n_bg"))
+          .as("n_kept"),
+        sum(col("n_bg")).as("n_bigrams"),
+        round(sum(col("s_micro")).cast("double")
+          / sum(col("n_bg")).cast("double") / lit(1e6), 6).as("avg_logprob"))
+      .orderBy(col("lang"))
+  }
+
+  val q77Sql: String = {
+    val bc = LmCtxBuckets
+    val bp = LmPairBuckets
+    val defaultLp = math.floor(math.log(1.0 / bp) * 1e6).toLong
+    s"""WITH px AS (
+       |  SELECT doc_id, lang,
+       |    ${md5IntSql("pr.p")} % $bc AS cb,
+       |    ${md5IntSql("pr.p || ' ' || pr.w")} % $bp AS pb
+       |  FROM (
+       |    SELECT doc_id, lang,
+       |      unnest(list_transform(range(1, greatest(len(t) - 1, 0) + 1),
+       |        i -> struct_pack(p := t[i], w := t[i + 1]))) AS pr
+       |    FROM (SELECT doc_id, lang, $toksSql AS t FROM documents))),
+       |ctx AS (
+       |  SELECT cb, count(*) AS cc FROM px WHERE lang = 'en' GROUP BY cb),
+       |pairlm AS (
+       |  SELECT cb, pb, CAST(floor(ln(
+       |      (count(*) + 1)::DOUBLE / (any_value(cc) + $bp)::DOUBLE) * 1e6)
+       |    AS BIGINT) AS lp_micro
+       |  FROM px JOIN ctx USING (cb) WHERE lang = 'en' GROUP BY cb, pb),
+       |ctxlm AS (
+       |  SELECT cb, CAST(floor(ln(1.0 / (cc + $bp)::DOUBLE) * 1e6) AS BIGINT)
+       |    AS lp0_micro
+       |  FROM ctx),
+       |scored AS (
+       |  SELECT doc_id, lang,
+       |    CAST(sum(coalesce(lp_micro, lp0_micro, $defaultLp)) AS BIGINT)
+       |      AS s_micro,
+       |    count(*) AS n_bg
+       |  FROM px
+       |  LEFT JOIN pairlm USING (cb, pb)
+       |  LEFT JOIN ctxlm USING (cb)
+       |  GROUP BY doc_id, lang),
+       |gtot AS (
+       |  SELECT CAST(sum(s_micro) AS BIGINT) AS tot_s,
+       |    CAST(sum(n_bg) AS BIGINT) AS tot_n FROM scored)
+       |SELECT lang, count(*) AS n_docs,
+       |  count(*) FILTER (WHERE s_micro * tot_n > tot_s * n_bg) AS n_kept,
+       |  CAST(sum(n_bg) AS BIGINT) AS n_bigrams,
+       |  round(CAST(sum(s_micro) AS BIGINT)::DOUBLE
+       |    / CAST(sum(n_bg) AS BIGINT)::DOUBLE / 1e6, 6) + 0.0 AS avg_logprob
+       |FROM scored, gtot GROUP BY lang ORDER BY lang""".stripMargin
+  }
+
   val all: Map[String, Q] = Map(
     "q65_mixture_waterfill" -> (q65MixtureWaterfill _),
     "q66_dsir_selection" -> (q66DsirSelection _),
     "q67_pii_census" -> (q67PiiCensus _),
-    "q73_quality_classifier" -> (q73QualityClassifier _))
+    "q73_quality_classifier" -> (q73QualityClassifier _),
+    "q77_perplexity_filter" -> (q77PerplexityFilter _))
 
   val oracles: Map[String, String] = Map(
     "q65_mixture_waterfill" -> q65Sql,
     "q66_dsir_selection" -> q66Sql,
     "q67_pii_census" -> q67Sql,
-    "q73_quality_classifier" -> q73Sql)
+    "q73_quality_classifier" -> q73Sql,
+    "q77_perplexity_filter" -> q77Sql)
 }

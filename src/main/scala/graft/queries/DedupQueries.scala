@@ -450,7 +450,51 @@ object DedupQueries {
       |  max(node) AS max_doc_id
       |FROM labels GROUP BY label ORDER BY cluster_root""".stripMargin
 
+  // ---------------------------------------------------------------------------
+  // q79 — near-dup split-leakage census: verified LSH pairs (the q49/q61
+  // chain) crossed with the q53 deterministic split assignment, counting
+  // pairs whose two members land in DIFFERENT train/val/test splits —
+  // benchmark leakage a naive doc-level split always produces (near-dups
+  // are assigned independently), and the reason production pipelines
+  // dedup BEFORE splitting (q60's funnel order). The join is pairs ⋈
+  // broadcast of nothing: the split is a pure hash of doc_id, computed
+  // inline on both pair members — no second corpus pass at all. The
+  // census keys (split_a, split_b) are the only shuffle.
+  def q79SplitLeakage(spark: SparkSession, d: String): DataFrame = {
+    def splitOf(c: org.apache.spark.sql.Column) = {
+      val bucket = graft.functions.GraftFunctions.md5PrefixInt(c.cast("string")) % 100
+      when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    }
+    val (_, _, scored) = scoredCandidatePairs(spark, d)
+    scored.filter(col("jac") >= JaccardThreshold)
+      .withColumn("split_a", splitOf(col("d1")))
+      .withColumn("split_b", splitOf(col("d2")))
+      .groupBy(col("split_a"), col("split_b"))
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        round(max(col("jac")), 4).as("max_jaccard"))
+      .withColumn("leaky", (col("split_a") =!= col("split_b")).cast("int"))
+      .orderBy(col("split_a"), col("split_b"))
+  }
+
+  val q79Sql: String =
+    s"""WITH $verifiedChainSql,
+      |sp AS (
+      |  SELECT d1, d2, jac,
+      |    CASE WHEN ${TextOps.md5IntSql("CAST(d1 AS VARCHAR)")} % 100 < 80 THEN 'train'
+      |         WHEN ${TextOps.md5IntSql("CAST(d1 AS VARCHAR)")} % 100 < 90 THEN 'val'
+      |         ELSE 'test' END AS split_a,
+      |    CASE WHEN ${TextOps.md5IntSql("CAST(d2 AS VARCHAR)")} % 100 < 80 THEN 'train'
+      |         WHEN ${TextOps.md5IntSql("CAST(d2 AS VARCHAR)")} % 100 < 90 THEN 'val'
+      |         ELSE 'test' END AS split_b
+      |  FROM verified)
+      |SELECT split_a, split_b, count(*) AS n_pairs,
+      |  round(max(jac), 4) AS max_jaccard,
+      |  CAST(split_a <> split_b AS INT) AS leaky
+      |FROM sp GROUP BY split_a, split_b ORDER BY split_a, split_b""".stripMargin
+
   val all: Map[String, Q] = Map(
+    "q79_split_leakage" -> (q79SplitLeakage _),
     "q25_ngram_jaccard" -> (q25NgramJaccard _),
     "q26_minhash_lsh" -> (q26MinhashLsh _),
     "q27_simhash" -> (q27Simhash _),
@@ -462,5 +506,6 @@ object DedupQueries {
     "q26_minhash_lsh" -> q26Sql,
     "q27_simhash" -> q27Sql,
     "q49_dedup_pipeline" -> q49Sql,
-    "q61_dup_components" -> q61Sql)
+    "q61_dup_components" -> q61Sql,
+    "q79_split_leakage" -> q79Sql)
 }

@@ -565,13 +565,62 @@ object SimilarityQueries {
       |SELECT q_vec_id, rnk, neighbor_id, dot8, cos8
       |FROM r WHERE rnk <= 5 ORDER BY q_vec_id, rnk""".stripMargin
 
+  // ---------------------------------------------------------------------------
+  // q78 — contrastive hard-negative mining (the training-pair construction
+  // step for embedding-model training: per anchor, the hardest positive =
+  // nearest same-label vector, and the hard negatives = the top-3
+  // most-similar DIFFERENT-label vectors — the pairs that carry gradient).
+  // Same broadcast-probe shape as q29: anchors broadcast, corpus scanned
+  // once, label match split inside one window pass per kind. At 100 TB the
+  // mining runs per-anchor-batch against an ANN index (q30/q48/q76); the
+  // exact form here is the oracle-able baseline, and the output contract
+  // (anchor, kind, rnk, pair id, cos) is what a training-data writer needs.
+  def q78HardNegatives(spark: SparkSession, d: String): DataFrame = {
+    val v = withNorm(spark, d)
+    val anchors = v.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("anchor_id"), col("label").as("a_label"),
+        col("e").as("ae"), col("nrm").as("an"))
+    val cand = broadcast(anchors).join(v, col("vec_id") =!= col("anchor_id"))
+      .withColumn("cos", round(dot("ae", "e") / nullif(col("an") * col("nrm"), lit(0.0)), 6))
+      .withColumn("kind",
+        when(col("label") === col("a_label"), lit("pos")).otherwise(lit("neg")))
+    val w = Window.partitionBy(col("anchor_id"), col("kind"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    cand.withColumn("rnk", row_number().over(w))
+      .filter((col("kind") === "neg" && col("rnk") <= 3)
+        || (col("kind") === "pos" && col("rnk") <= 1))
+      .select(col("anchor_id"), col("kind"), col("rnk").cast("long").as("rnk"),
+        col("vec_id").as("pair_id"), col("cos"))
+      .orderBy(col("anchor_id"), col("kind"), col("rnk"))
+  }
+
+  val q78Sql: String =
+    s"""WITH v AS (
+      |  $withNormSql),
+      |c AS (
+      |  SELECT a.vec_id AS anchor_id,
+      |    CASE WHEN v.label = a.label THEN 'pos' ELSE 'neg' END AS kind,
+      |    v.vec_id AS pair_id,
+      |    round(${dotSql("a.e", "v.e")} / nullif(a.nrm * v.nrm, 0.0), 6) AS cos
+      |  FROM v a JOIN v ON a.vec_id < 8 AND v.vec_id <> a.vec_id),
+      |r AS (
+      |  SELECT anchor_id, kind, pair_id, cos,
+      |    row_number() OVER (PARTITION BY anchor_id, kind
+      |                       ORDER BY cos DESC, pair_id) AS rnk
+      |  FROM c)
+      |SELECT anchor_id, kind, CAST(rnk AS BIGINT) AS rnk, pair_id, cos
+      |FROM r
+      |WHERE (kind = 'neg' AND rnk <= 3) OR (kind = 'pos' AND rnk <= 1)
+      |ORDER BY anchor_id, kind, rnk""".stripMargin
+
   val all: Map[String, Q] = Map(
     "q28_embedding_neardup" -> (q28EmbeddingNeardup _),
     "q29_ann_topk" -> (q29AnnTopk _),
     "q30_ann_lsh" -> (q30AnnLsh _),
     "q48_ann_ivf" -> (q48AnnIvf _),
     "q63_semantic_dedup" -> (q63SemanticDedup _),
-    "q76_ann_sq8" -> (q76AnnSq8 _))
+    "q76_ann_sq8" -> (q76AnnSq8 _),
+    "q78_hard_negatives" -> (q78HardNegatives _))
 
   val oracles: Map[String, String] = Map(
     "q28_embedding_neardup" -> q28Sql,
@@ -579,5 +628,6 @@ object SimilarityQueries {
     "q30_ann_lsh" -> q30Sql,
     "q48_ann_ivf" -> q48Sql,
     "q63_semantic_dedup" -> q63Sql,
-    "q76_ann_sq8" -> q76Sql)
+    "q76_ann_sq8" -> q76Sql,
+    "q78_hard_negatives" -> q78Sql)
 }
