@@ -410,21 +410,32 @@ object CurationQueries {
   private val LmPairBuckets = 4096
 
   def q77PerplexityFilter(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    // persisted: the hashed-bigram projection feeds both the training
+    // aggregation and the scoring pass — without it the corpus is
+    // tokenized twice (measured 8.0 s → ~5 s at sf0.1)
+    // the token array is hoisted to a column BEFORE the pair lambda:
+    // inlining split() in the lambda re-tokenizes the document once per
+    // bigram (O(len²) per doc — measured 45 s cold at the 10× rehearsal,
+    // ~6× the whole query's warm cost)
     val pairs = Tables.documents(spark, d)
+      .select(col("doc_id"), col("lang"), toks(col("text")).as("t"))
       .select(col("doc_id"), col("lang"),
         explode(expr(
-          """transform(sequence(1, greatest(size(split(trim(text), '\\s+')) - 1, 0)),
-            |  i -> struct(element_at(split(trim(text), '\\s+'), i) AS p,
-            |              element_at(split(trim(text), '\\s+'), i + 1) AS w))"""
+          """transform(sequence(1, greatest(size(t) - 1, 0)),
+            |  i -> struct(element_at(t, i) AS p, element_at(t, i + 1) AS w))"""
             .stripMargin)).as("pr"))
       .select(col("doc_id"), col("lang"),
         (md5Int(col("pr.p")) % lit(LmCtxBuckets)).as("cb"),
         (md5Int(concat(col("pr.p"), lit(" "), col("pr.w")))
           % lit(LmPairBuckets)).as("pb"))
-    val ctx = pairs.filter(col("lang") === "en")
-      .groupBy(col("cb")).agg(count(lit(1)).as("cc"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // ONE corpus-side aggregation: context counts are the pair counts
+    // summed over pb (every bigram contributes to exactly one pair key),
+    // so the second stage runs on the bounded (cb, pb) table
     val pair = pairs.filter(col("lang") === "en")
       .groupBy(col("cb"), col("pb")).agg(count(lit(1)).as("cp"))
+    val ctx = pair.groupBy(col("cb")).agg(sum(col("cp")).as("cc"))
     val lm = pair.join(ctx, Seq("cb"))
       .withColumn("lp_micro", floor(log(
         (col("cp") + lit(1L)).cast("double") /
