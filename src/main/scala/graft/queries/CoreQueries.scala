@@ -435,7 +435,93 @@ object CoreQueries {
       |JOIN nation ON s_nationkey = n_nationkey
       |GROUP BY p_brand, n_name ORDER BY p_brand, n_name""".stripMargin
 
+  // ---------------------------------------------------------------------------
+  // q80 — mergeable histogram quantile: the 100 TB replacement for the
+  // per-group exact-percentile buffering that SCALE.md documents as the
+  // engine's one concentration point (q03/q13 buffer every group value in
+  // one task). Two bounded passes: (1) per-group [min, max]; (2) per-group
+  // 4096-bin equi-width counts — bin counts are plain sums, so they
+  // partial-aggregate map-side and MERGE across executors, and no task
+  // ever holds a group's raw values. The quantile estimate interpolates
+  // by rank inside the first bin whose cumulative count reaches
+  // ceil(q·n): est = mn + (bin + (target − cum_prev)/cnt)·(mx − mn)/4096.
+  // Deterministic integer bin math + one double interpolation → the
+  // DuckDB oracle matches bit-for-bit before the final rounding.
+  // HistQuantileSpec pins |hist − exact| ≤ one bin width.
+  private val HistBins = 4096
+
+  def q80HistogramQuantile(spark: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(spark, d)
+      .select(col("l_returnflag").as("g"), col("l_extendedprice").cast("double").as("v"))
+    val bounds = li.groupBy(col("g"))
+      .agg(min(col("v")).as("mn"), max(col("v")).as("mx"), count(lit(1)).as("n"))
+    val binned = li.join(broadcast(bounds), "g")
+      .withColumn("bin",
+        when(col("mx") === col("mn"), lit(0L)).otherwise(
+          least(lit(HistBins - 1L), floor((col("v") - col("mn"))
+            / (col("mx") - col("mn")) * HistBins).cast("long"))))
+      .groupBy(col("g"), col("bin")).agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(col("g")).orderBy(col("bin"))
+    val cum = binned
+      .withColumn("cum", sum(col("cnt")).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("cum_prev", col("cum") - col("cnt"))
+      .join(broadcast(bounds), "g")
+    def est(q: Double) = {
+      val target = ceil(lit(q) * col("n")).cast("long")
+      cum.filter(col("cum") >= target)
+        .groupBy(col("g"))
+        .agg(min_by(
+          struct(col("bin"), col("cum_prev"), col("cnt"),
+            col("mn"), col("mx"), col("n")), col("bin")).as("s"))
+        .select(col("g"),
+          round(col("s.mn") + (col("s.bin").cast("double")
+            + (ceil(lit(q) * col("s.n")).cast("double") - col("s.cum_prev"))
+              / col("s.cnt"))
+            * (col("s.mx") - col("s.mn")) / HistBins, 4).as(s"p${(q * 100).toInt}"))
+    }
+    bounds.select(col("g"), col("n"))
+      .join(est(0.5), "g").join(est(0.9), "g").join(est(0.99), "g")
+      .select(col("g").as("l_returnflag"), col("n"),
+        col("p50"), col("p90"), col("p99"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val q80Sql: String =
+    s"""WITH li AS (
+      |  SELECT l_returnflag AS g, l_extendedprice::DOUBLE AS v FROM lineitem),
+      |bounds AS (
+      |  SELECT g, min(v) AS mn, max(v) AS mx, count(*) AS n FROM li GROUP BY g),
+      |binned AS (
+      |  SELECT li.g,
+      |    CASE WHEN mx = mn THEN 0
+      |         ELSE least($HistBins - 1, CAST(floor((v - mn) / (mx - mn)
+      |           * $HistBins) AS BIGINT)) END AS bin,
+      |    count(*) AS cnt
+      |  FROM li JOIN bounds USING (g) GROUP BY li.g, bin),
+      |cum AS (
+      |  SELECT b.g, bin, cnt, mn, mx, n,
+      |    sum(cnt) OVER (PARTITION BY b.g ORDER BY bin
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+      |    sum(cnt) OVER (PARTITION BY b.g ORDER BY bin
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - cnt AS cum_prev
+      |  FROM binned b JOIN bounds USING (g)),
+      |est AS (
+      |  SELECT g, q,
+      |    min_by(mn + (bin::DOUBLE + (ceil(q * n) - cum_prev)::DOUBLE / cnt)
+      |      * (mx - mn) / $HistBins, bin) AS e
+      |  FROM cum, (SELECT unnest([0.5, 0.9, 0.99]) AS q)
+      |  WHERE cum >= ceil(q * n)
+      |  GROUP BY g, q)
+      |SELECT g AS l_returnflag, any_value(n) AS n,
+      |  round(min(CASE WHEN q = 0.5 THEN e END), 4) AS p50,
+      |  round(min(CASE WHEN q = 0.9 THEN e END), 4) AS p90,
+      |  round(min(CASE WHEN q = 0.99 THEN e END), 4) AS p99
+      |FROM est JOIN bounds USING (g)
+      |GROUP BY g ORDER BY g""".stripMargin
+
   val all: Map[String, Q] = Map(
+    "q80_histogram_quantile" -> (q80HistogramQuantile _),
     "q44_scalar_subquery" -> (q44ScalarSubquery _),
     "q01_filtered_scan" -> (q01FilteredScan _),
     "q02_cond_agg" -> (q02CondAgg _),
@@ -453,6 +539,7 @@ object CoreQueries {
     "q57_part_supplier_margin" -> (q57PartSupplierMargin _))
 
   val oracles: Map[String, String] = Map(
+    "q80_histogram_quantile" -> q80Sql,
     "q44_scalar_subquery" -> q44Sql,
     "q01_filtered_scan" -> q01Sql,
     "q02_cond_agg" -> q02Sql,

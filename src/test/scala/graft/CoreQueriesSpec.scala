@@ -26,6 +26,31 @@ class CoreQueriesSpec extends GraftSuite {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("q80 histogram quantile lands within one bin of the target order statistic") {
+    // The histogram targets rank ceil(q·n); its guarantee is that the
+    // estimate falls inside the bin CONTAINING that order statistic
+    // (≤ one bin width away) — NOT that it matches an interpolating
+    // percentile, whose neighboring order stats in a sparse tail can sit
+    // many bins apart.
+    val hist = queries.CoreQueries.q80HistogramQuantile(spark, sf)
+      .collect().map(r => r.getAs[String]("l_returnflag") -> r).toMap
+    val groups = Tables.lineitem(spark, sf)
+      .select(col("l_returnflag"), col("l_extendedprice").cast("double"))
+      .collect().groupBy(_.getString(0))
+      .map { case (g, rs) => g -> rs.map(_.getDouble(1)).sorted }
+    assert(hist.nonEmpty && groups.nonEmpty)
+    groups.foreach { case (g, vs) =>
+      val binw = (vs.last - vs.head) / 4096.0
+      for ((q, name) <- Seq((0.5, "p50"), (0.9, "p90"), (0.99, "p99"))) {
+        val target = math.ceil(q * vs.length).toLong.toInt
+        val orderStat = vs(target - 1)
+        val h = hist(g).getAs[Double](name)
+        assert(math.abs(h - orderStat) <= binw + 1e-6,
+          s"$g $name: hist $h vs order stat $orderStat (bin width $binw)")
+      }
+    }
+  }
+
   test("q02 conditional aggregates agree with a direct recomputation") {
     val li = Tables.lineitem(spark, sf)
     val got = queries.CoreQueries.q02CondAgg(spark, sf)
