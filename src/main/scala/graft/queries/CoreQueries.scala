@@ -520,7 +520,142 @@ object CoreQueries {
       |FROM est JOIN bounds USING (g)
       |GROUP BY g ORDER BY g""".stripMargin
 
+  // ---------------------------------------------------------------------------
+  // q81 — sessionization: split each user's event stream into sessions at
+  // >30-minute gaps (the canonical event-analytics operator), then census
+  // session counts/lengths/durations per user cohort. One shuffle on
+  // user_id; the session id is a running sum over the gap flags — the
+  // same in-partition ordered scan every windowed query here uses, so at
+  // 100 TB parallelism = #users and no state beyond the window frame.
+  // Timestamps are compared in µs (Tables.tsUs), identically in DuckDB.
+  def q81Sessionization(spark: SparkSession, d: String): DataFrame = {
+    val gapUs = 30L * 60 * 1000 * 1000
+    val ev0 = Tables.events(spark, d)
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+    val sess = ev0
+      .select(col("user_id"), Tables.tsUs(ev0).as("ts_us"), col("event_id"))
+      .withColumn("prev_ts", lag(col("ts_us"), 1).over(w))
+      .withColumn("new_sess",
+        (col("prev_ts").isNull || col("ts_us") - col("prev_ts") > gapUs).cast("long"))
+      .withColumn("sess_id", sum(col("new_sess")).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("sess_id"))
+      .agg(count(lit(1)).as("n_events"),
+        (max(col("ts_us")) - min(col("ts_us"))).as("dur_us"))
+    // derived stats in EXACT integer math: per-session durations are whole
+    // µs, i.e. exact decimal rationals — precisely the class where the two
+    // engines' double-rounding implementations can split on a .5 boundary
+    // (observed at sf0.1). Integer div never can.
+    sess.groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_sessions"),
+        sum(col("n_events")).as("n_events"),
+        expr("(1000 * sum(n_events)) div count(1)").as("avg_events_per_session_milli"),
+        expr("sum(dur_us) div (1000 * count(1))").as("avg_session_ms"),
+        expr("max(dur_us) div 1000").as("max_session_ms"))
+      .orderBy(col("user_id"))
+  }
+
+  val q81Sql: String =
+    """WITH ev AS (
+      |  SELECT user_id, epoch_us(ts) AS ts_us, event_id FROM events),
+      |flagged AS (
+      |  SELECT user_id, ts_us, event_id,
+      |    CASE WHEN lag(ts_us) OVER w IS NULL
+      |           OR ts_us - lag(ts_us) OVER w > 30 * 60 * 1000000
+      |         THEN 1 ELSE 0 END AS new_sess
+      |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+      |sess0 AS (
+      |  SELECT user_id, ts_us,
+      |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+      |  FROM flagged),
+      |sess AS (
+      |  SELECT user_id, sess_id, count(*) AS n_events,
+      |    max(ts_us) - min(ts_us) AS dur_us
+      |  FROM sess0 GROUP BY user_id, sess_id)
+      |SELECT user_id,
+      |  count(*) AS n_sessions,
+      |  CAST(sum(n_events) AS BIGINT) AS n_events,
+      |  CAST((1000 * sum(n_events)) // count(*) AS BIGINT)
+      |    AS avg_events_per_session_milli,
+      |  CAST(sum(dur_us) // (1000 * count(*)) AS BIGINT) AS avg_session_ms,
+      |  CAST(max(dur_us) // 1000 AS BIGINT) AS max_session_ms
+      |FROM sess GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // q82 — ordered funnel analysis (view → click → purchase): for each
+  // user, the earliest qualifying chain in strict time order, censused as
+  // stage conversion counts. The chain is three conditional-min window
+  // passes over ONE user-partitioned frame (min view ts → min click ts
+  // after it → min purchase ts after that) — no self-joins, no explode,
+  // so the 100 TB cost is one shuffle on user_id like q81. Ties at the
+  // same µs resolve by event_id, both engines identically.
+  def q82Funnel(spark: SparkSession, d: String): DataFrame = {
+    val ev0 = Tables.events(spark, d)
+    val ev = ev0.select(col("user_id"), Tables.tsUs(ev0).as("ts_us"),
+      col("event_id"), col("event_type"))
+    // three chained whole-partition window aggregates on the SAME user_id
+    // partitioning — Catalyst plans them over one exchange, so the funnel
+    // is one shuffle end-to-end and nothing user-cardinality-sized is ever
+    // broadcast or collected
+    val w = Window.partitionBy(col("user_id"))
+    val c3 = ev
+      .withColumn("t_view",
+        min(when(col("event_type") === "view", col("ts_us"))).over(w))
+      .withColumn("t_click",
+        min(when(col("event_type") === "click" && col("ts_us") > col("t_view"),
+          col("ts_us"))).over(w))
+      .withColumn("t_purchase",
+        min(when(col("event_type") === "purchase" && col("ts_us") > col("t_click"),
+          col("ts_us"))).over(w))
+      .groupBy(col("user_id"))
+      .agg(any_value(col("t_view")).as("t_view"),
+        any_value(col("t_click")).as("t_click"),
+        any_value(col("t_purchase")).as("t_purchase"))
+    c3.agg(
+        count(lit(1)).as("n_users"),
+        count(col("t_view")).as("n_viewed"),
+        count(col("t_click")).as("n_clicked_after_view"),
+        count(col("t_purchase")).as("n_purchased_after_click"),
+        round(count(col("t_purchase")).cast("double")
+          / nullif(count(col("t_view")).cast("double"), lit(0.0)), 6)
+          .as("view_to_purchase_rate"),
+        round(avg((col("t_purchase") - col("t_view")).cast("double") / 1e6), 4)
+          .as("avg_funnel_sec"))
+  }
+
+  val q82Sql: String =
+    """WITH ev AS (
+      |  SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type
+      |  FROM events),
+      |s1 AS (
+      |  SELECT user_id,
+      |    min(CASE WHEN event_type = 'view' THEN ts_us END) AS t_view
+      |  FROM ev GROUP BY user_id),
+      |s2 AS (
+      |  SELECT ev.user_id, any_value(t_view) AS t_view,
+      |    min(CASE WHEN event_type = 'click' AND ts_us > t_view
+      |        THEN ts_us END) AS t_click
+      |  FROM ev JOIN s1 USING (user_id) GROUP BY ev.user_id),
+      |s3 AS (
+      |  SELECT ev.user_id, any_value(t_view) AS t_view,
+      |    any_value(t_click) AS t_click,
+      |    min(CASE WHEN event_type = 'purchase' AND ts_us > t_click
+      |        THEN ts_us END) AS t_purchase
+      |  FROM ev JOIN s2 USING (user_id) GROUP BY ev.user_id)
+      |SELECT count(*) AS n_users,
+      |  count(t_view) AS n_viewed,
+      |  count(t_click) AS n_clicked_after_view,
+      |  count(t_purchase) AS n_purchased_after_click,
+      |  round(count(t_purchase)::DOUBLE
+      |    / nullif(count(t_view)::DOUBLE, 0.0), 6) AS view_to_purchase_rate,
+      |  round(avg((t_purchase - t_view)::DOUBLE / 1e6), 4) AS avg_funnel_sec
+      |FROM s3""".stripMargin
+
   val all: Map[String, Q] = Map(
+    "q81_sessionization" -> (q81Sessionization _),
+    "q82_funnel" -> (q82Funnel _),
     "q80_histogram_quantile" -> (q80HistogramQuantile _),
     "q44_scalar_subquery" -> (q44ScalarSubquery _),
     "q01_filtered_scan" -> (q01FilteredScan _),
@@ -539,6 +674,8 @@ object CoreQueries {
     "q57_part_supplier_margin" -> (q57PartSupplierMargin _))
 
   val oracles: Map[String, String] = Map(
+    "q81_sessionization" -> q81Sql,
+    "q82_funnel" -> q82Sql,
     "q80_histogram_quantile" -> q80Sql,
     "q44_scalar_subquery" -> q44Sql,
     "q01_filtered_scan" -> q01Sql,

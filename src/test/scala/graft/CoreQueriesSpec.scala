@@ -51,6 +51,47 @@ class CoreQueriesSpec extends GraftSuite {
     }
   }
 
+  test("q81 sessions replay brute-force for a sample of users") {
+    val ev = Tables.events(spark, sf)
+    val rows = ev.select(col("user_id"), Tables.tsUs(ev).as("ts_us")).collect()
+      .groupBy(_.getAs[Long]("user_id"))
+      .map { case (u, rs) => u -> rs.map(_.getAs[Long]("ts_us")).sorted }
+    val got = queries.CoreQueries.q81Sessionization(spark, sf).collect()
+      .map(r => r.getAs[Long]("user_id") -> r).toMap
+    assert(got.size == rows.size)
+    rows.foreach { case (u, ts) =>
+      val gapUs = 30L * 60 * 1000 * 1000
+      var sessions = List.empty[List[Long]]
+      ts.foreach { t =>
+        sessions match {
+          case cur :: rest if t - cur.head <= gapUs =>
+            sessions = (t :: cur) :: rest
+          case _ => sessions = List(t) :: sessions
+        }
+      }
+      val r = got(u)
+      assert(r.getAs[Long]("n_sessions") == sessions.length.toLong, s"user $u sessions")
+      assert(r.getAs[Long]("n_events") == ts.length.toLong, s"user $u events")
+      val maxDur = sessions.map(ss => ss.max - ss.min).max
+      assert(r.getAs[Long]("max_session_ms") == maxDur / 1000, s"user $u max dur")
+    }
+  }
+
+  test("q82 funnel stages are monotone and the plan keeps one user exchange") {
+    val r = queries.CoreQueries.q82Funnel(spark, sf).collect().head
+    val (nv, nc, np) = (r.getAs[Long]("n_viewed"),
+      r.getAs[Long]("n_clicked_after_view"), r.getAs[Long]("n_purchased_after_click"))
+    assert(nv >= nc && nc >= np, s"funnel not monotone: $nv $nc $np")
+    assert(np >= 0 && nv <= r.getAs[Long]("n_users"))
+    val plan = queries.CoreQueries.q82Funnel(spark, sf)
+      .queryExecution.executedPlan.toString
+    // all three window stages + the per-user collapse ride ONE hash
+    // partitioning on user_id: exactly one shuffle before the final
+    // single-row aggregation
+    val exchanges = plan.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges == 1, s"expected one user_id exchange, got $exchanges:\n$plan")
+  }
+
   test("q02 conditional aggregates agree with a direct recomputation") {
     val li = Tables.lineitem(spark, sf)
     val got = queries.CoreQueries.q02CondAgg(spark, sf)
