@@ -613,7 +613,54 @@ object SimilarityQueries {
       |WHERE (kind = 'neg' AND rnk <= 3) OR (kind = 'pos' AND rnk <= 1)
       |ORDER BY anchor_id, kind, rnk""".stripMargin
 
+  // ---------------------------------------------------------------------------
+  // q83 — ANN recall census: the SQ8 quantized index (q76) evaluated
+  // against the exact brute-force top-5 (q29) as DATA — per-probe overlap
+  // and the aggregate recall@5, the metric every production ANN deployment
+  // monitors. Pure composition of the two oracle-checked result frames:
+  // a tiny (probes × k) join, so the census costs nothing beyond its
+  // inputs at any scale. Both engines compose the same two definitions,
+  // making the recall itself oracle-checked — not just the indexes.
+  def q83AnnRecall(spark: SparkSession, d: String): DataFrame = {
+    val exact = q29AnnTopk(spark, d)
+      .select(col("q_vec_id"), col("neighbor_id"))
+    val sq8 = q76AnnSq8(spark, d)
+      .select(col("q_vec_id").as("s_q"), col("neighbor_id").as("s_n"))
+    val hits = exact.join(sq8,
+        col("q_vec_id") === col("s_q") && col("neighbor_id") === col("s_n"),
+        "left")
+      .groupBy(col("q_vec_id"))
+      .agg(count(lit(1)).as("k"), count(col("s_n")).as("n_hits"))
+    val per = hits.select(col("q_vec_id"), col("k"), col("n_hits"),
+      round(col("n_hits").cast("double") / col("k"), 4).as("recall"))
+    per.crossJoin(broadcast(per.agg(
+        round(sum(col("n_hits")).cast("double") / sum(col("k")), 4)
+          .as("overall_recall"))))
+      .orderBy(col("q_vec_id"))
+  }
+
+  val q83Sql: String =
+    s"""WITH exact AS (
+      |  SELECT q_vec_id, neighbor_id FROM ($q29Sql)),
+      |sq8 AS (
+      |  SELECT q_vec_id AS s_q, neighbor_id AS s_n FROM ($q76Sql)),
+      |hits AS (
+      |  SELECT e.q_vec_id, count(*) AS k, count(s.s_n) AS n_hits
+      |  FROM exact e LEFT JOIN sq8 s
+      |    ON s.s_q = e.q_vec_id AND s.s_n = e.neighbor_id
+      |  GROUP BY e.q_vec_id),
+      |per AS (
+      |  SELECT q_vec_id, k, n_hits,
+      |    round(n_hits::DOUBLE / k, 4) AS recall
+      |  FROM hits),
+      |tot AS (
+      |  SELECT round(sum(n_hits)::DOUBLE / sum(k), 4) AS overall_recall
+      |  FROM per)
+      |SELECT q_vec_id, k, n_hits, recall, overall_recall
+      |FROM per, tot ORDER BY q_vec_id""".stripMargin
+
   val all: Map[String, Q] = Map(
+    "q83_ann_recall" -> (q83AnnRecall _),
     "q28_embedding_neardup" -> (q28EmbeddingNeardup _),
     "q29_ann_topk" -> (q29AnnTopk _),
     "q30_ann_lsh" -> (q30AnnLsh _),
@@ -629,5 +676,6 @@ object SimilarityQueries {
     "q48_ann_ivf" -> q48Sql,
     "q63_semantic_dedup" -> q63Sql,
     "q76_ann_sq8" -> q76Sql,
-    "q78_hard_negatives" -> q78Sql)
+    "q78_hard_negatives" -> q78Sql,
+    "q83_ann_recall" -> q83Sql)
 }
