@@ -269,6 +269,64 @@ object StreamingOps {
       .withWatermark("event_time", watermark)
       .dropDuplicatesWithinWatermark("text_hash")
 
+  // ---------------------------------------------------------------------------
+  // Streaming sessionization — q81 online. The canonical stateful pattern:
+  // per-user open-session state with an EVENT-TIME timeout; a session is
+  // emitted when a gap > gapUs arrives on the same key, or when the
+  // watermark passes the open session's last event + gap (timeout path),
+  // so quiet users still flush. State is one (start, last, count) triple
+  // per user — bounded by active users, not stream length.
+
+  final case class SessionEvent(userId: Long, tsUs: Long)
+
+  final case class SessionOut(userId: Long, startTsUs: Long, endTsUs: Long,
+      nEvents: Long, durUs: Long)
+
+  final case class SessionState(startTsUs: Long, lastTsUs: Long, n: Long)
+
+  def streamingSessionize(events: Dataset[SessionEvent],
+      gapUs: Long = 30L * 60 * 1000 * 1000,
+      watermark: String = "10 minutes"): Dataset[SessionOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .withColumn("event_time", timestamp_micros(col("tsUs")))
+      .withWatermark("event_time", watermark)
+      .as[(Long, Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (user, rows, state: GroupState[SessionState]) =>
+          if (rows.isEmpty && state.hasTimedOut) {
+            // watermark passed last+gap: flush the open session
+            val st = state.get
+            state.remove()
+            Iterator.single(
+              SessionOut(user, st.startTsUs, st.lastTsUs, st.n, st.lastTsUs - st.startTsUs))
+          } else {
+            val ts = rows.map(_._2).toSeq.sorted
+            var out = List.empty[SessionOut]
+            var st = state.getOption.orNull
+            ts.foreach { t =>
+              st match {
+                case null => st = SessionState(t, t, 1)
+                case s if t - s.lastTsUs > gapUs =>
+                  out ::= SessionOut(user, s.startTsUs, s.lastTsUs, s.n,
+                    s.lastTsUs - s.startTsUs)
+                  st = SessionState(t, t, 1)
+                case s =>
+                  st = SessionState(s.startTsUs, math.max(s.lastTsUs, t), s.n + 1)
+              }
+            }
+            state.update(st)
+            // flush when the watermark already guarantees no earlier event
+            // can extend this session; otherwise arm the event-time timeout
+            state.setTimeoutTimestamp((st.lastTsUs + gapUs) / 1000)
+            out.reverseIterator
+          }
+      }
+  }
+
   /** Streaming corpus curation — the online form of q50's quality gate +
     * q55's benchmark decontamination over a live document feed. Entirely
     * STATELESS: per-doc projections (token count, 5-gram hash set via the

@@ -201,6 +201,48 @@ class StreamingSpec extends GraftSuite {
     } finally query.stop()
   }
 
+  test("streamingSessionize: gap and timeout paths close the same sessions as batch") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.StreamingOps.SessionEvent
+    val min = 60L * 1000 * 1000
+    val mem = MemoryStream[SessionEvent]
+    val query = StreamingOps.streamingSessionize(mem.toDS(), gapUs = 30 * min,
+        watermark = "1 minute")
+      .writeStream.format("memory").queryName("sess_out")
+      .outputMode("append").start()
+    try {
+      // user 1: three events 10min apart (one session), then one 2h later
+      // (gap-path close); user 2: one event (timeout-path close)
+      // base offset keeps the first event strictly above the initial
+      // epoch-0 watermark (an event AT the watermark is filtered as late)
+      val b = 100 * min
+      mem.addData(
+        SessionEvent(1L, b), SessionEvent(1L, b + 10 * min), SessionEvent(1L, b + 20 * min),
+        SessionEvent(2L, b + 5 * min))
+      query.processAllAvailable()
+      mem.addData(SessionEvent(1L, b + 140 * min))
+      query.processAllAvailable()
+      // watermark pusher: far-future event flushes every open session
+      mem.addData(SessionEvent(99L, b + 1000 * min))
+      query.processAllAvailable()
+      mem.addData(SessionEvent(98L, b + 2000 * min))
+      query.processAllAvailable()
+      val rows = spark.table("sess_out").collect()
+        .map(r => (r.getAs[Long]("userId"), r.getAs[Long]("startTsUs")) -> r).toMap
+      // user 1 session 1: closed by the 140min event's gap
+      assert(rows.contains((1L, b)), s"sessions: ${rows.map { case (k, r) =>
+        (k, r.getAs[Long]("endTsUs"), r.getAs[Long]("nEvents")) }.toList.sortBy(_._1)}")
+      val s11 = rows((1L, b))
+      assert(s11.getAs[Long]("nEvents") == 3 && s11.getAs[Long]("durUs") == 20 * min)
+      // user 2: closed by watermark timeout
+      val s2 = rows((2L, b + 5 * min))
+      assert(s2.getAs[Long]("nEvents") == 1 && s2.getAs[Long]("durUs") == 0)
+      // user 1 session 2: closed once the watermark passed 140min + gap
+      assert(rows.contains((1L, b + 140 * min)), s"open session not flushed: ${rows.keys}")
+    } finally query.stop()
+  }
+
   test("streamingDsirGate: per-row fold scores match the batch explode+join form") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
