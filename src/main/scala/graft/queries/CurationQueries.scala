@@ -418,11 +418,15 @@ object CurationQueries {
     // inlining split() in the lambda re-tokenizes the document once per
     // bigram (O(len²) per doc — measured 45 s cold at the 10× rehearsal,
     // ~6× the whole query's warm cost)
+    // size(t) >= 2 guard BEFORE the sequence: sequence(1, size-1) with a
+    // 1-token doc steps DOWNWARD ([1, 0]) and element_at(t, 0) throws —
+    // the oracle's range(1, 1) yields empty, so the guard keeps parity
     val pairs = Tables.documents(spark, d)
       .select(col("doc_id"), col("lang"), toks(col("text")).as("t"))
+      .filter(size(col("t")) >= 2)
       .select(col("doc_id"), col("lang"),
         explode(expr(
-          """transform(sequence(1, greatest(size(t) - 1, 0)),
+          """transform(sequence(1, size(t) - 1),
             |  i -> struct(element_at(t, i) AS p, element_at(t, i + 1) AS w))"""
             .stripMargin)).as("pr"))
       .select(col("doc_id"), col("lang"),

@@ -282,7 +282,7 @@ object RankingQueries {
     m.crossJoin(broadcast(pbo))
       .withColumn("gt_composite",
         round(col("omega") * least(lit(1.0), abs(col("dsr")))
-          * (lit(1.0) - col("pbo"))
+          * greatest(lit(0.0), lit(1.0) - col("pbo"))
           * greatest(lit(0.0), lit(1.0) - col("maxdd") / 0.15), 6))
       .select(col("cfg"), col("n"), col("omega"), col("dsr"), col("pbo"),
         col("maxdd"), col("gt_composite"))
@@ -307,7 +307,7 @@ object RankingQueries {
        |  FROM withse)
        |SELECT cfg, n, omega, dsr, pbo,
        |  maxdd,
-       |  round(omega * least(1.0, abs(dsr)) * (1.0 - pbo)
+       |  round(omega * least(1.0, abs(dsr)) * greatest(0.0, 1.0 - pbo)
        |    * greatest(0.0, 1.0 - maxdd / 0.15), 6) AS gt_composite
        |FROM withdsr, pbo ORDER BY cfg""".stripMargin
   }

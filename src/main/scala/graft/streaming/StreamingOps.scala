@@ -315,7 +315,11 @@ object StreamingOps {
                     s.lastTsUs - s.startTsUs)
                   st = SessionState(t, t, 1)
                 case s =>
-                  st = SessionState(s.startTsUs, math.max(s.lastTsUs, t), s.n + 1)
+                  // min() on start too: a late-but-within-watermark event can
+                  // PRECEDE the open session's first-seen event (cross-batch
+                  // disorder); batch q81 uses true min/max per session
+                  st = SessionState(math.min(s.startTsUs, t),
+                    math.max(s.lastTsUs, t), s.n + 1)
               }
             }
             state.update(st)

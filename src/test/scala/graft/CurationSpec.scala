@@ -64,6 +64,29 @@ class CurationSpec extends GraftSuite {
       s"en selected frac $enFrac should exceed corpus frac ${totSel / totDocs}")
   }
 
+  test("q77 short docs: <2-token documents are excluded, not runtime errors") {
+    import spark.implicits._
+    // sequence(1, size-1) with a 1-token doc would step DOWNWARD and hit
+    // element_at(t, 0); the size>=2 guard must exclude these identically to
+    // the oracle's empty range(1, 1) — every fixture doc has >=10 tokens,
+    // so only a crafted corpus exercises this
+    val tmp = java.nio.file.Files.createTempDirectory("q77short").toString
+    Seq(
+      (1L, "en", "alpha beta gamma delta alpha beta gamma delta"),
+      (2L, "en", "alpha beta"),
+      (3L, "en", "single"),
+      (4L, "en", ""),
+      (5L, "en", "   "),
+      (6L, "xx", "uno"))
+      .toDF("doc_id", "lang", "text")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val rows = queries.CurationQueries.q77PerplexityFilter(spark, tmp).collect()
+    val byLang = rows.map(r => r.getAs[String]("lang") -> r).toMap
+    // docs 3-5 (en, <2 tokens) contribute nothing; doc 6 leaves xx empty
+    assert(byLang("en").getAs[Long]("n_docs") == 2, byLang.toString)
+    assert(!byLang.contains("xx"), byLang.toString)
+  }
+
   test("q67 PII kernel: detector counts on crafted strings") {
     import spark.implicits._
     val docs = Seq(

@@ -243,6 +243,43 @@ class StreamingSpec extends GraftSuite {
     } finally query.stop()
   }
 
+  test("streamingSessionize: late-but-within-watermark event lowers session start") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.StreamingOps.SessionEvent
+    val min = 60L * 1000 * 1000
+    val mem = MemoryStream[SessionEvent]
+    // 30-minute watermark so a cross-batch out-of-order event survives the
+    // late filter; batch q81 computes true min/max per session, so the
+    // merge must take min() on start, not keep first-seen
+    val query = StreamingOps.streamingSessionize(mem.toDS(), gapUs = 30 * min,
+        watermark = "30 minutes")
+      .writeStream.format("memory").queryName("sess_ooo_out")
+      .outputMode("append").start()
+    try {
+      val b = 100 * min
+      mem.addData(SessionEvent(7L, b + 10 * min))
+      query.processAllAvailable()
+      // out-of-order: PRECEDES the open session's first-seen event but is
+      // within the watermark (wm = b+10min - 30min)
+      mem.addData(SessionEvent(7L, b + 5 * min))
+      query.processAllAvailable()
+      // watermark pusher flushes the open session via the timeout path
+      mem.addData(SessionEvent(99L, b + 2000 * min))
+      query.processAllAvailable()
+      mem.addData(SessionEvent(98L, b + 4000 * min))
+      query.processAllAvailable()
+      val rows = spark.table("sess_ooo_out").collect()
+        .filter(_.getAs[Long]("userId") == 7L)
+      assert(rows.length == 1, rows.mkString(";"))
+      val s = rows.head
+      assert(s.getAs[Long]("startTsUs") == b + 5 * min, s.toString)
+      assert(s.getAs[Long]("endTsUs") == b + 10 * min, s.toString)
+      assert(s.getAs[Long]("nEvents") == 2 && s.getAs[Long]("durUs") == 5 * min,
+        s.toString)
+    } finally query.stop()
+  }
+
   test("streamingDsirGate: per-row fold scores match the batch explode+join form") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
