@@ -61,7 +61,14 @@ object Bench {
       .mkString("{", ",", "}")
     val nFail = results.count(_._3.nonEmpty)
     val total = results.collect { case (_, v, None) => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","failures":$nFail,"errors":$errs}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","failures":$nFail,"errors":$errs}"""
+    println(line)
+    // durable copy: the round driver captures a bounded log TAIL, which has
+    // truncated this (long) line mid-JSON before; the file is the record
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get("BENCH_LAST.json"),
+      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
     if (nFail > 0) sys.exit(1)
   }

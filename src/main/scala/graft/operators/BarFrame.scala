@@ -30,6 +30,13 @@ object BarFrame {
     * `quantileExactExclusive(q)(x) OVER (ROWS BETWEEN 999 PRECEDING AND
     * 1 PRECEDING)`, sql/gen600_2down_template.sql:69-72). NULL until the
     * frame has at least one non-null value.
+    *
+    * DECLARATIVE REFERENCE FORM — Spark's WindowExec materializes and
+    * sorts a lookback-length array per output row for this frame, so the
+    * production path is [[SeriesReplay.attach]] (incremental sorted
+    * multiset, O(lookback) state per series, bit-identical arithmetic);
+    * this form remains the equality oracle SeriesReplaySpec pins the
+    * kernel against, and the fallback where a window Column is required.
     */
   def rollingExclusiveQuantile(x: Column, q: Double, lookback: Int, w: WindowSpec): Column =
     GraftFunctions.quantileExactExclusive(

@@ -56,36 +56,8 @@ object Formations {
       .drop("tiq", "rq")
   }
 
-  /** Incrementally-maintained sorted multiset of the prior-lookback window —
-    * the replay kernel's state. Binary-search insert/remove keep the buffer
-    * sorted under java.lang.Double total order (same comparator as
-    * Arrays.sort in the declarative expression, so the sorted content — and
-    * therefore every order statistic — is identical by construction). O(L)
-    * memmove per op; at the reference's L ≤ 1000 that is ~8 KB/row, far
-    * below the declarative path's per-row array materialization + sort.
-    */
-  private final class SortedWindow(cap: Int) {
-    private val buf = new Array[Double](cap)
-    private var m = 0
-    def insert(v: Double): Unit = {
-      var idx = java.util.Arrays.binarySearch(buf, 0, m, v)
-      if (idx < 0) idx = -idx - 1
-      System.arraycopy(buf, idx, buf, idx + 1, m - idx)
-      buf(idx) = v
-      m += 1
-    }
-    def remove(v: Double): Unit = {
-      val idx = java.util.Arrays.binarySearch(buf, 0, m, v)
-      // idx >= 0 by invariant: we only remove previously-inserted values
-      System.arraycopy(buf, idx + 1, buf, idx, m - idx - 1)
-      m -= 1
-    }
-    /** null when the window holds no non-null values (same contract as the
-      * declarative expression). */
-    def quantiles(qs: Array[Double]): Array[Double] =
-      if (m == 0) null
-      else graft.functions.QuantileMultiExclusive.interpolate(buf, m, qs)
-  }
+  // sorted-multiset window state shared with SeriesReplay
+  private type SortedWindow = graft.functions.SortedWindow
 
   private val tiQs = Array(0.75, 0.90, 0.95)
   private val rQs = Array(0.10, 0.90)

@@ -44,27 +44,38 @@ object AdaptiveQueries {
   private val Q1 = 0.40       // __QUANTILE_PCT_1__, direction: feature1 > q
   private val Q2 = 0.60       // __QUANTILE_PCT_2__, direction: feature2 < q
 
+  import graft.operators.SeriesReplay
+  import graft.operators.SeriesReplay.{RollingQ, Shift}
+
   /** base_bars → running_stats → signal_detection → champion_signals
-    * (gen600_2down_template.sql:59-113, AP-15 current-row-is-2nd-down). */
-  private def championSignals(spark: SparkSession, d: String): DataFrame = {
-    val w = BarFrame.series(Seq(col("event_type")), col("ts_us"), col("event_id"))
-    EventBars.bars(spark, d)
-      // P4 nullIf guard on every ratio (zero-open bars at larger SFs)
-      .withColumn("ti",
-        abs((col("close") - col("open")) / nullif(col("open"), lit(0.0))))
-      .withColumn("dir_0", BarFrame.direction(col("open"), col("close")))
-      .withColumn("dir_1", lag(col("dir_0"), 1).over(w))
-      .withColumn("ti_p95_prior",
-        BarFrame.rollingExclusiveQuantile(col("ti"), TiGate, Lookback, w))
-      // feature1 = direction-aware opposite wick (P2, nullIf-guarded)
-      .withColumn("feature1_val",
-        when(col("dir_0") === 1, col("open") - col("low"))
-          .otherwise(col("high") - col("open")) /
-          nullif(col("high") - col("low"), lit(0.0)))
+    * (gen600_2down_template.sql:59-113, AP-15 current-row-is-2nd-down).
+    *
+    * Series ops (lag/lead + THE rolling exclusive quantile) run in one
+    * [[SeriesReplay]] kernel pass — O(Lookback) state per series instead of
+    * WindowExec's per-row lookback-length array materialization + sort
+    * (the A5/W6 end-state; arithmetic pinned identical by SeriesReplaySpec).
+    * Map-side feature projections stay declarative so they fuse into the
+    * surrounding codegen stages. */
+  private def championSignals(spark: SparkSession, d: String): DataFrame =
+    SeriesReplay.attach(
+      EventBars.bars(spark, d)
+        // P4 nullIf guard on every ratio (zero-open bars at larger SFs)
+        .withColumn("ti",
+          abs((col("close") - col("open")) / nullif(col("open"), lit(0.0))))
+        .withColumn("dir_0", BarFrame.direction(col("open"), col("close")))
+        // feature1 = direction-aware opposite wick (P2, nullIf-guarded)
+        .withColumn("feature1_val",
+          when(col("dir_0") === 1, col("open") - col("low"))
+            .otherwise(col("high") - col("open")) /
+            nullif(col("high") - col("low"), lit(0.0))),
+      "event_type", Seq("ts_us", "event_id"),
+      quantiles = Seq(RollingQ("ti", "ti_p95_prior", TiGate, Lookback)),
+      shifts = Seq(Shift("dir_0", "dir_1", -1), Shift("ts_us", "prev_ts_us", -1),
+        Shift("open", "entry_price", 1)))
       // feature2 = bar duration (inter-arrival µs); first bar → NULL
       .withColumn("feature2_val",
-        (col("ts_us") - lag(col("ts_us"), 1).over(w)).cast("double"))
-      .withColumn("entry_price", lead(col("open"), 1).over(w))
+        (col("ts_us") - col("prev_ts_us")).cast("double"))
+      .drop("prev_ts_us")
       // champion formation filter (gen600_2down:100-113): 2down + intensity
       // gate + P3 warmup/validity guards
       .filter(
@@ -74,23 +85,22 @@ object AdaptiveQueries {
         col("rn") > Warmup &&
         col("entry_price").isNotNull && col("entry_price") > 0 &&
         col("feature1_val").isNotNull && col("feature2_val").isNotNull)
-  }
 
-  /** feature{1,2}_with_quantile → signals: the W6 windows slide over the
-    * champion subsequence (ordering preserved), then the adaptive threshold
-    * filter. */
-  private def adaptiveSignals(spark: SparkSession, d: String): DataFrame = {
-    val w2 = BarFrame.series(Seq(col("event_type")), col("ts_us"), col("event_id"))
-    championSignals(spark, d)
-      .withColumn("feature1_q",
-        BarFrame.rollingExclusiveQuantile(col("feature1_val"), Q1, Lookback, w2))
-      .withColumn("feature2_q",
-        BarFrame.rollingExclusiveQuantile(col("feature2_val"), Q2, Lookback, w2))
+  /** feature{1,2}_with_quantile → signals: the W6 quantile frames slide over
+    * the champion subsequence (ordering preserved — the kernel re-sorts the
+    * FILTERED rows on the same series axis), then the adaptive threshold
+    * filter. The signal frame is ~1/25 of the bars, so this second kernel
+    * exchange is small. */
+  private def adaptiveSignals(spark: SparkSession, d: String): DataFrame =
+    SeriesReplay.attach(championSignals(spark, d),
+      "event_type", Seq("ts_us", "event_id"),
+      quantiles = Seq(
+        RollingQ("feature1_val", "feature1_q", Q1, Lookback),
+        RollingQ("feature2_val", "feature2_q", Q2, Lookback)))
       .filter(
         col("feature1_q").isNotNull && col("feature2_q").isNotNull &&
         col("feature1_val") > col("feature1_q") &&
         col("feature2_val") < col("feature2_q"))
-  }
 
   /** Shared oracle CTE chain: bars → fwd arrays → features/lags → champion
     * filter → per-subsequence quantile lists → adaptive signals. The W6

@@ -96,13 +96,17 @@ object QuantQueries {
   // 999 PRECEDING AND 1 PRECEDING). 100-row lookback here; signal flag
   // `value > p90_prior` mirrors the adaptive-threshold formation gate.
   def q15RollingQuantile(spark: SparkSession, d: String): DataFrame = {
-    val w = BarFrame.series(Seq(col("event_type")), col("ts_us"), col("event_id"))
     val ev = Tables.events(spark, d)
-    ev
+    // incremental sliding-frame form (SeriesReplay): one exchange on the
+    // series key, O(lookback) state per series instead of a per-row
+    // 100-double window buffer + sort; arithmetic is the same shared
+    // interpolator as the declarative expression (SeriesReplaySpec)
+    val base = ev
       .select(col("event_id"), col("event_type"), Tables.tsUs(ev).as("ts_us"), col("value"))
-      .withColumn("rn", row_number().over(w))
-      .withColumn("p90_prior",
-        round(BarFrame.rollingExclusiveQuantile(col("value"), 0.90, 100, w), 6))
+    graft.operators.SeriesReplay.attach(base, "event_type", Seq("ts_us", "event_id"),
+        quantiles = Seq(graft.operators.SeriesReplay.RollingQ("value", "p90_raw", 0.90, 100)),
+        rowNumberCol = Some("rn"))
+      .withColumn("p90_prior", round(col("p90_raw"), 6))
       .withColumn("is_signal",
         when(col("p90_prior").isNotNull && col("value") > col("p90_prior"), 1).otherwise(0))
       .select("event_id", "event_type", "value", "rn", "p90_prior", "is_signal")

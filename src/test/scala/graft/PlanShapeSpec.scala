@@ -90,17 +90,23 @@ class PlanShapeSpec extends GraftSuite {
     assert(p.contains("PushedFilters") && p.contains("l_quantity"))
   }
 
-  test("q45 adaptive chain: one exchange+sort feeds all four window stages") {
+  test("q45 adaptive chain: W6 quantiles run in SeriesReplay kernels, no quantile windows") {
     val df = AdaptiveQueries.all("q45_adaptive_threshold_signals")(spark, sf)
     val p = plan(df)
-    // bars windows → champion filter → two W6 windows over the filtered
-    // subsequence: the filters preserve (event_type) distribution and
-    // (ts, event_id) ordering, so every Window stage must reuse the first
-    // Exchange+Sort; the only other pair is the final output orderBy.
-    val exchanges = p.linesIterator.count(_.contains("Exchange"))
+    // bars window (rn/open) → kernel #1 (lags, lead, ti quantile) →
+    // champion filter → kernel #2 (two W6 quantiles over the filtered
+    // subsequence, ~1/25 the rows) → output orderBy. The rolling
+    // quantiles must NOT run as window aggregates (per-row frame
+    // materialization); only the bars row_number/lag window remains.
     val windows = p.linesIterator.count(_.contains("windowspecdefinition"))
-    assert(windows >= 3, s"adaptive chain lost its window stages:\n$p")
-    assert(exchanges <= 2, s"W6 windows re-shuffled ($exchanges exchanges):\n$p")
+    val kernels = p.linesIterator.count(_.contains("MapGroups"))
+    assert(kernels >= 2, s"SeriesReplay kernels missing from the plan:\n$p")
+    assert(windows <= 2, s"rolling quantile fell back to a window stage:\n$p")
+    assert(!p.contains("collect_list"),
+      s"per-row frame materialization reappeared:\n$p")
+    // exchange budget: bars window + 2 kernel groupings + output orderBy
+    val exchanges = p.linesIterator.count(_.contains("Exchange"))
+    assert(exchanges <= 4, s"extra exchanges ($exchanges):\n$p")
   }
 
   test("q55 decontamination: benchmark grams broadcast; corpus join is a semi-join") {
