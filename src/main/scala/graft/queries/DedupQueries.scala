@@ -291,8 +291,44 @@ object DedupQueries {
     (docs, reps, scored)
   }
 
+  /** Staging table for the scored-candidate chain (SCALE.md's 1000×
+    * "checkpointed staging table", now real): the exact-dedup → shingle →
+    * MinHash → LSH-band → candidate → Jaccard chain is computed ONCE per
+    * (corpus dir) per process, written as parquet via ResultSink, and every
+    * consumer (q49 census, q61 components, q79 split leakage) reads the
+    * written copy — previously each of the three re-derived the whole chain
+    * (3× the pipeline's dominant cost per full run). The first consumer
+    * pays materialization, exactly like a production pipeline's staging
+    * write; the written frame is the UNFILTERED candidate set (q49's census
+    * counts candidates too), so q61/q79 push their jac-threshold filter
+    * into the parquet scan. A fresh per-process tmpdir keys the staging to
+    * this JVM — no cross-run staleness; StagingSpec pins staging == inline.
+    */
+  private[graft] object Staging {
+    private lazy val root =
+      java.nio.file.Files.createTempDirectory("graft_dedup_staging")
+    private val done = new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+
+    def scoredAndCounts(spark: SparkSession, d: String): (DataFrame, DataFrame) = {
+      val (sp, cp) = done.computeIfAbsent(d, _ => {
+        val (docs, reps, scored) = scoredCandidatePairs(spark, d)
+        val dirKey = java.lang.Integer.toHexString(d.hashCode)
+        val sPath = root.resolve(s"scored_$dirKey").toString
+        val cPath = root.resolve(s"counts_$dirKey").toString
+        graft.sources.ResultSink.append(scored, sPath, Nil)
+        graft.sources.ResultSink.append(
+          docs.agg(count(lit(1)).as("n_docs"))
+            .crossJoin(reps.agg(count(lit(1)).as("n_after_exact"))),
+          cPath, Nil)
+        (sPath, cPath)
+      })
+      (graft.sources.ResultSink.read(spark, sp),
+        graft.sources.ResultSink.read(spark, cp))
+    }
+  }
+
   def q49DedupPipeline(spark: SparkSession, d: String): DataFrame = {
-    val (docs, reps, scored) = scoredCandidatePairs(spark, d)
+    val (scored, counts) = Staging.scoredAndCounts(spark, d)
     val isVerified = col("jac") >= JaccardThreshold
     val census = scored.agg(
       count(lit(1)).as("n_candidate_pairs"),
@@ -300,8 +336,7 @@ object DedupQueries {
       round(coalesce(max(when(isVerified, col("jac"))), lit(0.0)), 4)
         .as("max_jaccard"),
       countDistinct(when(isVerified, col("d2"))).as("n_near_removed"))
-    docs.agg(count(lit(1)).as("n_docs"))
-      .crossJoin(reps.agg(count(lit(1)).as("n_after_exact")))
+    counts
       .crossJoin(census)
       .select(
         col("n_docs"),
@@ -378,14 +413,12 @@ object DedupQueries {
   // grow with iterations (the classic iterative-DataFrame trap).
   def q61DupComponents(spark: SparkSession, d: String): DataFrame = {
     import org.apache.spark.storage.StorageLevel
-    val (_, _, scored) = scoredCandidatePairs(spark, d)
-    // eager checkpoint: the union below references the edge list twice, and
-    // without materialization each branch would re-run the whole LSH+verify
-    // chain (measured 2× the q49 chain cost at sf0.1). The verified edge
-    // list is tiny — checkpoint it once, then both branches read the copy.
+    val (scored, _) = Staging.scoredAndCounts(spark, d)
+    // the union below references the edge list twice; both branches now
+    // read the WRITTEN staging table (jac filter pushed into the parquet
+    // scan) instead of re-running the LSH+verify chain per branch
     val edges = scored.filter(col("jac") >= JaccardThreshold)
       .select(col("d1"), col("d2"))
-      .localCheckpoint()
     val adj = edges.union(edges.select(col("d2"), col("d1")))
       .toDF("node", "nbr")
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -459,13 +492,15 @@ object DedupQueries {
   // dedup BEFORE splitting (q60's funnel order). The join is pairs ⋈
   // broadcast of nothing: the split is a pure hash of doc_id, computed
   // inline on both pair members — no second corpus pass at all. The
-  // census keys (split_a, split_b) are the only shuffle.
+  // census keys (split_a, split_b) are the only shuffle. The verified
+  // pairs come from the shared staging table, so this query no longer
+  // re-derives the LSH chain q49 already materialized.
   def q79SplitLeakage(spark: SparkSession, d: String): DataFrame = {
     def splitOf(c: org.apache.spark.sql.Column) = {
       val bucket = graft.functions.GraftFunctions.md5PrefixInt(c.cast("string")) % 100
       when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
     }
-    val (_, _, scored) = scoredCandidatePairs(spark, d)
+    val (scored, _) = Staging.scoredAndCounts(spark, d)
     scored.filter(col("jac") >= JaccardThreshold)
       .withColumn("split_a", splitOf(col("d1")))
       .withColumn("split_b", splitOf(col("d2")))
