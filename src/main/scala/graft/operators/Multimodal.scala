@@ -102,4 +102,48 @@ object Multimodal {
     * stands in for bilinear resize; pins the output-shape contract. */
   def resizePlane(plane: Array[Byte], targetLen: Int): Array[Byte] =
     java.util.Arrays.copyOf(plane, targetLen)
+
+  // ---------------------------------------------------------------------------
+  // REAL image codec — pure-JVM `javax.imageio` PNG (ships with the JDK, no
+  // native libs). This closes the "decode is stubbed" caveat for the image
+  // modality: encodeGrayPng/decodeGray below run an actual lossless PNG
+  // round trip on executors. JPEG/H.264/PCM would slot in behind the same
+  // two signatures via an external codec jar.
+
+  /** Encode a W×H 8-bit grayscale raster (row-major, `pix(y*w+x)`) to PNG
+    * bytes. Memory-bounded: one image in flight per call; ImageIO's disk
+    * cache is disabled so executor-side encode stays heap-only. */
+  def encodeGrayPng(w: Int, h: Int, pix: Array[Int]): Array[Byte] = {
+    javax.imageio.ImageIO.setUseCache(false)
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { raster.setSample(x, y, 0, pix(y * w + x)); x += 1 }
+      y += 1
+    }
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    baos.toByteArray
+  }
+
+  /** Decode PNG (or BMP/GIF — whatever the JDK's registry recognizes)
+    * bytes to (width, height, row-major gray samples from band 0). */
+  def decodeGray(png: Array[Byte]): (Int, Int, Array[Int]) = {
+    javax.imageio.ImageIO.setUseCache(false)
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+    require(img != null, "undecodable image payload")
+    val (w, h) = (img.getWidth, img.getHeight)
+    val raster = img.getRaster
+    val out = new Array[Int](w * h)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { out(y * w + x) = raster.getSample(x, y, 0); x += 1 }
+      y += 1
+    }
+    (w, h, out)
+  }
 }

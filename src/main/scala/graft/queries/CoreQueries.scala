@@ -653,9 +653,67 @@ object CoreQueries {
       |  round(avg((t_purchase - t_view)::DOUBLE / 1e6), 4) AS avg_funnel_sec
       |FROM s3""".stripMargin
 
+  // ---------------------------------------------------------------------------
+  // q85 — SKEW-PROOF two-phase sessionization: bit-identical OUTPUT to q81
+  // (the oracle IS q81's SQL), different PLAN. q81 hash-partitions raw
+  // events on user_id, so one hot user (a bot, a service account) is one
+  // straggler task — and AQE does not split skewed WINDOW partitions the
+  // way it splits skewed joins. Here phase 1 sessionizes within
+  // (user_id, 6h-time-bucket) — the shuffle key carries the time axis, so
+  // a user holding 10% of all events spreads over all the buckets it
+  // spans — and phase 2 merges only boundary-straddling sub-sessions on a
+  // frame that is SESSION-granular (orders of magnitude smaller than
+  // events; the hot user's residual sequential cost is its session count,
+  // not its event count). Merge correctness: sub-sessions within a bucket
+  // are separated by > gap by construction, so the adjacent-pair gap chain
+  // reproduces q81's splits exactly, and (n_events, min-start, max-end)
+  // all merge associatively.
+  def q85SessionizationTwoPhase(spark: SparkSession, d: String): DataFrame = {
+    val gapUs = 30L * 60 * 1000 * 1000
+    val bucketUs = 6L * 3600 * 1000 * 1000
+    val ev0 = Tables.events(spark, d)
+    val ev = ev0
+      .select(col("user_id"), Tables.tsUs(ev0).as("ts_us"))
+      .withColumn("bucket", expr(s"ts_us div ${bucketUs}L"))
+    // phase 1: per-(user, bucket) sessionization — tie order within equal
+    // ts is irrelevant to session membership (a 0 gap always merges)
+    val wb = Window.partitionBy(col("user_id"), col("bucket")).orderBy(col("ts_us"))
+    val sub = ev
+      .withColumn("prev_ts", lag(col("ts_us"), 1).over(wb))
+      .withColumn("new_sub",
+        (col("prev_ts").isNull || col("ts_us") - col("prev_ts") > gapUs).cast("long"))
+      .withColumn("sub_id", sum(col("new_sub")).over(
+        wb.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("bucket"), col("sub_id"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts_us")).as("start_us"), max(col("ts_us")).as("end_us"))
+    // phase 2: merge the gap chain over per-user SUB-SESSIONS (start_us is
+    // unique per user: same-bucket subs are gap-separated, cross-bucket
+    // starts lie in disjoint time ranges)
+    val wu = Window.partitionBy(col("user_id")).orderBy(col("start_us"))
+    val sess = sub
+      .withColumn("prev_end", lag(col("end_us"), 1).over(wu))
+      .withColumn("new_sess",
+        (col("prev_end").isNull || col("start_us") - col("prev_end") > gapUs).cast("long"))
+      .withColumn("sess_id", sum(col("new_sess")).over(
+        wu.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("sess_id"))
+      .agg(sum(col("n_events")).as("n_events"),
+        (max(col("end_us")) - min(col("start_us"))).as("dur_us"))
+    sess.groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_sessions"),
+        sum(col("n_events")).as("n_events"),
+        expr("(1000 * sum(n_events)) div count(1)").as("avg_events_per_session_milli"),
+        expr("sum(dur_us) div (1000 * count(1))").as("avg_session_ms"),
+        expr("max(dur_us) div 1000").as("max_session_ms"))
+      .orderBy(col("user_id"))
+  }
+
   val all: Map[String, Q] = Map(
     "q81_sessionization" -> (q81Sessionization _),
     "q82_funnel" -> (q82Funnel _),
+    "q85_sessionization_twophase" -> (q85SessionizationTwoPhase _),
     "q80_histogram_quantile" -> (q80HistogramQuantile _),
     "q44_scalar_subquery" -> (q44ScalarSubquery _),
     "q01_filtered_scan" -> (q01FilteredScan _),
@@ -676,6 +734,8 @@ object CoreQueries {
   val oracles: Map[String, String] = Map(
     "q81_sessionization" -> q81Sql,
     "q82_funnel" -> q82Sql,
+    // same census, skew-proof plan — the oracle is deliberately q81's SQL
+    "q85_sessionization_twophase" -> q81Sql,
     "q80_histogram_quantile" -> q80Sql,
     "q44_scalar_subquery" -> q44Sql,
     "q01_filtered_scan" -> q01Sql,

@@ -445,4 +445,59 @@ class StreamingSpec extends GraftSuite {
       }
     } finally query.stop()
   }
+
+  test("streamingSessionize: full sf0.01 events replay matches batch q81 user-for-user") {
+    // the real-fixture parity oracle: the ENTIRE sf0.01 events table (10k
+    // events, 150 users) replayed through the stateful streaming operator in
+    // event-time order across micro-batches must reproduce batch q81's
+    // per-user session census EXACTLY (the crafted-timeline cases above pin
+    // edge semantics; this pins the operator on production-shaped data).
+    // In-order replay keeps every event inside the watermark, so no
+    // allowed-delta carve-outs are needed; out-of-order replay beyond the
+    // watermark is the one case where streaming may legitimately differ
+    // (documented on streamingExactDedup — bounded state drops what the
+    // batch backstop recovers).
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.StreamingOps.SessionEvent
+    val sf001 = "/root/testdata/sf0.01"
+    val ev0 = Tables.events(spark, sf001)
+    val all = ev0.select(col("user_id"), Tables.tsUs(ev0).as("ts_us"))
+      .orderBy(col("ts_us")).collect()
+      .map(r => SessionEvent(r.getAs[Long]("user_id"), r.getAs[Long]("ts_us")))
+    val mem = MemoryStream[SessionEvent]
+    val query = StreamingOps.streamingSessionize(mem.toDS())
+      .writeStream.format("memory").queryName("sess_replay_out")
+      .outputMode("append").start()
+    try {
+      all.grouped(1000).foreach { chunk =>
+        mem.addData(chunk.toIndexedSeq)
+        query.processAllAvailable()
+      }
+      // two far-future pusher events advance the watermark past every open
+      // session's last+gap, draining state through the timeout path
+      val far = all.last.tsUs + 10L * 3600 * 1000 * 1000
+      mem.addData(SessionEvent(-1L, far)); query.processAllAvailable()
+      mem.addData(SessionEvent(-2L, far * 2)); query.processAllAvailable()
+      // fold streamed sessions to q81's per-user census in the same exact
+      // integer math, then compare row sets
+      val streamed = spark.table("sess_replay_out")
+        .filter(col("userId") >= 0)
+        .groupBy(col("userId").as("user_id"))
+        .agg(count(lit(1)).as("n_sessions"),
+          sum(col("nEvents")).as("n_events"),
+          expr("(1000 * sum(nEvents)) div count(1)").as("avg_events_per_session_milli"),
+          expr("sum(durUs) div (1000 * count(1))").as("avg_session_ms"),
+          expr("max(durUs) div 1000").as("max_session_ms"))
+        .collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
+      val batch = graft.queries.CoreQueries.q81Sessionization(spark, sf001)
+        .collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
+      assert(streamed.keySet == batch.keySet,
+        s"user sets differ: stream-only=${streamed.keySet -- batch.keySet} " +
+          s"batch-only=${batch.keySet -- streamed.keySet}")
+      streamed.foreach { case (u, s) =>
+        assert(s == batch(u), s"user $u: streamed=$s batch=${batch(u)}")
+      }
+    } finally query.stop()
+  }
 }
