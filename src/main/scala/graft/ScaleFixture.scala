@@ -25,7 +25,14 @@ import org.apache.spark.sql.functions._
   *
   * All arithmetic is seed-free and closed-form: same inputs, same fixture.
   *
-  * Usage: runMain graft.ScaleFixture <srcDir> <dstDir> [seriesK] [timeK]
+  * Usage: runMain graft.ScaleFixture <srcDir> <dstDir> [seriesK] [timeK] [opt...]
+  *   opt `skew=<pct>`  — remap <pct>% of ALL events to one hot user
+  *                       (power-law rehearsal: does the event-stream
+  *                       family survive a bot holding 10% of traffic?)
+  *   opt `corpus-only` — write only documents + embeddings (the corpus
+  *                       axis at 100× without paying for the rest)
+  *   opt `events-only` — write only events (push the event-stream axis
+  *                       hard without replicating the TPC-H star)
   */
 object ScaleFixture {
 
@@ -34,6 +41,11 @@ object ScaleFixture {
     val dst = args(1)
     val seriesK = args.lift(2).map(_.toInt).getOrElse(5)
     val timeK = args.lift(3).map(_.toInt).getOrElse(2)
+    val opts = args.drop(4).toSet
+    val skewPct = opts.collectFirst { case o if o.startsWith("skew=") =>
+      o.stripPrefix("skew=").toInt }.getOrElse(0)
+    val corpusOnly = opts.contains("corpus-only")
+    val eventsOnly = opts.contains("events-only")
     val k = seriesK * timeK
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession
@@ -56,11 +68,14 @@ object ScaleFixture {
     // replica index table: one row per replica, id 0 keeps the original rows
     val reps = spark.range(k).select(col("id").as("rep"))
 
+    if (corpusOnly) { writeCorpus(spark, src, dst, reps, write); return }
+
     // --- small dims: fixed cardinality at any scale, copy verbatim ---
-    for (t <- Seq("region", "nation"))
+    if (!eventsOnly) for (t <- Seq("region", "nation"))
       write(Tables.table(spark, src, t), t)
 
     // --- star schema: replicate with consistent key shifts so joins hold ---
+    if (!eventsOnly) {
     val cust = Tables.customer(spark, src)
     val supp = Tables.supplier(spark, src)
     val prt = Tables.part(spark, src)
@@ -93,6 +108,7 @@ object ScaleFixture {
       ),
       "lineitem"
     )
+    }
 
     // --- events: seriesK new series × timeK appended time segments ---
     val ev0 = Tables.events(spark, src)
@@ -108,7 +124,7 @@ object ScaleFixture {
       .select(col("id").as("s"))
       .crossJoin(spark.range(timeK).select(col("id").as("t")))
       .withColumn("rep", col("s") * timeK + col("t"))
-    val evScaled = ev
+    val evScaled0 = ev
       .crossJoin(evReps)
       .select(
         (col("event_id") + col("rep") * eM).as("event_id"),
@@ -120,9 +136,31 @@ object ScaleFixture {
         col("value"),
         col("props")
       )
+    // power-law skew: remap skewPct% of ALL events (uniform over event_id,
+    // so spread across the whole time axis) onto one hot user — the bot /
+    // service-account shape that makes per-user window partitions straggle
+    val evScaled =
+      if (skewPct == 0) evScaled0
+      else evScaled0.withColumn("user_id",
+        when(pmod(col("event_id"), lit(100)) < skewPct, lit(1L))
+          .otherwise(col("user_id")))
     write(evScaled, "events")
 
-    // --- documents: half-splice expansion (new docs, partial-dup structure) ---
+    if (!eventsOnly) writeCorpus(spark, src, dst, reps, write)
+
+    println(s"[scale] done: $src -> $dst at ${seriesK}x${timeK} = ${k}x")
+    spark.stop()
+  }
+
+  /** documents (half-splice expansion: new docs with realistic
+    * partial-duplicate structure) + embeddings (per-replica perturbation).
+    * Shared by the full fixture and the corpus-only 100× lane. */
+  private def writeCorpus(spark: SparkSession, src: String, dst: String,
+      reps: DataFrame, write: (DataFrame, String) => Unit): Unit = {
+
+    def maxOf(df: DataFrame, c: String): Long =
+      df.agg(max(col(c))).head.getLong(0)
+
     val docs = Tables.documents(spark, src).cache()
     val dM = maxOf(docs, "doc_id") + 1
     val nDocs = docs.count()
@@ -155,7 +193,6 @@ object ScaleFixture {
     write(expanded, "documents")
     docs.unpersist()
 
-    // --- embeddings: replicate with a small deterministic perturbation ---
     val emb = Tables.embeddings(spark, src)
     val vM = maxOf(emb, "vec_id") + 1
     val embScaled = emb
@@ -168,8 +205,5 @@ object ScaleFixture {
         col("label")
       )
     write(embScaled, "embeddings")
-
-    println(s"[scale] done: $src -> $dst at ${seriesK}x${timeK} = ${k}x")
-    spark.stop()
   }
 }

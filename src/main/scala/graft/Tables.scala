@@ -40,4 +40,18 @@ object Tables {
   def events(spark: SparkSession, d: String): DataFrame = table(spark, d, "events")
   def documents(spark: SparkSession, d: String): DataFrame = table(spark, d, "documents")
   def embeddings(spark: SparkSession, d: String): DataFrame = table(spark, d, "embeddings")
+
+  val names: Seq[String] = Seq("region", "nation", "customer", "supplier",
+    "part", "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** One-call SQL-surface setup: every lake table as a temp view under its
+    * canonical name, plus `bars` (the event-bar frame every reference
+    * template selects FROM) — so with [[graft.functions.GraftSqlFunctions
+    * .registerAll]] a reference-shaped query runs as `spark.sql` text with
+    * no DSL at all. Views are lazy plans: filters/projections in the SQL
+    * still push down to the parquet scans. */
+  def registerViews(spark: SparkSession, sfDir: String): Unit = {
+    names.foreach(n => table(spark, sfDir, n).createOrReplaceTempView(n))
+    graft.queries.EventBars.bars(spark, sfDir).createOrReplaceTempView("bars")
+  }
 }

@@ -283,12 +283,36 @@ object DedupQueries {
       .select(col("d1"), col("d2")).distinct()
     // candidates scored but NOT filtered: the verified/removed census
     // columns become filtered aggregates of this one frame
-    val scored = cand
-      .join(shingled.select(col("doc_id").as("d1"), col("shset").as("s1")), "d1")
-      .join(shingled.select(col("doc_id").as("d2"), col("shset").as("s2")), "d2")
+    val scored = verifyScored(spark, cand, shingled)
+    (docs, reps, scored)
+  }
+
+  /** True-Jaccard scoring of candidate pairs against the hashed shingle
+    * frame, with the verify join's parallelism SIZED to candidate volume.
+    * Each pair carries ~2.5 KB of shingle payload through the join
+    * shuffles; at the session's fixed shuffle.partitions a high-duplication
+    * corpus (the 100× rehearsal: ~100-way near-dup clusters) lands GBs on
+    * every task and OOMs — and AQE only COALESCES small partitions or
+    * splits SKEWED ones; it cannot split uniformly-huge ones. The explicit
+    * repartitions pin every verify-stage exchange to ~48 MB/partition at
+    * any scale (the count is one cheap job over the persisted 16-byte pair
+    * frame; at bench SF nPart degenerates to defaultParallelism, so
+    * small-corpus plans and hashes are unchanged). */
+  private def verifyScored(spark: SparkSession, cand0: DataFrame,
+      shingled: DataFrame): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val cand = cand0.persist(StorageLevel.MEMORY_AND_DISK)
+    val nCand = cand.count()
+    val nPart = math.max(spark.sparkContext.defaultParallelism,
+      (nCand * 2500L / (48L << 20)).toInt + 1)
+    cand.repartition(nPart, col("d1"))
+      .join(shingled.select(col("doc_id").as("d1"), col("shset").as("s1"))
+        .repartition(nPart, col("d1")), "d1")
+      .repartition(nPart, col("d2"))
+      .join(shingled.select(col("doc_id").as("d2"), col("shset").as("s2"))
+        .repartition(nPart, col("d2")), "d2")
       .withColumn("jac", jaccard(col("s1"), col("s2")))
       .select(col("d1"), col("d2"), col("jac"))
-    (docs, reps, scored)
   }
 
   /** Staging table for the scored-candidate chain (SCALE.md's 1000×
@@ -528,8 +552,133 @@ object DedupQueries {
       |  CAST(split_a <> split_b AS INT) AS leaky
       |FROM sp GROUP BY split_a, split_b ORDER BY split_a, split_b""".stripMargin
 
+  // ---------------------------------------------------------------------------
+  // q86 — the 100 TB LSH candidate-generation lane. The 100× corpus
+  // rehearsal showed the 8-band × 2-lane scheme (q26/q49) producing a
+  // 25,487-doc bucket and 1.85e9 candidate pairs on a 500k-doc corpus with
+  // ~100-way near-dup clusters: Zipfian shingle distributions make many
+  // documents share their two smallest min-hash lanes, so candidate volume
+  // goes quadratic exactly when duplication is heavy — correct at bench SF,
+  // a scale-killer at 100×. This lane is the production answer, kept
+  // oracle-checked like everything else:
+  //   - exact-dedup survivors first (identical docs never reach banding);
+  //   - 16 bands × 3 lanes from 48 min-hashes: an unrelated pair must now
+  //     agree on THREE independent mins to collide (P = s³ per band vs s²),
+  //     while recall at jac 0.5 stays 1−(1−0.5³)^16 ≈ 0.88;
+  //   - a bucket-occupancy cap (64) with EXPLICIT accounting: a bucket
+  //     still larger than the cap at r=3 is one giant near-dup cluster or a
+  //     degenerate shingle, and production pipelines quarantine those for a
+  //     cluster-level path (components over star edges) instead of paying
+  //     C(occ,2) — the census reports exactly what was quarantined, so the
+  //     cap is a measured, not silent, recall trade.
+  // Candidate volume is then ≤ n_buckets · C(cap,2) — linear in corpus —
+  // and the verify join reuses the volume-sized partitioning.
+  private val LshCap = 64
+
+  def q86LshScaled(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val docs = Tables.documents(spark, d)
+    val reps = docs.withColumn("th", md5(col("text")))
+      .groupBy(col("th")).agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+    val shingled = docs.join(reps, "doc_id")
+      .select(col("doc_id"),
+        graft.functions.GraftFunctions.hashedWordBigrams(col("text")).as("shset"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val hashed = shingled.select(col("doc_id"), explode(col("shset")).as("h"))
+    val lanes = (0 until 48).map(j =>
+      min((col("h") * lit(2L * j + 1) + lit(j * 104729L)) % lit(P)).as(s"m$j"))
+    val sigs = hashed.groupBy(col("doc_id")).agg(lanes.head, lanes.tail: _*)
+    val bandStructs = array((0 until 16).map(b =>
+      struct(lit(b).as("band"),
+        concat(col(s"m${3 * b}").cast("string"), lit("_"),
+          col(s"m${3 * b + 1}").cast("string"), lit("_"),
+          col(s"m${3 * b + 2}").cast("string")).as("band_key"))): _*)
+    val bands = sigs.select(col("doc_id"), explode(bandStructs).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"),
+        col("bk.band_key").as("band_key"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val occ = bands.groupBy(col("band"), col("band_key"))
+      .agg(count(lit(1)).as("cnt"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val bandsOk = bands.join(
+      occ.filter(col("cnt") <= LshCap).select(col("band"), col("band_key")),
+      Seq("band", "band_key"))
+    val cand = bandsOk.select(col("band"), col("band_key"), col("doc_id").as("d1"))
+      .join(bandsOk.select(col("band").as("band_r"),
+        col("band_key").as("band_key_r"), col("doc_id").as("d2")),
+        col("band") === col("band_r") && col("band_key") === col("band_key_r") &&
+          col("d1") < col("d2"))
+      .select(col("d1"), col("d2")).distinct()
+    val scored = verifyScored(spark, cand, shingled)
+    val isVerified = col("jac") >= JaccardThreshold
+    val capCensus = occ.agg(
+      count(lit(1)).as("n_buckets"),
+      max(col("cnt")).as("max_bucket"),
+      count(when(col("cnt") > LshCap, 1)).as("n_over_cap_buckets"))
+    val quarantined = bands.join(
+      occ.filter(col("cnt") > LshCap).select(col("band"), col("band_key")),
+      Seq("band", "band_key"))
+      .agg(countDistinct(col("doc_id")).as("n_docs_quarantined"))
+    reps.agg(count(lit(1)).as("n_after_exact"))
+      .crossJoin(capCensus)
+      .crossJoin(quarantined)
+      .crossJoin(scored.agg(
+        count(lit(1)).as("n_candidate_pairs"),
+        count(when(isVerified, 1)).as("n_verified_pairs"),
+        round(coalesce(max(when(isVerified, col("jac"))), lit(0.0)), 4)
+          .as("max_jaccard"),
+        countDistinct(when(isVerified, col("d2"))).as("n_near_removed")))
+  }
+
+  val q86Sql: String =
+    s"""WITH reps AS (
+      |  SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+      |s0 AS ($shingleSetSql),
+      |s AS (
+      |  SELECT s0.doc_id, s0.shset FROM s0 JOIN reps ON s0.doc_id = reps.doc_id),
+      |sig AS (
+      |  SELECT doc_id,
+      |    list_transform(range(0, 48), j -> list_min(list_transform(
+      |      shset, h -> ((j*2 + 1) * h + j*104729) % $P))) AS sig
+      |  FROM s),
+      |bands AS (
+      |  SELECT doc_id, g.band,
+      |    concat(sig[g.band*3 + 1], '_', sig[g.band*3 + 2], '_',
+      |           sig[g.band*3 + 3]) AS band_key
+      |  FROM sig CROSS JOIN (SELECT unnest(range(0, 16)) AS band) g),
+      |occ AS (
+      |  SELECT band, band_key, count(*) AS cnt FROM bands GROUP BY 1, 2),
+      |bands_ok AS (
+      |  SELECT b.* FROM bands b JOIN occ USING (band, band_key)
+      |  WHERE occ.cnt <= $LshCap),
+      |cand AS (
+      |  SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+      |  FROM bands_ok x JOIN bands_ok y
+      |    ON x.band = y.band AND x.band_key = y.band_key
+      |   AND x.doc_id < y.doc_id),
+      |scored AS (
+      |  SELECT c.d1, c.d2,
+      |    len(list_intersect(a.shset, b.shset))::DOUBLE /
+      |      len(list_distinct(list_concat(a.shset, b.shset)))::DOUBLE AS jac
+      |  FROM cand c JOIN s a ON a.doc_id = c.d1 JOIN s b ON b.doc_id = c.d2)
+      |SELECT
+      |  (SELECT count(*) FROM reps) AS n_after_exact,
+      |  (SELECT count(*) FROM occ) AS n_buckets,
+      |  (SELECT max(cnt) FROM occ) AS max_bucket,
+      |  (SELECT count(*) FROM occ WHERE cnt > $LshCap) AS n_over_cap_buckets,
+      |  (SELECT count(DISTINCT b.doc_id) FROM bands b JOIN occ USING (band, band_key)
+      |   WHERE occ.cnt > $LshCap) AS n_docs_quarantined,
+      |  (SELECT count(*) FROM scored) AS n_candidate_pairs,
+      |  (SELECT count(*) FROM scored WHERE jac >= $JaccardThreshold) AS n_verified_pairs,
+      |  round(coalesce((SELECT max(jac) FROM scored WHERE jac >= $JaccardThreshold),
+      |    0.0), 4) AS max_jaccard,
+      |  (SELECT count(DISTINCT d2) FROM scored WHERE jac >= $JaccardThreshold)
+      |    AS n_near_removed""".stripMargin
+
   val all: Map[String, Q] = Map(
     "q79_split_leakage" -> (q79SplitLeakage _),
+    "q86_lsh_scaled" -> (q86LshScaled _),
     "q25_ngram_jaccard" -> (q25NgramJaccard _),
     "q26_minhash_lsh" -> (q26MinhashLsh _),
     "q27_simhash" -> (q27Simhash _),
@@ -537,6 +686,7 @@ object DedupQueries {
     "q61_dup_components" -> (q61DupComponents _))
 
   val oracles: Map[String, String] = Map(
+    "q86_lsh_scaled" -> q86Sql,
     "q25_ngram_jaccard" -> q25Sql,
     "q26_minhash_lsh" -> q26Sql,
     "q27_simhash" -> q27Sql,

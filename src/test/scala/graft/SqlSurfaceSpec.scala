@@ -105,6 +105,27 @@ class SqlSurfaceSpec extends GraftSuite {
     got.zip(want).foreach { case (g, w) => assert(g == w) }
   }
 
+  test("registerViews: full lake + bars as named views, zero DSL required") {
+    ensureRegistered()
+    Tables.registerViews(spark, sf)
+    // every canonical table name resolves
+    Tables.names.foreach { n =>
+      assert(spark.sql(s"SELECT count(*) AS n FROM $n").head.getLong(0) > 0, n)
+    }
+    // a reference-shaped query over `bars` runs as pure SQL text and agrees
+    // with the same computation through the DSL bar frame
+    val got = spark.sql("""
+      SELECT event_type, count(*) AS n,
+        count_if(close > open) AS n_up
+      FROM bars GROUP BY event_type ORDER BY event_type""").collect()
+    val want = queries.EventBars.bars(spark, sf)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), count_if(col("close") > col("open")).as("n_up"))
+      .orderBy(col("event_type")).collect()
+    assert(got.length == want.length && got.nonEmpty)
+    got.zip(want).foreach { case (g, w) => assert(g == w) }
+  }
+
   test("GraftExtensions applies its injections to a fresh extensions set") {
     // full builder-path coverage needs a fresh SparkContext (one JVM, one
     // context here); instantiating and applying pins the wiring compiles

@@ -294,4 +294,30 @@ class TextDedupSpec extends GraftSuite {
         s"lang ${r.getAs[String]("lang")}")
     }
   }
+
+  test("q86: bucket cap quarantines a mega-cluster with explicit accounting") {
+    import spark.implicits._
+    // 80 near-identical docs (30 shared words + unique suffix) force LSH
+    // buckets of ~80 > cap 64 on most bands — the shape the 100× rehearsal
+    // hit at corpus scale (25k-doc buckets, 1.85e9 candidate pairs under
+    // 8×2 banding). The census must REPORT the quarantine, not silently
+    // truncate; unrelated docs must be untouched by it.
+    val base = (1 to 30).map(i => s"w$i").mkString(" ")
+    val clones = (1 to 80).map(i => (i.toLong, s"$base uniq$i"))
+    val others = (81 to 100).map(i =>
+      (i.toLong, (1 to 25).map(j => s"x${i}_$j").mkString(" ")))
+    val tmp = java.nio.file.Files.createTempDirectory("q86cap").toString
+    (clones ++ others).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val r = queries.DedupQueries.q86LshScaled(spark, tmp).collect()(0)
+    assert(r.getAs[Long]("n_after_exact") == 100, r.toString)
+    assert(r.getAs[Long]("n_over_cap_buckets") >= 1, r.toString)
+    assert(r.getAs[Long]("max_bucket") >= 65, r.toString)
+    assert(r.getAs[Long]("n_docs_quarantined") >= 65, r.toString)
+    // candidate volume stays bounded by the cap: nothing in the census can
+    // exceed buckets × C(cap, 2), and no verified pair crosses the two
+    // unrelated groups
+    assert(r.getAs[Long]("n_candidate_pairs") <=
+      r.getAs[Long]("n_buckets") * 64L * 63L / 2L, r.toString)
+  }
 }
