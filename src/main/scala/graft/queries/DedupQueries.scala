@@ -238,6 +238,26 @@ object DedupQueries {
   // same two frames are what you'd checkpoint between stages.
   private val JaccardThreshold = 0.5
 
+  /** (doc_id, band, band_key) from a (doc_id, shset) frame: `nLanes`
+    * minhash lanes via (2j+1)·h + j·104729 mod P, grouped `perBand` lanes
+    * per band. One explode + one codegen'd min-lane aggregation (the
+    * shuffle carries one row × nLanes longs per doc); shared by the q26/q49
+    * chain (16×2), q86 (48×3), and the q88 incremental index. */
+  private def minhashBands(shingled: DataFrame, nLanes: Int, perBand: Int): DataFrame = {
+    val hashed = shingled.select(col("doc_id"), explode(col("shset")).as("h"))
+    val lanes = (0 until nLanes).map(j =>
+      min((col("h") * lit(2L * j + 1) + lit(j * 104729L)) % lit(P)).as(s"m$j"))
+    val sigs = hashed.groupBy(col("doc_id")).agg(lanes.head, lanes.tail: _*)
+    val nBands = nLanes / perBand
+    val bandStructs = array((0 until nBands).map(b =>
+      struct(lit(b).as("band"),
+        concat_ws("_", (0 until perBand).map(k =>
+          col(s"m${perBand * b + k}").cast("string")): _*).as("band_key"))): _*)
+    sigs.select(col("doc_id"), explode(bandStructs).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"),
+        col("bk.band_key").as("band_key"))
+  }
+
   /** The shared exact-dedup → MinHash → LSH-band → candidate → Jaccard
     * chain: returns (docs, reps, scored) where `scored` is every DISTINCT
     * LSH candidate pair with its true Jaccard (unfiltered — q49's census
@@ -265,16 +285,7 @@ object DedupQueries {
       .select(col("doc_id"),
         graft.functions.GraftFunctions.hashedWordBigrams(col("text")).as("shset"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val hashed = shingled.select(col("doc_id"), explode(col("shset")).as("h"))
-    val lanes = (0 until 16).map(j =>
-      min((col("h") * lit(2L * j + 1) + lit(j * 104729L)) % lit(P)).as(s"m$j"))
-    val sigs = hashed.groupBy(col("doc_id")).agg(lanes.head, lanes.tail: _*)
-    val bandStructs = array((0 until 8).map(b =>
-      struct(lit(b).as("band"),
-        concat(col(s"m${2 * b}").cast("string"), lit("_"),
-          col(s"m${2 * b + 1}").cast("string")).as("band_key"))): _*)
-    val bands = sigs.select(col("doc_id"), explode(bandStructs).as("bk"))
-      .select(col("doc_id"), col("bk.band").as("band"), col("bk.band_key").as("band_key"))
+    val bands = minhashBands(shingled, nLanes = 16, perBand = 2)
     val cand = bands.select(col("band"), col("band_key"), col("doc_id").as("d1"))
       .join(bands.select(col("band").as("band_r"), col("band_key").as("band_key_r"),
         col("doc_id").as("d2")),
@@ -488,11 +499,12 @@ object DedupQueries {
       .orderBy(col("cluster_root"))
   }
 
-  /** Oracle: transitive closure of the verified edge set via a recursive
-    * CTE (fine at oracle scale — component sizes are tiny), then per-node
-    * component label = min reachable id, then the same census. */
-  val q61Sql: String =
-    s"""WITH RECURSIVE $verifiedChainSql,
+  /** Transitive closure of the verified edge set via a recursive CTE
+    * (fine at oracle scale — component sizes are tiny), then per-node
+    * component label = min reachable id. Shared by the q61/q87 census and
+    * q89's representative selection. */
+  private val componentLabelsSql: String =
+    s"""$verifiedChainSql,
       |e AS (
       |  SELECT d1 AS a, d2 AS b FROM verified
       |  UNION SELECT d2, d1 FROM verified),
@@ -502,10 +514,278 @@ object DedupQueries {
       |  SELECT r.src, e.b FROM reach r JOIN e ON e.a = r.dst),
       |labels AS (
       |  SELECT src AS node, least(src, min(dst)) AS label
-      |  FROM reach GROUP BY src)
+      |  FROM reach GROUP BY src)""".stripMargin
+
+  val q61Sql: String =
+    s"""WITH RECURSIVE $componentLabelsSql
       |SELECT label AS cluster_root, count(*) AS n_members,
       |  max(node) AS max_doc_id
       |FROM labels GROUP BY label ORDER BY cluster_root""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // q87 — the SAME duplicate-cluster census as q61 under the
+  // adversarial-graph algorithm: alternating large-star/small-star
+  // (operators/StarComponents). q61's min-label propagation is O(diameter)
+  // rounds — right for near-clique dup clusters, wrong when a pathological
+  // corpus chains near-dups (v1≈v2≈…≈vn with only adjacent pairs verified:
+  // crawl snapshots of a drifting page). Star contraction converges in
+  // O(log n) rounds on any graph with the identical per-round physical
+  // shape (one groupBy + one join on the edge list; corpus never in the
+  // loop). Shares the q61 oracle — the two algorithms must agree exactly,
+  // and the driver checks both against DuckDB's transitive closure.
+  def q87ComponentsStar(spark: SparkSession, d: String): DataFrame = {
+    val (scored, _) = Staging.scoredAndCounts(spark, d)
+    val edges = scored.filter(col("jac") >= JaccardThreshold)
+      .select(col("d1"), col("d2"))
+    graft.operators.StarComponents.labels(edges)
+      .groupBy(col("label").as("cluster_root"))
+      .agg(count(lit(1)).as("n_members"), max(col("node")).as("max_doc_id"))
+      .orderBy(col("cluster_root"))
+  }
+
+  // ---------------------------------------------------------------------------
+  // q88 — INCREMENTAL snapshot dedup: a new crawl batch deduped against the
+  // already-curated corpus through its PERSISTED dedup index, the shape a
+  // continuously-ingesting 100 TB pipeline actually runs (re-deduping the
+  // whole corpus per snapshot — the q49 form — is a full-corpus scan every
+  // arrival; production amortizes it into an index built once and probed
+  // per batch). The batch is the deterministic 20% doc_id-hash slice; the
+  // other 80% plays the existing corpus, whose index (exact-digest set,
+  // LSH band keys, shingle sketches of the exact reps — 16 lanes × 8
+  // bands, the q26/q49 scheme) is built ONCE per corpus dir and WRITTEN
+  // via ResultSink, like the q49/q61/q79 staging table.
+  //
+  // The incremental contract, and why it scales: the per-batch cost is
+  // |batch| (digest + signature projection) + index probes (two hash
+  // joins against persisted digests/bands) + verification of the
+  // candidates those probes return — the existing corpus TEXT is never
+  // rescanned (its sketches live in the index), so snapshot n costs the
+  // same whether the accumulated corpus is 1 TB or 100 TB. Within-batch
+  // dedup (exact, then LSH among batch survivors) runs first, mirroring
+  // q49; removal is greedy per verified pair (later doc loses), existing
+  // docs always win ties against incoming.
+  private[graft] object IncrementalIndex {
+    private lazy val root =
+      java.nio.file.Files.createTempDirectory("graft_incr_index")
+    private val done =
+      new java.util.concurrent.ConcurrentHashMap[String, (String, String, String)]()
+
+    /** (digests (th), bands (doc_id, band, band_key), sketches
+      * (doc_id, shset)) of the EXISTING-corpus exact reps, from the
+      * written index. */
+    def of(spark: SparkSession, d: String): (DataFrame, DataFrame, DataFrame) = {
+      val (dp, bp, sp) = done.computeIfAbsent(d, _ => {
+        val docs = Tables.documents(spark, d)
+        val existing = docs
+          .filter(md5Int(col("doc_id").cast("string")) % 5 =!= 0)
+        val reps = existing.withColumn("th", md5(col("text")))
+          .groupBy(col("th")).agg(min(col("doc_id")).as("doc_id"))
+        val sketches = existing.join(reps.select(col("doc_id")), "doc_id")
+          .select(col("doc_id"),
+            graft.functions.GraftFunctions.hashedWordBigrams(col("text")).as("shset"))
+          .persist()
+        val bands = minhashBands(sketches, nLanes = 16, perBand = 2)
+        val dirKey = java.lang.Integer.toHexString(d.hashCode)
+        val dPath = root.resolve(s"digests_$dirKey").toString
+        val bPath = root.resolve(s"bands_$dirKey").toString
+        val sPath = root.resolve(s"sketches_$dirKey").toString
+        graft.sources.ResultSink.append(reps.select(col("th")), dPath, Nil)
+        graft.sources.ResultSink.append(bands, bPath, Nil)
+        graft.sources.ResultSink.append(sketches, sPath, Nil)
+        sketches.unpersist()
+        (dPath, bPath, sPath)
+      })
+      (graft.sources.ResultSink.read(spark, dp),
+        graft.sources.ResultSink.read(spark, bp),
+        graft.sources.ResultSink.read(spark, sp))
+    }
+  }
+
+  def q88IncrementalDedup(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val (exDigests, exBands, exSketches) = IncrementalIndex.of(spark, d)
+    val docs = Tables.documents(spark, d)
+    val inc = docs.filter(md5Int(col("doc_id").cast("string")) % 5 === 0)
+      .withColumn("th", md5(col("text")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // exact lane: index digest probe, then within-batch digest grouping
+    val stayed = inc.join(exDigests, Seq("th"), "left_anti")
+    val repsI = stayed.groupBy(col("th")).agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+    val skI = stayed.join(repsI, "doc_id")
+      .select(col("doc_id"),
+        graft.functions.GraftFunctions.hashedWordBigrams(col("text")).as("shset"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val bandsI = minhashBands(skI, nLanes = 16, perBand = 2)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // near lane: batch bands probe the index bands (candidates vs
+    // existing) and self-join (candidates within the batch)
+    val candE = bandsI.select(col("band"), col("band_key"), col("doc_id").as("d1"))
+      .join(exBands.select(col("band").as("band_r"), col("band_key").as("band_key_r"),
+        col("doc_id").as("d2")),
+        col("band") === col("band_r") && col("band_key") === col("band_key_r"))
+      .select(col("d1"), col("d2")).distinct()
+    val candI = bandsI.select(col("band"), col("band_key"), col("doc_id").as("d1"))
+      .join(bandsI.select(col("band").as("band_r"), col("band_key").as("band_key_r"),
+        col("doc_id").as("d2")),
+        col("band") === col("band_r") && col("band_key") === col("band_key_r") &&
+          col("d1") < col("d2"))
+      .select(col("d1"), col("d2")).distinct()
+    // verify: batch sketches on d1; (index ∪ batch) sketches on d2 —
+    // existing text is NOT read, its sketches come from the written index
+    val sk2 = exSketches.union(skI)
+    def score(cand: DataFrame): DataFrame = cand
+      .repartition(spark.sparkContext.defaultParallelism, col("d1"))
+      .join(skI.select(col("doc_id").as("d1"), col("shset").as("s1")), "d1")
+      .join(sk2.select(col("doc_id").as("d2"), col("shset").as("s2")), "d2")
+      .withColumn("jac", jaccard(col("s1"), col("s2")))
+      .select(col("d1"), col("d2"), col("jac"))
+      .filter(col("jac") >= JaccardThreshold)
+    val verE = score(candE).persist(StorageLevel.MEMORY_AND_DISK)
+    val verI = score(candI).persist(StorageLevel.MEMORY_AND_DISK)
+    val removed = verE.select(col("d1")).union(verI.select(col("d2"))).distinct()
+    inc.agg(count(lit(1)).as("n_incoming"))
+      .crossJoin(exDigests.agg(count(lit(1)).as("n_existing_reps")))
+      .crossJoin(stayed.agg(count(lit(1)).as("n_stayed")))
+      .crossJoin(repsI.agg(count(lit(1)).as("n_after_exact")))
+      .crossJoin(candE.agg(count(lit(1)).as("n_cand_vs_existing")))
+      .crossJoin(candI.agg(count(lit(1)).as("n_cand_within")))
+      .crossJoin(verE.agg(count(lit(1)).as("n_verified_vs_existing")))
+      .crossJoin(verI.agg(count(lit(1)).as("n_verified_within")))
+      .crossJoin(removed.agg(count(lit(1)).as("n_near_removed")))
+      .select(
+        col("n_incoming"),
+        col("n_existing_reps"),
+        (col("n_incoming") - col("n_stayed")).as("n_exact_dup_vs_existing"),
+        (col("n_stayed") - col("n_after_exact")).as("n_exact_dup_within"),
+        col("n_after_exact"),
+        col("n_cand_vs_existing"), col("n_cand_within"),
+        col("n_verified_vs_existing"), col("n_verified_within"),
+        col("n_near_removed"),
+        (col("n_after_exact") - col("n_near_removed")).as("n_accepted"))
+  }
+
+  val q88Sql: String = {
+    val sigSql = (src: String) =>
+      s"""SELECT doc_id,
+        |    list_transform(range(0, 16), j -> list_min(list_transform(
+        |      shset, h -> ((j*2 + 1) * h + j*104729) % $P))) AS sig
+        |  FROM $src""".stripMargin
+    val bandSql = (src: String) =>
+      s"""SELECT doc_id, g.band,
+        |    concat(sig[g.band*2 + 1], '_', sig[g.band*2 + 2]) AS band_key
+        |  FROM $src CROSS JOIN (SELECT unnest(range(0, 8)) AS band) g""".stripMargin
+    s"""WITH s0 AS ($shingleSetSql),
+      |incd AS (
+      |  SELECT doc_id, md5(text) AS th FROM documents
+      |  WHERE ${md5IntSql("CAST(doc_id AS VARCHAR)")} % 5 = 0),
+      |exd AS (
+      |  SELECT md5(text) AS th, min(doc_id) AS doc_id FROM documents
+      |  WHERE ${md5IntSql("CAST(doc_id AS VARCHAR)")} % 5 <> 0
+      |  GROUP BY 1),
+      |stayed AS (
+      |  SELECT * FROM incd WHERE th NOT IN (SELECT th FROM exd)),
+      |reps_i AS (SELECT th, min(doc_id) AS doc_id FROM stayed GROUP BY th),
+      |ski AS (SELECT s0.doc_id, shset FROM s0 JOIN reps_i USING (doc_id)),
+      |ske AS (SELECT s0.doc_id, shset FROM s0 JOIN exd USING (doc_id)),
+      |sig_i AS (${sigSql("ski")}),
+      |sig_e AS (${sigSql("ske")}),
+      |bands_i AS (${bandSql("sig_i")}),
+      |bands_e AS (${bandSql("sig_e")}),
+      |cand_e AS (
+      |  SELECT DISTINCT i.doc_id AS d1, e.doc_id AS d2
+      |  FROM bands_i i JOIN bands_e e
+      |    ON i.band = e.band AND i.band_key = e.band_key),
+      |cand_i AS (
+      |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+      |  FROM bands_i a JOIN bands_i b
+      |    ON a.band = b.band AND a.band_key = b.band_key
+      |   AND a.doc_id < b.doc_id),
+      |ver_e AS (
+      |  SELECT * FROM (
+      |    SELECT c.d1, c.d2,
+      |      len(list_intersect(a.shset, b.shset))::DOUBLE /
+      |        len(list_distinct(list_concat(a.shset, b.shset)))::DOUBLE AS jac
+      |    FROM cand_e c JOIN ski a ON a.doc_id = c.d1 JOIN ske b ON b.doc_id = c.d2)
+      |  WHERE jac >= $JaccardThreshold),
+      |ver_i AS (
+      |  SELECT * FROM (
+      |    SELECT c.d1, c.d2,
+      |      len(list_intersect(a.shset, b.shset))::DOUBLE /
+      |        len(list_distinct(list_concat(a.shset, b.shset)))::DOUBLE AS jac
+      |    FROM cand_i c JOIN ski a ON a.doc_id = c.d1 JOIN ski b ON b.doc_id = c.d2)
+      |  WHERE jac >= $JaccardThreshold),
+      |removed AS (
+      |  SELECT DISTINCT d1 AS doc_id FROM ver_e
+      |  UNION SELECT DISTINCT d2 FROM ver_i)
+      |SELECT
+      |  (SELECT count(*) FROM incd) AS n_incoming,
+      |  (SELECT count(*) FROM exd) AS n_existing_reps,
+      |  (SELECT count(*) FROM incd) - (SELECT count(*) FROM stayed)
+      |    AS n_exact_dup_vs_existing,
+      |  (SELECT count(*) FROM stayed) - (SELECT count(*) FROM reps_i)
+      |    AS n_exact_dup_within,
+      |  (SELECT count(*) FROM reps_i) AS n_after_exact,
+      |  (SELECT count(*) FROM cand_e) AS n_cand_vs_existing,
+      |  (SELECT count(*) FROM cand_i) AS n_cand_within,
+      |  (SELECT count(*) FROM ver_e) AS n_verified_vs_existing,
+      |  (SELECT count(*) FROM ver_i) AS n_verified_within,
+      |  (SELECT count(*) FROM removed) AS n_near_removed,
+      |  (SELECT count(*) FROM reps_i) - (SELECT count(*) FROM removed)
+      |    AS n_accepted""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------------
+  // q89 — duplicate-cluster REPRESENTATIVE selection: keep the
+  // highest-QUALITY member of each near-dup cluster, not the first-seen
+  // one. q49/q61 remove by doc_id order (deterministic but arbitrary);
+  // production dedup keeps the best member — the cleanest extraction of a
+  // page that was crawled many times with varying boilerplate — so the
+  // kept set's quality dominates the corpus after dedup. Clusters come
+  // from the star-contraction labeling (q87's operator) over the staged
+  // verified pairs; quality is q21's score, computed ONLY for cluster
+  // members (a broadcast-sized semi-join back to the corpus — cluster
+  // membership is orders of magnitude smaller than the corpus, and
+  // non-clustered docs need no score because they are all kept).
+  // Tie-break: equal quality → lower doc_id (scores are bit-identical
+  // across engines, so the argmax is too).
+  def q89ClusterRep(spark: SparkSession, d: String): DataFrame = {
+    val (scored, _) = Staging.scoredAndCounts(spark, d)
+    val edges = scored.filter(col("jac") >= JaccardThreshold)
+      .select(col("d1"), col("d2"))
+    val labels = graft.operators.StarComponents.labels(edges)
+    val members = labels.join(
+      Tables.documents(spark, d)
+        .select(col("doc_id").as("node"), col("text"), col("n_chars")),
+      "node")
+      .withColumn("q", TextOps.quality(col("text"), col("n_chars")))
+    val w = Window.partitionBy(col("label")).orderBy(col("q").desc, col("node"))
+    members.withColumn("rk", row_number().over(w))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_members"),
+        max(when(col("rk") === 1, col("node"))).as("kept_doc_id"),
+        round(max(when(col("rk") === 1, col("q"))), 6).as("kept_quality"))
+      .select(col("label").as("cluster_root"), col("n_members"),
+        col("kept_doc_id"), col("kept_quality"),
+        (col("n_members") - 1).as("n_dropped"))
+      .orderBy(col("cluster_root"))
+  }
+
+  val q89Sql: String =
+    s"""WITH RECURSIVE $componentLabelsSql,
+      |m AS (
+      |  SELECT l.label, l.node,
+      |    ${TextOps.qualitySql("d.text", "d.n_chars")} AS q
+      |  FROM labels l JOIN documents d ON d.doc_id = l.node),
+      |r AS (
+      |  SELECT label, node, q,
+      |    row_number() OVER (PARTITION BY label ORDER BY q DESC, node) AS rk
+      |  FROM m)
+      |SELECT label AS cluster_root, count(*) AS n_members,
+      |  max(CASE WHEN rk = 1 THEN node END) AS kept_doc_id,
+      |  round(max(CASE WHEN rk = 1 THEN q END), 6) AS kept_quality,
+      |  count(*) - 1 AS n_dropped
+      |FROM r GROUP BY label ORDER BY cluster_root""".stripMargin
 
   // ---------------------------------------------------------------------------
   // q79 — near-dup split-leakage census: verified LSH pairs (the q49/q61
@@ -585,18 +865,7 @@ object DedupQueries {
       .select(col("doc_id"),
         graft.functions.GraftFunctions.hashedWordBigrams(col("text")).as("shset"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val hashed = shingled.select(col("doc_id"), explode(col("shset")).as("h"))
-    val lanes = (0 until 48).map(j =>
-      min((col("h") * lit(2L * j + 1) + lit(j * 104729L)) % lit(P)).as(s"m$j"))
-    val sigs = hashed.groupBy(col("doc_id")).agg(lanes.head, lanes.tail: _*)
-    val bandStructs = array((0 until 16).map(b =>
-      struct(lit(b).as("band"),
-        concat(col(s"m${3 * b}").cast("string"), lit("_"),
-          col(s"m${3 * b + 1}").cast("string"), lit("_"),
-          col(s"m${3 * b + 2}").cast("string")).as("band_key"))): _*)
-    val bands = sigs.select(col("doc_id"), explode(bandStructs).as("bk"))
-      .select(col("doc_id"), col("bk.band").as("band"),
-        col("bk.band_key").as("band_key"))
+    val bands = minhashBands(shingled, nLanes = 48, perBand = 3)
       .persist(StorageLevel.MEMORY_AND_DISK)
     val occ = bands.groupBy(col("band"), col("band_key"))
       .agg(count(lit(1)).as("cnt"))
@@ -679,6 +948,9 @@ object DedupQueries {
   val all: Map[String, Q] = Map(
     "q79_split_leakage" -> (q79SplitLeakage _),
     "q86_lsh_scaled" -> (q86LshScaled _),
+    "q87_components_star" -> (q87ComponentsStar _),
+    "q88_incremental_dedup" -> (q88IncrementalDedup _),
+    "q89_cluster_rep" -> (q89ClusterRep _),
     "q25_ngram_jaccard" -> (q25NgramJaccard _),
     "q26_minhash_lsh" -> (q26MinhashLsh _),
     "q27_simhash" -> (q27Simhash _),
@@ -692,5 +964,8 @@ object DedupQueries {
     "q27_simhash" -> q27Sql,
     "q49_dedup_pipeline" -> q49Sql,
     "q61_dup_components" -> q61Sql,
+    "q87_components_star" -> q61Sql, // same contract, different algorithm
+    "q88_incremental_dedup" -> q88Sql,
+    "q89_cluster_rep" -> q89Sql,
     "q79_split_leakage" -> q79Sql)
 }

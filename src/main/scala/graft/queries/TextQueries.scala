@@ -45,6 +45,33 @@ object TextOps {
 
   val stopwords: Seq[String] =
     Seq("the", "a", "of", "to", "and", "in", "is", "it", "on", "for")
+
+  /** The corpus quality score (q21's formula — length, stopword mass,
+    * alphabetic mass): `least(n_tok/100, 1)·0.3 + stop_ratio·0.3 +
+    * alpha_ratio·0.4`. Pure IEEE-double arithmetic in identical expression
+    * order on both engines, so per-doc scores are bit-comparable (q50
+    * gates on it; q89 argmaxes over it). NULL when the doc tokenizes to
+    * nothing (P4 guard). */
+  def quality(text: Column, nChars: Column): Column = {
+    val tok = tokens(text)
+    val nTok = size(tok).cast("double")
+    val stopRatio = size(filter(tok, t => t.isInCollection(stopwords)))
+      .cast("double") / nullif(nTok, lit(0.0))
+    val alphaRatio = length(regexp_replace(text, "[^a-z]", "")).cast("double") /
+      nullif(nChars.cast("double"), lit(0.0))
+    least(nTok / lit(100.0), lit(1.0)) * lit(0.3) +
+      stopRatio * lit(0.3) + alphaRatio * lit(0.4)
+  }
+
+  def qualitySql(text: String, nChars: String): String = {
+    val tok = tokensSql(text)
+    val stops = stopwords.map("'" + _ + "'").mkString(",")
+    s"""least(len($tok)::DOUBLE/100.0, 1.0)*0.3
+      | + len(list_filter($tok, t -> t IN ($stops)))::DOUBLE
+      |     / nullif(len($tok)::DOUBLE, 0.0) * 0.3
+      | + length(regexp_replace($text, '[^a-z]', '', 'g'))::DOUBLE
+      |     / nullif($nChars::DOUBLE, 0.0) * 0.4""".stripMargin.replace("\n", "")
+  }
 }
 
 object TextQueries {

@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.StarComponents
+
+/** Pins the large-star/small-star component labeling (the adversarial-graph
+  * scale lane) against a driver-side union-find on crafted graph shapes —
+  * including the chain graphs q61's plain propagation is slow on — and pins
+  * q87 == q61 row-for-row (same census, different algorithm).
+  */
+class StarComponentsSpec extends GraftSuite {
+
+  private def unionFind(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    parent.keys.map(n => n -> find(n)).toMap
+  }
+
+  private def check(edges: Seq[(Long, Long)], clue: String): Unit = {
+    import spark.implicits._
+    val got = StarComponents.labels(edges.toDF("u", "v"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = unionFind(edges.filter(e => e._1 != e._2))
+    assert(got == want, s"$clue: got $got want $want")
+  }
+
+  test("chain graph (the q61-adversarial case) labels to the chain min") {
+    check((1L until 12L).map(i => (i, i + 1)), "chain")
+    // reversed orientation and duplicates must not matter
+    check((1L until 12L).map(i => (i + 1, i)) ++ Seq((3L, 4L), (5L, 5L)), "chain-rev")
+  }
+
+  test("clique, star, and multi-component graphs") {
+    val clique = for (a <- 1L to 6L; b <- (a + 1) to 6L) yield (a, b)
+    check(clique, "clique")
+    check((2L to 9L).map(v => (1L, v)), "star")
+    check(Seq((10L, 11L), (11L, 12L), (20L, 21L), (30L, 31L), (31L, 32L),
+      (32L, 30L)), "three components")
+  }
+
+  test("random graph labels match union-find") {
+    val rnd = new scala.util.Random(42)
+    val edges = Seq.fill(300)((rnd.nextInt(120).toLong, rnd.nextInt(120).toLong))
+      .filter(e => e._1 != e._2)
+    check(edges, "random-120")
+  }
+
+  test("q87 census equals q61 row-for-row on the fixture") {
+    val star = queries.DedupQueries.q87ComponentsStar(spark, sf).collect()
+    val prop = queries.DedupQueries.q61DupComponents(spark, sf).collect()
+    assert(star.nonEmpty)
+    assert(star.toSeq == prop.toSeq)
+  }
+
+  test("q89 keeps the max-quality member of every q61 cluster") {
+    val byRoot = queries.DedupQueries.q61DupComponents(spark, sf).collect()
+      .map(r => r.getAs[Long]("cluster_root") -> r.getAs[Long]("n_members")).toMap
+    val kept = queries.DedupQueries.q89ClusterRep(spark, sf).collect()
+    assert(kept.nonEmpty)
+    // same clusters, same sizes, and the kept doc is a genuine member with
+    // a defined quality; n_dropped accounts for everyone else
+    assert(kept.map(r => r.getAs[Long]("cluster_root") ->
+      r.getAs[Long]("n_members")).toMap == byRoot)
+    kept.foreach { r =>
+      val root = r.getAs[Long]("cluster_root")
+      val doc = r.getAs[Long]("kept_doc_id")
+      assert(doc >= root) // root is the component min
+      assert(r.getAs[Long]("n_dropped") == r.getAs[Long]("n_members") - 1)
+      assert(!r.isNullAt(r.fieldIndex("kept_quality")))
+    }
+  }
+}
