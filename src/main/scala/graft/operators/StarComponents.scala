@@ -8,11 +8,13 @@ import org.apache.spark.sql.functions._
   * Beyond", SoCC'14) — the adversarial-graph scale lane for the dedup
   * cluster view (q61).
   *
-  * q61's min-label propagation costs O(diameter) rounds: right for
-  * near-dup graphs (Jaccard ≥ 0.5 clusters are near-cliques, diameter
-  * 2–3), wrong for adversarial chain/lattice graphs where diameter grows
-  * with the data. Large-star/small-star converges in O(log n) rounds on
-  * ANY graph by reshaping the edge set itself toward a star forest:
+  * q61's min-label propagation (with its pointer jump) also converges in
+  * O(log n) rounds, but each round joins the FULL edge list against the
+  * label frame — per-round work stays at |E| no matter how much of the
+  * graph is already solved. Large-star/small-star instead reshapes the
+  * edge set itself toward a star forest, so the frames later rounds touch
+  * contract to ~one edge per non-root node — the property that matters
+  * when the edge list is billions of rows and every round is a barrier:
   *
   *  - large-star: every node u links each strictly-LARGER neighbor to
   *    m(u) = min(Γ(u) ∪ {u}) — long chains contract exponentially;
@@ -57,10 +59,12 @@ object StarComponents {
       val mins = bidir.groupBy(col("u"))
         .agg(min(col("v")).as("mv"))
         .select(col("u"), least(col("u"), col("mv")).as("m"))
+      // duplicates are tolerated here: small-star's min-aggregate absorbs
+      // them and the round-end distinct dedups — skipping the shuffle a
+      // distinct would cost on the (largest) intermediate frame
       val ls = bidir.join(mins, "u")
         .filter(col("v") > col("u")) // m ≤ u < v, so (v, m) is canonical
         .select(col("v").as("h"), col("m").as("l"))
-        .distinct()
       // small-star: for each node h with smaller neighbors N (edges are
       // (h, l) with l < h), link N ∪ {h} minus its min to min(N)
       val mm = ls.groupBy(col("h")).agg(min(col("l")).as("m"))
@@ -70,7 +74,13 @@ object StarComponents {
         .union(mm.select(col("h"), col("m").as("l")))
         .distinct()
         .localCheckpoint()
-      converged = ss.except(cur).isEmpty && cur.except(ss).isEmpty
+      // fixpoint ⇔ star forest ⇔ no edge target is also an edge source
+      // (both star steps map a star forest to itself; the paper shows the
+      // fixpoint is exactly the star forest of component minima) — one
+      // semi-join on the checkpointed frame, far cheaper than set equality
+      converged = ss.select(col("l"))
+        .join(ss.select(col("h").as("l")), Seq("l"), "left_semi")
+        .isEmpty
       cur = ss
       iter += 1
     }

@@ -523,16 +523,21 @@ object DedupQueries {
       |FROM labels GROUP BY label ORDER BY cluster_root""".stripMargin
 
   // ---------------------------------------------------------------------------
-  // q87 — the SAME duplicate-cluster census as q61 under the
-  // adversarial-graph algorithm: alternating large-star/small-star
-  // (operators/StarComponents). q61's min-label propagation is O(diameter)
-  // rounds — right for near-clique dup clusters, wrong when a pathological
-  // corpus chains near-dups (v1≈v2≈…≈vn with only adjacent pairs verified:
-  // crawl snapshots of a drifting page). Star contraction converges in
-  // O(log n) rounds on any graph with the identical per-round physical
-  // shape (one groupBy + one join on the edge list; corpus never in the
+  // q87 — the SAME duplicate-cluster census as q61 under the published
+  // large-graph algorithm: alternating large-star/small-star
+  // (operators/StarComponents, Kiveris et al. SoCC'14). q61's propagation
+  // (with its r5 pointer jump) also converges in O(log n) rounds, but every
+  // round joins the FULL edge list against the label frame — per-round work
+  // is constant at |E| forever. Star contraction rewrites the edge set
+  // itself: after the first rounds most components are already stars, so
+  // the frames each subsequent round touches SHRINK toward one edge per
+  // non-root node — the property that matters when the verified-pair graph
+  // is billions of edges and rounds are cluster-wide barriers. Same
+  // per-round physical shape (one groupBy + one join, corpus never in the
   // loop). Shares the q61 oracle — the two algorithms must agree exactly,
   // and the driver checks both against DuckDB's transitive closure.
+  // GraphScale (dev main) measures both loops on adversarial chain/clique
+  // graphs far larger than any fixture; StarComponentsSpec pins equality.
   def q87ComponentsStar(spark: SparkSession, d: String): DataFrame = {
     val (scored, _) = Staging.scoredAndCounts(spark, d)
     val edges = scored.filter(col("jac") >= JaccardThreshold)
