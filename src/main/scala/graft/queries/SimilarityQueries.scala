@@ -336,7 +336,12 @@ object SimilarityQueries {
   private val KClusters = 8
   private val Dim = 64
 
-  def q63SemanticDedup(spark: SparkSession, d: String): DataFrame = {
+  /** The deterministic two-pass k-means of q63 (seeds = K smallest
+    * (md5(vec_id), vec_id); one centroid update in exact integer
+    * micro-units; argmin re-assignment) — returns the persisted assigned
+    * frame (vec_id, e, nrm, mud, c1, cid). Shared by q63 (within-cluster
+    * near-dup census) and q90 (cluster-balanced diversity sampling). */
+  private def kmeansAssignment(spark: SparkSession, d: String): DataFrame = {
     import org.apache.spark.storage.StorageLevel
     val v = withNorm(spark, d)
       .withColumn("mud",
@@ -382,8 +387,12 @@ object SimilarityQueries {
       }.toMap
     // a cluster whose seed lost an argmin tie can be empty: keep its seed
     val cents2 = (0 until KClusters).map(c => sums.getOrElse(c, seeds(c))).toArray
-    val a2 = assign(cents2, "cid")(a1)
+    assign(cents2, "cid")(a1)
       .persist(StorageLevel.MEMORY_AND_DISK)
+  }
+
+  def q63SemanticDedup(spark: SparkSession, d: String): DataFrame = {
+    val a2 = kmeansAssignment(spark, d)
     val members = a2.groupBy(col("cid")).agg(
       count(lit(1)).as("n_members"),
       count_if(col("c1") =!= col("cid")).as("n_moved"))
@@ -413,11 +422,14 @@ object SimilarityQueries {
       .orderBy(col("cid"))
   }
 
-  val q63Sql: String = {
+  /** SQL twin of [[kmeansAssignment]]: CTEs `v` → `md` → `seeds` → `a1`
+    * → `sums` → `c2` → `c2f` → `a2`; interpolated into the q63 and q90
+    * oracles. */
+  private val kmeansCteSql: String = {
     val sqDist = (m: String, c: String) =>
       s"list_reduce(list_transform(range(1, ${Dim + 1}), " +
         s"i -> ($m[i] - $c[i]) * ($m[i] - $c[i])), (x, y) -> x + y)"
-    s"""WITH v AS (
+    s"""v AS (
       |  $withNormSql),
       |md AS (
       |  SELECT vec_id, e, nrm,
@@ -449,7 +461,11 @@ object SimilarityQueries {
       |    SELECT md.vec_id, a1.c1, c.cid,
       |      row_number() OVER (PARTITION BY md.vec_id
       |        ORDER BY ${sqDist("md.mud", "c.cmu")}, c.cid) AS rn
-      |    FROM md JOIN a1 USING (vec_id) CROSS JOIN c2f c) WHERE rn = 1),
+      |    FROM md JOIN a1 USING (vec_id) CROSS JOIN c2f c) WHERE rn = 1)""".stripMargin
+  }
+
+  val q63Sql: String =
+    s"""WITH $kmeansCteSql,
       |members AS (
       |  SELECT cid, count(*) AS n_members,
       |    count(*) FILTER (WHERE c1 <> cid) AS n_moved
@@ -472,7 +488,76 @@ object SimilarityQueries {
       |  coalesce(p.n_sem_removed, 0) AS n_sem_removed,
       |  coalesce(p.max_cos, 0.0) AS max_cos
       |FROM members m LEFT JOIN p USING (cid) ORDER BY m.cid""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // q90 — cluster-balanced DIVERSITY sampling: subsample the corpus to a
+  // token/doc budget while preserving semantic coverage. Uniform sampling
+  // reproduces the corpus's cluster imbalance (the dominant cluster keeps
+  // dominating); the production discipline (SemDeDup-then-sample,
+  // cluster-balanced data selection) allocates the budget ACROSS clusters
+  // first. Here: q63's deterministic k-means cells; budget = ⌊N/4⌋ docs;
+  // equal share per cell, capped by cell size (quota_c = min(n_c, ⌊B/K⌋));
+  // within a cell the selection is the ⌊quota⌋ smallest (md5(vec_id),
+  // vec_id) — the same deterministic "random" order the k-means seeds use,
+  // so reruns and backfills select the identical set. Unfilled budget from
+  // small cells is REPORTED (n_selected < quota is visible per row), not
+  // silently redistributed — redistribution is a second one-row pass a
+  // production run adds on the census this query emits.
+  //
+  // The selected SET itself is oracle-checked, not just counts: the census
+  // carries the exact-integer sum and max of the selected vec_ids per cell.
+  // Scale shape: assignment is the q63 map-only argmin vs broadcast
+  // centroids; ranking is one window per cell; everything after is a
+  // per-cell census — no pairwise stage at all.
+  def q90DiversitySample(spark: SparkSession, d: String): DataFrame = {
+    val a2 = kmeansAssignment(spark, d).select(col("vec_id"), col("cid"))
+    val tot = a2.agg(count(lit(1)).as("n_total"))
+      .withColumn("budget", floor(col("n_total") / lit(4.0)).cast("long"))
+      .withColumn("share",
+        floor(col("budget").cast("double") / lit(KClusters.toDouble)).cast("long"))
+    val wCell = Window.partitionBy(col("cid"))
+    val ranked = a2
+      .withColumn("hk",
+        graft.functions.GraftFunctions.md5PrefixInt(col("vec_id").cast("string")))
+      .withColumn("rk", row_number().over(wCell.orderBy(col("hk"), col("vec_id"))))
+      .withColumn("n_members", count(lit(1)).over(wCell))
+      .crossJoin(broadcast(tot))
+      .withColumn("quota", least(col("n_members"), col("share")))
+      .withColumn("sel", col("rk") <= col("quota"))
+    ranked.groupBy(col("cid"))
+      .agg(
+        any_value(col("n_members")).as("n_members"),
+        any_value(col("quota")).as("quota"),
+        count(when(col("sel"), 1)).as("n_selected"),
+        sum(when(col("sel"), col("vec_id"))).as("sel_vecid_sum"),
+        max(when(col("sel"), col("vec_id"))).as("sel_vecid_max"))
+      .orderBy(col("cid"))
   }
+
+  val q90Sql: String =
+    s"""WITH $kmeansCteSql,
+      |tot AS (
+      |  SELECT count(*) AS n_total,
+      |    CAST(floor(count(*) / 4.0) AS BIGINT) AS budget,
+      |    CAST(floor(CAST(floor(count(*) / 4.0) AS BIGINT)
+      |      / ${KClusters}.0) AS BIGINT) AS share
+      |  FROM a2),
+      |r AS (
+      |  SELECT cid, vec_id,
+      |    row_number() OVER (PARTITION BY cid
+      |      ORDER BY ('0x' || substr(md5(vec_id::VARCHAR), 1, 8))::BIGINT, vec_id)
+      |      AS rk,
+      |    count(*) OVER (PARTITION BY cid) AS n_members
+      |  FROM a2),
+      |s AS (
+      |  SELECT r.*, least(r.n_members, t.share) AS quota,
+      |    r.rk <= least(r.n_members, t.share) AS sel
+      |  FROM r, tot t)
+      |SELECT cid, any_value(n_members) AS n_members, any_value(quota) AS quota,
+      |  count(*) FILTER (WHERE sel) AS n_selected,
+      |  CAST(sum(vec_id) FILTER (WHERE sel) AS BIGINT) AS sel_vecid_sum,
+      |  max(vec_id) FILTER (WHERE sel) AS sel_vecid_max
+      |FROM s GROUP BY cid ORDER BY cid""".stripMargin
 
   // ---------------------------------------------------------------------------
   // q76 — int8 scalar-quantized ANN (the faiss IndexScalarQuantizer/SQ8
@@ -666,6 +751,7 @@ object SimilarityQueries {
     "q30_ann_lsh" -> (q30AnnLsh _),
     "q48_ann_ivf" -> (q48AnnIvf _),
     "q63_semantic_dedup" -> (q63SemanticDedup _),
+    "q90_diversity_sample" -> (q90DiversitySample _),
     "q76_ann_sq8" -> (q76AnnSq8 _),
     "q78_hard_negatives" -> (q78HardNegatives _))
 
@@ -675,6 +761,7 @@ object SimilarityQueries {
     "q30_ann_lsh" -> q30Sql,
     "q48_ann_ivf" -> q48Sql,
     "q63_semantic_dedup" -> q63Sql,
+    "q90_diversity_sample" -> q90Sql,
     "q76_ann_sq8" -> q76Sql,
     "q78_hard_negatives" -> q78Sql,
     "q83_ann_recall" -> q83Sql)
