@@ -860,7 +860,12 @@ object DedupQueries {
   // and the verify join reuses the volume-sized partitioning.
   private val LshCap = 64
 
-  def q86LshScaled(spark: SparkSession, d: String): DataFrame = {
+  /** The q86 lane's staged frames: exact-rep shingle sets, their 16×3
+    * band keys, and the per-bucket occupancy — persisted; shared by the
+    * q86 census and q91's quarantine resolution. Returns
+    * (reps, shingled, bands, occ). */
+  private def scaledLshFrames(spark: SparkSession, d: String)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     import org.apache.spark.storage.StorageLevel
     val docs = Tables.documents(spark, d)
     val reps = docs.withColumn("th", md5(col("text")))
@@ -875,6 +880,11 @@ object DedupQueries {
     val occ = bands.groupBy(col("band"), col("band_key"))
       .agg(count(lit(1)).as("cnt"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    (reps, shingled, bands, occ)
+  }
+
+  def q86LshScaled(spark: SparkSession, d: String): DataFrame = {
+    val (reps, shingled, bands, occ) = scaledLshFrames(spark, d)
     val bandsOk = bands.join(
       occ.filter(col("cnt") <= LshCap).select(col("band"), col("band_key")),
       Seq("band", "band_key"))
@@ -905,8 +915,10 @@ object DedupQueries {
         countDistinct(when(isVerified, col("d2"))).as("n_near_removed")))
   }
 
-  val q86Sql: String =
-    s"""WITH reps AS (
+  /** SQL twin of [[scaledLshFrames]]: CTEs `reps` → `s0` → `s` → `sig` →
+    * `bands` → `occ`; interpolated into the q86 and q91 oracles. */
+  private val scaledLshCteSql: String =
+    s"""reps AS (
       |  SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
       |s0 AS ($shingleSetSql),
       |s AS (
@@ -922,7 +934,10 @@ object DedupQueries {
       |           sig[g.band*3 + 3]) AS band_key
       |  FROM sig CROSS JOIN (SELECT unnest(range(0, 16)) AS band) g),
       |occ AS (
-      |  SELECT band, band_key, count(*) AS cnt FROM bands GROUP BY 1, 2),
+      |  SELECT band, band_key, count(*) AS cnt FROM bands GROUP BY 1, 2)""".stripMargin
+
+  val q86Sql: String =
+    s"""WITH $scaledLshCteSql,
       |bands_ok AS (
       |  SELECT b.* FROM bands b JOIN occ USING (band, band_key)
       |  WHERE occ.cnt <= $LshCap),
@@ -950,8 +965,94 @@ object DedupQueries {
       |  (SELECT count(DISTINCT d2) FROM scored WHERE jac >= $JaccardThreshold)
       |    AS n_near_removed""".stripMargin
 
+  // ---------------------------------------------------------------------------
+  // q91 — QUARANTINE resolution: the cluster-level path q86's census
+  // promises for its over-cap buckets, closed. A bucket still larger than
+  // the cap at r=3 banding is (almost always) one giant near-dup cluster;
+  // paying C(occ, 2) there is exactly the quadratic wall the cap exists to
+  // avoid. Instead: star edges doc → bucket-min inside each quarantined
+  // bucket, components over those edges (StarComponents — buckets sharing
+  // a doc merge), then verify only the O(docs) (member, component-root)
+  // pairs. One row always (zeros when nothing is quarantined — true at
+  // bench SF below sf0.1, where max_bucket stays under the cap): the
+  // census a production run alerts on. min/max jac rather than avg keeps
+  // the aggregate summation-order-free, hence bit-comparable.
+  //
+  // Measured at sf0.1: the 4 over-cap buckets (440 docs) turn out to be
+  // the OTHER case — degenerate-shingle hash collisions, not mega-
+  // clusters (member-vs-root jac ≤ 0.104, n_verified_members = 0) — and
+  // the verify stage correctly refuses the merge. That distinction is the
+  // whole point of resolving quarantine through verification instead of
+  // trusting bucket membership.
+  def q91QuarantineResolve(spark: SparkSession, d: String): DataFrame = {
+    val (_, shingled, bands, occ) = scaledLshFrames(spark, d)
+    val oc = occ.filter(col("cnt") > LshCap).select(col("band"), col("band_key"))
+    val qb = bands.join(oc, Seq("band", "band_key"))
+    val roots = qb.groupBy(col("band"), col("band_key"))
+      .agg(min(col("doc_id")).as("root"))
+    val edges = qb.join(roots, Seq("band", "band_key"))
+      .filter(col("doc_id") =!= col("root"))
+      .select(col("doc_id").as("d1"), col("root").as("d2")).distinct()
+    val labels = graft.operators.StarComponents.labels(edges)
+    val mem = labels.filter(col("node") =!= col("label"))
+    val scored = mem
+      .join(shingled.select(col("doc_id").as("node"), col("shset").as("s1")), "node")
+      .join(shingled.select(col("doc_id").as("label"), col("shset").as("s2")), "label")
+      .withColumn("jac", jaccard(col("s1"), col("s2")))
+    val cl = mem.groupBy(col("label")).agg((count(lit(1)) + 1).as("n_members"))
+    oc.agg(count(lit(1)).as("n_over_cap_buckets"))
+      .crossJoin(qb.agg(countDistinct(col("doc_id")).as("n_docs_quarantined")))
+      .crossJoin(cl.agg(
+        count(lit(1)).as("n_clusters"),
+        coalesce(max(col("n_members")), lit(0L)).as("max_cluster_members")))
+      .crossJoin(mem.agg(count(lit(1)).as("n_member_pairs")))
+      .crossJoin(scored.agg(
+        count(when(col("jac") >= JaccardThreshold, 1)).as("n_verified_members"),
+        round(coalesce(min(col("jac")), lit(0.0)), 4).as("min_jac"),
+        round(coalesce(max(col("jac")), lit(0.0)), 4).as("max_jac")))
+  }
+
+  val q91Sql: String =
+    s"""WITH RECURSIVE $scaledLshCteSql,
+      |oc AS (SELECT band, band_key FROM occ WHERE cnt > $LshCap),
+      |qb AS (
+      |  SELECT b.band, b.band_key, b.doc_id
+      |  FROM bands b JOIN oc USING (band, band_key)),
+      |roots AS (
+      |  SELECT band, band_key, min(doc_id) AS root FROM qb GROUP BY 1, 2),
+      |e0 AS (
+      |  SELECT DISTINCT qb.doc_id AS a, r.root AS b
+      |  FROM qb JOIN roots r USING (band, band_key)
+      |  WHERE qb.doc_id <> r.root),
+      |e AS (SELECT a, b FROM e0 UNION SELECT b, a FROM e0),
+      |reach(src, dst) AS (
+      |  SELECT a, b FROM e
+      |  UNION
+      |  SELECT r.src, e.b FROM reach r JOIN e ON e.a = r.dst),
+      |labels AS (
+      |  SELECT src AS node, least(src, min(dst)) AS label
+      |  FROM reach GROUP BY src),
+      |mem AS (SELECT node, label FROM labels WHERE node <> label),
+      |scored AS (
+      |  SELECT m.label,
+      |    len(list_intersect(a.shset, b.shset))::DOUBLE /
+      |      len(list_distinct(list_concat(a.shset, b.shset)))::DOUBLE AS jac
+      |  FROM mem m JOIN s a ON a.doc_id = m.node JOIN s b ON b.doc_id = m.label),
+      |cl AS (SELECT label, count(*) + 1 AS n_members FROM mem GROUP BY label)
+      |SELECT
+      |  (SELECT count(*) FROM oc) AS n_over_cap_buckets,
+      |  (SELECT count(DISTINCT doc_id) FROM qb) AS n_docs_quarantined,
+      |  (SELECT count(*) FROM cl) AS n_clusters,
+      |  coalesce((SELECT max(n_members) FROM cl), 0) AS max_cluster_members,
+      |  (SELECT count(*) FROM mem) AS n_member_pairs,
+      |  (SELECT count(*) FROM scored WHERE jac >= $JaccardThreshold)
+      |    AS n_verified_members,
+      |  round(coalesce((SELECT min(jac) FROM scored), 0.0), 4) AS min_jac,
+      |  round(coalesce((SELECT max(jac) FROM scored), 0.0), 4) AS max_jac""".stripMargin
+
   val all: Map[String, Q] = Map(
     "q79_split_leakage" -> (q79SplitLeakage _),
+    "q91_quarantine_resolve" -> (q91QuarantineResolve _),
     "q86_lsh_scaled" -> (q86LshScaled _),
     "q87_components_star" -> (q87ComponentsStar _),
     "q88_incremental_dedup" -> (q88IncrementalDedup _),
@@ -964,6 +1065,7 @@ object DedupQueries {
 
   val oracles: Map[String, String] = Map(
     "q86_lsh_scaled" -> q86Sql,
+    "q91_quarantine_resolve" -> q91Sql,
     "q25_ngram_jaccard" -> q25Sql,
     "q26_minhash_lsh" -> q26Sql,
     "q27_simhash" -> q27Sql,
