@@ -59,6 +59,35 @@ class StarComponentsSpec extends GraftSuite {
     assert(star.toSeq == prop.toSeq)
   }
 
+  test("q91 resolves a crafted over-cap bucket as one VERIFIED mega-cluster") {
+    // the fixture SFs only exercise zero-quarantine (sf0.001/sf0.01) and
+    // the degenerate-collision branch (sf0.1, 0 verified); this corpus
+    // exercises the true mega-cluster branch: 70 near-identical docs (a
+    // 120-word shared core + 2 unique words each) exceed the bucket cap
+    // of 64, quarantine, merge into one component, and VERIFY (member-vs-
+    // root jaccard stays far above 0.5)
+    import spark.implicits._
+    val core = (1 to 120).map(i => s"w$i").mkString(" ")
+    val docs = (0 until 70).map { i =>
+      (i.toLong, s"$core uniq${i}a uniq${i}b", "en", "crafted",
+        (core.length + 16).toLong)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("graft_q91_fixture")
+    docs.coalesce(1).write.mode("overwrite")
+      .parquet(dir.resolve("documents.parquet").toString)
+    val r = queries.DedupQueries.q91QuarantineResolve(spark, dir.toString)
+      .collect()(0)
+    assert(r.getAs[Long]("n_over_cap_buckets") >= 1L)
+    val nq = r.getAs[Long]("n_docs_quarantined")
+    assert(nq >= 65L && nq <= 70L, s"quarantined $nq")
+    assert(r.getAs[Long]("n_clusters") == 1L)
+    assert(r.getAs[Long]("max_cluster_members") == nq)
+    assert(r.getAs[Long]("n_member_pairs") == nq - 1)
+    // every member verifies against the root: this is a genuine mega-cluster
+    assert(r.getAs[Long]("n_verified_members") == nq - 1)
+    assert(r.getAs[Double]("min_jac") > 0.5)
+  }
+
   test("q89 keeps the max-quality member of every q61 cluster") {
     val byRoot = queries.DedupQueries.q61DupComponents(spark, sf).collect()
       .map(r => r.getAs[Long]("cluster_root") -> r.getAs[Long]("n_members")).toMap
