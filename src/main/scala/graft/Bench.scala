@@ -54,15 +54,20 @@ object Bench {
         catch { case e: Throwable => Some(jsonEscape(e.toString)) }
       (name, (System.nanoTime() - t0) / 1e9, err)
     }
+    // 3-decimal seconds: ms precision is all the comparison needs, and the
+    // shorter line keeps the whole record inside the round driver's bounded
+    // log-tail capture (r5/r6 both lost the line's head to truncation)
+    def r3(v: Double): String = BigDecimal(v)
+      .setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     val qs = results.map { case (k, v, err) =>
-      s"\"$k\":" + (if (err.isEmpty) v else -1.0)
+      s"\"$k\":" + (if (err.isEmpty) r3(v) else "-1.0")
     }.mkString("{", ",", "}")
     val errs = results.collect { case (k, _, Some(e)) => s"\"$k\":\"$e\"" }
       .mkString("{", ",", "}")
     val nFail = results.count(_._3.nonEmpty)
     val total = results.collect { case (_, v, None) => v }.sum
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","failures":$nFail,"errors":$errs}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","failures":$nFail,"errors":$errs}"""
     println(line)
     // durable copy: the round driver captures a bounded log TAIL, which has
     // truncated this (long) line mid-JSON before; the file is the record

@@ -30,9 +30,11 @@ import org.apache.spark.sql.functions._
   * are strict minima, so no orientation pass is ever needed.
   *
   * Per-round `localCheckpoint` truncates lineage exactly as in q61 (the
-  * iterative-DataFrame plan-growth trap); the set-equality convergence
-  * test runs on the checkpointed (tiny) edge frames. The loop fails
-  * loudly if maxRounds is hit rather than emit a non-fixpoint labeling.
+  * iterative-DataFrame plan-growth trap); convergence = star forest =
+  * depth ≤ 1 (no edge target is also a source) AND every non-root has a
+  * single parent — both tested on the checkpointed (tiny) edge frames.
+  * The loop fails loudly if maxRounds is hit rather than emit a
+  * non-fixpoint labeling.
   */
 object StarComponents {
 
@@ -74,13 +76,18 @@ object StarComponents {
         .union(mm.select(col("h"), col("m").as("l")))
         .distinct()
         .localCheckpoint()
-      // fixpoint ⇔ star forest ⇔ no edge target is also an edge source
-      // (both star steps map a star forest to itself; the paper shows the
-      // fixpoint is exactly the star forest of component minima) — one
-      // semi-join on the checkpointed frame, far cheaper than set equality
+      // fixpoint ⇔ star forest ⇔ depth ≤ 1 AND unique parent. The semi-join
+      // alone (no edge target is also a source) only proves depth ≤ 1: a
+      // node can still hold TWO parents — e.g. the path 1-5-3-9-2 reaches
+      // {(3,1),(3,2),(5,1),(9,2)} after one round, which passes the depth
+      // test but splits one component into two labels. Both checks run on
+      // the checkpointed (tiny) frame; ss is distinct, so a plain per-h
+      // count is the parent count.
       converged = ss.select(col("l"))
         .join(ss.select(col("h").as("l")), Seq("l"), "left_semi")
-        .isEmpty
+        .isEmpty &&
+        ss.groupBy(col("h")).agg(count(lit(1)).as("n_parents"))
+          .filter(col("n_parents") > 1).isEmpty
       cur = ss
       iter += 1
     }

@@ -339,6 +339,15 @@ object DedupQueries {
     * into the parquet scan. A fresh per-process tmpdir keys the staging to
     * this JVM — no cross-run staleness; StagingSpec pins staging == inline.
     */
+  /** Collision-resistant directory key for per-corpus persisted state:
+    * String.hashCode is 32-bit and trivially collides, which would make
+    * two distinct corpus dirs append into the SAME staging/index
+    * directories in one JVM, silently mixing their rows. */
+  private def pathKey(d: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(d.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
+
   private[graft] object Staging {
     private lazy val root =
       java.nio.file.Files.createTempDirectory("graft_dedup_staging")
@@ -347,7 +356,7 @@ object DedupQueries {
     def scoredAndCounts(spark: SparkSession, d: String): (DataFrame, DataFrame) = {
       val (sp, cp) = done.computeIfAbsent(d, _ => {
         val (docs, reps, scored) = scoredCandidatePairs(spark, d)
-        val dirKey = java.lang.Integer.toHexString(d.hashCode)
+        val dirKey = pathKey(d)
         val sPath = root.resolve(s"scored_$dirKey").toString
         val cPath = root.resolve(s"counts_$dirKey").toString
         graft.sources.ResultSink.append(scored, sPath, Nil)
@@ -590,7 +599,7 @@ object DedupQueries {
             graft.functions.GraftFunctions.hashedWordBigrams(col("text")).as("shset"))
           .persist()
         val bands = minhashBands(sketches, nLanes = 16, perBand = 2)
-        val dirKey = java.lang.Integer.toHexString(d.hashCode)
+        val dirKey = pathKey(d)
         val dPath = root.resolve(s"digests_$dirKey").toString
         val bPath = root.resolve(s"bands_$dirKey").toString
         val sPath = root.resolve(s"sketches_$dirKey").toString

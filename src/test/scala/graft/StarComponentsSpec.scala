@@ -26,8 +26,13 @@ class StarComponentsSpec extends GraftSuite {
   private def check(edges: Seq[(Long, Long)], clue: String): Unit = {
     import spark.implicits._
     val got = StarComponents.labels(edges.toDF("u", "v"))
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val want = unionFind(edges.filter(e => e._1 != e._2))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toSeq.sorted
+    // a Map comparison would silently collapse duplicate (node, label)
+    // rows — the exact failure mode of a premature-convergence bug — so
+    // pin single-label-per-node explicitly and compare sorted row sets
+    assert(got.map(_._1).distinct.length == got.length,
+      s"$clue: duplicate node labels in $got")
+    val want = unionFind(edges.filter(e => e._1 != e._2)).toSeq.sorted
     assert(got == want, s"$clue: got $got want $want")
   }
 
@@ -35,6 +40,15 @@ class StarComponentsSpec extends GraftSuite {
     check((1L until 12L).map(i => (i, i + 1)), "chain")
     // reversed orientation and duplicates must not matter
     check((1L until 12L).map(i => (i + 1, i)) ++ Seq((3L, 4L), (5L, 5L)), "chain-rev")
+  }
+
+  test("path 1-5-3-9-2: depth-1 alone is not convergence (two-parent state)") {
+    // after one large+small-star round this graph reaches
+    // {(3,1),(3,2),(5,1),(9,2)}: no edge target is also a source (depth
+    // ≤ 1 holds) yet node 3 has two parents — a convergence test without
+    // the unique-parent condition stops here and splits the single
+    // component into labels {1, 2}
+    check(Seq((1L, 5L), (3L, 5L), (3L, 9L), (2L, 9L)), "path-two-parent")
   }
 
   test("clique, star, and multi-component graphs") {
