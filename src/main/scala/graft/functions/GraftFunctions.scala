@@ -460,6 +460,45 @@ object Md5PrefixInt {
   }
 }
 
+/** Membership probe against a pre-built Bloom filter over LONG keys
+  * (`org.apache.spark.util.sketch.BloomFilter`, the same sketch Spark's
+  * own runtime bloom joins use). The serialized filter travels with the
+  * expression to every task (like [[SrpBucket]]'s plane array) and is
+  * deserialized once per executor; eval is two hash probes, codegen'd via
+  * a static call so the surrounding projection stays in whole-stage
+  * codegen. False POSITIVES only — a `true` must be confirmed by an exact
+  * join, a `false` is definitive — which is exactly the prefilter
+  * contract q92 builds on.
+  */
+case class BloomMightContain(child: Expression, bloomBytes: Array[Byte])
+    extends UnaryExpression {
+  override def dataType: DataType = BooleanType
+  override def nullSafeEval(v: Any): Any =
+    BloomMightContain.probe(bloomBytes, v.asInstanceOf[Long])
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val bytesRef = ctx.addReferenceObj("bloomBytes", bloomBytes, "byte[]")
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.BloomMightContain.probe($bytesRef, $c)")
+  }
+  override protected def withNewChildInternal(c: Expression): BloomMightContain =
+    copy(child = c)
+  override def prettyName: String = "bloom_might_contain"
+}
+
+object BloomMightContain {
+  // one deserialized filter per distinct byte payload per JVM (tasks of one
+  // query share the same array instance, so this is a single entry)
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[Array[Byte], org.apache.spark.util.sketch.BloomFilter]()
+  def probe(bytes: Array[Byte], v: Long): Boolean =
+    cache.computeIfAbsent(bytes, b =>
+      org.apache.spark.util.sketch.BloomFilter.readFrom(
+        new java.io.ByteArrayInputStream(b))).mightContainLong(v)
+}
+
 /** The whole q23 winnowing-fingerprint document loop as one expression:
   * 5-char shingles → 32-bit-prefix MD5 hashes → rolling min of each 4-hash
   * window → (n_shingles, n_fp = distinct mins, fp_min, fp_max).
@@ -837,6 +876,12 @@ object GraftFunctions {
     * `conv(substring(md5(c), 1, 8), 16, 10)`. */
   def md5PrefixInt(c: Column): Column =
     GraftBridge.toColumn(Md5PrefixInt(GraftBridge.toExpr(c)))
+
+  /** Bloom-filter membership probe over a long key (see
+    * [[BloomMightContain]]); false positives only, so pair it with an
+    * exact confirm join. */
+  def bloomMightContain(c: Column, bytes: Array[Byte]): Column =
+    GraftBridge.toColumn(BloomMightContain(GraftBridge.toExpr(c), bytes))
 
   /** Winnowing fingerprint stats struct (see [[WinnowStats]]). */
   def winnowStats(text: Column): Column =
