@@ -473,30 +473,28 @@ object Md5PrefixInt {
 case class BloomMightContain(child: Expression, bloomBytes: Array[Byte])
     extends UnaryExpression {
   override def dataType: DataType = BooleanType
-  override def nullSafeEval(v: Any): Any =
-    BloomMightContain.probe(bloomBytes, v.asInstanceOf[Long])
+
+  // deserialized once per (de)serialized expression instance — i.e. once
+  // per task that evaluates it — and dropped with the plan: no static
+  // cache, nothing to leak across the many q92 runs of a long-lived JVM
+  @transient private lazy val filter: org.apache.spark.util.sketch.BloomFilter =
+    org.apache.spark.util.sketch.BloomFilter.readFrom(
+      new java.io.ByteArrayInputStream(bloomBytes))
+
+  def probe(v: Long): Boolean = filter.mightContainLong(v)
+
+  override def nullSafeEval(v: Any): Any = probe(v.asInstanceOf[Long])
   override protected def doGenCode(
       ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
       ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
       : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
-    val bytesRef = ctx.addReferenceObj("bloomBytes", bloomBytes, "byte[]")
-    defineCodeGen(ctx, ev,
-      c => s"graft.functions.BloomMightContain.probe($bytesRef, $c)")
+    val selfRef = ctx.addReferenceObj("bloomExpr", this,
+      classOf[BloomMightContain].getName)
+    defineCodeGen(ctx, ev, c => s"$selfRef.probe($c)")
   }
   override protected def withNewChildInternal(c: Expression): BloomMightContain =
     copy(child = c)
   override def prettyName: String = "bloom_might_contain"
-}
-
-object BloomMightContain {
-  // one deserialized filter per distinct byte payload per JVM (tasks of one
-  // query share the same array instance, so this is a single entry)
-  private val cache =
-    new java.util.concurrent.ConcurrentHashMap[Array[Byte], org.apache.spark.util.sketch.BloomFilter]()
-  def probe(bytes: Array[Byte], v: Long): Boolean =
-    cache.computeIfAbsent(bytes, b =>
-      org.apache.spark.util.sketch.BloomFilter.readFrom(
-        new java.io.ByteArrayInputStream(b))).mightContainLong(v)
 }
 
 /** The whole q23 winnowing-fingerprint document loop as one expression:
