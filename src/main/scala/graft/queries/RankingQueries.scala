@@ -429,20 +429,36 @@ object RankingQueries {
     val grid = hh.select(col("cfg"), col("n"), col("h"), col("ng"),
         explode(sequence(lit(0L), col("ng") - 1)).as("i"))
       .withColumn("gx", col("i").cast("double") / (col("ng") - 1).cast("double"))
-    // (an |gx−x| ≤ k·h kernel band would shrink this join ~2×, but it
-    // breaks grid-row totality — zero-density grid points must keep their
-    // rows or the lag/lead peak logic diverges from the unbanded oracle —
-    // so the exact full-pair form stays)
-    val dens = nrm.select(col("cfg"), col("x"))
-      .join(broadcast(grid), "cfg")
+    // banded kernel join, bit-identical to the full cross product: the
+    // kernel is rounded to 10 dp the moment it exists, and every point
+    // beyond 12·h of a grid point contributes < exp(-72)/(n·h·√2π)
+    // ≈ 1e-25 total (h ≥ 0.175·n^-0.7 because x spans [0,1]) — far below
+    // the 5e-11 rounding threshold, so dropping those pairs cannot move
+    // any rounded density. Buckets of width 12h on both sides plus a ±1
+    // neighbor explode on the (broadcast) grid side guarantee every
+    // in-band pair meets exactly once (|a−b| ≤ 1 ⇒ |⌊a⌋−⌊b⌋| ≤ 1);
+    // out-of-band pairs that share a bucket are extra terms the oracle
+    // also has. Grid-row TOTALITY (which the lag/lead peak logic needs)
+    // is restored by re-attaching zero-density grid rows via a left join.
+    val gridB = grid
+      .withColumn("nb", explode(array(lit(-1L), lit(0L), lit(1L))))
+      .withColumn("bk", floor(col("gx") / (col("h") * 12.0)) + col("nb"))
+      .drop("nb")
+    val pts = nrm.select(col("cfg"), col("x"))
+      .join(broadcast(hh.select(col("cfg"), col("h").as("ph"))), "cfg")
+      .withColumn("bk", floor(col("x") / (col("ph") * 12.0)))
+    val contrib = pts
+      .join(broadcast(gridB), Seq("cfg", "bk"))
       .groupBy(col("cfg"), col("i"))
       .agg(round(
         sum(exp(lit(-0.5) * (col("gx") - col("x")) * (col("gx") - col("x"))
           / (col("h") * col("h"))))
           / (any_value(col("n")).cast("double") * any_value(col("h"))
             * math.sqrt(2 * math.Pi)),
-        10).as("y"),
-        any_value(col("gx")).as("gx"), any_value(col("ng")).as("ng"))
+        10).as("y"))
+    val dens = grid.select(col("cfg"), col("i"), col("gx"), col("ng"))
+      .join(contrib, Seq("cfg", "i"), "left")
+      .na.fill(0.0, Seq("y"))
     val wOrd = Window.partitionBy(col("cfg")).orderBy(col("i"))
     val dd = dens
       .withColumn("yp", lag(col("y"), 1).over(wOrd))
