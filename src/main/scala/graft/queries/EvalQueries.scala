@@ -152,6 +152,65 @@ object EvalQueries {
        |FROM arrs ORDER BY event_type""".stripMargin
 
   // ---------------------------------------------------------------------------
+  // q98/q99 — the SCALE lanes for the two tail-mean evals (q35 CDaR, q34
+  // Rachev), same oracles. q34/q35 materialize each series' full sorted
+  // return/drawdown array inside one aggregation buffer (collect_list →
+  // sort_array → sequential fold) — exact and fine at bench scale, but the
+  // buffer is O(series length) on a single row, the same shape that OOMs
+  // at 10⁹-bar histories. The lane replaces the array with a per-series
+  // WINDOW sort (UnsafeExternalSorter: spillable, parallel across series)
+  // + row_number, and turns "mean of the sorted tail slice" into
+  // conditional sums over rank — mean(top-k) = Σ r·[rank > n−k] / k,
+  // exact under ties because tied boundary values are interchangeable.
+  // Only the summation ORDER differs from the fold, which the 6 dp
+  // rounding both queries already carry absorbs.
+  def q98CdarScaled(spark: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type")).orderBy(col("ts_us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val dds = returns(spark, d)
+      .withColumn("cum", sum(col("r")).over(w))
+      .withColumn("run_max", max(col("cum")).over(w))
+      .withColumn("dd", col("run_max") - col("cum"))
+    val counts = dds.groupBy(col("event_type"))
+      .agg(count(lit(1)).cast("int").as("n"))
+      .withColumn("k", greatest(lit(1), floor(col("n") * 0.05)).cast("int"))
+    val wAsc = Window.partitionBy(col("event_type"))
+      .orderBy(col("dd").asc, col("ts_us"), col("event_id"))
+    dds.withColumn("ra", row_number().over(wAsc))
+      .join(broadcast(counts), "event_type")
+      .groupBy(col("event_type"))
+      .agg(any_value(col("n")).as("n"), any_value(col("k")).as("k"),
+        round(sum(when(col("ra") > col("n") - col("k"), col("dd")))
+          / any_value(col("k")), 6).as("cdar"))
+      .orderBy(col("event_type"))
+  }
+
+  def q99RachevScaled(spark: SparkSession, d: String): DataFrame = {
+    val rets = returns(spark, d)
+    val counts = rets.groupBy(col("event_type"))
+      .agg(count(lit(1)).cast("int").as("n"))
+      .filter(col("n") >= 20)
+      .withColumn("k", greatest(lit(1), floor(col("n") * 0.05)).cast("int"))
+    val wAsc = Window.partitionBy(col("event_type"))
+      .orderBy(col("r").asc, col("ts_us"), col("event_id"))
+    // ONE sort serves both tails: bottom-k is rank ≤ k, top-k is
+    // rank > n − k
+    rets.withColumn("ra", row_number().over(wAsc))
+      .join(broadcast(counts), "event_type")
+      .groupBy(col("event_type"))
+      .agg(any_value(col("n")).as("n"), any_value(col("k")).as("k"),
+        (sum(when(col("ra") > col("n") - col("k"), col("r")))
+          / any_value(col("k"))).as("cvar_up"),
+        abs(sum(when(col("ra") <= col("k"), col("r")))
+          / any_value(col("k"))).as("cvar_low_abs"))
+      .select(col("event_type"), col("n"), col("k"),
+        round(when(col("cvar_low_abs") < 1e-12, lit(null))
+          .otherwise(least(col("cvar_up") / col("cvar_low_abs"), lit(10.0))), 6)
+          .as("rachev"))
+      .orderBy(col("event_type"))
+  }
+
+  // ---------------------------------------------------------------------------
   // q36 — E-values + GROW (E8, eval/evalues.py:26-56) at fixed bet f=0.01:
   // log-space running product with 1e10 cap, max-E rejection at 1/α=20,
   // first-rejection index, mean log growth.
@@ -680,7 +739,9 @@ object EvalQueries {
     "q35_cdar" -> (q35Cdar _),
     "q36_evalues" -> (q36Evalues _),
     "q37_ou_calibration" -> (q37OuCalibration _),
-    "q38_psr" -> (q38Psr _))
+    "q38_psr" -> (q38Psr _),
+    "q98_cdar_scaled" -> (q98CdarScaled _),
+    "q99_rachev_scaled" -> (q99RachevScaled _))
 
   val oracles: Map[String, String] = Map(
     "q42_rolling_range_window" -> q42Sql,
@@ -692,5 +753,9 @@ object EvalQueries {
     "q35_cdar" -> q35Sql,
     "q36_evalues" -> q36Sql,
     "q37_ou_calibration" -> q37Sql,
-    "q38_psr" -> q38Sql)
+    "q38_psr" -> q38Sql,
+    // the scale lanes answer the same question through a different plan —
+    // their oracles are q35's / q34's SQL verbatim
+    "q98_cdar_scaled" -> q35Sql,
+    "q99_rachev_scaled" -> q34Sql)
 }

@@ -209,4 +209,16 @@ class EvalPipelineSpec extends GraftSuite {
     val r = Ranking.spearman(Array(1.0, 2.0, 2.0, 4.0), Array(1.0, 3.0, 2.0, 4.0))
     assert(math.abs(r - 0.9486832980505139) < 1e-12)
   }
+
+  test("tail-mean scale lanes equal the array forms row for row (q98/q35, q99/q34)") {
+    // same oracles already pin both against DuckDB; this pins the two
+    // PLANS against each other directly — the window-sort + rank lane must
+    // be a drop-in for the collect_list + sorted-slice fold
+    val cdarLane = queries.EvalQueries.q98CdarScaled(spark, sf).collect()
+    val cdarArr = queries.EvalQueries.q35Cdar(spark, sf).collect()
+    assert(cdarLane.nonEmpty && cdarLane.toSeq == cdarArr.toSeq)
+    val rachevLane = queries.EvalQueries.q99RachevScaled(spark, sf).collect()
+    val rachevArr = queries.EvalQueries.q34Rachev(spark, sf).collect()
+    assert(rachevLane.nonEmpty && rachevLane.toSeq == rachevArr.toSeq)
+  }
 }

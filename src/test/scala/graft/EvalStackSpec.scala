@@ -266,4 +266,5 @@ class EvalStackSpec extends AnyFunSuite {
     assert(Resampling.quantile(s, 0.5) == 2.5)
     assert(Resampling.quantile(s, 0.0) == 1.0 && Resampling.quantile(s, 1.0) == 4.0)
   }
+
 }
