@@ -37,7 +37,8 @@ object SparkEntry {
       (graft.queries.AdaptiveQueries.all, graft.queries.AdaptiveQueries.oracles),
       (graft.queries.CurationQueries.all, graft.queries.CurationQueries.oracles),
       (graft.queries.RankingQueries.all, graft.queries.RankingQueries.oracles),
-      (graft.queries.CorpusOpsQueries.all, graft.queries.CorpusOpsQueries.oracles))
+      (graft.queries.CorpusOpsQueries.all, graft.queries.CorpusOpsQueries.oracles),
+      (graft.queries.AsofQueries.all, graft.queries.AsofQueries.oracles))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * q40 is the gen111 champion chain — the reference's headline result

@@ -1,0 +1,155 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.AsofJoin
+
+/** As-of (point-in-time) join queries over the events stream — the
+  * time-series enrichment shape the reference's per-(symbol, threshold)
+  * slices imply everywhere two time axes meet (align a faster series to
+  * the prevailing state of a slower one), and the feature-store pattern a
+  * training pipeline runs to attach the latest label snapshot to each
+  * example without lookahead.
+  *
+  * All three run [[graft.operators.AsofJoin]]'s union-merge plan: one hash
+  * exchange per side on the equi-key, one sort, a running
+  * last(ignoreNulls) — never a range join, never row amplification.
+  * Oracles are DuckDB's native `ASOF JOIN` (backward/forward) and a
+  * LATERAL argmin for the tolerance variant, so the operator is checked
+  * against an independent engine's own as-of semantics, not a re-statement
+  * of the same algorithm.
+  */
+object AsofQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private def evBase(spark: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(spark, d)
+    ev.select(col("user_id"), Tables.tsUs(ev).as("ts_us"), col("event_id"),
+      col("event_type"), col("value"))
+  }
+
+  // ---------------------------------------------------------------------------
+  // q100 — backward as-of: every click joined to the user's most recent
+  // purchase at or before the click (the "prevailing state" lookup: latest
+  // position/label/snapshot as of event time, no lookahead). The right
+  // side is pre-aggregated to the (user, ts) grain — the operator's
+  // uniqueness contract — and staleness lands as an exact integer.
+  def q100AsofBackward(spark: SparkSession, d: String): DataFrame = {
+    val base = evBase(spark, d)
+    val clicks = base.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts_us"), col("event_id"),
+        col("value").as("click_value"))
+    val purchases = base.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"), col("ts_us").as("pts_us"))
+      .agg(max(col("value")).as("purchase_value"))
+    AsofJoin.join(clicks, purchases, Seq("user_id"), "ts_us", "pts_us")
+      .select(col("user_id"), col("ts_us"), col("event_id"), col("click_value"),
+        col("asof_pts_us").as("purchase_ts_us"),
+        col("asof_purchase_value").as("purchase_value"),
+        (col("ts_us") - col("asof_pts_us")).as("staleness_us"))
+      .orderBy(col("user_id"), col("ts_us"), col("event_id"))
+  }
+
+  val q100Sql: String =
+    """WITH l AS (
+      |  SELECT user_id, epoch_us(ts) AS ts_us, event_id, value AS click_value
+      |  FROM events WHERE event_type = 'click'),
+      |r AS (
+      |  SELECT user_id, epoch_us(ts) AS pts_us, max(value) AS purchase_value
+      |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+      |SELECT l.user_id, l.ts_us, l.event_id, l.click_value,
+      |  r.pts_us AS purchase_ts_us, r.purchase_value,
+      |  l.ts_us - r.pts_us AS staleness_us
+      |FROM l ASOF LEFT JOIN r
+      |  ON l.user_id = r.user_id AND l.ts_us >= r.pts_us
+      |ORDER BY l.user_id, l.ts_us, l.event_id""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // q101 — forward as-of WITH tolerance: each view joined to the user's
+  // next click within 30 minutes (attribution windows, label-horizon
+  // joins). Same merge, reversed time axis; the tolerance is a post-pass
+  // null-out on the carried match, so it costs nothing. The oracle is an
+  // independent LATERAL argmin (DuckDB's ASOF has no tolerance clause) —
+  // quadratic in the oracle, one linear pass here.
+  def q101AsofForwardTolerance(spark: SparkSession, d: String): DataFrame = {
+    val base = evBase(spark, d)
+    val views = base.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts_us"), col("event_id"),
+        col("value").as("view_value"))
+    val clicks = base.filter(col("event_type") === "click")
+      .groupBy(col("user_id"), col("ts_us").as("cts_us"))
+      .agg(max(col("value")).as("click_value"))
+    AsofJoin.join(views, clicks, Seq("user_id"), "ts_us", "cts_us",
+        AsofJoin.Forward, tolerance = Some(1800000000L))
+      .select(col("user_id"), col("ts_us"), col("event_id"), col("view_value"),
+        col("asof_cts_us").as("next_click_ts_us"),
+        col("asof_click_value").as("next_click_value"),
+        (col("asof_cts_us") - col("ts_us")).as("gap_us"))
+      .orderBy(col("user_id"), col("ts_us"), col("event_id"))
+  }
+
+  val q101Sql: String =
+    """WITH v AS (
+      |  SELECT user_id, epoch_us(ts) AS ts_us, event_id, value AS view_value
+      |  FROM events WHERE event_type = 'view'),
+      |c AS (
+      |  SELECT user_id, epoch_us(ts) AS cts_us, max(value) AS click_value
+      |  FROM events WHERE event_type = 'click' GROUP BY 1, 2)
+      |SELECT v.user_id, v.ts_us, v.event_id, v.view_value,
+      |  s.cts_us AS next_click_ts_us, s.click_value AS next_click_value,
+      |  s.cts_us - v.ts_us AS gap_us
+      |FROM v LEFT JOIN LATERAL (
+      |  SELECT c.cts_us, c.click_value FROM c
+      |  WHERE c.user_id = v.user_id AND c.cts_us >= v.ts_us
+      |    AND c.cts_us <= v.ts_us + 1800000000
+      |  ORDER BY c.cts_us LIMIT 1) s ON true
+      |ORDER BY v.user_id, v.ts_us, v.event_id""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // q102 — multi-timeframe bar alignment: every bar joined to the
+  // prevailing COARSE bar of its own series (every 5th bar — the slower
+  // "threshold" in reference terms), carrying the full OHLC payload. This
+  // is the reference's cross-slice shape (align sub-bars to the governing
+  // bar of a coarser range-bar threshold) as one as-of join keyed on the
+  // series — n_series × as-of merges in a single exchange.
+  def q102AsofBarsMtf(spark: SparkSession, d: String): DataFrame = {
+    val bars = EventBars.bars(spark, d)
+      .select(col("event_type"), col("ts_us"), col("event_id"), col("rn"),
+        col("open"), col("close"))
+    val coarse = bars.filter(col("rn") % 5 === 0)
+      .select(col("event_type"), col("ts_us").as("c_ts_us"),
+        col("rn").as("c_rn"), col("close").as("c_close"))
+    AsofJoin.join(bars, coarse, Seq("event_type"), "ts_us", "c_ts_us")
+      .select(col("event_type"), col("ts_us"), col("event_id"), col("rn"),
+        col("asof_c_rn").as("coarse_rn"),
+        col("asof_c_ts_us").as("coarse_ts_us"),
+        (round(col("close") - col("asof_c_close"), 6) + 0.0).as("drift_vs_coarse"),
+        (col("rn") - col("asof_c_rn")).as("bars_since_coarse"))
+      .orderBy(col("event_type"), col("ts_us"), col("event_id"))
+  }
+
+  val q102Sql: String =
+    EventBars.duckCte +
+      """, coarse AS (
+        |  SELECT event_type, ts_us AS c_ts_us, rn AS c_rn, close AS c_close
+        |  FROM bars WHERE rn % 5 = 0)
+        |SELECT b.event_type, b.ts_us, b.event_id, b.rn,
+        |  c.c_rn AS coarse_rn, c.c_ts_us AS coarse_ts_us,
+        |  round(b.close - c.c_close, 6) + 0.0 AS drift_vs_coarse,
+        |  b.rn - c.c_rn AS bars_since_coarse
+        |FROM bars b ASOF LEFT JOIN coarse c
+        |  ON b.event_type = c.event_type AND b.ts_us >= c.c_ts_us
+        |ORDER BY b.event_type, b.ts_us, b.event_id""".stripMargin
+
+  val all: Map[String, Q] = Map(
+    "q100_asof_backward" -> (q100AsofBackward(_, _)),
+    "q101_asof_forward_tolerance" -> (q101AsofForwardTolerance(_, _)),
+    "q102_asof_bars_mtf" -> (q102AsofBarsMtf(_, _)))
+
+  val oracles: Map[String, String] = Map(
+    "q100_asof_backward" -> q100Sql,
+    "q101_asof_forward_tolerance" -> q101Sql,
+    "q102_asof_bars_mtf" -> q102Sql)
+}

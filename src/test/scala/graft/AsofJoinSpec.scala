@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.AsofJoin
+
+/** Pins the union-merge as-of join to a driver-side brute force on
+  * randomized multi-key data: backward/forward, inclusive same-time
+  * matches, tolerance null-outs, and no-match NULLs. Also pins the plan
+  * shape: no join operator at all (the merge is a window pass), so row
+  * amplification is structurally impossible.
+  */
+class AsofJoinSpec extends GraftSuite {
+
+  // (key, t, v) frames with collisions across keys and same-t collisions
+  // BETWEEN sides (never within the right side — uniqueness contract)
+  private def frames(seed: Long, nl: Int, nr: Int) = {
+    import spark.implicits._
+    val rnd = new scala.util.Random(seed)
+    val left = (0 until nl).map { i =>
+      (s"k${rnd.nextInt(5)}", (rnd.nextInt(200) * 10).toLong, i.toLong)
+    }
+    val right = rnd.shuffle((0 until 1000).map(t => (t, t * 10L)).toList)
+      .take(nr).flatMap { case (_, t) =>
+        (0 until 5).filter(_ => rnd.nextBoolean()).map(k => (s"k$k", t, rnd.nextInt(100)))
+      }.distinct
+    (left.toDF("k", "t", "lid"),
+      right.toDF("k", "rt", "rv").groupBy("k", "rt").agg(max("rv").as("rv")))
+  }
+
+  private def brute(
+      left: Seq[(String, Long, Long)], right: Seq[(String, Long, Int)],
+      fwd: Boolean, tol: Option[Long]): Map[Long, Option[(Long, Int)]] =
+    left.map { case (k, t, lid) =>
+      val cand = right.filter(r => r._1 == k &&
+        (if (fwd) r._2 >= t else r._2 <= t) &&
+        tol.forall(x => math.abs(r._2 - t) <= x))
+      lid -> (if (cand.isEmpty) None
+              else Some {
+                val m = if (fwd) cand.minBy(_._2) else cand.maxBy(_._2)
+                (m._2, m._3)
+              })
+    }.toMap
+
+  private def check(seed: Long, fwd: Boolean, tol: Option[Long]): Unit = {
+    val (l, r) = frames(seed, 400, 120)
+    val dir = if (fwd) AsofJoin.Forward else AsofJoin.Backward
+    val res = AsofJoin.join(l, r, Seq("k"), "t", "rt", dir, tol)
+    assert(res.columns.toSeq ==
+      Seq("k", "t", "lid", "asof_rt", "asof_rv"))
+    val got = res.collect().map { row =>
+      row.getLong(2) -> (if (row.isNullAt(3)) None
+                         else Some((row.getLong(3), row.getInt(4))))
+    }.toMap
+    val rightRows = r.collect().map(x => (x.getString(0), x.getLong(1), x.getInt(2))).toSeq
+    val leftRows = l.collect().map(x => (x.getString(0), x.getLong(1), x.getLong(2))).toSeq
+    val want = brute(leftRows, rightRows, fwd, tol)
+    assert(got.size == leftRows.size)
+    want.foreach { case (lid, exp) =>
+      assert(got(lid) == exp, s"lid=$lid: got ${got(lid)}, want $exp")
+    }
+  }
+
+  test("backward matches brute force (incl. same-time inclusive matches)") {
+    check(seed = 11L, fwd = false, tol = None)
+  }
+
+  test("forward matches brute force") {
+    check(seed = 12L, fwd = true, tol = None)
+  }
+
+  test("backward with tolerance nulls out stale matches") {
+    check(seed = 13L, fwd = false, tol = Some(70L))
+  }
+
+  test("forward with tolerance") {
+    check(seed = 14L, fwd = true, tol = Some(30L))
+  }
+
+  test("plan contains no join operator and exactly one exchange") {
+    import spark.implicits._
+    val (l, _) = frames(15L, 100, 40)
+    // right side already unique per (k, rt): the merge itself must add
+    // exactly ONE hash exchange (the window) and no join operator
+    val r = (0 until 40).map(i => (s"k${i % 5}", i * 25L, i)).toDF("k", "rt", "rv")
+    val res = AsofJoin.join(l, r, Seq("k"), "t", "rt")
+    val plan = res.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"as-of must not plan a join:\n$plan")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 1, s"expected 1 hash exchange, got $exchanges:\n$plan")
+  }
+
+  test("same-time right row is visible to the left row on both directions") {
+    import spark.implicits._
+    val l = Seq(("a", 100L, 1L)).toDF("k", "t", "lid")
+    val r = Seq(("a", 100L, 7)).toDF("k", "rt", "rv")
+    Seq(AsofJoin.Backward, AsofJoin.Forward).foreach { d =>
+      val row = AsofJoin.join(l, r, Seq("k"), "t", "rt", d).collect().head
+      assert(row.getLong(3) == 100L && row.getInt(4) == 7, s"direction $d")
+    }
+  }
+}
