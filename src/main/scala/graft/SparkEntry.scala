@@ -19,6 +19,13 @@ object SparkEntry {
   def ensureConfs(spark: SparkSession): SparkSession = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    // idempotent: the rolling-quantile planner strategy, so every engine
+    // path (driver smoke, Verify, Bench, user sessions routed through the
+    // registry) plans sliding exclusive-quantile windows incrementally
+    val exp = spark.experimental
+    if (!exp.extraStrategies.contains(graft.plans.SlidingQuantileStrategy)) {
+      exp.extraStrategies = exp.extraStrategies :+ graft.plans.SlidingQuantileStrategy
+    }
     spark
   }
 

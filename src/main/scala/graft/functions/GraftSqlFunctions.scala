@@ -114,11 +114,20 @@ object GraftSqlFunctions {
   private def info(name: String): ExpressionInfo =
     new ExpressionInfo("graft.functions.GraftSqlFunctions", name)
 
-  /** Register on an EXISTING session (idempotent — replaces). */
+  /** Register on an EXISTING session (idempotent — replaces), including the
+    * sliding-quantile planner strategy, so SQL text using the rolling
+    * `exclusive_quantile_agg(...) OVER (ROWS BETWEEN L PRECEDING AND 1
+    * PRECEDING)` shape plans as the incremental
+    * [[graft.plans.SlidingQuantileWindowExec]] instead of WindowExec's
+    * per-row frame rebuild. */
   def registerAll(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
     all.foreach { case (name, builder) =>
       registry.registerFunction(FunctionIdentifier(name), info(name), builder)
+    }
+    val exp = spark.experimental
+    if (!exp.extraStrategies.contains(graft.plans.SlidingQuantileStrategy)) {
+      exp.extraStrategies = exp.extraStrategies :+ graft.plans.SlidingQuantileStrategy
     }
   }
 }
@@ -127,9 +136,11 @@ object GraftSqlFunctions {
   * session build, so reference-shaped SQL text runs verbatim in any session
   * of the extended builder. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftSqlFunctions.all.foreach { case (name, builder) =>
       ext.injectFunction((FunctionIdentifier(name),
         new ExpressionInfo("graft.functions.GraftSqlFunctions", name), builder))
     }
+    ext.injectPlannerStrategy(_ => graft.plans.SlidingQuantileStrategy)
+  }
 }

@@ -32,11 +32,21 @@ object BarFrame {
     * frame has at least one non-null value.
     *
     * DECLARATIVE REFERENCE FORM — Spark's WindowExec materializes and
-    * sorts a lookback-length array per output row for this frame, so the
-    * production path is [[SeriesReplay.attach]] (incremental sorted
-    * multiset, O(lookback) state per series, bit-identical arithmetic);
-    * this form remains the equality oracle SeriesReplaySpec pins the
-    * kernel against, and the fallback where a window Column is required.
+    * sorts a lookback-length array per output row for this frame. Two
+    * incremental paths replace it (both bit-identical by construction —
+    * same QuantileMultiExclusive.interpolate):
+    *  - [[SeriesReplay.attach]] when the query also replays shifts/row
+    *    numbers in the same per-series pass;
+    *  - the Column form `GraftFunctions.exclusiveQuantileAgg(x, q)
+    *    .over(w.rowsBetween(-L, -1))`, which
+    *    [[graft.plans.SlidingQuantileStrategy]] plans as the streaming
+    *    [[graft.plans.SlidingQuantileWindowExec]] in every engine session
+    *    (ensureConfs/GraftExtensions) — 15-25× the collect_list form at
+    *    L=1000, measured in SCALE.md. Only use the agg-over-sliding-frame
+    *    Column in sessions with the strategy registered: under plain
+    *    WindowExec it re-builds the aggregate buffer per row.
+    * This collect_list form remains the equality oracle the specs pin both
+    * fast paths against, and the fallback where no strategy is available.
     */
   def rollingExclusiveQuantile(x: Column, q: Double, lookback: Int, w: WindowSpec): Column =
     GraftFunctions.quantileExactExclusive(

@@ -1,0 +1,122 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.{GraftFunctions, GraftSqlFunctions}
+import graft.operators.BarFrame
+
+/** Pins the SlidingQuantileWindowExec strategy three ways: (1) bit-equality
+  * with the declarative collect_list form on randomized null-bearing
+  * multi-series data, (2) plan shape — the sliding agg form PLANS as the
+  * custom exec (DSL and SQL text), multiple columns share one node, and
+  * ineligible nodes fall back to WindowExec, (3) the expanding frame stays
+  * on WindowExec's incremental unbounded-preceding processor.
+  */
+class SlidingQuantileWindowSpec extends GraftSuite {
+
+  private def ensure(): Unit = GraftSqlFunctions.registerAll(spark)
+
+  // executedPlan.toString renders THROUGH the AdaptiveSparkPlan leaf
+  // (collect() cannot — AQE's wrapper has no children until execution),
+  // same convention as PlanShapeSpec
+  private def planStr(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  private def randomFrame(seed: Long, n: Int) = {
+    import spark.implicits._
+    val rnd = new scala.util.Random(seed)
+    val rows = rnd.shuffle((0 until n).map { i =>
+      val v: Option[Double] =
+        if (rnd.nextDouble() < 0.1) None
+        else Some(math.floor(rnd.nextDouble() * 40) / 8.0) // duplicate-heavy
+      (s"s${i % 4}", i.toLong, v)
+    }.toList)
+    rows.toDF("series", "ts", "x")
+  }
+
+  test("sliding agg form == declarative collect_list form (nulls, dups, warmup)") {
+    ensure()
+    val df = randomFrame(21L, 1200).cache()
+    try {
+      val w = BarFrame.series(Seq(col("series")), col("ts"))
+      val fast = df
+        .withColumn("q1", GraftFunctions.exclusiveQuantileAgg(col("x"), 0.95)
+          .over(w.rowsBetween(-37, -1)))
+        .withColumn("q2", GraftFunctions.exclusiveQuantileAgg(col("x"), 0.25)
+          .over(w.rowsBetween(-5, -1)))
+      assert(planStr(fast).contains("SlidingQuantileWindow"),
+        "sliding agg frame must plan as SlidingQuantileWindowExec")
+      val decl = df
+        .withColumn("q1", BarFrame.rollingExclusiveQuantile(col("x"), 0.95, 37, w))
+        .withColumn("q2", BarFrame.rollingExclusiveQuantile(col("x"), 0.25, 5, w))
+      val f = fast.orderBy("series", "ts").collect()
+      val d = decl.orderBy("series", "ts").collect()
+      assert(f.length == d.length && f.length == 1200)
+      f.zip(d).foreach { case (a, b) => assert(a == b, s"fast $a != declarative $b") }
+    } finally df.unpersist()
+  }
+
+  test("multi-column census shape shares ONE exec node") {
+    ensure()
+    val df = randomFrame(22L, 200)
+    val w = BarFrame.series(Seq(col("series")), col("ts"))
+    val five = (1 to 5).foldLeft(df) { (acc, i) =>
+      acc.withColumn(s"q$i", GraftFunctions.exclusiveQuantileAgg(col("x"), i / 10.0)
+        .over(w.rowsBetween(-20, -1)))
+    }
+    val p = planStr(five)
+    assert("SlidingQuantileWindow ".r.findAllIn(p).length == 1,
+      s"expected one shared exec node:\n$p")
+    assert("QuantileSpec\\(".r.findAllIn(p).length == 5,
+      s"expected 5 quantile specs in the one node:\n$p")
+  }
+
+  test("SQL text (reference shape) plans as the exec and matches the DSL") {
+    ensure()
+    val df = randomFrame(23L, 600)
+    df.createOrReplaceTempView("sq_t")
+    val sql = spark.sql(
+      """SELECT series, ts,
+        |  exclusive_quantile_agg(x, 0.9) OVER
+        |    (PARTITION BY series ORDER BY ts ROWS BETWEEN 50 PRECEDING AND 1 PRECEDING) AS q
+        |FROM sq_t""".stripMargin)
+    assert(planStr(sql).contains("SlidingQuantileWindow"),
+      "SQL-text sliding frame must plan as the exec")
+    val w = BarFrame.series(Seq(col("series")), col("ts"))
+    val dsl = df.select(col("series"), col("ts"),
+      GraftFunctions.exclusiveQuantileAgg(col("x"), 0.9)
+        .over(w.rowsBetween(-50, -1)).as("q"))
+    val a = sql.orderBy("series", "ts").collect()
+    val b = dsl.orderBy("series", "ts").collect()
+    a.zip(b).foreach { case (x, y) => assert(x == y) }
+  }
+
+  test("mixed window node falls back to WindowExec with identical results") {
+    ensure()
+    val df = randomFrame(24L, 400)
+    val w = BarFrame.series(Seq(col("series")), col("ts"))
+    val mixed = df
+      .withColumn("q", GraftFunctions.exclusiveQuantileAgg(col("x"), 0.5)
+        .over(w.rowsBetween(-9, -1)))
+      .withColumn("s", sum(col("x")).over(w.rowsBetween(-9, -1)))
+    assert(!planStr(mixed).contains("SlidingQuantileWindow"),
+      "a node with a non-quantile agg must fall back entirely")
+    val decl = df
+      .withColumn("q", BarFrame.rollingExclusiveQuantile(col("x"), 0.5, 9, w))
+      .withColumn("s", sum(col("x")).over(w.rowsBetween(-9, -1)))
+    val a = mixed.orderBy("series", "ts").collect()
+    val b = decl.orderBy("series", "ts").collect()
+    a.zip(b).foreach { case (x, y) => assert(x == y) }
+  }
+
+  test("expanding (unbounded-preceding) frame is NOT claimed by the strategy") {
+    ensure()
+    val df = randomFrame(25L, 300)
+    val w = BarFrame.series(Seq(col("series")), col("ts"))
+    val expanding = df.withColumn("q",
+      BarFrame.expandingExclusiveQuantile(col("x"), 0.75, w))
+    assert(!planStr(expanding).contains("SlidingQuantileWindow"),
+      "unbounded-preceding frames stay on WindowExec")
+    // and it still evaluates (WindowExec's growing-frame processor)
+    assert(expanding.count() == 300)
+  }
+}
