@@ -435,7 +435,86 @@ object CorpusOpsQueries {
        |    AS pct_dup_tokens
        |FROM tot LEFT JOIN sc USING (lang) ORDER BY tot.lang""".stripMargin
 
+  // ---------------------------------------------------------------------------
+  // q104 — heavy hitters WITHOUT a vocabulary shuffle: the exact top-20
+  // word bigrams by a two-pass Misra-Gries candidate/confirm plan. q93's
+  // df census shuffles one row per distinct term — fine at this corpus'
+  // vocabulary, a wall when the term universe is web-scale n-grams. The
+  // production shape: (1) each partition streams its terms through a
+  // bounded Misra-Gries summary (capacity 1024 — O(cap) memory, amortized
+  // O(1)/term), whose guarantee makes the union of per-partition survivors
+  // a SUPERSET of every term with global count > N/cap; (2) an exact count
+  // of the candidate terms only (candidates broadcast, corpus re-scanned
+  // once, nothing vocabulary-sized ever shuffles). The final top-20 is
+  // EXACT — candidate choice can depend on partitioning, the output cannot
+  // (the 20th bigram's count clears the N/cap threshold with ~30% margin
+  // at every fixture scale, and the 10×-corpus check rides the same
+  // scale-free distribution; TrainingOpsSpec pins the superset property).
+  // The oracle is the plain exact census SQL — same answer, different
+  // physical plan (the q92/q55 pattern).
+  private val MgCap = 1024
+
+  def q104HeavyHitters(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val terms = Tables.documents(spark, d)
+      .select(tokens(col("text")).as("tok"))
+      .filter(size(col("tok")) >= 2)
+      .select(explode(expr(
+        """transform(sequence(1, size(tok) - 1),
+          |  i -> concat(element_at(tok, i), ' ', element_at(tok, i + 1)))"""
+          .stripMargin)).as("term"))
+      .persist()
+    val nTotal = terms.count()
+    val cap = MgCap
+    val candidates = terms.select(col("term"))
+      .as(org.apache.spark.sql.Encoders.STRING)
+      .mapPartitions { it =>
+        // Misra-Gries: increment known terms; admit while below capacity;
+        // otherwise decrement every counter (dropping zeros) — the classic
+        // deterministic-per-partition frequent-items summary
+        val m = new java.util.HashMap[String, java.lang.Long](cap * 2)
+        while (it.hasNext) {
+          val t = it.next()
+          val cur = m.get(t)
+          if (cur != null) m.put(t, cur + 1L)
+          else if (m.size < cap) m.put(t, 1L)
+          else {
+            val itr = m.entrySet().iterator()
+            while (itr.hasNext) {
+              val e = itr.next()
+              if (e.getValue == 1L) itr.remove() else e.setValue(e.getValue - 1L)
+            }
+          }
+        }
+        scala.jdk.CollectionConverters.SetHasAsScala(m.keySet()).asScala.iterator
+      }(org.apache.spark.sql.Encoders.STRING)
+      .toDF("term").distinct()
+    terms.join(broadcast(candidates), "term")
+      .groupBy(col("term")).agg(count(lit(1)).as("n"))
+      .withColumn("rnk", row_number().over(Window.orderBy(col("n").desc, col("term"))))
+      .filter(col("rnk") <= 20)
+      .withColumn("pct", round(col("n").cast("double") / nTotal.toDouble, 6))
+      .select(col("rnk"), col("term"), col("n"), col("pct"))
+      .orderBy(col("rnk"))
+  }
+
+  val q104Sql: String =
+    """WITH d AS (
+      |  SELECT regexp_split_to_array(trim(text), '\s+') AS tok FROM documents),
+      |b AS (
+      |  SELECT unnest(list_transform(range(1, len(tok)),
+      |    i -> tok[i] || ' ' || tok[i + 1])) AS term
+      |  FROM d WHERE len(tok) >= 2),
+      |tot AS (SELECT count(*)::DOUBLE AS n_total FROM b),
+      |c AS (SELECT term, count(*) AS n FROM b GROUP BY term),
+      |r AS (
+      |  SELECT term, n, row_number() OVER (ORDER BY n DESC, term) AS rnk
+      |  FROM c)
+      |SELECT rnk, term, n, round(n::DOUBLE / n_total, 6) AS pct
+      |FROM r, tot WHERE rnk <= 20 ORDER BY rnk""".stripMargin
+
   val all: Map[String, Q] = Map(
+    "q104_heavy_hitters" -> (q104HeavyHitters _),
     "q92_bloom_decontamination" -> (q92BloomDecontamination _),
     "q93_bm25" -> (q93Bm25 _),
     "q94_snapshot_drift" -> (q94SnapshotDrift _),
@@ -451,5 +530,6 @@ object CorpusOpsQueries {
     "q94_snapshot_drift" -> q94Sql,
     "q95_global_shuffle" -> q95Sql,
     "q96_rag_chunks" -> q96Sql,
-    "q97_dup_spans" -> q97Sql)
+    "q97_dup_spans" -> q97Sql,
+    "q104_heavy_hitters" -> q104Sql)
 }

@@ -133,4 +133,33 @@ class TrainingOpsSpec extends GraftSuite {
       assert(math.abs(r.getAs[Double]("consistency") - cons) < 1e-6, s"$et cons")
     }
   }
+
+  test("q104 heavy hitters == exact census; MG guarantee holds on the fixture") {
+    // exact bigram census in plain Scala
+    val counts = scala.collection.mutable.Map.empty[String, Long]
+    var nTotal = 0L
+    Tables.documents(spark, sf).select(col("text")).collect().foreach { r =>
+      val toks = r.getAs[String]("text").trim.split("\\s+")
+      if (toks.length >= 2) (0 until toks.length - 1).foreach { i =>
+        val b = toks(i) + " " + toks(i + 1)
+        counts.update(b, counts.getOrElse(b, 0L) + 1L)
+        nTotal += 1
+      }
+    }
+    val want = counts.toSeq.sortBy { case (t, n) => (-n, t) }.take(20)
+    val got = graft.queries.CorpusOpsQueries.q104HeavyHitters(spark, sf).collect()
+    assert(got.length == 20)
+    got.zip(want).zipWithIndex.foreach { case ((row, (t, n)), i) =>
+      assert(row.getAs[Int]("rnk") == i + 1)
+      assert(row.getAs[String]("term") == t, s"rank ${i + 1}")
+      assert(row.getAs[Long]("n") == n, s"rank ${i + 1} count")
+    }
+    // the exactness precondition: every true top-20 count must clear the
+    // Misra-Gries superset threshold N/cap — with real margin, so the 10×
+    // rehearsal (same scale-free distribution) inherits the guarantee
+    val threshold = nTotal.toDouble / 1024
+    assert(want.last._2 > threshold * 1.2,
+      s"20th count ${want.last._2} too close to N/cap=$threshold for the " +
+        "candidate pass to guarantee exactness")
+  }
 }
