@@ -881,6 +881,14 @@ object GraftFunctions {
   def bloomMightContain(c: Column, bytes: Array[Byte]): Column =
     GraftBridge.toColumn(BloomMightContain(GraftBridge.toExpr(c), bytes))
 
+  /** PQ code vector vs a flat (s·k + j) codebook (see [[PqEncode]]). */
+  def pqEncode(mud: Column, cb: Seq[Seq[Long]], m: Int, k: Int): Column =
+    GraftBridge.toColumn(PqEncode(GraftBridge.toExpr(mud), cb, m, k))
+
+  /** Flattened m·k ADC lookup table for a probe (see [[PqLut]]). */
+  def pqLut(mud: Column, cb: Seq[Seq[Long]], m: Int, k: Int): Column =
+    GraftBridge.toColumn(PqLut(GraftBridge.toExpr(mud), cb, m, k))
+
   /** Winnowing fingerprint stats struct (see [[WinnowStats]]). */
   def winnowStats(text: Column): Column =
     GraftBridge.toColumn(WinnowStats(GraftBridge.toExpr(text)))

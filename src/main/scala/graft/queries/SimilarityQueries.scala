@@ -790,25 +790,18 @@ object SimilarityQueries {
         graft.functions.GraftFunctions.md5PrefixInt(col("vec_id").cast("string")))
       .orderBy(col("hk"), col("vec_id")).limit(PqK)
       .collect().map(_.getAs[scala.collection.Seq[Long]]("mud").toArray)
-    // flat codebook literal: entry (s·16 + j) holds subspace s's centroid j
-    def flat(cbs: Array[Array[Array[Long]]]): Column =
-      typedLit(cbs.flatten.map(_.toSeq).toSeq)
+    // flat codebook (s·16 + j → subvector), shipped into the codegen'd
+    // PqEncode/PqLut kernels as a per-task reference object — the
+    // broadcast-centroid pattern with zero per-row interpretation cost
+    // (the declarative transform/array_min/aggregate nesting ran three
+    // interpreted-lambda levels per vector; the kernel is one tight loop
+    // with the identical strict-< smaller-j tie rule)
+    def flat(cbs: Array[Array[Array[Long]]]): Seq[Seq[Long]] =
+      cbs.flatten.map(_.toSeq).toSeq
     val cb1 = Array.tabulate(PqM, PqK)((s, j) =>
       seeds(j).slice(s * PqSub, (s + 1) * PqSub))
-    // per-subspace argmin over the 16 centroids; struct (d, j) min breaks
-    // exact-BIGINT distance ties on the smaller centroid index
-    val encodeExpr =
-      s"""transform(sequence(0, ${PqM - 1}), s ->
-         |  array_min(transform(sequence(0, ${PqK - 1}), j ->
-         |    named_struct(
-         |      'd', aggregate(sequence(1, $PqSub), CAST(0 AS BIGINT), (a, i) ->
-         |        a + (element_at(mud, s * $PqSub + i)
-         |              - element_at(element_at(cb, s * $PqK + j + 1), i))
-         |          * (element_at(mud, s * $PqSub + i)
-         |              - element_at(element_at(cb, s * $PqK + j + 1), i))),
-         |      'j', j))).j)""".stripMargin
-    val a1 = mu.withColumn("cb", flat(cb1))
-      .withColumn("codes", expr(encodeExpr)).drop("cb")
+    val a1 = mu.withColumn("codes",
+      graft.functions.GraftFunctions.pqEncode(col("mud"), flat(cb1), PqM, PqK))
     val exploded = a1
       .select(col("vec_id"), col("mud"), posexplode(col("codes")).as(Seq("s", "c")))
       .withColumn("sub", expr(s"slice(mud, s * $PqSub + 1, $PqSub)"))
@@ -824,19 +817,11 @@ object SimilarityQueries {
       }.toMap
     // a centroid that attracted no vectors keeps its seed (q63's rule)
     val cb2 = Array.tabulate(PqM, PqK)((s, j) => upd.getOrElse((s, j), cb1(s)(j)))
-    val coded = mu.withColumn("cb", flat(cb2))
-      .withColumn("codes", expr(encodeExpr)).drop("cb")
-    val lutExpr =
-      s"""flatten(transform(sequence(0, ${PqM - 1}), s ->
-         |  transform(sequence(0, ${PqK - 1}), j ->
-         |    aggregate(sequence(1, $PqSub), CAST(0 AS BIGINT), (a, i) ->
-         |      a + (element_at(mud, s * $PqSub + i)
-         |            - element_at(element_at(cb, s * $PqK + j + 1), i))
-         |        * (element_at(mud, s * $PqSub + i)
-         |            - element_at(element_at(cb, s * $PqK + j + 1), i))))))""".stripMargin
+    val coded = mu.withColumn("codes",
+      graft.functions.GraftFunctions.pqEncode(col("mud"), flat(cb2), PqM, PqK))
     val probes = mu.filter(col("vec_id") < 8)
-      .withColumn("cb", flat(cb2))
-      .select(col("vec_id").as("q_vec_id"), expr(lutExpr).as("lut"))
+      .select(col("vec_id").as("q_vec_id"),
+        graft.functions.GraftFunctions.pqLut(col("mud"), flat(cb2), PqM, PqK).as("lut"))
     val cand = broadcast(probes).join(coded, col("vec_id") =!= col("q_vec_id"))
       .withColumn("adc_dist", expr(
         s"""aggregate(sequence(0, ${PqM - 1}), CAST(0 AS BIGINT), (a, s) ->
