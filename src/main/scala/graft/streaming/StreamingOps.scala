@@ -441,4 +441,76 @@ object StreamingOps {
         col("quality_ok"), col("contaminated"),
         (col("quality_ok") && !col("contaminated")).as("keep"))
   }
+
+  // ---------------------------------------------------------------------------
+  // Streaming as-of join — q100 online (operators/AsofJoin backward
+  // semantics on a live feed): one tagged stream of left probes and right
+  // snapshots per key; every left row is enriched with the key's
+  // prevailing right row (greatest right ts ≤ left ts, same-ts inclusive).
+  //
+  // Event-time correctness across micro-batch disorder: a left row is
+  // HELD until the watermark passes its timestamp — only then can no
+  // earlier right row still arrive — and matched against the sorted
+  // right buffer at emission. State per key is bounded: the in-flight
+  // lefts and rights above the watermark, plus exactly ONE resolved
+  // right (the prevailing snapshot, kept like any keyed enrichment
+  // cache — that single row is what makes a quiet key still matchable
+  // years later). Flushes ride the event-time timeout (quiet keys drain
+  // when the global watermark moves), the same pattern as
+  // streamingSessionize. Ties/uniqueness contract as in AsofJoin:
+  // (key, ts) uniquely keys the right side.
+
+  final case class AsofEvent(userId: Long, tsUs: Long, isLeft: Boolean, value: Double)
+
+  final case class AsofOut(userId: Long, tsUs: Long, value: Double,
+      matchTsUs: Option[Long], matchValue: Option[Double])
+
+  final case class AsofState(
+      pending: List[(Long, Double)], rights: List[(Long, Double)])
+
+  def streamingAsofJoin(events: Dataset[AsofEvent],
+      watermark: String = "10 minutes"): Dataset[AsofOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .withColumn("event_time", timestamp_micros(col("tsUs")))
+      .withWatermark("event_time", watermark)
+      .as[(Long, Long, Boolean, Double, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[AsofState, AsofOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (user, rows, state: GroupState[AsofState]) =>
+          val st0 = state.getOption.getOrElse(AsofState(Nil, Nil))
+          var pending = st0.pending
+          var rights = st0.rights
+          rows.foreach { r =>
+            if (r._3) pending ::= (r._2, r._4)
+            else rights ::= (r._2, r._4)
+          }
+          rights = rights.sortBy(_._1)
+          // getCurrentWatermarkMs floors to ms, so wmUs ≤ the true µs
+          // watermark — emission is conservative, never premature
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          val (ready, stillPending) = pending.partition(_._1 <= wmUs)
+          val out = ready.sortBy(_._1).map { case (t, v) =>
+            val m = rights.takeWhile(_._1 <= t).lastOption
+            AsofOut(user, t, v, m.map(_._1), m.map(_._2))
+          }
+          // prune: drop rights strictly below the prevailing-at-watermark
+          // (everything at or above it can still match a future left)
+          val resolved = rights.takeWhile(_._1 <= wmUs)
+          val keptRights =
+            if (resolved.isEmpty) rights
+            else rights.drop(resolved.length - 1)
+          state.update(AsofState(stillPending, keptRights))
+          if (stillPending.nonEmpty) {
+            // fire once the watermark passes the oldest held left; must be
+            // strictly beyond the current watermark (floor(ms) + guard)
+            val wmMs = state.getCurrentWatermarkMs()
+            state.setTimeoutTimestamp(
+              math.max(stillPending.map(_._1).min / 1000L, wmMs + 1L))
+          }
+          out.iterator
+      }
+  }
 }

@@ -446,6 +446,57 @@ class StreamingSpec extends GraftSuite {
     } finally query.stop()
   }
 
+  test("streamingAsofJoin: full sf0.01 click/purchase replay matches batch q100") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.StreamingOps.AsofEvent
+    val sf001 = "/root/testdata/sf0.01"
+    val ev0 = Tables.events(spark, sf001)
+    val base = ev0.select(col("user_id"), Tables.tsUs(ev0).as("ts_us"),
+      col("event_type"), col("value"))
+      .filter(col("event_type").isin("click", "purchase"))
+      .orderBy(col("ts_us")).collect()
+      .map(r => AsofEvent(r.getAs[Long]("user_id"), r.getAs[Long]("ts_us"),
+        r.getAs[String]("event_type") == "click", r.getAs[Double]("value")))
+    val mem = MemoryStream[AsofEvent]
+    val query = StreamingOps.streamingAsofJoin(mem.toDS())
+      .writeStream.format("memory").queryName("asof_replay_out")
+      .outputMode("append").start()
+    try {
+      base.grouped(1000).foreach { chunk =>
+        mem.addData(chunk.toIndexedSeq)
+        query.processAllAvailable()
+      }
+      val far = base.last.tsUs + 10L * 3600 * 1000 * 1000
+      mem.addData(AsofEvent(-1L, far, isLeft = false, 0.0))
+      query.processAllAvailable()
+      mem.addData(AsofEvent(-2L, far * 2, isLeft = false, 0.0))
+      query.processAllAvailable()
+      val streamed = spark.table("asof_replay_out")
+        .filter(col("userId") >= 0).collect()
+        .map { r =>
+          val mtI = r.fieldIndex("matchTsUs")
+          val mvI = r.fieldIndex("matchValue")
+          val mt = if (r.isNullAt(mtI)) None else Some(r.getLong(mtI))
+          val mv = if (r.isNullAt(mvI)) None else Some(r.getDouble(mvI))
+          (r.getAs[Long]("userId"), r.getAs[Long]("tsUs")) -> ((mt, mv))
+        }.toMap
+      val batch = graft.queries.AsofQueries.q100AsofBackward(spark, sf001)
+        .collect()
+        .map { r =>
+          val mt = if (r.isNullAt(4)) None else Some(r.getLong(4))
+          val mv = if (r.isNullAt(5)) None else Some(r.getDouble(5))
+          (r.getAs[Long]("user_id"), r.getAs[Long]("ts_us")) -> ((mt, mv))
+        }.toMap
+      assert(streamed.keySet == batch.keySet,
+        s"key sets differ: stream-only=${(streamed.keySet -- batch.keySet).take(3)} " +
+          s"batch-only=${(batch.keySet -- streamed.keySet).take(3)}")
+      batch.foreach { case (k, b) =>
+        assert(streamed(k) == b, s"click $k: streamed=${streamed(k)} batch=$b")
+      }
+    } finally query.stop()
+  }
+
   test("streamingSessionize: full sf0.01 events replay matches batch q81 user-for-user") {
     // the real-fixture parity oracle: the ENTIRE sf0.01 events table (10k
     // events, 150 users) replayed through the stateful streaming operator in
