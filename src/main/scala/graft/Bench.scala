@@ -70,11 +70,18 @@ object Bench {
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","failures":$nFail,"errors":$errs}"""
     println(line)
     // durable copy: the round driver captures a bounded log TAIL, which has
-    // truncated this (long) line mid-JSON before; the file is the record
+    // truncated this (long) line mid-JSON in r5 AND r6 (the head falls out
+    // of the window once ~100 queries widen the map); the file is the record
     java.nio.file.Files.write(
       java.nio.file.Paths.get("BENCH_LAST.json"),
       (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
+    // ...and a compact total-only line as the FINAL stdout line: short
+    // enough that no tail window can cut it, so a parser that reads the
+    // last metric line always gets a complete record (per-query map lives
+    // in the full line above and in BENCH_LAST.json)
+    println(
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":{},"sf":"$sfDir","failures":$nFail,"n_queries":${results.length},"full_record":"BENCH_LAST.json"}""")
     if (nFail > 0) sys.exit(1)
   }
 }

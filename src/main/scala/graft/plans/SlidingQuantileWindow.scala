@@ -36,10 +36,12 @@ import graft.functions.{ExclusiveQuantileAgg, SortedWindow}
   * the identical exchange+sort and downstream stages see the same
   * partitioning — swapping the operator never reshapes the plan around it.
   *
-  * [[SlidingQuantileStrategy]] plans a logical Window into this exec when
-  * EVERY window expression in the node is such a sliding exclusive
-  * quantile (multiple columns share the one pass — q41's five-column census
-  * shape); anything else falls through to WindowExec. Registered via
+  * [[SlidingQuantileStrategy]] plans a logical Window's sliding exclusive
+  * quantiles into this exec (multiple columns share the one pass — q41's
+  * five-column census shape); same-spec non-quantile expressions
+  * (lag/lead/row_number — the analyzer merges them into the same node) are
+  * SPLIT onto a regular Window stacked on the same exchange+sort; nodes
+  * with no sliding quantile fall through untouched. Registered via
   * `spark.experimental.extraStrategies` (SparkEntry.ensureConfs) and
   * [[graft.functions.GraftExtensions]], so both the Scala DSL and
   * reference-shaped SQL TEXT get the incremental plan with no API change.
@@ -174,13 +176,29 @@ object SlidingQuantileStrategy extends SparkStrategy {
       case _ => None
     }
 
+  /** A Window node holding ANY sliding exclusive quantiles is split: the
+    * quantile expressions run on [[SlidingQuantileWindowExec]], the rest of
+    * the node (lag/lead/row_number/other aggregates over the same
+    * partition+order — the analyzer and CollapseWindow merge same-spec
+    * expressions into one node) stays on a regular Window planned beneath
+    * it. Both operators demand the same distribution+ordering, so the
+    * stack shares ONE exchange+sort; a final projection restores the
+    * node's original output order (downstream binding is by exprId, but
+    * the root schema is positional). */
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case logical.Window(windowExprs, partSpec, orderSpec, child, _) if windowExprs.nonEmpty =>
-      val specs = windowExprs.map(extract)
-      if (specs.forall(_.isDefined)) {
-        SlidingQuantileWindowExec(windowExprs, specs.map(_.get), partSpec,
-          orderSpec, planLater(child)) :: Nil
-      } else Nil
+    case logical.Window(windowExprs, partSpec, orderSpec, child, hint)
+        if windowExprs.exists(extract(_).isDefined) =>
+      val (quantiles, others) = windowExprs.partition(extract(_).isDefined)
+      val specs = quantiles.map(extract(_).get)
+      val inner =
+        if (others.isEmpty) planLater(child)
+        else planLater(logical.Window(others, partSpec, orderSpec, child, hint))
+      val exec = SlidingQuantileWindowExec(quantiles, specs, partSpec, orderSpec, inner)
+      if (others.isEmpty) exec :: Nil
+      else {
+        val wanted = child.output ++ windowExprs.map(_.toAttribute)
+        org.apache.spark.sql.execution.ProjectExec(wanted, exec) :: Nil
+      }
     case _ => Nil
   }
 }

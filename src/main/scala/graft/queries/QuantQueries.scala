@@ -97,15 +97,24 @@ object QuantQueries {
   // `value > p90_prior` mirrors the adaptive-threshold formation gate.
   def q15RollingQuantile(spark: SparkSession, d: String): DataFrame = {
     val ev = Tables.events(spark, d)
-    // incremental sliding-frame form (SeriesReplay): one exchange on the
-    // series key, O(lookback) state per series instead of a per-row
-    // 100-double window buffer + sort; arithmetic is the same shared
-    // interpolator as the declarative expression (SeriesReplaySpec)
+    // DECLARATIVE sliding-frame form, planned by SlidingQuantileStrategy as
+    // the streaming SlidingQuantileWindowExec (ensureConfs registers it in
+    // every engine session): the rn window and the quantile node share one
+    // exchange+sort, and the quantile runs as an insert/evict sorted
+    // multiset — O(lookback) state, no per-row 100-double buffer + sort.
+    // Arithmetic is the same shared interpolator as the collect_list form
+    // and the SeriesReplay kernel (SlidingQuantileWindowSpec pins all
+    // three bit-identical); the multi-op SeriesReplay pass remains the
+    // shape for the quantile+shift chains (AdaptiveQueries).
     val base = ev
       .select(col("event_id"), col("event_type"), Tables.tsUs(ev).as("ts_us"), col("value"))
-    graft.operators.SeriesReplay.attach(base, "event_type", Seq("ts_us", "event_id"),
-        quantiles = Seq(graft.operators.SeriesReplay.RollingQ("value", "p90_raw", 0.90, 100)),
-        rowNumberCol = Some("rn"))
+    val w = graft.operators.BarFrame.series(
+      Seq(col("event_type")), col("ts_us"), col("event_id"))
+    base
+      .withColumn("rn", row_number().over(w))
+      .withColumn("p90_raw",
+        graft.functions.GraftFunctions.exclusiveQuantileAgg(col("value"), 0.90)
+          .over(w.rowsBetween(-100, -1)))
       .withColumn("p90_prior", round(col("p90_raw"), 6))
       .withColumn("is_signal",
         when(col("p90_prior").isNotNull && col("value") > col("p90_prior"), 1).otherwise(0))

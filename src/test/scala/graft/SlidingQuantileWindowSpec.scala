@@ -90,19 +90,29 @@ class SlidingQuantileWindowSpec extends GraftSuite {
     a.zip(b).foreach { case (x, y) => assert(x == y) }
   }
 
-  test("mixed window node falls back to WindowExec with identical results") {
+  test("mixed window node SPLITS: quantiles on the exec, the rest on Window, one exchange") {
     ensure()
     val df = randomFrame(24L, 400)
     val w = BarFrame.series(Seq(col("series")), col("ts"))
+    // quantile + sum + row_number merged into ONE logical node by the
+    // analyzer/CollapseWindow (same partition+order) — the strategy must
+    // carve the quantile out and leave the rest on WindowExec, sharing the
+    // single exchange+sort
     val mixed = df
       .withColumn("q", GraftFunctions.exclusiveQuantileAgg(col("x"), 0.5)
         .over(w.rowsBetween(-9, -1)))
       .withColumn("s", sum(col("x")).over(w.rowsBetween(-9, -1)))
-    assert(!planStr(mixed).contains("SlidingQuantileWindow"),
-      "a node with a non-quantile agg must fall back entirely")
+      .withColumn("rn", row_number().over(w))
+    val p = planStr(mixed)
+    assert(p.contains("SlidingQuantileWindow"), s"quantile must stay on the exec:\n$p")
+    assert("\\bWindow \\[".r.findAllIn(p).length == 1,
+      s"non-quantile exprs ride one regular Window:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1,
+      s"the split must not add an exchange:\n$p")
     val decl = df
       .withColumn("q", BarFrame.rollingExclusiveQuantile(col("x"), 0.5, 9, w))
       .withColumn("s", sum(col("x")).over(w.rowsBetween(-9, -1)))
+      .withColumn("rn", row_number().over(w))
     val a = mixed.orderBy("series", "ts").collect()
     val b = decl.orderBy("series", "ts").collect()
     a.zip(b).foreach { case (x, y) => assert(x == y) }
