@@ -107,4 +107,111 @@ object AsofJoin {
       .select(left.columns.map(c => col("__lp").getField(c).as(c)) ++
         rPayload.map(c => col("__m").getField(c).as(prefix + c)): _*)
   }
+
+  /** Skew-proof two-phase form — BIT-IDENTICAL output to [[join]] under a
+    * different physical plan (the q85 sessionization pattern applied to
+    * the as-of merge). [[join]] serializes each key into one task; a hot
+    * key (bot/service account) becomes ONE straggler, and AQE splits
+    * skewed joins, not skewed window partitions. Here:
+    *
+    *  1. the merge runs within (key, time bucket) — a hot key spreads
+    *     over the buckets it spans;
+    *  2. each (key, bucket)'s LAST right row is one aggregate row, and a
+    *     running last over the BUCKET-GRANULAR frame (rows = distinct
+    *     buckets, not events) yields the carry-in state per bucket;
+    *  3. lefts unresolved within their bucket take the carry.
+    *
+    * Costs one extra exchange over the big frame at unskewed scale
+    * (measured ~2× q100's single-exchange time, same trade as q85) and
+    * stays flat under hot-key skew where the one-exchange form straggles
+    * (SCALE.md round-7 skew rehearsal). Forward direction rides the same
+    * code on the negated time axis.
+    */
+  def joinTwoPhase(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTime: String,
+      rightTime: String,
+      direction: Direction = Backward,
+      tolerance: Option[Long] = None,
+      prefix: String = "asof_",
+      bucketUs: Long = 6L * 3600 * 1000 * 1000): DataFrame = {
+    require(keys.nonEmpty, "as-of join requires at least one equi-key")
+    val rPayload = right.columns.filterNot(keys.contains)
+    require(rPayload.contains(rightTime), s"rightTime $rightTime must be a non-key right column")
+
+    // direction folds into a sign flip of the time axis: backward as-of on
+    // -t IS forward as-of on t (same inclusive tie rule)
+    val sign = direction match { case Backward => 1L; case Forward => -1L }
+    val rProj = right.select(
+      keys.map(col) :+ (col(rightTime) * sign).as("__t") :+
+        struct(rPayload.map(col): _*).as("__rp"): _*)
+    val lProj = left.select(
+      keys.map(col) :+ (col(leftTime) * sign).as("__t") :+
+        struct(left.columns.map(col): _*).as("__lp"): _*)
+    val rpType = rProj.schema("__rp").dataType
+    val lpType = lProj.schema("__lp").dataType
+    // floor division (negative-safe) so bucket order == time order
+    def bucketOf(t: Column): Column =
+      ((t - pmod(t, lit(bucketUs))) / bucketUs).cast("long")
+    val unioned =
+      rProj.select(keys.map(col) :+ col("__t") :+ lit(0).as("__side") :+
+        col("__rp") :+ lit(null).cast(lpType).as("__lp"): _*)
+      .unionByName(
+        lProj.select(keys.map(col) :+ col("__t") :+ lit(1).as("__side") :+
+          lit(null).cast(rpType).as("__rp") :+ col("__lp"): _*))
+      .withColumn("__b", bucketOf(col("__t")))
+
+    // phase 1: the same merge, partitioned on (keys, bucket)
+    val wIn = Window.partitionBy((keys.map(col) :+ col("__b")): _*)
+      .orderBy(col("__t").asc, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val inBucket = last(col("__rp"), ignoreNulls = true).over(wIn)
+
+    // phase 2: per-(key, bucket) last right → running carry on the
+    // bucket-granular frame (rows = buckets, immune to event-count skew).
+    // The frame must contain every LEFT bucket too — a left in a
+    // right-free bucket still needs the carry from earlier buckets — so
+    // both sides' buckets union in (left buckets contribute a null last)
+    val bucketLast = rProj
+      .withColumn("__b", bucketOf(col("__t")))
+      .groupBy((keys.map(col) :+ col("__b")): _*)
+      .agg(max(struct(col("__t"), col("__rp"))).as("__last"))
+    val lastType = bucketLast.schema("__last").dataType
+    val allBuckets = bucketLast
+      .unionByName(lProj
+        .withColumn("__b", bucketOf(col("__t")))
+        .select((keys.map(col) :+ col("__b")): _*).distinct()
+        .withColumn("__last", lit(null).cast(lastType)))
+      .groupBy((keys.map(col) :+ col("__b")): _*)
+      .agg(max(col("__last")).as("__last"))
+    val wCarry = Window.partitionBy(keys.map(col): _*).orderBy(col("__b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carry = allBuckets
+      .withColumn("__carry", last(col("__last"), ignoreNulls = true).over(wCarry))
+      .select((keys.map(col) :+ col("__b") :+
+        col("__carry").getField("__rp").as("__carry_rp")): _*)
+
+    val resolved = unioned
+      .withColumn("__in", inBucket)
+      .filter(col("__side") === 1)
+      .join(carry, keys :+ "__b", "left")
+      .withColumn("__prev", coalesce(col("__in"), col("__carry_rp")))
+    // __rp carries the ORIGINAL right time; only __t was sign-folded
+    val matchedT = col("__prev").getField(rightTime)
+    val lT = col("__t") * sign
+    val withinTol: Column = tolerance match {
+      case None => lit(true)
+      case Some(tol) => direction match {
+        case Backward => lT - matchedT <= tol
+        case Forward => matchedT - lT <= tol
+      }
+    }
+    val matched = when(col("__prev").isNotNull && withinTol, col("__prev"))
+    resolved
+      .withColumn("__m", matched)
+      .select(left.columns.map(c => col("__lp").getField(c).as(c)) ++
+        rPayload.map(c => col("__m").getField(c).as(prefix + c)): _*)
+  }
 }

@@ -143,13 +143,40 @@ object AsofQueries {
         |  ON b.event_type = c.event_type AND b.ts_us >= c.c_ts_us
         |ORDER BY b.event_type, b.ts_us, b.event_id""".stripMargin
 
+  // ---------------------------------------------------------------------------
+  // q105 — q100 under the SKEW-PROOF two-phase plan (the q85 pattern for
+  // the as-of merge): the bucketed merge + bucket-granular carry of
+  // `AsofJoin.joinTwoPhase`, bit-identical to q100 — same oracle SQL, same
+  // CORRECTNESS row — costing one extra exchange at unskewed scale and
+  // staying flat under a hot user where the one-exchange form straggles
+  // (SCALE.md round-7 skew rehearsal). Ship it wherever user-cardinality
+  // skew is possible.
+  def q105AsofTwoPhase(spark: SparkSession, d: String): DataFrame = {
+    val base = evBase(spark, d)
+    val clicks = base.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts_us"), col("event_id"),
+        col("value").as("click_value"))
+    val purchases = base.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"), col("ts_us").as("pts_us"))
+      .agg(max(col("value")).as("purchase_value"))
+    AsofJoin.joinTwoPhase(clicks, purchases, Seq("user_id"), "ts_us", "pts_us")
+      .select(col("user_id"), col("ts_us"), col("event_id"), col("click_value"),
+        col("asof_pts_us").as("purchase_ts_us"),
+        col("asof_purchase_value").as("purchase_value"),
+        (col("ts_us") - col("asof_pts_us")).as("staleness_us"))
+      .orderBy(col("user_id"), col("ts_us"), col("event_id"))
+  }
+
   val all: Map[String, Q] = Map(
     "q100_asof_backward" -> (q100AsofBackward(_, _)),
     "q101_asof_forward_tolerance" -> (q101AsofForwardTolerance(_, _)),
-    "q102_asof_bars_mtf" -> (q102AsofBarsMtf(_, _)))
+    "q102_asof_bars_mtf" -> (q102AsofBarsMtf(_, _)),
+    "q105_asof_twophase" -> (q105AsofTwoPhase(_, _)))
 
   val oracles: Map[String, String] = Map(
     "q100_asof_backward" -> q100Sql,
     "q101_asof_forward_tolerance" -> q101Sql,
-    "q102_asof_bars_mtf" -> q102Sql)
+    "q102_asof_bars_mtf" -> q102Sql,
+    // same semantics as q100 under a different physical plan → same oracle
+    "q105_asof_twophase" -> q100Sql)
 }

@@ -89,6 +89,25 @@ class AsofJoinSpec extends GraftSuite {
     assert(exchanges == 1, s"expected 1 hash exchange, got $exchanges:\n$plan")
   }
 
+  test("two-phase form is bit-identical to the merge on every direction/tolerance") {
+    // bucketUs = 70 over t ∈ [0, 2000): ~29 buckets per key — plenty of
+    // rights-only buckets, lefts-only buckets (carry path), and empty ones
+    for ((seed, fwd, tol) <- Seq((31L, false, None), (32L, true, None),
+        (33L, false, Some(70L)), (34L, true, Some(30L)))) {
+      val (l, r) = frames(seed, 400, 120)
+      val dir = if (fwd) AsofJoin.Forward else AsofJoin.Backward
+      val a = AsofJoin.join(l, r, Seq("k"), "t", "rt", dir, tol)
+        .collect().map(_.toSeq).sortBy(_.toString)
+      val b = AsofJoin.joinTwoPhase(l, r, Seq("k"), "t", "rt", dir, tol,
+          bucketUs = 70L)
+        .collect().map(_.toSeq).sortBy(_.toString)
+      assert(a.length == b.length, s"seed=$seed")
+      a.zip(b).foreach { case (x, y) =>
+        assert(x == y, s"seed=$seed fwd=$fwd tol=$tol: merge=$x twoPhase=$y")
+      }
+    }
+  }
+
   test("same-time right row is visible to the left row on both directions") {
     import spark.implicits._
     val l = Seq(("a", 100L, 1L)).toDF("k", "t", "lid")
