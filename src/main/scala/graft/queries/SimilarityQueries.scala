@@ -773,35 +773,41 @@ object SimilarityQueries {
   private val PqK = 16
   private val PqSub = Dim / PqM
 
-  def q103AnnPq(spark: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.storage.StorageLevel
-    // UNIT-normalize before quantizing: q29's ranking is cosine, and on the
-    // unit sphere L2² = 2 − 2·cos — so PQ's L2 machinery ranks by cosine.
-    // The norm is the same sequential fold on both engines, the division is
-    // one IEEE op per element, and micro-unit rounding re-enters exact
-    // integer arithmetic for everything downstream.
-    val mu = withNorm(spark, d)
+  // flat codebook (s·16 + j → subvector), shipped into the codegen'd
+  // PqEncode/PqLut kernels as a per-task reference object — the
+  // broadcast-centroid pattern with zero per-row interpretation cost
+  // (the declarative transform/array_min/aggregate nesting ran three
+  // interpreted-lambda levels per vector; the kernel is one tight loop
+  // with the identical strict-< smaller-j tie rule)
+  private def pqFlat(cbs: Array[Array[Array[Long]]]): Seq[Seq[Long]] =
+    cbs.flatten.map(_.toSeq).toSeq
+
+  /** UNIT-normalized micro-unit vectors: q29's ranking is cosine, and on
+    * the unit sphere L2² = 2 − 2·cos — so PQ's L2 machinery ranks by
+    * cosine. The norm is the same sequential fold on both engines, the
+    * division is one IEEE op per element, and micro-unit rounding
+    * re-enters exact integer arithmetic for everything downstream. */
+  private def pqMicroUnits(spark: SparkSession, d: String): DataFrame =
+    withNorm(spark, d)
       .select(col("vec_id"), expr(
         """transform(e, x -> CAST(round(CAST(x AS DOUBLE) / nrm * 1000000.0)
           |  AS BIGINT))""".stripMargin).as("mud"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+  /** Deterministic PQ training (shared by q103/q106): seeds = the PqK
+    * smallest (md5(vec_id), vec_id) vectors; one Lloyd update per
+    * (subspace, code) in exact integer lanes; empty cells keep their seed
+    * (q63's rule). Collects only the seeds and the ≤ m·k update rows. */
+  private def pqTrain(mu: DataFrame): Array[Array[Array[Long]]] = {
     val seeds: Array[Array[Long]] = mu
       .withColumn("hk",
         graft.functions.GraftFunctions.md5PrefixInt(col("vec_id").cast("string")))
       .orderBy(col("hk"), col("vec_id")).limit(PqK)
       .collect().map(_.getAs[scala.collection.Seq[Long]]("mud").toArray)
-    // flat codebook (s·16 + j → subvector), shipped into the codegen'd
-    // PqEncode/PqLut kernels as a per-task reference object — the
-    // broadcast-centroid pattern with zero per-row interpretation cost
-    // (the declarative transform/array_min/aggregate nesting ran three
-    // interpreted-lambda levels per vector; the kernel is one tight loop
-    // with the identical strict-< smaller-j tie rule)
-    def flat(cbs: Array[Array[Array[Long]]]): Seq[Seq[Long]] =
-      cbs.flatten.map(_.toSeq).toSeq
     val cb1 = Array.tabulate(PqM, PqK)((s, j) =>
       seeds(j).slice(s * PqSub, (s + 1) * PqSub))
     val a1 = mu.withColumn("codes",
-      graft.functions.GraftFunctions.pqEncode(col("mud"), flat(cb1), PqM, PqK))
+      graft.functions.GraftFunctions.pqEncode(col("mud"), pqFlat(cb1), PqM, PqK))
     val exploded = a1
       .select(col("vec_id"), col("mud"), posexplode(col("codes")).as(Seq("s", "c")))
       .withColumn("sub", expr(s"slice(mud, s * $PqSub + 1, $PqSub)"))
@@ -815,17 +821,24 @@ object SimilarityQueries {
             .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
         }
       }.toMap
-    // a centroid that attracted no vectors keeps its seed (q63's rule)
-    val cb2 = Array.tabulate(PqM, PqK)((s, j) => upd.getOrElse((s, j), cb1(s)(j)))
+    Array.tabulate(PqM, PqK)((s, j) => upd.getOrElse((s, j), cb1(s)(j)))
+  }
+
+  /** Exact-BIGINT ADC: Σ_s lut[s·k + code_s] over the 8 codes. */
+  private def adcExpr: org.apache.spark.sql.Column = expr(
+    s"""aggregate(sequence(0, ${PqM - 1}), CAST(0 AS BIGINT), (a, s) ->
+       |  a + element_at(lut, s * $PqK + element_at(codes, s + 1) + 1))""".stripMargin)
+
+  def q103AnnPq(spark: SparkSession, d: String): DataFrame = {
+    val mu = pqMicroUnits(spark, d)
+    val cb2 = pqTrain(mu)
     val coded = mu.withColumn("codes",
-      graft.functions.GraftFunctions.pqEncode(col("mud"), flat(cb2), PqM, PqK))
+      graft.functions.GraftFunctions.pqEncode(col("mud"), pqFlat(cb2), PqM, PqK))
     val probes = mu.filter(col("vec_id") < 8)
       .select(col("vec_id").as("q_vec_id"),
-        graft.functions.GraftFunctions.pqLut(col("mud"), flat(cb2), PqM, PqK).as("lut"))
+        graft.functions.GraftFunctions.pqLut(col("mud"), pqFlat(cb2), PqM, PqK).as("lut"))
     val cand = broadcast(probes).join(coded, col("vec_id") =!= col("q_vec_id"))
-      .withColumn("adc_dist", expr(
-        s"""aggregate(sequence(0, ${PqM - 1}), CAST(0 AS BIGINT), (a, s) ->
-           |  a + element_at(lut, s * $PqK + element_at(codes, s + 1) + 1))""".stripMargin))
+      .withColumn("adc_dist", adcExpr)
     // refine (faiss IndexRefineFlat): exact cosine re-rank of the ADC
     // shortlist — only probes×50 full vectors are ever fetched, so the
     // refine cost is independent of corpus size. Measured on this fixture:
@@ -852,13 +865,20 @@ object SimilarityQueries {
       .orderBy(col("q_vec_id"), col("rnk"))
   }
 
-  val q103Sql: String = {
-    def dist(a: String, b: String): String =
-      s"list_reduce(list_transform(range(1, ${PqSub + 1}), " +
-        s"i -> ($a[i] - $b[i]) * ($a[i] - $b[i])), (x, y) -> x + y)"
-    val subOf = (mud: String, s: String) =>
-      s"list_slice($mud, $s * $PqSub + 1, $s * $PqSub + $PqSub)"
-    s"""WITH v AS (
+  // SQL twins of the shared PQ pieces: sub-vector slice, sub-space L2²,
+  // and the v→md→seeds→cb1→a1→sums→c2→cbf→codes training/encode chain —
+  // interpolated into the q103 and q106 oracles
+  private def pqDistSql(a: String, b: String): String =
+    s"list_reduce(list_transform(range(1, ${PqSub + 1}), " +
+      s"i -> ($a[i] - $b[i]) * ($a[i] - $b[i])), (x, y) -> x + y)"
+
+  private def pqSubOfSql(mud: String, s: String): String =
+    s"list_slice($mud, $s * $PqSub + 1, $s * $PqSub + $PqSub)"
+
+  private val pqChainSql: String = {
+    val dist = pqDistSql _
+    val subOf = pqSubOfSql _
+    s"""v AS (
       |  $withNormSql),
       |md AS (
       |  SELECT vec_id,
@@ -894,7 +914,13 @@ object SimilarityQueries {
       |    SELECT md.vec_id, cbf.s, cbf.j,
       |      row_number() OVER (PARTITION BY md.vec_id, cbf.s
       |        ORDER BY ${dist(subOf("md.mud", "cbf.s"), "cbf.sub")}, cbf.j) AS rn
-      |    FROM md CROSS JOIN cbf) WHERE rn = 1),
+      |    FROM md CROSS JOIN cbf) WHERE rn = 1)""".stripMargin
+  }
+
+  val q103Sql: String = {
+    val dist = pqDistSql _
+    val subOf = pqSubOfSql _
+    s"""WITH $pqChainSql,
       |adc AS (
       |  SELECT q.vec_id AS q_vec_id, c.vec_id AS neighbor_id,
       |    CAST(sum(${dist(subOf("q.mud", "c.s"), "cbf.sub")}) AS BIGINT) AS adc_dist
@@ -923,8 +949,128 @@ object SimilarityQueries {
       |FROM r WHERE rnk <= 5 ORDER BY q_vec_id, rnk""".stripMargin
   }
 
+  // ---------------------------------------------------------------------------
+  // q106 — IVF-PQ (the faiss IndexIVFPQ composition that caps the index
+  // family): q48's coarse-quantizer idea (8 fixed-seed cells) prunes the
+  // search to the probe's nprobe=2 nearest cells, q103's trained PQ codes
+  // give ADC distances inside them, and the exact refine re-ranks the
+  // shortlist. Cell assignment and probe-cell ranking reuse the SAME
+  // codegen'd kernels as PQ encoding — the full 64-dim vector is one
+  // "subspace" with k=8 centroids (PqEncode(m=1,k=8) = nearest cell,
+  // PqLut(m=1,k=8) = all 8 cell distances).
+  //
+  // Honesty note: codes are GLOBAL (faiss by_residual=false), not
+  // per-cell residual codes — the residual variant is the accuracy
+  // upgrade and would ride the same plan with a per-(probe, cell) LUT on
+  // (mud − cell) deltas (still exact integers). Scale shape: everything
+  // q103 says, plus the candidate scan shrinks to the probed cells'
+  // inverted lists — the join key is the 3-bit cell id, probes (with
+  // their LUTs) broadcast. Measured recall@5 vs exact q29 at sf0.01:
+  // 0.35 (vs q103's 0.675 full-scan PQ+refine) — nprobe=2/8 prunes ~75%
+  // of the corpus and pays for it in recall on these near-orthogonal
+  // vectors; production tunes nprobe against that curve.
+  def q106AnnIvfPq(spark: SparkSession, d: String): DataFrame = {
+    val mu = pqMicroUnits(spark, d)
+    val cb2 = pqTrain(mu)
+    // coarse cells: the q48 fixed-seed centroids (ascending vec_id = cell id)
+    val cellCb: Seq[Seq[Long]] = mu
+      .filter(col("vec_id").isInCollection(centroidIds))
+      .orderBy(col("vec_id")).collect()
+      .map(_.getAs[scala.collection.Seq[Long]]("mud").toSeq).toSeq
+    val nCells = cellCb.length
+    val celled = mu
+      .withColumn("codes",
+        graft.functions.GraftFunctions.pqEncode(col("mud"), pqFlat(cb2), PqM, PqK))
+      .withColumn("cell", element_at(
+        graft.functions.GraftFunctions.pqEncode(col("mud"), cellCb, 1, nCells), 1))
+    val probes = mu.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("q_vec_id"),
+        graft.functions.GraftFunctions.pqLut(col("mud"), pqFlat(cb2), PqM, PqK).as("lut"),
+        posexplode(graft.functions.GraftFunctions.pqLut(col("mud"), cellCb, 1, nCells))
+          .as(Seq("cell", "cd")))
+      .withColumn("crnk", row_number().over(
+        Window.partitionBy(col("q_vec_id")).orderBy(col("cd"), col("cell"))))
+      .filter(col("crnk") <= 2)
+      .select(col("q_vec_id"), col("cell"), col("lut"))
+    val cand = broadcast(probes).join(celled, Seq("cell"))
+      .filter(col("vec_id") =!= col("q_vec_id"))
+      .withColumn("adc_dist", adcExpr)
+    val wAdc = Window.partitionBy(col("q_vec_id")).orderBy(col("adc_dist"), col("vec_id"))
+    val shortlist = cand.withColumn("srnk", row_number().over(wAdc))
+      .filter(col("srnk") <= 50)
+      .select(col("q_vec_id"), col("vec_id").as("neighbor_id"), col("cell"),
+        col("adc_dist"))
+    val v = withNorm(spark, d)
+    val qv = v.select(col("vec_id").as("q_vec_id"), col("e").as("qe"), col("nrm").as("qn"))
+    val nv = v.select(col("vec_id").as("neighbor_id"), col("e").as("ne"), col("nrm").as("nn"))
+    val refined = shortlist
+      .join(broadcast(qv), "q_vec_id")
+      .join(nv, "neighbor_id")
+      .withColumn("cos", round(dot("qe", "ne") / nullif(col("qn") * col("nn"), lit(0.0)), 6))
+    val w = Window.partitionBy(col("q_vec_id")).orderBy(col("cos").desc, col("neighbor_id"))
+    refined.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 5)
+      .select(col("q_vec_id"), col("rnk"), col("neighbor_id"), col("cell"),
+        col("adc_dist"), col("cos"))
+      .orderBy(col("q_vec_id"), col("rnk"))
+  }
+
+  val q106Sql: String = {
+    val dist = pqDistSql _
+    val subOf = pqSubOfSql _
+    val fullDist = (a: String, b: String) =>
+      s"list_reduce(list_transform(range(1, ${Dim + 1}), " +
+        s"i -> ($a[i] - $b[i]) * ($a[i] - $b[i])), (x, y) -> x + y)"
+    val cids = centroidIds.mkString(", ")
+    s"""WITH $pqChainSql,
+      |cellcb AS (
+      |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, mud
+      |  FROM md WHERE vec_id IN ($cids)),
+      |assign AS (
+      |  SELECT vec_id, cell FROM (
+      |    SELECT md.vec_id, cc.cell,
+      |      row_number() OVER (PARTITION BY md.vec_id
+      |        ORDER BY ${fullDist("md.mud", "cc.mud")}, cc.cell) AS rn
+      |    FROM md CROSS JOIN cellcb cc) WHERE rn = 1),
+      |pc AS (
+      |  SELECT q_vec_id, cell FROM (
+      |    SELECT md.vec_id AS q_vec_id, cc.cell,
+      |      row_number() OVER (PARTITION BY md.vec_id
+      |        ORDER BY ${fullDist("md.mud", "cc.mud")}, cc.cell) AS rn
+      |    FROM md CROSS JOIN cellcb cc WHERE md.vec_id < 8) WHERE rn <= 2),
+      |adc AS (
+      |  SELECT q.vec_id AS q_vec_id, c.vec_id AS neighbor_id, a.cell,
+      |    CAST(sum(${dist(subOf("q.mud", "c.s"), "cbf.sub")}) AS BIGINT) AS adc_dist
+      |  FROM md q
+      |  JOIN codes c ON q.vec_id < 8 AND c.vec_id <> q.vec_id
+      |  JOIN assign a ON a.vec_id = c.vec_id
+      |  JOIN pc ON pc.q_vec_id = q.vec_id AND pc.cell = a.cell
+      |  JOIN cbf ON cbf.s = c.s AND cbf.j = c.c
+      |  GROUP BY 1, 2, 3),
+      |short AS (
+      |  SELECT q_vec_id, neighbor_id, cell, adc_dist FROM (
+      |    SELECT q_vec_id, neighbor_id, cell, adc_dist,
+      |      row_number() OVER (PARTITION BY q_vec_id
+      |        ORDER BY adc_dist, neighbor_id) AS srnk
+      |    FROM adc) WHERE srnk <= 50),
+      |ref AS (
+      |  SELECT s.q_vec_id, s.neighbor_id, s.cell, s.adc_dist,
+      |    round(${dotSql("q.e", "n.e")} / nullif(q.nrm * n.nrm, 0.0), 6) AS cos
+      |  FROM short s
+      |  JOIN v q ON q.vec_id = s.q_vec_id
+      |  JOIN v n ON n.vec_id = s.neighbor_id),
+      |r AS (
+      |  SELECT q_vec_id, neighbor_id, cell, adc_dist, cos,
+      |    row_number() OVER (PARTITION BY q_vec_id
+      |      ORDER BY cos DESC, neighbor_id) AS rnk
+      |  FROM ref)
+      |SELECT q_vec_id, rnk, neighbor_id, cell, adc_dist, cos
+      |FROM r WHERE rnk <= 5 ORDER BY q_vec_id, rnk""".stripMargin
+  }
+
   val all: Map[String, Q] = Map(
     "q103_ann_pq" -> (q103AnnPq _),
+    "q106_ann_ivfpq" -> (q106AnnIvfPq _),
     "q83_ann_recall" -> (q83AnnRecall _),
     "q28_embedding_neardup" -> (q28EmbeddingNeardup _),
     "q29_ann_topk" -> (q29AnnTopk _),
@@ -945,5 +1091,6 @@ object SimilarityQueries {
     "q76_ann_sq8" -> q76Sql,
     "q78_hard_negatives" -> q78Sql,
     "q83_ann_recall" -> q83Sql,
-    "q103_ann_pq" -> q103Sql)
+    "q103_ann_pq" -> q103Sql,
+    "q106_ann_ivfpq" -> q106Sql)
 }
