@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Bucketed point-in-interval (range) join — "which interval contains this
+  * point" at scale. The naive formulation (`p JOIN iv ON p.k = iv.k AND
+  * p.t BETWEEN iv.s AND iv.e`) plans as an equi-join on the key with the
+  * band condition as a post-filter, which is fine per key but degenerates
+  * to a per-key cross product when keys are coarse (or absent); the
+  * classic fix — used by every interval-join engine and by this repo's
+  * signals×bars band join (EventBars.forwardArraysFor) — is to make the
+  * time axis part of the equi key:
+  *
+  *  - points get ONE bucket `⌊t/B⌋`;
+  *  - each interval explodes to the buckets it spans (⌈len/B⌉+1 rows —
+  *    choose B near the typical interval length so the multiplier is
+  *    small);
+  *  - the join is then pure equi on (keys…, bucket), with the band
+  *    predicate as a cheap residual filter, and each qualifying
+  *    (point, interval) pair appears EXACTLY once (a point lives in one
+  *    bucket).
+  *
+  * Shuffle carries (keys, bucket) — co-partitioned, AQE-splittable, no
+  * window serialization; a hot key spreads over its buckets by
+  * construction, so the skew story is strictly better than a key-only
+  * join. Returns the INNER matches: every point column plus each
+  * non-key interval column as `prefix+name`; callers needing left-outer
+  * attribution re-attach on the point's unique key (q107 does).
+  */
+object RangeJoin {
+
+  private def floorDiv(t: Column, b: Long): Column =
+    ((t - pmod(t, lit(b))) / b).cast("long")
+
+  def pointInInterval(
+      points: DataFrame,
+      intervals: DataFrame,
+      keys: Seq[String],
+      pointCol: String,
+      startCol: String,
+      endCol: String,
+      bucketUs: Long,
+      prefix: String = "iv_"): DataFrame = {
+    require(keys.nonEmpty, "range join requires at least one equi-key")
+    val ivPayload = intervals.columns.filterNot(keys.contains)
+    val iv = intervals.select(
+      keys.map(c => col(c).as(s"__k_$c")) :+
+        struct(ivPayload.map(col): _*).as("__ivp"): _*)
+      .withColumn("__b", explode(sequence(
+        floorDiv(col("__ivp").getField(startCol), bucketUs),
+        floorDiv(col("__ivp").getField(endCol), bucketUs))))
+    val pts = points.withColumn("__b", floorDiv(col(pointCol), bucketUs))
+    val joinCond = keys.map(c => pts(c) === iv(s"__k_$c")).reduce(_ && _) &&
+      pts("__b") === iv("__b") &&
+      pts(pointCol) >= iv("__ivp").getField(startCol) &&
+      pts(pointCol) <= iv("__ivp").getField(endCol)
+    pts.join(iv, joinCond)
+      .select(points.columns.map(pts(_)) ++
+        ivPayload.map(c => iv("__ivp").getField(c).as(prefix + c)): _*)
+  }
+}

@@ -167,8 +167,82 @@ object AsofQueries {
       .orderBy(col("user_id"), col("ts_us"), col("event_id"))
   }
 
+  // ---------------------------------------------------------------------------
+  // q107 — interval attribution via the bucketed range join: activity
+  // sessions (click/view/purchase, 30-min gap — q81's construction over
+  // the activity slice) become intervals; every ERROR event is attributed
+  // to the session containing it, or NULL when it fell in a quiet gap —
+  // the ops/diagnostics shape ("which user session did this failure
+  // happen in"), and the generic point-in-interval operator the band
+  // join family (EventBars) specializes.
+  //
+  // Plan (operators/RangeJoin): intervals explode to the 30-min buckets
+  // they span, points take their one bucket, and the join is pure equi on
+  // (user, bucket) with the band predicate residual — each (point,
+  // interval) pair appears exactly once, nothing key-coarse ever cross
+  // products, hot users spread over their buckets. Left-outer attribution
+  // re-attaches matches on event_id (the q100-style narrow re-join).
+  private val SessionGapUs = 1800000000L
+
+  def q107IntervalAttribution(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = evBase(spark, d)
+    val act = base
+      .filter(col("event_type").isin("click", "view", "purchase"))
+      .select(col("user_id"), col("ts_us"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"))
+    val iv = act
+      .withColumn("prev", lag(col("ts_us"), 1).over(w))
+      .withColumn("is_new",
+        when(col("prev").isNull || col("ts_us") - col("prev") > SessionGapUs, 1)
+          .otherwise(0))
+      .withColumn("sid", sum(col("is_new"))
+        .over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("sid"))
+      .agg(min(col("ts_us")).as("s_start"), max(col("ts_us")).as("s_end"),
+        count(lit(1)).as("n_act"))
+    val errors = base.filter(col("event_type") === "error")
+      .select(col("user_id"), col("ts_us"), col("event_id"))
+    val matched = graft.operators.RangeJoin.pointInInterval(
+      errors, iv, Seq("user_id"), "ts_us", "s_start", "s_end", SessionGapUs)
+      .select(col("event_id"), col("iv_sid").as("session_id"),
+        col("iv_s_start").as("s_start"), col("iv_s_end").as("s_end"),
+        col("iv_n_act").as("n_act"))
+    errors.join(matched, Seq("event_id"), "left")
+      .select(col("user_id"), col("ts_us"), col("event_id"), col("session_id"),
+        col("s_start"), col("s_end"), col("n_act"))
+      .orderBy(col("user_id"), col("ts_us"), col("event_id"))
+  }
+
+  val q107Sql: String =
+    """WITH act AS (
+      |  SELECT user_id, epoch_us(ts) AS ts_us FROM events
+      |  WHERE event_type IN ('click', 'view', 'purchase')),
+      |s0 AS (
+      |  SELECT user_id, ts_us,
+      |    CASE WHEN lag(ts_us) OVER w IS NULL
+      |      OR ts_us - lag(ts_us) OVER w > 1800000000 THEN 1 ELSE 0 END AS is_new
+      |  FROM act WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)),
+      |s1 AS (
+      |  SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_us
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      |  FROM s0),
+      |iv AS (
+      |  SELECT user_id, sid, min(ts_us) AS s_start, max(ts_us) AS s_end,
+      |    count(*) AS n_act
+      |  FROM s1 GROUP BY 1, 2),
+      |err AS (
+      |  SELECT user_id, epoch_us(ts) AS ts_us, event_id FROM events
+      |  WHERE event_type = 'error')
+      |SELECT e.user_id, e.ts_us, e.event_id, iv.sid AS session_id,
+      |  iv.s_start, iv.s_end, iv.n_act
+      |FROM err e LEFT JOIN iv
+      |  ON iv.user_id = e.user_id AND e.ts_us BETWEEN iv.s_start AND iv.s_end
+      |ORDER BY e.user_id, e.ts_us, e.event_id""".stripMargin
+
   val all: Map[String, Q] = Map(
     "q100_asof_backward" -> (q100AsofBackward(_, _)),
+    "q107_interval_attribution" -> (q107IntervalAttribution(_, _)),
     "q101_asof_forward_tolerance" -> (q101AsofForwardTolerance(_, _)),
     "q102_asof_bars_mtf" -> (q102AsofBarsMtf(_, _)),
     "q105_asof_twophase" -> (q105AsofTwoPhase(_, _)))
@@ -178,5 +252,6 @@ object AsofQueries {
     "q101_asof_forward_tolerance" -> q101Sql,
     "q102_asof_bars_mtf" -> q102Sql,
     // same semantics as q100 under a different physical plan → same oracle
-    "q105_asof_twophase" -> q100Sql)
+    "q105_asof_twophase" -> q100Sql,
+    "q107_interval_attribution" -> q107Sql)
 }
