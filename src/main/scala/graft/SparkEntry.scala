@@ -19,13 +19,10 @@ object SparkEntry {
   def ensureConfs(spark: SparkSession): SparkSession = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    // idempotent: the rolling-quantile planner strategy, so every engine
-    // path (driver smoke, Verify, Bench, user sessions routed through the
-    // registry) plans sliding exclusive-quantile windows incrementally
-    val exp = spark.experimental
-    if (!exp.extraStrategies.contains(graft.plans.SlidingQuantileStrategy)) {
-      exp.extraStrategies = exp.extraStrategies :+ graft.plans.SlidingQuantileStrategy
-    }
+    // the rolling-quantile planner strategy, so every engine path (driver
+    // smoke, Verify, Bench, user sessions routed through the registry)
+    // plans sliding exclusive-quantile windows incrementally
+    graft.plans.SlidingQuantileStrategy.register(spark)
     spark
   }
 

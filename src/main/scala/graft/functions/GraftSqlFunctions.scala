@@ -125,10 +125,7 @@ object GraftSqlFunctions {
     all.foreach { case (name, builder) =>
       registry.registerFunction(FunctionIdentifier(name), info(name), builder)
     }
-    val exp = spark.experimental
-    if (!exp.extraStrategies.contains(graft.plans.SlidingQuantileStrategy)) {
-      exp.extraStrategies = exp.extraStrategies :+ graft.plans.SlidingQuantileStrategy
-    }
+    graft.plans.SlidingQuantileStrategy.register(spark)
   }
 }
 

@@ -52,6 +52,20 @@ object AsofJoin {
   /** Smallest right time ≥ left time. */
   case object Forward extends Direction
 
+  private val InternalCols =
+    Seq("__t", "__side", "__rp", "__lp", "__m", "__b", "__in", "__prev",
+      "__carry_rp", "__last", "__carry")
+
+  private def requireCleanInputs(
+      left: DataFrame, right: DataFrame, keys: Seq[String], rightTime: String): Unit = {
+    require(keys.nonEmpty, "as-of join requires at least one equi-key")
+    require(right.columns.filterNot(keys.contains).contains(rightTime),
+      s"rightTime $rightTime must be a non-key right column")
+    val clash = (left.columns ++ right.columns).filter(InternalCols.contains)
+    require(clash.isEmpty,
+      s"inputs must not carry the internal columns ${clash.distinct.mkString(", ")}")
+  }
+
   def join(
       left: DataFrame,
       right: DataFrame,
@@ -61,9 +75,8 @@ object AsofJoin {
       direction: Direction = Backward,
       tolerance: Option[Long] = None,
       prefix: String = "asof_"): DataFrame = {
-    require(keys.nonEmpty, "as-of join requires at least one equi-key")
+    requireCleanInputs(left, right, keys, rightTime)
     val rPayload = right.columns.filterNot(keys.contains)
-    require(rPayload.contains(rightTime), s"rightTime $rightTime must be a non-key right column")
 
     // both sides projected to (keys…, __t, __side, __rp, __lp); the null
     // side of each struct is typed from the other frame's schema
@@ -137,9 +150,8 @@ object AsofJoin {
       tolerance: Option[Long] = None,
       prefix: String = "asof_",
       bucketUs: Long = 6L * 3600 * 1000 * 1000): DataFrame = {
-    require(keys.nonEmpty, "as-of join requires at least one equi-key")
+    requireCleanInputs(left, right, keys, rightTime)
     val rPayload = right.columns.filterNot(keys.contains)
-    require(rPayload.contains(rightTime), s"rightTime $rightTime must be a non-key right column")
 
     // direction folds into a sign flip of the time axis: backward as-of on
     // -t IS forward as-of on t (same inclusive tie rule)
@@ -153,8 +165,7 @@ object AsofJoin {
     val rpType = rProj.schema("__rp").dataType
     val lpType = lProj.schema("__lp").dataType
     // floor division (negative-safe) so bucket order == time order
-    def bucketOf(t: Column): Column =
-      ((t - pmod(t, lit(bucketUs))) / bucketUs).cast("long")
+    def bucketOf(t: Column): Column = RangeJoin.floorDiv(t, bucketUs)
     val unioned =
       rProj.select(keys.map(col) :+ col("__t") :+ lit(0).as("__side") :+
         col("__rp") :+ lit(null).cast(lpType).as("__lp"): _*)

@@ -30,7 +30,10 @@ import org.apache.spark.sql.functions._
   */
 object RangeJoin {
 
-  private def floorDiv(t: Column, b: Long): Column =
+  /** Negative-safe floor division to a bucket index (shared with
+    * AsofJoin.joinTwoPhase): the double division is exact while
+    * |t| < 2⁵³ — five decades of headroom over µs-since-epoch. */
+  private[operators] def floorDiv(t: Column, b: Long): Column =
     ((t - pmod(t, lit(b))) / b).cast("long")
 
   def pointInInterval(
@@ -43,6 +46,8 @@ object RangeJoin {
       bucketUs: Long,
       prefix: String = "iv_"): DataFrame = {
     require(keys.nonEmpty, "range join requires at least one equi-key")
+    require(!points.columns.contains("__b"),
+      "points must not carry the internal __b column")
     val ivPayload = intervals.columns.filterNot(keys.contains)
     val iv = intervals.select(
       keys.map(c => col(c).as(s"__k_$c")) :+

@@ -149,6 +149,15 @@ object SlidingQuantileWindowExec {
   * Nil defers to later strategies). */
 object SlidingQuantileStrategy extends SparkStrategy {
 
+  /** Idempotent session registration — the single shared entry point for
+    * SparkEntry.ensureConfs and GraftSqlFunctions.registerAll. */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val exp = spark.experimental
+    if (!exp.extraStrategies.contains(this)) {
+      exp.extraStrategies = exp.extraStrategies :+ this
+    }
+  }
+
   // strict Literal match: special boundaries (UnboundedPreceding/CurrentRow)
   // are foldable-but-unevaluable leaves, so a foldable-eval probe would
   // throw; anything non-literal simply falls back to WindowExec

@@ -118,9 +118,12 @@ object AsofQueries {
     val bars = EventBars.bars(spark, d)
       .select(col("event_type"), col("ts_us"), col("event_id"), col("rn"),
         col("open"), col("close"))
+    // pre-aggregate to the (series, ts) grain — the operator's uniqueness
+    // contract. (event_type, ts_us) is unique in today's fixtures, but the
+    // contract must hold by construction, not by data luck: latest rn wins
     val coarse = bars.filter(col("rn") % 5 === 0)
-      .select(col("event_type"), col("ts_us").as("c_ts_us"),
-        col("rn").as("c_rn"), col("close").as("c_close"))
+      .groupBy(col("event_type"), col("ts_us").as("c_ts_us"))
+      .agg(max(col("rn")).as("c_rn"), max_by(col("close"), col("rn")).as("c_close"))
     AsofJoin.join(bars, coarse, Seq("event_type"), "ts_us", "c_ts_us")
       .select(col("event_type"), col("ts_us"), col("event_id"), col("rn"),
         col("asof_c_rn").as("coarse_rn"),
@@ -133,8 +136,9 @@ object AsofQueries {
   val q102Sql: String =
     EventBars.duckCte +
       """, coarse AS (
-        |  SELECT event_type, ts_us AS c_ts_us, rn AS c_rn, close AS c_close
-        |  FROM bars WHERE rn % 5 = 0)
+        |  SELECT event_type, ts_us AS c_ts_us, max(rn) AS c_rn,
+        |    arg_max(close, rn) AS c_close
+        |  FROM bars WHERE rn % 5 = 0 GROUP BY 1, 2)
         |SELECT b.event_type, b.ts_us, b.event_id, b.rn,
         |  c.c_rn AS coarse_rn, c.c_ts_us AS coarse_ts_us,
         |  round(b.close - c.c_close, 6) + 0.0 AS drift_vs_coarse,

@@ -463,6 +463,9 @@ object CorpusOpsQueries {
         """transform(sequence(1, size(tok) - 1),
           |  i -> concat(element_at(tok, i), ' ', element_at(tok, i + 1)))"""
           .stripMargin)).as("term"))
+      // persists for the count + candidate + confirm passes; re-invocation
+      // re-persists the SAME canonical plan, which CacheManager dedupes
+      // (one resident copy per corpus, dropped by any clearCache)
       .persist()
     val nTotal = terms.count()
     val cap = MgCap

@@ -782,17 +782,31 @@ object SimilarityQueries {
   private def pqFlat(cbs: Array[Array[Array[Long]]]): Seq[Seq[Long]] =
     cbs.flatten.map(_.toSeq).toSeq
 
+  // training is deterministic per corpus dir, so q103 and q106 SHARE one
+  // trained codebook and one persisted micro-unit frame per (session, dir)
+  // instead of re-running the seed/Lloyd jobs and stacking caches (the
+  // IncrementalIndex computeIfAbsent pattern; the frame cache is
+  // session-keyed because a DataFrame is bound to the session that built it)
+  private val pqMuCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String), DataFrame]()
+  private val pqCbCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Array[Long]]]]()
+
   /** UNIT-normalized micro-unit vectors: q29's ranking is cosine, and on
     * the unit sphere L2² = 2 − 2·cos — so PQ's L2 machinery ranks by
     * cosine. The norm is the same sequential fold on both engines, the
     * division is one IEEE op per element, and micro-unit rounding
     * re-enters exact integer arithmetic for everything downstream. */
   private def pqMicroUnits(spark: SparkSession, d: String): DataFrame =
-    withNorm(spark, d)
-      .select(col("vec_id"), expr(
-        """transform(e, x -> CAST(round(CAST(x AS DOUBLE) / nrm * 1000000.0)
-          |  AS BIGINT))""".stripMargin).as("mud"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    pqMuCache.computeIfAbsent((System.identityHashCode(spark), d), _ =>
+      withNorm(spark, d)
+        .select(col("vec_id"), expr(
+          """transform(e, x -> CAST(round(CAST(x AS DOUBLE) / nrm * 1000000.0)
+            |  AS BIGINT))""".stripMargin).as("mud"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
+  private def pqCodebook(mu: DataFrame, d: String): Array[Array[Array[Long]]] =
+    pqCbCache.computeIfAbsent(d, _ => pqTrain(mu))
 
   /** Deterministic PQ training (shared by q103/q106): seeds = the PqK
     * smallest (md5(vec_id), vec_id) vectors; one Lloyd update per
@@ -831,7 +845,7 @@ object SimilarityQueries {
 
   def q103AnnPq(spark: SparkSession, d: String): DataFrame = {
     val mu = pqMicroUnits(spark, d)
-    val cb2 = pqTrain(mu)
+    val cb2 = pqCodebook(mu, d)
     val coded = mu.withColumn("codes",
       graft.functions.GraftFunctions.pqEncode(col("mud"), pqFlat(cb2), PqM, PqK))
     val probes = mu.filter(col("vec_id") < 8)
@@ -971,7 +985,7 @@ object SimilarityQueries {
   // vectors; production tunes nprobe against that curve.
   def q106AnnIvfPq(spark: SparkSession, d: String): DataFrame = {
     val mu = pqMicroUnits(spark, d)
-    val cb2 = pqTrain(mu)
+    val cb2 = pqCodebook(mu, d)
     // coarse cells: the q48 fixed-seed centroids (ascending vec_id = cell id)
     val cellCb: Seq[Seq[Long]] = mu
       .filter(col("vec_id").isInCollection(centroidIds))
