@@ -244,8 +244,76 @@ object AsofQueries {
       |  ON iv.user_id = e.user_id AND e.ts_us BETWEEN iv.s_start AND iv.s_end
       |ORDER BY e.user_id, e.ts_us, e.event_id""".stripMargin
 
+  // ---------------------------------------------------------------------------
+  // q108 — fixed-grid resampling with forward fill: each event series
+  // re-sampled onto its 1-hour grid (per-slot OHLC of `value`), empty
+  // slots gap-flagged and close-forward-filled — pandas `resample('1h')
+  // .ohlc()` + `ffill()`, the normalization step before any fixed-step
+  // model sees an irregular series. Output size is grid-bounded
+  // (series × hours), independent of event volume.
+  //
+  // Plan: one groupBy onto (series, slot) — map-side combined, carrying
+  // only OHLC sufficient stats; the grid is a per-series sequence-explode
+  // of O(slots) rows; the forward fill is a running last(ignoreNulls)
+  // window over the GRID-granular frame (slots, not events). Nothing
+  // event-cardinality-sized is windowed or broadcast. (series, ts) unique
+  // in the fixture makes arg-min/max by ts deterministic on both engines.
+  private val SlotUs = 3600000000L
+
+  def q108ResampleFfill(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = evBase(spark, d).select(col("event_type"), col("ts_us"), col("value"))
+    val grid = e.groupBy(col("event_type"))
+      .agg((min(col("ts_us")) / SlotUs).cast("long").as("s0"),
+        (max(col("ts_us")) / SlotUs).cast("long").as("s1"))
+      .select(col("event_type"),
+        explode(sequence(col("s0"), col("s1"))).as("slot"))
+    val agg = e.withColumn("slot", (col("ts_us") / SlotUs).cast("long"))
+      .groupBy(col("event_type"), col("slot"))
+      .agg(count(lit(1)).as("n_events"),
+        min_by(col("value"), col("ts_us")).as("o"),
+        max(col("value")).as("h"),
+        min(col("value")).as("l"),
+        max_by(col("value"), col("ts_us")).as("c"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("slot"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    grid.join(agg, Seq("event_type", "slot"), "left")
+      .na.fill(0L, Seq("n_events"))
+      .withColumn("is_gap", when(col("c").isNull, 1).otherwise(0))
+      .withColumn("c_filled", last(col("c"), ignoreNulls = true).over(w))
+      .select(col("event_type"), col("slot"), col("n_events"),
+        col("o"), col("h"), col("l"), col("c"), col("c_filled"), col("is_gap"))
+      .orderBy(col("event_type"), col("slot"))
+  }
+
+  val q108Sql: String =
+    """WITH e AS (
+      |  SELECT event_type, epoch_us(ts) AS ts_us, value FROM events),
+      |b AS (
+      |  SELECT event_type, min(ts_us) // 3600000000 AS s0,
+      |    max(ts_us) // 3600000000 AS s1
+      |  FROM e GROUP BY 1),
+      |g AS (
+      |  SELECT event_type, unnest(range(s0, s1 + 1)) AS slot FROM b),
+      |a AS (
+      |  SELECT event_type, ts_us // 3600000000 AS slot, count(*) AS n_events,
+      |    arg_min(value, ts_us) AS o, max(value) AS h, min(value) AS l,
+      |    arg_max(value, ts_us) AS c
+      |  FROM e GROUP BY 1, 2),
+      |j AS (
+      |  SELECT g.event_type, g.slot, coalesce(a.n_events, 0) AS n_events,
+      |    a.o, a.h, a.l, a.c,
+      |    CASE WHEN a.c IS NULL THEN 1 ELSE 0 END AS is_gap
+      |  FROM g LEFT JOIN a USING (event_type, slot))
+      |SELECT event_type, slot, n_events, o, h, l, c,
+      |  last_value(c IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY slot
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c_filled,
+      |  is_gap
+      |FROM j ORDER BY event_type, slot""".stripMargin
+
   val all: Map[String, Q] = Map(
     "q100_asof_backward" -> (q100AsofBackward(_, _)),
+    "q108_resample_ffill" -> (q108ResampleFfill(_, _)),
     "q107_interval_attribution" -> (q107IntervalAttribution(_, _)),
     "q101_asof_forward_tolerance" -> (q101AsofForwardTolerance(_, _)),
     "q102_asof_bars_mtf" -> (q102AsofBarsMtf(_, _)),
@@ -257,5 +325,6 @@ object AsofQueries {
     "q102_asof_bars_mtf" -> q102Sql,
     // same semantics as q100 under a different physical plan → same oracle
     "q105_asof_twophase" -> q100Sql,
-    "q107_interval_attribution" -> q107Sql)
+    "q107_interval_attribution" -> q107Sql,
+    "q108_resample_ffill" -> q108Sql)
 }
