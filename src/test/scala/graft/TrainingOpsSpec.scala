@@ -162,4 +162,41 @@ class TrainingOpsSpec extends GraftSuite {
       s"20th count ${want.last._2} too close to N/cap=$threshold for the " +
         "candidate pass to guarantee exactness")
   }
+
+  test("q108 resample: grid totality, OHLC replay, gap forward-fill laws") {
+    val ev = Tables.events(spark, sf)
+    val rows = ev.select(col("event_type"), Tables.tsUs(ev).as("ts_us"),
+        col("value")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val slotUs = 3600000000L
+    val bySeries = rows.groupBy(_._1)
+    val got = graft.queries.AsofQueries.q108ResampleFfill(spark, sf).collect()
+    val gotBySeries = got.groupBy(_.getAs[String]("event_type"))
+    assert(gotBySeries.keySet == bySeries.keySet)
+    bySeries.foreach { case (et, es) =>
+      val s0 = es.map(_._2).min / slotUs
+      val s1 = es.map(_._2).max / slotUs
+      val g = gotBySeries(et).sortBy(_.getAs[Long]("slot"))
+      // totality: one row per slot of the series' span, in order
+      assert(g.map(_.getAs[Long]("slot")).toSeq == (s0 to s1))
+      var lastClose: Option[Double] = None
+      g.foreach { r =>
+        val slot = r.getAs[Long]("slot")
+        val in = es.filter(e => e._2 / slotUs == slot)
+        assert(r.getAs[Long]("n_events") == in.length)
+        if (in.isEmpty) {
+          assert(r.getAs[Int]("is_gap") == 1 && r.isNullAt(r.fieldIndex("c")))
+          lastClose.foreach(c => assert(r.getAs[Double]("c_filled") == c))
+        } else {
+          val o = in.minBy(_._2)._3
+          val c = in.maxBy(_._2)._3
+          assert(r.getAs[Double]("o") == o && r.getAs[Double]("c") == c)
+          assert(r.getAs[Double]("h") == in.map(_._3).max)
+          assert(r.getAs[Double]("l") == in.map(_._3).min)
+          assert(r.getAs[Double]("c_filled") == c && r.getAs[Int]("is_gap") == 0)
+          lastClose = Some(c)
+        }
+      }
+    }
+  }
 }
