@@ -517,7 +517,74 @@ object CurationQueries {
        |FROM scored, gtot GROUP BY lang ORDER BY lang""".stripMargin
   }
 
+  // ---------------------------------------------------------------------------
+  // q109 — temperature-scaled mixture sampling (the T5/PaLM α-sampling
+  // rule that complements q65's budget solve and q53's split): domain d
+  // gets sampling mass ∝ n_d^α with α = 0.5, flattening the mixture so
+  // small domains aren't drowned; the realized sample is the
+  // deterministic per-domain md5-rank prefix, so reruns and backfills
+  // select the SAME documents (q53's property).
+  //
+  // Cross-engine exactness: weights enter as integer micro-units
+  // (round(√n·10⁶) — q63/q66's pattern), their total is an ORDER-FREE
+  // integer sum, and the selection gate is the BIGINT cross-multiply
+  // rank·W_µ ≤ T·w_µ — no double summation order, no floor boundary.
+  // The selected SET itself is pinned by an exact id-sum per domain
+  // (q90's trick), not just counts.
+  //
+  // Scale shape: the domain histogram is a tiny map-side-combined census
+  // broadcast back; ranking is one window per domain (the same exchange
+  // any per-domain op uses); the gate is map-only arithmetic.
+  def q109TemperatureSampling(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, d).select(col("doc_id"), col("lang"))
+    val cnt = docs.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+      .withColumn("w_micro", round(sqrt(col("n")) * 1e6).cast("long"))
+    val tot = cnt.agg(sum(col("n")).as("tot_n"),
+      sum(col("w_micro")).as("tot_w"))
+    val ranked = docs
+      .withColumn("rnk", row_number().over(Window.partitionBy(col("lang"))
+        .orderBy(md5Int(col("doc_id").cast("string")), col("doc_id"))).cast("long"))
+      .join(broadcast(cnt), "lang")
+      .crossJoin(broadcast(tot))
+      .withColumn("target", expr("tot_n div 4"))
+      .withColumn("selected",
+        col("rnk") * col("tot_w") <= col("target") * col("w_micro"))
+    ranked.groupBy(col("lang"))
+      .agg(any_value(col("n")).as("n_docs"),
+        any_value(col("w_micro")).as("w_micro"),
+        count_if(col("selected")).as("n_selected"),
+        sum(when(col("selected"), col("doc_id")).otherwise(0L)).as("sel_id_sum"),
+        (round(count_if(col("selected")).cast("double") / any_value(col("n")), 6)
+          + 0.0).as("sample_rate"))
+      .orderBy(col("lang"))
+  }
+
+  val q109Sql: String =
+    s"""WITH docs AS (SELECT doc_id, lang FROM documents),
+      |cnt AS (
+      |  SELECT lang, count(*) AS n,
+      |    round(sqrt(count(*)) * 1000000.0)::BIGINT AS w_micro
+      |  FROM docs GROUP BY lang),
+      |tot AS (
+      |  SELECT CAST(sum(n) AS BIGINT) AS tot_n,
+      |    CAST(sum(w_micro) AS BIGINT) AS tot_w FROM cnt),
+      |ranked AS (
+      |  SELECT docs.lang, docs.doc_id, cnt.n, cnt.w_micro,
+      |    row_number() OVER (PARTITION BY docs.lang
+      |      ORDER BY ${md5IntSql("CAST(doc_id AS VARCHAR)")}, doc_id) AS rnk,
+      |    tot.tot_n // 4 AS target, tot.tot_w
+      |  FROM docs JOIN cnt ON cnt.lang = docs.lang CROSS JOIN tot)
+      |SELECT lang, any_value(n) AS n_docs, any_value(w_micro) AS w_micro,
+      |  count(*) FILTER (WHERE rnk * tot_w <= target * w_micro) AS n_selected,
+      |  CAST(coalesce(sum(doc_id) FILTER (WHERE rnk * tot_w <= target * w_micro), 0)
+      |    AS BIGINT) AS sel_id_sum,
+      |  round(count(*) FILTER (WHERE rnk * tot_w <= target * w_micro)::DOUBLE
+      |    / any_value(n), 6) + 0.0 AS sample_rate
+      |FROM ranked GROUP BY lang ORDER BY lang""".stripMargin
+
   val all: Map[String, Q] = Map(
+    "q109_temperature_sampling" -> (q109TemperatureSampling _),
     "q65_mixture_waterfill" -> (q65MixtureWaterfill _),
     "q66_dsir_selection" -> (q66DsirSelection _),
     "q67_pii_census" -> (q67PiiCensus _),
@@ -525,6 +592,7 @@ object CurationQueries {
     "q77_perplexity_filter" -> (q77PerplexityFilter _))
 
   val oracles: Map[String, String] = Map(
+    "q109_temperature_sampling" -> q109Sql,
     "q65_mixture_waterfill" -> q65Sql,
     "q66_dsir_selection" -> q66Sql,
     "q67_pii_census" -> q67Sql,

@@ -861,7 +861,80 @@ object TextQueries {
       |FROM docw JOIN vocab USING (w)
       |GROUP BY lang ORDER BY lang""".stripMargin
 
+  // ---------------------------------------------------------------------------
+  // q110 — train→val memorization-exposure census (the Lee et al.
+  // "Deduplicating Training Data…" measurement): for q53's hash split,
+  // what fraction of each VAL doc's word-10-grams already occur anywhere
+  // in TRAIN? High overlap means eval perplexity measures memorization,
+  // not generalization — the census that motivates dedup-before-split
+  // (q79 measures the near-dup doc pairs; this measures the gram-level
+  // exposure even where docs aren't near-dups).
+  //
+  // Scale shape: grams ride as 8-byte md5 hashes (HashedWordNgrams); the
+  // train gram set is distinct'd and the overlap join is a SHUFFLE
+  // left-semi flag join on the hash — at 100 TB the train gram table is
+  // cluster-resident (this is q92's Bloom-prefilter candidate if a sketch
+  // is preferred); the val side explodes only the ~10% val slice. The
+  // census is exact-integer until the final rounded fractions.
+  def q110MemorizationCensus(spark: SparkSession, d: String): DataFrame = {
+    val bucket = md5Int(col("doc_id").cast("string")) % 100
+    val docs = Tables.documents(spark, d)
+      .withColumn("split",
+        when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test"))
+      .withColumn("gh",
+        graft.functions.GraftFunctions.hashedWordNgrams(col("text"), 10))
+      .select(col("doc_id"), col("lang"), col("split"), col("gh"))
+    val trainGrams = docs.filter(col("split") === "train")
+      .select(explode(col("gh")).as("g")).distinct()
+    val valGrams = docs.filter(col("split") === "val")
+      .select(col("doc_id"), col("lang"), explode(col("gh")).as("g"))
+    val perDoc = valGrams
+      .join(trainGrams.withColumn("seen", lit(1)).hint("shuffle_hash"),
+        Seq("g"), "left")
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(count(lit(1)).as("n_grams"),
+        count_if(col("seen").isNotNull).as("n_seen"))
+    perDoc.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_val_docs"),
+        sum(col("n_grams")).as("n_grams"),
+        sum(col("n_seen")).as("n_seen"),
+        (round(sum(col("n_seen")).cast("double") / sum(col("n_grams")), 6) + 0.0)
+          .as("gram_overlap"),
+        count_if(col("n_seen") * 2 >= col("n_grams")).as("n_high_exposure"))
+      .orderBy(col("lang"))
+  }
+
+  val q110Sql: String = {
+    val gramHash = md5IntSql("array_to_string(list_slice(tok, i, i + 9), ' ')")
+    s"""WITH t AS (
+      |  SELECT doc_id, lang, $toksSql AS tok,
+      |    ${md5IntSql("CAST(doc_id AS VARCHAR)")} % 100 AS bucket
+      |  FROM documents),
+      |g AS (
+      |  SELECT doc_id, lang,
+      |    CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val'
+      |      ELSE 'test' END AS split,
+      |    list_distinct(list_transform(
+      |      range(1, greatest(len(tok) - 9, 1) + 1), i -> $gramHash)) AS gh
+      |  FROM t),
+      |tg AS (SELECT DISTINCT unnest(gh) AS gr FROM g WHERE split = 'train'),
+      |vg AS (
+      |  SELECT doc_id, lang, unnest(gh) AS gr FROM g WHERE split = 'val'),
+      |pd AS (
+      |  SELECT vg.doc_id, vg.lang, count(*) AS n_grams,
+      |    count(tg.gr) AS n_seen
+      |  FROM vg LEFT JOIN tg USING (gr)
+      |  GROUP BY 1, 2)
+      |SELECT lang, count(*) AS n_val_docs,
+      |  CAST(sum(n_grams) AS BIGINT) AS n_grams,
+      |  CAST(sum(n_seen) AS BIGINT) AS n_seen,
+      |  round(sum(n_seen)::DOUBLE / sum(n_grams), 6) + 0.0 AS gram_overlap,
+      |  count(*) FILTER (WHERE n_seen * 2 >= n_grams) AS n_high_exposure
+      |FROM pd GROUP BY lang ORDER BY lang""".stripMargin
+  }
+
   val all: Map[String, Q] = Map(
+    "q110_memorization_census" -> (q110MemorizationCensus _),
     "q21_text_stats" -> (q21TextStats _),
     "q22_lang_id" -> (q22LangId _),
     "q23_fingerprint" -> (q23Fingerprint _),
@@ -887,5 +960,6 @@ object TextQueries {
     "q60_corpus_prep" -> q60Sql,
     "q62_repetition_rules" -> q62Sql,
     "q64_bpe_merges" -> q64Sql,
-    "q74_bpe_encode" -> q74Sql)
+    "q74_bpe_encode" -> q74Sql,
+    "q110_memorization_census" -> q110Sql)
 }
