@@ -163,6 +163,75 @@ class TrainingOpsSpec extends GraftSuite {
         "candidate pass to guarantee exactness")
   }
 
+  test("q109 temperature sampling: selection set replays in plain Scala") {
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("lang"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val byLang = docs.groupBy(_._2)
+    val wMicro = byLang.view.mapValues(ds =>
+      math.round(math.sqrt(ds.length.toDouble) * 1e6)).toMap
+    val totW = wMicro.values.sum
+    val target = docs.length.toLong / 4
+    val want = byLang.map { case (lang, ds) =>
+      val ranked = ds.map(_._1).sortBy(id => (md5Int(id.toString), id))
+      val sel = ranked.zipWithIndex.filter { case (_, i) =>
+        (i + 1).toLong * totW <= target * wMicro(lang)
+      }.map(_._1)
+      lang -> ((ds.length.toLong, sel.length.toLong, sel.sum))
+    }
+    val got = CurationQueries.q109TemperatureSampling(spark, sf).collect()
+    assert(got.length == want.size)
+    got.foreach { r =>
+      val (n, nSel, idSum) = want(r.getAs[String]("lang"))
+      assert(r.getAs[Long]("n_docs") == n)
+      assert(r.getAs[Long]("n_selected") == nSel, r.getAs[String]("lang"))
+      assert(r.getAs[Long]("sel_id_sum") == idSum, r.getAs[String]("lang"))
+    }
+    // α-flattening property: the smallest domain's realized sample RATE
+    // strictly exceeds the largest domain's (that is the point of α < 1)
+    val rates = got.map(r => r.getAs[Long]("n_docs") ->
+      r.getAs[Long]("n_selected").toDouble / r.getAs[Long]("n_docs"))
+    if (rates.map(_._1).distinct.length > 1) {
+      assert(rates.minBy(_._1)._2 >= rates.maxBy(_._1)._2)
+    }
+  }
+
+  test("q110 memorization census: gram overlap replays in plain Scala") {
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("lang"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    def grams(text: String): Set[Long] = {
+      val toks = text.trim.split("\\s+", -1)
+      val n = math.max(toks.length - 9, 1)
+      (0 until n).map { i =>
+        md5Int(toks.slice(i, math.min(i + 10, toks.length)).mkString(" "))
+      }.toSet
+    }
+    def split(id: Long): String = {
+      val b = md5Int(id.toString) % 100
+      if (b < 80) "train" else if (b < 90) "val" else "test"
+    }
+    val trainGrams = docs.filter(d => split(d._1) == "train")
+      .flatMap(d => grams(d._3)).toSet
+    val vals = docs.filter(d => split(d._1) == "val")
+    val want = vals.groupBy(_._2).map { case (lang, ds) =>
+      val per = ds.map { d =>
+        val g = grams(d._3)
+        (g.size.toLong, g.count(trainGrams.contains).toLong)
+      }
+      lang -> ((ds.length.toLong, per.map(_._1).sum, per.map(_._2).sum,
+        per.count(p => p._2 * 2 >= p._1).toLong))
+    }
+    val got = TextQueries.q110MemorizationCensus(spark, sf).collect()
+    assert(got.length == want.size)
+    got.foreach { r =>
+      val (nDocs, nGrams, nSeen, nHigh) = want(r.getAs[String]("lang"))
+      assert(r.getAs[Long]("n_val_docs") == nDocs)
+      assert(r.getAs[Long]("n_grams") == nGrams, r.getAs[String]("lang"))
+      assert(r.getAs[Long]("n_seen") == nSeen, r.getAs[String]("lang"))
+      assert(r.getAs[Long]("n_high_exposure") == nHigh)
+    }
+  }
+
   test("q108 resample: grid totality, OHLC replay, gap forward-fill laws") {
     val ev = Tables.events(spark, sf)
     val rows = ev.select(col("event_type"), Tables.tsUs(ev).as("ts_us"),
