@@ -107,11 +107,192 @@ object MultimodalQueries {
       |WHERE i.i < 8 + d.doc_id % 7 AND j.j < 8 + d.doc_id % 9
       |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin
 
+  // ---------------------------------------------------------------------------
+  // q111 — perceptual-hash (aHash) image near-dup detection over REAL
+  // decoded rasters: per document the q84 PNG is decoded (javax.imageio),
+  // block-averaged to an 8×8 grid in exact integer arithmetic, thresholded
+  // at the grid mean into a 64-bit average-hash (two BIGINT halves — no
+  // sign games), then near-duplicates are found by the production LSH
+  // shape for Hamming space: 4 × 16-bit bands as exact-match candidate
+  // keys (pigeonhole: hamming ≤ 3 ⇒ at least one band identical), with
+  // bit_count(xor) verification on candidates only — never an all-pairs
+  // scan. The oracle evaluates the same raster formula, blocks, threshold
+  // and banding closed-form in SQL, so a hash match proves the WHOLE
+  // decode→downscale→hash→band→verify pipeline, and the verified-pair
+  // census is checked too, not just the hashes.
+  //
+  // Scale shape: hashing is map-only (one image in flight per row; the
+  // corpus' pixels never shuffle — 16 bytes of hash per image do), and the
+  // near-dup stage runs at HASH-GROUP granularity: identical hashes are
+  // grouped FIRST (the exact→near order of the text pipeline q49), so the
+  // banded candidate join and bit_count verification see one row per
+  // DISTINCT hash — bounded by the hash space, not the corpus. The first
+  // doc-granular form of this query paid 530 s at the 10× rehearsal
+  // because thousands of true-duplicate images shared a hash and every
+  // band bucket went quadratic in docs; grouping reduced that to the same
+  // plan at ~bench cost (SCALE.md) — the q86 bucket lesson in Hamming
+  // space.
+  def q111ImagePhash(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val hashed = graft.Tables.documents(spark, d)
+      .select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val w = (8 + id % 9).toInt
+          val h = (8 + id % 7).toInt
+          val pix = new Array[Int](w * h)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              pix(y * w + x) = ((id * 31 + y * 7 + x * 13) % 256).toInt
+              x += 1
+            }
+            y += 1
+          }
+          val png = Multimodal.encodeGrayPng(w, h, pix)
+          val (dw, dh, dec) = Multimodal.decodeGray(png)
+          // 8×8 block average on the DECODED raster, exact integers
+          val cells = new Array[Long](64)
+          var i = 0
+          while (i < 8) {
+            val y0 = i * dh / 8; val y1 = (i + 1) * dh / 8
+            var j = 0
+            while (j < 8) {
+              val x0 = j * dw / 8; val x1 = (j + 1) * dw / 8
+              var s = 0L
+              var yy = y0
+              while (yy < y1) {
+                var xx = x0
+                while (xx < x1) { s += dec(yy * dw + xx); xx += 1 }
+                yy += 1
+              }
+              cells(i * 8 + j) = s / ((y1 - y0).toLong * (x1 - x0))
+              j += 1
+            }
+            i += 1
+          }
+          val mean = cells.sum / 64
+          var hLo = 0L; var hHi = 0L
+          var k = 0
+          while (k < 64) {
+            if (cells(k) > mean) {
+              if (k < 32) hLo |= 1L << k else hHi |= 1L << (k - 32)
+            }
+            k += 1
+          }
+          (id, hLo, hHi)
+        }
+      }.toDF("doc_id", "h_lo", "h_hi")
+    // exact-dup grouping FIRST: one row per distinct hash
+    val groups = hashed.groupBy(col("h_lo"), col("h_hi"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("rep_doc"))
+    // posexplode gives the deterministic band index the join keys on;
+    // /65536 is a power-of-two division — exact in doubles, floor on cast
+    val bands = groups.select(col("h_lo"), col("h_hi"), col("n_docs"),
+      posexplode(array(
+        col("h_lo") % 65536,
+        (col("h_lo") / 65536).cast("long") % 65536,
+        col("h_hi") % 65536,
+        (col("h_hi") / 65536).cast("long") % 65536)).as(Seq("bi", "bk")))
+    val l = bands.select(col("bi"), col("bk"),
+      col("h_lo").as("l1"), col("h_hi").as("hi1"))
+    val r = bands.select(col("bi"), col("bk"),
+      col("h_lo").as("l2"), col("h_hi").as("hi2"), col("n_docs").as("nd2"))
+    // DISTINCT hash pairs sharing a band (pigeonhole covers hamming ≤ 3);
+    // struct order on (lo, hi) halves the candidate space
+    val pairs = l.join(r, Seq("bi", "bk"))
+      .filter(struct(col("l1"), col("hi1")) < struct(col("l2"), col("hi2")))
+      .select(col("l1"), col("hi1"), col("l2"), col("hi2"), col("nd2"))
+      .distinct()
+      .withColumn("hamming",
+        expr("bit_count(l1 ^ l2) + bit_count(hi1 ^ hi2)").cast("long"))
+      .filter(col("hamming") <= 3)
+    // neighbor census per hash, both directions of each verified pair
+    val nbr = pairs
+      .select(col("l1").as("h_lo"), col("hi1").as("h_hi"), col("nd2").as("nd"))
+      .unionByName(pairs
+        .join(groups.select(col("h_lo").as("l1"), col("h_hi").as("hi1"),
+          col("n_docs").as("nd1")), Seq("l1", "hi1"))
+        .select(col("l2").as("h_lo"), col("hi2").as("h_hi"), col("nd1").as("nd")))
+      .groupBy(col("h_lo"), col("h_hi"))
+      .agg(count(lit(1)).as("n_nbr_hashes"), sum(col("nd")).as("n_nbr_docs"))
+    groups.join(nbr, Seq("h_lo", "h_hi"), "left")
+      .na.fill(0L, Seq("n_nbr_hashes", "n_nbr_docs"))
+      .select(col("h_lo"), col("h_hi"), col("n_docs"), col("rep_doc"),
+        col("n_nbr_hashes"), col("n_nbr_docs"))
+      .orderBy(col("h_lo"), col("h_hi"))
+  }
+
+  val q111Sql: String =
+    """WITH dims AS (
+      |  SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h
+      |  FROM documents),
+      |cells AS (
+      |  SELECT d.doc_id, i.i, j.j,
+      |    CAST(sum((d.doc_id * 31 + y.y * 7 + x.x * 13) % 256) AS BIGINT)
+      |      // count(*) AS cell
+      |  FROM dims d, range(0, 8) i(i), range(0, 8) j(j),
+      |    range(0, 14) y(y), range(0, 16) x(x)
+      |  WHERE y.y >= i.i * d.h // 8 AND y.y < (i.i + 1) * d.h // 8
+      |    AND x.x >= j.j * d.w // 8 AND x.x < (j.j + 1) * d.w // 8
+      |  GROUP BY 1, 2, 3),
+      |hs AS (
+      |  SELECT doc_id,
+      |    CAST(coalesce(sum(CASE WHEN above AND k < 32
+      |      THEN (1::BIGINT << k) END), 0) AS BIGINT) AS h_lo,
+      |    CAST(coalesce(sum(CASE WHEN above AND k >= 32
+      |      THEN (1::BIGINT << (k - 32)) END), 0) AS BIGINT) AS h_hi
+      |  FROM (
+      |    SELECT doc_id, i * 8 + j AS k,
+      |      cell > (CAST(sum(cell) OVER (PARTITION BY doc_id) AS BIGINT) // 64)
+      |        AS above
+      |    FROM cells)
+      |  GROUP BY doc_id),
+      |grp AS (
+      |  SELECT h_lo, h_hi, count(*) AS n_docs, min(doc_id) AS rep_doc
+      |  FROM hs GROUP BY 1, 2),
+      |bands AS (
+      |  SELECT h_lo, h_hi, n_docs, t.bi,
+      |    CASE t.bi WHEN 0 THEN h_lo % 65536
+      |      WHEN 1 THEN (h_lo // 65536) % 65536
+      |      WHEN 2 THEN h_hi % 65536
+      |      ELSE (h_hi // 65536) % 65536 END AS bk
+      |  FROM grp, range(0, 4) t(bi)),
+      |pairs AS (
+      |  SELECT DISTINCT a.h_lo AS l1, a.h_hi AS hi1,
+      |    b.h_lo AS l2, b.h_hi AS hi2, b.n_docs AS nd2
+      |  FROM bands a JOIN bands b ON a.bi = b.bi AND a.bk = b.bk
+      |    AND (a.h_lo < b.h_lo OR (a.h_lo = b.h_lo AND a.h_hi < b.h_hi))),
+      |ham AS (
+      |  SELECT l1, hi1, l2, hi2, nd2,
+      |    CAST(bit_count(xor(l1, l2)) + bit_count(xor(hi1, hi2)) AS BIGINT)
+      |      AS hamming
+      |  FROM pairs),
+      |nbr AS (
+      |  SELECT h_lo, h_hi, count(*) AS n_nbr_hashes,
+      |    CAST(sum(nd) AS BIGINT) AS n_nbr_docs
+      |  FROM (
+      |    SELECT l1 AS h_lo, hi1 AS h_hi, nd2 AS nd
+      |    FROM ham WHERE hamming <= 3
+      |    UNION ALL
+      |    SELECT h.l2, h.hi2, g.n_docs
+      |    FROM ham h JOIN grp g ON g.h_lo = h.l1 AND g.h_hi = h.hi1
+      |    WHERE h.hamming <= 3)
+      |  GROUP BY 1, 2)
+      |SELECT grp.h_lo, grp.h_hi, grp.n_docs, grp.rep_doc,
+      |  coalesce(nbr.n_nbr_hashes, 0) AS n_nbr_hashes,
+      |  coalesce(nbr.n_nbr_docs, 0) AS n_nbr_docs
+      |FROM grp LEFT JOIN nbr USING (h_lo, h_hi)
+      |ORDER BY grp.h_lo, grp.h_hi""".stripMargin
+
   val all: Map[String, Q] = Map(
     "q39_multimodal_meta" -> (q39MultimodalMeta _),
-    "q84_image_decode" -> (q84ImageDecode _))
+    "q84_image_decode" -> (q84ImageDecode _),
+    "q111_image_phash" -> (q111ImagePhash _))
 
   val oracles: Map[String, String] = Map(
     "q39_multimodal_meta" -> q39Sql,
-    "q84_image_decode" -> q84Sql)
+    "q84_image_decode" -> q84Sql,
+    "q111_image_phash" -> q111Sql)
 }
