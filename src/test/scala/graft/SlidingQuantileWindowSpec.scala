@@ -35,24 +35,38 @@ class SlidingQuantileWindowSpec extends GraftSuite {
 
   test("sliding agg form == declarative collect_list form (nulls, dups, warmup)") {
     ensure()
-    val df = randomFrame(21L, 1200).cache()
-    try {
-      val w = BarFrame.series(Seq(col("series")), col("ts"))
-      val fast = df
-        .withColumn("q1", GraftFunctions.exclusiveQuantileAgg(col("x"), 0.95)
-          .over(w.rowsBetween(-37, -1)))
-        .withColumn("q2", GraftFunctions.exclusiveQuantileAgg(col("x"), 0.25)
-          .over(w.rowsBetween(-5, -1)))
-      assert(planStr(fast).contains("SlidingQuantileWindow"),
-        "sliding agg frame must plan as SlidingQuantileWindowExec")
-      val decl = df
-        .withColumn("q1", BarFrame.rollingExclusiveQuantile(col("x"), 0.95, 37, w))
-        .withColumn("q2", BarFrame.rollingExclusiveQuantile(col("x"), 0.25, 5, w))
-      val f = fast.orderBy("series", "ts").collect()
-      val d = decl.orderBy("series", "ts").collect()
-      assert(f.length == d.length && f.length == 1200)
-      f.zip(d).foreach { case (a, b) => assert(a == b, s"fast $a != declarative $b") }
-    } finally df.unpersist()
+    // three seeds × varied frame lengths: warmup-only series (L > series
+    // length), tiny frames, and frames spanning partition boundaries
+    for ((seed, l1, l2) <- Seq((21L, 37, 5), (22L, 500, 2), (23L, 1, 97))) {
+      val df = randomFrame(seed, 1200).cache()
+      try {
+        val w = BarFrame.series(Seq(col("series")), col("ts"))
+        val fast = df
+          .withColumn("q1", GraftFunctions.exclusiveQuantileAgg(col("x"), 0.95)
+            .over(w.rowsBetween(-l1, -1)))
+          .withColumn("q2", GraftFunctions.exclusiveQuantileAgg(col("x"), 0.25)
+            .over(w.rowsBetween(-l2, -1)))
+        assert(planStr(fast).contains("SlidingQuantileWindow"),
+          "sliding agg frame must plan as SlidingQuantileWindowExec")
+        val decl = df
+          .withColumn("q1", BarFrame.rollingExclusiveQuantile(col("x"), 0.95, l1, w))
+          .withColumn("q2", BarFrame.rollingExclusiveQuantile(col("x"), 0.25, l2, w))
+        val f = fast.orderBy("series", "ts").collect()
+        val d = decl.orderBy("series", "ts").collect()
+        assert(f.length == d.length && f.length == 1200)
+        f.zip(d).foreach { case (a, b) =>
+          assert(a == b, s"seed=$seed: fast $a != declarative $b")
+        }
+      } finally df.unpersist()
+    }
+  }
+
+  test("strategy registration is idempotent across ensureConfs/registerAll") {
+    ensure(); ensure()
+    graft.SparkEntry.ensureConfs(spark)
+    val n = spark.experimental.extraStrategies
+      .count(_ == graft.plans.SlidingQuantileStrategy)
+    assert(n == 1, s"expected one registration, found $n")
   }
 
   test("multi-column census shape shares ONE exec node") {
