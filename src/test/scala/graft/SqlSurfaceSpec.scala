@@ -126,6 +126,32 @@ class SqlSurfaceSpec extends GraftSuite {
     got.zip(want).foreach { case (g, w) => assert(g == w) }
   }
 
+  test("gen600-shaped ROLLING quantile SQL text matches q15 and rides the exec") {
+    ensureRegistered()
+    val ev = Tables.events(spark, sf)
+    ev.select(col("event_id"), col("event_type"),
+        Tables.tsUs(ev).as("ts_us"), col("value"))
+      .createOrReplaceTempView("g_ev")
+    val sqlDf = spark.sql("""
+      SELECT event_id, event_type, value,
+        row_number() OVER w AS rn,
+        round(exclusive_quantile_agg(value, 0.90) OVER
+          (PARTITION BY event_type ORDER BY ts_us, event_id
+           ROWS BETWEEN 100 PRECEDING AND 1 PRECEDING), 6) AS p90_prior
+      FROM g_ev
+      WINDOW w AS (PARTITION BY event_type ORDER BY ts_us, event_id)
+      ORDER BY event_id""")
+    assert(sqlDf.queryExecution.executedPlan.toString
+      .contains("SlidingQuantileWindow"),
+      "the reference's rolling shape must plan as the incremental exec")
+    val got = sqlDf.collect()
+    val want = queries.QuantQueries.q15RollingQuantile(spark, sf)
+      .select(col("event_id"), col("event_type"), col("value"), col("rn"),
+        col("p90_prior")).collect()
+    assert(got.length == want.length && got.nonEmpty)
+    got.zip(want).foreach { case (g, w) => assert(g == w) }
+  }
+
   test("GraftExtensions applies its injections to a fresh extensions set") {
     // full builder-path coverage needs a fresh SparkContext (one JVM, one
     // context here); instantiating and applying pins the wiring compiles
