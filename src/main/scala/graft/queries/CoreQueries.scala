@@ -625,6 +625,48 @@ object CoreQueries {
           .as("avg_funnel_sec"))
   }
 
+  // q112 — q82's funnel under the SKEW-PROOF plan (closing the one
+  // exposure r6's skew rehearsal left open: "the conditional-min chain is
+  // order-dependent, so the two-phase rewrite does not apply directly").
+  // It does decompose: each stage is an ASSOCIATIVE conditional min once
+  // the previous stage's anchor is attached, so the funnel becomes three
+  // map-side-combined groupBy aggregations chained by joins against the
+  // (user-cardinality, broadcastable) stage frames. No window partitions
+  // anywhere: a hot user's events partial-aggregate inside every map task
+  // (combiners are the one skew mitigation that needs no re-keying), and
+  // the stage joins are AQE-skew-splittable where windows are not. The
+  // trade is three corpus scans vs q82's one-scan one-exchange form —
+  // measured in SCALE.md; same oracle SQL as q82, bit-identical output.
+  def q112FunnelMapside(spark: SparkSession, d: String): DataFrame = {
+    val ev0 = Tables.events(spark, d)
+    val ev = ev0.select(col("user_id"), Tables.tsUs(ev0).as("ts_us"),
+      col("event_type"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val s1 = ev.groupBy(col("user_id"))
+      .agg(min(when(col("event_type") === "view", col("ts_us"))).as("t_view"))
+    val s2 = ev.join(s1, "user_id")
+      .groupBy(col("user_id"))
+      .agg(any_value(col("t_view")).as("t_view"),
+        min(when(col("event_type") === "click" && col("ts_us") > col("t_view"),
+          col("ts_us"))).as("t_click"))
+    val s3 = ev.join(s2, "user_id")
+      .groupBy(col("user_id"))
+      .agg(any_value(col("t_view")).as("t_view"),
+        any_value(col("t_click")).as("t_click"),
+        min(when(col("event_type") === "purchase" && col("ts_us") > col("t_click"),
+          col("ts_us"))).as("t_purchase"))
+    s3.agg(
+      count(lit(1)).as("n_users"),
+      count(col("t_view")).as("n_viewed"),
+      count(col("t_click")).as("n_clicked_after_view"),
+      count(col("t_purchase")).as("n_purchased_after_click"),
+      round(count(col("t_purchase")).cast("double")
+        / nullif(count(col("t_view")).cast("double"), lit(0.0)), 6)
+        .as("view_to_purchase_rate"),
+      round(avg((col("t_purchase") - col("t_view")).cast("double") / 1e6), 4)
+        .as("avg_funnel_sec"))
+  }
+
   val q82Sql: String =
     """WITH ev AS (
       |  SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type
@@ -713,6 +755,7 @@ object CoreQueries {
   val all: Map[String, Q] = Map(
     "q81_sessionization" -> (q81Sessionization _),
     "q82_funnel" -> (q82Funnel _),
+    "q112_funnel_mapside" -> (q112FunnelMapside _),
     "q85_sessionization_twophase" -> (q85SessionizationTwoPhase _),
     "q80_histogram_quantile" -> (q80HistogramQuantile _),
     "q44_scalar_subquery" -> (q44ScalarSubquery _),
@@ -734,6 +777,7 @@ object CoreQueries {
   val oracles: Map[String, String] = Map(
     "q81_sessionization" -> q81Sql,
     "q82_funnel" -> q82Sql,
+    "q112_funnel_mapside" -> q82Sql,
     // same census, skew-proof plan — the oracle is deliberately q81's SQL
     "q85_sessionization_twophase" -> q81Sql,
     "q80_histogram_quantile" -> q80Sql,
