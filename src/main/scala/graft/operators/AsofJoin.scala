@@ -80,7 +80,10 @@ object AsofJoin {
 
     // both sides projected to (keys…, __t, __side, __rp, __lp); the null
     // side of each struct is typed from the other frame's schema
-    val rProj = right.select(
+    // NULL right times never match (DuckDB ASOF semantics): without this
+    // filter a null-timed row's non-null payload struct would sort first
+    // and become the untolerance'd "prevailing" match
+    val rProj = right.filter(col(rightTime).isNotNull).select(
       keys.map(col) :+ col(rightTime).as("__t") :+
         struct(rPayload.map(col): _*).as("__rp"): _*)
     val lProj = left.select(
@@ -156,7 +159,8 @@ object AsofJoin {
     // direction folds into a sign flip of the time axis: backward as-of on
     // -t IS forward as-of on t (same inclusive tie rule)
     val sign = direction match { case Backward => 1L; case Forward => -1L }
-    val rProj = right.select(
+    // same NULL-right-time exclusion as [[join]] — bit-identity contract
+    val rProj = right.filter(col(rightTime).isNotNull).select(
       keys.map(col) :+ (col(rightTime) * sign).as("__t") :+
         struct(rPayload.map(col): _*).as("__rp"): _*)
     val lProj = left.select(

@@ -163,7 +163,7 @@ object SlidingQuantileStrategy extends SparkStrategy {
   // throw; anything non-literal simply falls back to WindowExec
   private def frameBound(e: Expression): Option[Int] = e match {
     case Literal(i: Int, org.apache.spark.sql.types.IntegerType) => Some(i)
-    case Literal(l: Long, org.apache.spark.sql.types.LongType) => Some(l.toInt)
+    case Literal(l: Long, org.apache.spark.sql.types.LongType) if l.isValidInt => Some(l.toInt)
     case _ => None
   }
 

@@ -446,10 +446,12 @@ object CorpusOpsQueries {
   // a SUPERSET of every term with global count > N/cap; (2) an exact count
   // of the candidate terms only (candidates broadcast, corpus re-scanned
   // once, nothing vocabulary-sized ever shuffles). The final top-20 is
-  // EXACT — candidate choice can depend on partitioning, the output cannot
-  // (the 20th bigram's count clears the N/cap threshold with ~30% margin
-  // at every fixture scale, and the 10×-corpus check rides the same
-  // scale-free distribution; TrainingOpsSpec pins the superset property).
+  // EXACT — candidate choice can depend on partitioning, the output cannot.
+  // The exactness precondition (20th count > N/cap) is CHECKED at runtime:
+  // the `margin` output column reports each count vs the threshold, and if
+  // the 20th row fails it the query falls back to the exact census instead
+  // of returning a correct-looking but unguaranteed list (TrainingOpsSpec
+  // pins both the superset property and the flat-corpus fallback).
   // The oracle is the plain exact census SQL — same answer, different
   // physical plan (the q92/q55 pattern).
   private val MgCap = 1024
@@ -492,13 +494,28 @@ object CorpusOpsQueries {
         scala.jdk.CollectionConverters.SetHasAsScala(m.keySet()).asScala.iterator
       }(org.apache.spark.sql.Encoders.STRING)
       .toDF("term").distinct()
-    terms.join(broadcast(candidates), "term")
-      .groupBy(col("term")).agg(count(lit(1)).as("n"))
+    def rank(counted: DataFrame): DataFrame = counted
       .withColumn("rnk", row_number().over(Window.orderBy(col("n").desc, col("term"))))
       .filter(col("rnk") <= 20)
       .withColumn("pct", round(col("n").cast("double") / nTotal.toDouble, 6))
-      .select(col("rnk"), col("term"), col("n"), col("pct"))
+      // margin: how far the count clears the Misra-Gries admission
+      // threshold N/cap — >1 for every row means the superset guarantee
+      // held and the top-k is provably exact
+      .withColumn("margin",
+        round(col("n").cast("double") * cap / nTotal.toDouble, 6))
+      .select(col("rnk"), col("term"), col("n"), col("pct"), col("margin"))
       .orderBy(col("rnk"))
+    val viaCandidates = rank(
+      terms.join(broadcast(candidates), "term")
+        .groupBy(col("term")).agg(count(lit(1)).as("n")))
+    // the top-20 is exact ONLY if the 20th count exceeds N/cap (then every
+    // top-20 term is guaranteed among the candidates); on a flatter
+    // distribution fall back to the exact census rather than silently
+    // returning a correct-looking but unguaranteed list
+    val min20 = viaCandidates.agg(min(col("n"))).head()
+    val guaranteed = !min20.isNullAt(0) && min20.getLong(0) * cap > nTotal
+    if (guaranteed) viaCandidates
+    else rank(terms.groupBy(col("term")).agg(count(lit(1)).as("n")))
   }
 
   val q104Sql: String =
@@ -513,7 +530,8 @@ object CorpusOpsQueries {
       |r AS (
       |  SELECT term, n, row_number() OVER (ORDER BY n DESC, term) AS rnk
       |  FROM c)
-      |SELECT rnk, term, n, round(n::DOUBLE / n_total, 6) AS pct
+      |SELECT rnk, term, n, round(n::DOUBLE / n_total, 6) AS pct,
+      |  round(n::DOUBLE * 1024 / n_total, 6) AS margin
       |FROM r, tot WHERE rnk <= 20 ORDER BY rnk""".stripMargin
 
   val all: Map[String, Q] = Map(

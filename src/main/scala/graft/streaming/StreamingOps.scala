@@ -489,7 +489,12 @@ object StreamingOps {
           }
           rights = rights.sortBy(_._1)
           // getCurrentWatermarkMs floors to ms, so wmUs ≤ the true µs
-          // watermark — emission is conservative, never premature
+          // watermark — emission is conservative, never premature.
+          // ts <= wmUs is safe INCLUDING the boundary: Spark's stateful
+          // late-row predicate is LessThanOrEqual(event_time, wm·1000)
+          // (WatermarkSupport.watermarkExpression, verified on 4.1.2), so a
+          // right with ts == wm is itself dropped and can never arrive to
+          // match an emitted left — StreamingSpec pins this boundary
           val wmUs = state.getCurrentWatermarkMs() * 1000L
           val (ready, stillPending) = pending.partition(_._1 <= wmUs)
           val out = ready.sortBy(_._1).map { case (t, v) =>

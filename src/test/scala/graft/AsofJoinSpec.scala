@@ -117,4 +117,31 @@ class AsofJoinSpec extends GraftSuite {
       assert(row.getLong(3) == 100L && row.getInt(4) == 7, s"direction $d")
     }
   }
+
+  test("NULL right times never match (DuckDB ASOF semantics) in both forms") {
+    import spark.implicits._
+    // the null-timed row would sort FIRST under ASC NULLS FIRST and, before
+    // the fix, become the prevailing match with a NULL matched time
+    val l = Seq(("a", 100L, 1L), ("a", 5L, 2L)).toDF("k", "t", "lid")
+    val r = Seq(("a", Some(50L), 7), ("a", None, 99))
+      .toDF("k", "rt", "rv")
+    for (d <- Seq(AsofJoin.Backward, AsofJoin.Forward);
+         form <- Seq("merge", "twoPhase")) {
+      val res = form match {
+        case "merge" => AsofJoin.join(l, r, Seq("k"), "t", "rt", d)
+        case _ => AsofJoin.joinTwoPhase(l, r, Seq("k"), "t", "rt", d, bucketUs = 70L)
+      }
+      val got = res.collect().map { row =>
+        row.getLong(2) -> (if (row.isNullAt(3)) None
+                           else Some((row.getLong(3), row.getInt(4))))
+      }.toMap
+      val want = d match {
+        case AsofJoin.Backward =>
+          Map(1L -> Some((50L, 7)), 2L -> None)
+        case _ =>
+          Map(1L -> None, 2L -> Some((50L, 7)))
+      }
+      assert(got == want, s"direction $d form $form: $got vs $want")
+    }
+  }
 }

@@ -143,4 +143,33 @@ class SlidingQuantileWindowSpec extends GraftSuite {
     // and it still evaluates (WindowExec's growing-frame processor)
     assert(expanding.count() == 300)
   }
+
+  test("Long frame bound beyond Int range is NOT claimed (no silent wrap)") {
+    ensure()
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Complete}
+    import org.apache.spark.sql.catalyst.plans.logical
+    // hand-built logical node: the public DSL/SQL surfaces reject Long
+    // bounds at analysis, but the strategy must be robust to any producer
+    val child = randomFrame(26L, 300).queryExecution.analyzed
+    val series = child.output.find(_.name == "series").get
+    val ts = child.output.find(_.name == "ts").get
+    val x = child.output.find(_.name == "x").get
+    def node(lower: Long): logical.Window = {
+      val frame = SpecifiedWindowFrame(RowFrame, Literal(lower), Literal(-1))
+      val spec = WindowSpecDefinition(Seq(series),
+        Seq(SortOrder(ts, Ascending)), frame)
+      val agg = AggregateExpression(
+        graft.functions.ExclusiveQuantileAgg(x, 0.5), Complete, isDistinct = false)
+      logical.Window(Seq(Alias(WindowExpression(agg, spec), "q")()),
+        Seq(series), Seq(SortOrder(ts, Ascending)), child, None)
+    }
+    // -(1L<<32)-2 wraps to -2 under toInt: before the isValidInt guard the
+    // strategy claimed this window with lookback 2 instead of deferring
+    assert(graft.plans.SlidingQuantileStrategy(node(-(1L << 32) - 2L)).isEmpty,
+      "out-of-Int-range Long frames must fall through to the default planner")
+    // positive control: an in-range Long bound IS still claimed
+    assert(graft.plans.SlidingQuantileStrategy(node(-10L)).nonEmpty,
+      "in-range Long frames stay on the exec")
+  }
 }

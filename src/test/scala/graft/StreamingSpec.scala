@@ -497,6 +497,59 @@ class StreamingSpec extends GraftSuite {
     } finally query.stop()
   }
 
+  test("streamingAsofJoin: watermark-boundary contract — a right AT the " +
+    "watermark is dropped by Spark, so emitting lefts at ts <= wm is safe") {
+    // Spark's stateful late-row predicate is event_time <= watermark
+    // (LessThanOrEqual in WatermarkSupport.watermarkExpression, 4.1.2):
+    // a right with ts == wm can never reach the operator, so a left at the
+    // same ts may emit as soon as wm reaches its ts without missing a
+    // legal match. This pins that boundary — if a future Spark switches to
+    // a strict predicate, the last assertion fails and the emission
+    // partition in streamingAsofJoin must become strict too.
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.StreamingOps.AsofEvent
+    val T = 1000L * 1000000L // 1000 s in µs
+    val T0 = T - 100L * 1000000L // an earlier right: the expected prevailing
+    val delay = 600L * 1000000L // the default 10-minute watermark
+    val mem = MemoryStream[AsofEvent]
+    val query = StreamingOps.streamingAsofJoin(mem.toDS())
+      .writeStream.format("memory").queryName("asof_boundary_out")
+      .outputMode("append").start()
+    try {
+      def feed(evs: AsofEvent*): Unit = {
+        mem.addData(evs.toIndexedSeq); query.processAllAvailable()
+      }
+      def outMap() = spark.table("asof_boundary_out")
+        .filter(col("userId") === 1L).collect()
+        .map(r => r.getAs[Long]("tsUs") ->
+          (if (r.isNullAt(r.fieldIndex("matchTsUs"))) None
+           else Some((r.getAs[Long]("matchTsUs"), r.getAs[Double]("matchValue")))))
+        .toMap
+      feed(AsofEvent(1L, T0, isLeft = false, 3.0), // prevailing right
+        AsofEvent(1L, T, isLeft = true, 1.0)) // the boundary left, held
+      feed(AsofEvent(-1L, T + delay, isLeft = false, 0.0)) // wm -> exactly T
+      // a data-triggered invocation for user 1 at wm == T: the held left at
+      // ts == wm emits NOW (<= partition), matched to the earlier right
+      feed(AsofEvent(1L, T + delay, isLeft = true, 2.0))
+      assert(outMap() == Map(T -> Some((T0, 3.0))),
+        "left at ts == wm must emit promptly with the prevailing match")
+      // a right at ts == wm == T arriving now is late per Spark's <=
+      // predicate and must be dropped, never rewriting history
+      feed(AsofEvent(1L, T, isLeft = false, 7.0))
+      // push the watermark far past everything to flush the second left
+      feed(AsofEvent(-2L, T + 10 * delay, isLeft = false, 0.0))
+      feed(AsofEvent(-3L, T + 20 * delay, isLeft = false, 0.0))
+      val out = outMap()
+      assert(out.keySet == Set(T, T + delay), s"both lefts must flush: $out")
+      assert(out(T) == Some((T0, 3.0)), s"boundary left keeps its match: $out")
+      assert(out(T + delay) == Some((T0, 3.0)),
+        s"the boundary-late right must have been dropped (got $out) — if this " +
+          "now matches (1000000000000, 7.0), Spark's late predicate became " +
+          "strict and streamingAsofJoin's emission partition must follow")
+    } finally query.stop()
+  }
+
   test("streamingSessionize: full sf0.01 events replay matches batch q81 user-for-user") {
     // the real-fixture parity oracle: the ENTIRE sf0.01 events table (10k
     // events, 150 users) replayed through the stateful streaming operator in

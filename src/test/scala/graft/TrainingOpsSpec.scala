@@ -163,6 +163,39 @@ class TrainingOpsSpec extends GraftSuite {
         "candidate pass to guarantee exactness")
   }
 
+  test("q104 falls back to the exact census on a flat distribution and " +
+    "the margin column flags the regime") {
+    import spark.implicits._
+    // crafted corpus: 3000 distinct bigrams, each count 1 → the 20th count
+    // (1) is far below N/cap ≈ 2.9, so the Misra-Gries superset guarantee
+    // does NOT hold and the candidate path would be unguaranteed
+    val dir = java.nio.file.Files.createTempDirectory("q104flat").toString
+    locally {
+      (0 until 1500).map(i => (i.toLong, s"w${2 * i} w${2 * i + 1} w${2 * i} w${2 * i + 1}"))
+        .toDF("doc_id", "text")
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      // each doc contributes bigrams: (w_a w_b), (w_b w_a), (w_a w_b) →
+      // actually "a b a b" yields a-b, b-a, a-b: counts 2 and 1 per doc,
+      // all DISTINCT across docs → top-20 are the first 20 count-2 bigrams
+      val got = graft.queries.CorpusOpsQueries.q104HeavyHitters(spark, dir).collect()
+      assert(got.length == 20)
+      // margin < 1 on every row: the MG threshold N/cap exceeds each count,
+      // i.e. the output is flagged as the fallback (exact-census) regime
+      got.foreach { r =>
+        assert(r.getAs[Double]("margin") < 1.0,
+          s"flat corpus must report margin < 1, got $r")
+      }
+      // and the output IS exact: count-2 bigrams ranked first, term asc
+      val want = (0 until 1500).map(i => s"w${2 * i} w${2 * i + 1}")
+        .sorted.take(20)
+      got.zip(want).zipWithIndex.foreach { case ((row, t), i) =>
+        assert(row.getAs[Int]("rnk") == i + 1)
+        assert(row.getAs[String]("term") == t, s"rank ${i + 1}")
+        assert(row.getAs[Long]("n") == 2L, s"rank ${i + 1} count")
+      }
+    }
+  }
+
   test("q109 temperature sampling: selection set replays in plain Scala") {
     val docs = Tables.documents(spark, sf).select(col("doc_id"), col("lang"))
       .collect().map(r => (r.getLong(0), r.getString(1)))
