@@ -391,8 +391,13 @@ object SimilarityQueries {
       .persist(StorageLevel.MEMORY_AND_DISK)
   }
 
-  def q63SemanticDedup(spark: SparkSession, d: String): DataFrame = {
-    val a2 = kmeansAssignment(spark, d)
+  def q63SemanticDedup(spark: SparkSession, d: String): DataFrame =
+    semDedupCensus(kmeansAssignment(spark, d))
+
+  /** The within-cluster cosine near-dup census shared by q63 (fixed K=8,
+    * the reference-scale oracle form) and q113 (K scaled to the corpus —
+    * the production lane). Input contract: (vec_id, e, nrm, c1, cid). */
+  private def semDedupCensus(a2: DataFrame): DataFrame = {
     val members = a2.groupBy(col("cid")).agg(
       count(lit(1)).as("n_members"),
       count_if(col("c1") =!= col("cid")).as("n_moved"))
@@ -422,10 +427,11 @@ object SimilarityQueries {
       .orderBy(col("cid"))
   }
 
-  /** SQL twin of [[kmeansAssignment]]: CTEs `v` → `md` → `seeds` → `a1`
-    * → `sums` → `c2` → `c2f` → `a2`; interpolated into the q63 and q90
-    * oracles. */
-  private val kmeansCteSql: String = {
+  /** SQL twin of [[kmeansAssignment]]/[[kmeansAssignmentScaled]]: CTEs
+    * `v` → `md` → `seeds` → `a1` → `sums` → `c2` → `c2f` → `a2`;
+    * interpolated into the q63/q90 (K=8) and q113 (scaled-K) oracles.
+    * `kSql` is any scalar SQL expression for the seed count. */
+  private def kmeansCteSqlWithK(kSql: String): String = {
     val sqDist = (m: String, c: String) =>
       s"list_reduce(list_transform(range(1, ${Dim + 1}), " +
         s"i -> ($m[i] - $c[i]) * ($m[i] - $c[i])), (x, y) -> x + y)"
@@ -439,7 +445,7 @@ object SimilarityQueries {
       |  SELECT mud, rn - 1 AS cid FROM (
       |    SELECT mud, row_number() OVER (
       |      ORDER BY ('0x' || substr(md5(vec_id::VARCHAR), 1, 8))::BIGINT, vec_id) AS rn
-      |    FROM md) WHERE rn <= $KClusters),
+      |    FROM md) WHERE rn <= ($kSql)),
       |a1 AS (
       |  SELECT vec_id, cid AS c1 FROM (
       |    SELECT md.vec_id, s.cid,
@@ -464,8 +470,10 @@ object SimilarityQueries {
       |    FROM md JOIN a1 USING (vec_id) CROSS JOIN c2f c) WHERE rn = 1)""".stripMargin
   }
 
-  val q63Sql: String =
-    s"""WITH $kmeansCteSql,
+  private val kmeansCteSql: String = kmeansCteSqlWithK(KClusters.toString)
+
+  private def semDedupSqlWith(kmeansCte: String): String =
+    s"""WITH $kmeansCte,
       |members AS (
       |  SELECT cid, count(*) AS n_members,
       |    count(*) FILTER (WHERE c1 <> cid) AS n_moved
@@ -488,6 +496,8 @@ object SimilarityQueries {
       |  coalesce(p.n_sem_removed, 0) AS n_sem_removed,
       |  coalesce(p.max_cos, 0.0) AS max_cos
       |FROM members m LEFT JOIN p USING (cid) ORDER BY m.cid""".stripMargin
+
+  val q63Sql: String = semDedupSqlWith(kmeansCteSql)
 
   // ---------------------------------------------------------------------------
   // q90 — cluster-balanced DIVERSITY sampling: subsample the corpus to a
@@ -558,6 +568,94 @@ object SimilarityQueries {
       |  CAST(sum(vec_id) FILTER (WHERE sel) AS BIGINT) AS sel_vecid_sum,
       |  max(vec_id) FILTER (WHERE sel) AS sel_vecid_max
       |FROM s GROUP BY cid ORDER BY cid""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // q113 — SemDeDup at production K (the scale lane for q63): identical
+  // semantics — deterministic 2-pass k-means, then a within-cluster cosine
+  // near-dup census — but K GROWS with the corpus (K = ⌈N/64⌉, target cell
+  // ≈ Dim docs), which is the actual SemDeDup rule (the paper clusters
+  // LAION into 11k cells precisely so the quadratic within-cluster verify
+  // stays O(N·cell) = linear, not O(N²/K) with K fixed). q63 keeps K=8 as
+  // the reference-scale oracle form; this lane is what a 100 TB run uses.
+  //
+  // Physical shape differs from q63 BY DESIGN: K literal centroid
+  // expressions stop codegen'ing around K≈10² — here centroids are a
+  // BROADCAST (cid, cvec, cc) frame; assignment is crossJoin(broadcast) +
+  // map-side partial min(struct(dist, cid)) per vec_id, so the exploded
+  // N×K candidate rows never shuffle (only N argmin rows do). Driver
+  // state is K×(Dim+1) values = N/64·65 — ~8 MB per million vectors, the
+  // same "bounded codebook" contract as PQ training. Exactness discipline
+  // is q63's verbatim: integer micro-units end-to-end, HALF_UP centroid
+  // rounding, (dist, cid) tie-break — SemDedupScaledSpec replays the whole
+  // pipeline in plain Scala and SCALE.md carries the 10×/100× wall rows.
+  private val TargetCell = 64
+
+  private[graft] def scaledK(n: Long): Int =
+    math.max(1, math.ceil(n / TargetCell.toDouble).toInt)
+
+  private def kmeansAssignmentScaled(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    import spark.implicits._
+    val v = withNorm(spark, d)
+      .withColumn("mud",
+        transform(col("e"), x => round(x * lit(1e6)).cast("long").cast("double")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val k = scaledK(v.count())
+    // same deterministic seed rule as q63: the K smallest (md5(vec_id), vec_id)
+    val seeds: Array[Array[Double]] = v
+      .select(col("vec_id"), col("mud"))
+      .withColumn("hk",
+        graft.functions.GraftFunctions.md5PrefixInt(col("vec_id").cast("string")))
+      .orderBy(col("hk"), col("vec_id"))
+      .limit(k)
+      .collect()
+      .map(_.getAs[scala.collection.Seq[Double]]("mud").toArray)
+
+    // broadcast-frame argmin (vs q63's literal-expression argmin): dist =
+    // dot(m,m) − 2·dot(m,c) + dot(c,c), exact integer-valued doubles, and
+    // min(struct(dist, cid)) is both order-insensitive (integers) and
+    // tie-broken on cid — bit-equal to q63's sort_array rule
+    def assign(cents: IndexedSeq[Array[Double]], outCol: String)(df: DataFrame): DataFrame = {
+      val cFrame = broadcast(
+        cents.zipWithIndex
+          .map { case (c, cid) => (cid, c.toSeq, c.foldLeft(0.0)((a, x) => a + x * x)) }
+          .toDF("__cid", "__cvec", "__cc"))
+      val dist = graft.functions.GraftFunctions.dotFold(col("mud"), col("mud")) -
+        lit(2.0) * graft.functions.GraftFunctions.dotFold(col("mud"), col("__cvec")) +
+        col("__cc")
+      val asg = df.select(col("vec_id"), col("mud"))
+        .crossJoin(cFrame)
+        .groupBy(col("vec_id"))
+        .agg(min(struct(dist.as("dist"), col("__cid").as("cid"))).as("__m"))
+        .select(col("vec_id"), col("__m").getField("cid").as(outCol))
+      df.join(asg, "vec_id")
+    }
+    val a1 = assign(seeds, "c1")(v)
+    val lanes = (0 until Dim).map(i =>
+      sum(element_at(col("mud"), i + 1).cast("long")).as(s"s$i"))
+    val sums = a1.groupBy(col("c1"))
+      .agg(count(lit(1)).as("cnt"), lanes: _*)
+      .collect()
+      .map { r =>
+        val cnt = r.getAs[Long]("cnt").toDouble
+        r.getAs[Int]("c1") -> (0 until Dim).map { i =>
+          new java.math.BigDecimal(r.getAs[Long](s"s$i") / cnt)
+            .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue()
+        }.toArray
+      }.toMap
+    // empty clusters keep their seed, as in q63
+    val cents2 = (0 until k).map(c => sums.getOrElse(c, seeds(c)))
+    assign(cents2, "cid")(a1)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+  }
+
+  def q113SemanticDedupScaled(spark: SparkSession, d: String): DataFrame =
+    semDedupCensus(kmeansAssignmentScaled(spark, d))
+
+  /** q63's census SQL over the K-scaled k-means: the seed count is the
+    * same ⌈N/64⌉ the engine computes. */
+  val q113Sql: String = semDedupSqlWith(kmeansCteSqlWithK(
+    s"SELECT CAST(ceil(count(*) / $TargetCell.0) AS BIGINT) FROM md"))
 
   // ---------------------------------------------------------------------------
   // q76 — int8 scalar-quantized ANN (the faiss IndexScalarQuantizer/SQ8
@@ -1091,6 +1189,7 @@ object SimilarityQueries {
     "q30_ann_lsh" -> (q30AnnLsh _),
     "q48_ann_ivf" -> (q48AnnIvf _),
     "q63_semantic_dedup" -> (q63SemanticDedup _),
+    "q113_semantic_dedup_scaled" -> (q113SemanticDedupScaled _),
     "q90_diversity_sample" -> (q90DiversitySample _),
     "q76_ann_sq8" -> (q76AnnSq8 _),
     "q78_hard_negatives" -> (q78HardNegatives _))
@@ -1101,6 +1200,7 @@ object SimilarityQueries {
     "q30_ann_lsh" -> q30Sql,
     "q48_ann_ivf" -> q48Sql,
     "q63_semantic_dedup" -> q63Sql,
+    "q113_semantic_dedup_scaled" -> q113Sql,
     "q90_diversity_sample" -> q90Sql,
     "q76_ann_sq8" -> q76Sql,
     "q78_hard_negatives" -> q78Sql,
