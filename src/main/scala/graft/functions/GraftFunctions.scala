@@ -889,6 +889,11 @@ object GraftFunctions {
   def pqLut(mud: Column, cb: Seq[Seq[Long]], m: Int, k: Int): Column =
     GraftBridge.toColumn(PqLut(GraftBridge.toExpr(mud), cb, m, k))
 
+  /** Map-only k-means argmin vs a broadcast centroid table (see
+    * [[CentroidArgmin]]). */
+  def centroidArgmin(mud: Column, cents: Seq[Seq[Long]]): Column =
+    GraftBridge.toColumn(CentroidArgmin(GraftBridge.toExpr(mud), cents))
+
   /** Winnowing fingerprint stats struct (see [[WinnowStats]]). */
   def winnowStats(text: Column): Column =
     GraftBridge.toColumn(WinnowStats(GraftBridge.toExpr(text)))

@@ -114,3 +114,56 @@ case class PqLut(child: Expression, cb: Seq[Seq[Long]], m: Int, k: Int)
   override protected def withNewChildInternal(c: Expression): PqLut = copy(child = c)
   override def prettyName: String = "pq_lut"
 }
+
+/** Full-vector k-means assignment kernel (q113): argmin_c L2²(mud, cents(c))
+  * over a broadcast-by-reference centroid table, ties → smaller cid. All
+  * arithmetic is EXACT Long (micro-unit diffs ≤ ~6e6, squares ≤ 3.6e13,
+  * 64-dim sums ≤ 2.3e15 < 2⁶³), so the result equals the oracle's
+  * double-valued `ORDER BY dist, cid` argmin bit-for-bit (those doubles are
+  * integer-valued < 2⁵³ — exact). The partial sum prunes against the best
+  * distance so far, which cuts most centroid scans early; one tight static
+  * loop per row inside WholeStageCodegen — the K-literal-expression form
+  * dies at K≈10², and the crossJoin+min(struct) form materializes (and at
+  * 100× SPILLS) the N×K exploded rows through a SortAggregate.
+  */
+object CentroidKernel {
+  def argmin(mud: ArrayData, cents: Array[Array[Long]]): Int = {
+    val dim = mud.numElements()
+    var best = 0
+    var bestD = Long.MaxValue
+    var c = 0
+    while (c < cents.length) {
+      val cv = cents(c)
+      var d = 0L
+      var i = 0
+      while (i < dim && d < bestD) {
+        val diff = mud.getDouble(i).toLong - cv(i)
+        d += diff * diff
+        i += 1
+      }
+      if (i == dim && d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  }
+}
+
+/** `centroid_argmin(mud)` — child is the micro-unit integer-valued
+  * DOUBLE vector (q63/q113's `mud` column). */
+case class CentroidArgmin(child: Expression, cents: Seq[Seq[Long]])
+    extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = true
+  @transient private lazy val cArr: Array[Array[Long]] = cents.map(_.toArray).toArray
+
+  override def nullSafeEval(v: Any): Any =
+    CentroidKernel.argmin(v.asInstanceOf[ArrayData], cArr)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cRef = ctx.addReferenceObj("kmCents", cArr, "long[][]")
+    defineCodeGen(ctx, ev, c => s"graft.functions.CentroidKernel.argmin($c, $cRef)")
+  }
+
+  override protected def withNewChildInternal(c: Expression): CentroidArgmin = copy(child = c)
+  override def prettyName: String = "centroid_argmin"
+}

@@ -596,9 +596,15 @@ object SimilarityQueries {
   private def kmeansAssignmentScaled(spark: SparkSession, d: String): DataFrame = {
     import org.apache.spark.storage.StorageLevel
     import spark.implicits._
+    // repartition BEFORE persist: the dominant stage is the ×K candidate
+    // explosion on the crossJoin's STREAM side, which otherwise inherits
+    // the corpus parquet's split count (2 at the 10× fixture — 30 of 32
+    // cores idle, measured 28 s/stage; repartitioned: the same stage is
+    // seconds). One shuffle of N skinny rows buys every downstream pass
     val v = withNorm(spark, d)
       .withColumn("mud",
         transform(col("e"), x => round(x * lit(1e6)).cast("long").cast("double")))
+      .repartition(col("vec_id"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val k = scaledK(v.count())
     // same deterministic seed rule as q63: the K smallest (md5(vec_id), vec_id)
@@ -611,26 +617,21 @@ object SimilarityQueries {
       .collect()
       .map(_.getAs[scala.collection.Seq[Double]]("mud").toArray)
 
-    // broadcast-frame argmin (vs q63's literal-expression argmin): dist =
-    // dot(m,m) − 2·dot(m,c) + dot(c,c), exact integer-valued doubles, and
-    // min(struct(dist, cid)) is both order-insensitive (integers) and
-    // tie-broken on cid — bit-equal to q63's sort_array rule
-    def assign(cents: IndexedSeq[Array[Double]], outCol: String)(df: DataFrame): DataFrame = {
-      val cFrame = broadcast(
-        cents.zipWithIndex
-          .map { case (c, cid) => (cid, c.toSeq, c.foldLeft(0.0)((a, x) => a + x * x)) }
-          .toDF("__cid", "__cvec", "__cc"))
-      val dist = graft.functions.GraftFunctions.dotFold(col("mud"), col("mud")) -
-        lit(2.0) * graft.functions.GraftFunctions.dotFold(col("mud"), col("__cvec")) +
-        col("__cc")
-      val asg = df.select(col("vec_id"), col("mud"))
-        .crossJoin(cFrame)
-        .groupBy(col("vec_id"))
-        .agg(min(struct(dist.as("dist"), col("__cid").as("cid"))).as("__m"))
-        .select(col("vec_id"), col("__m").getField("cid").as(outCol))
-      df.join(asg, "vec_id")
-    }
-    val a1 = assign(seeds, "c1")(v)
+    // MAP-ONLY argmin (vs q63's K-literal-expression argmin, which stops
+    // codegen'ing around K≈10²): the centroid table rides along as a
+    // broadcast-by-reference long[][] inside one codegen'd kernel
+    // ([[graft.functions.CentroidArgmin]]) — no row explosion, no shuffle.
+    // (The tempting crossJoin(broadcast)+min(struct) form plans the partial
+    // aggregate as a SortAggregate, which SORTS — and at 100× SPILLED — the
+    // N×K exploded rows.) Exactness: all distances are integer micro-unit
+    // sums ≤ 2.3e15, computed in Long, equal to the oracle's double
+    // arithmetic bit-for-bit; strict < keeps the smaller cid on ties.
+    def assign(cents: IndexedSeq[Array[Double]], outCol: String)(df: DataFrame): DataFrame =
+      df.withColumn(outCol, graft.functions.GraftFunctions.centroidArgmin(
+        col("mud"), cents.map(_.map(_.toLong).toSeq)))
+    // persisted: the centroid-update collect AND the second assignment both
+    // consume a1 — uncached, the whole ×K first pass would run twice
+    val a1 = assign(seeds, "c1")(v).persist(StorageLevel.MEMORY_AND_DISK)
     val lanes = (0 until Dim).map(i =>
       sum(element_at(col("mud"), i + 1).cast("long")).as(s"s$i"))
     val sums = a1.groupBy(col("c1"))

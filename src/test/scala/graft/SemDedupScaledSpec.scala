@@ -18,9 +18,10 @@ import graft.queries.SimilarityQueries
 class SemDedupScaledSpec extends GraftSuite {
 
   test("scaledK: ceil(N/64) at the measured scales") {
-    assert(SimilarityQueries.scaledK(500) == 8) // fixture: coincides with q63's K
-    assert(SimilarityQueries.scaledK(5000) == 79) // 10x embeddings
-    assert(SimilarityQueries.scaledK(50000) == 782) // 100x embeddings
+    assert(SimilarityQueries.scaledK(500) == 8) // sf0.01 fixture: coincides with q63's K
+    assert(SimilarityQueries.scaledK(2000) == 32) // sf0.1
+    assert(SimilarityQueries.scaledK(20000) == 313) // 10x embeddings
+    assert(SimilarityQueries.scaledK(200000) == 3125) // 100x embeddings
     assert(SimilarityQueries.scaledK(1) == 1)
   }
 
