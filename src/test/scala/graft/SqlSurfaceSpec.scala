@@ -152,6 +152,270 @@ class SqlSurfaceSpec extends GraftSuite {
     got.zip(want).foreach { case (g, w) => assert(g == w) }
   }
 
+  test("FULL gen600 template as sed-instantiated spark.sql text matches q46 " +
+    "end-to-end (scan → rolling p95 → formation → signal quantiles → " +
+    "profile grid → barrier arrays → final agg)") {
+    ensureRegistered()
+    // The reference's whole sql/gen600_2down_template.sql:30-255 CTE chain
+    // (base_bars → running_stats → signal_detection → champion_signals →
+    // feature1_with_quantile → feature2_with_quantile → signals →
+    // barrier_params → barrier_scan → trade_outcomes → final agg), kept
+    // structurally verbatim and instantiated sed-style. Dialect deltas,
+    // each a pure spelling translation:
+    //   quantileExactExclusive(p)(x) OVER  → exclusive_quantile_agg(x, p) OVER
+    //   lagInFrame/leadInFrame             → lag/lead (lead loses its explicit
+    //                                        UNBOUNDED frame — Spark pins
+    //                                        lead's frame and rejects one)
+    //   groupArray / arraySlice / length   → collect_list / slice / size
+    //   arrayFirstIndex(pred, arr)         → coalesce(array_position(
+    //                                          transform(arr, pred), true), 0)
+    //   arr[i]                             → element_at(arr, i)
+    //   countIf/sumIf/avgIf                → count_if / sum(CASE…) / avg(CASE…)
+    //   toUInt32                           → CAST(… AS INT)
+    //   UNION-ALL profile grid             → kept verbatim
+    // Fixture instantiation (the sed parameters): the cache table carries
+    // trade_intensity / kyle (neutralized to 1.0 — the fixture has no
+    // microstructure columns) / the lookback feature as physical columns,
+    // exactly like the reference's open_deviation_bars cache; the
+    // single-symbol WHERE becomes PARTITION BY event_type on every window
+    // (multi-series fixture; ", event_id" is the deterministic tie-break);
+    // warmup/lookback/max_bars/K are q46's fixture-scaled values, with
+    // warmup 19 ≡ bars.rn > 20 (the template re-numbers AFTER the engine
+    // drops each series' seed bar, so its row_number sits one below the
+    // engine's rn); q46's metric-block subset of the final SELECT (the
+    // funnel scalar subqueries and kelly/median columns are reference
+    // outputs q46 does not emit).
+    val w = "PARTITION BY event_type ORDER BY close_time_ms, event_id"
+    val bars = queries.EventBars.bars(spark, sf)
+    bars
+      .withColumn("close_time_ms", col("ts_us"))
+      .withColumn("trade_intensity",
+        abs((col("close") - col("open")) / nullif(col("open"), lit(0.0))))
+      .withColumn("kyle_lambda_proxy", lit(1.0))
+      .withColumn("lookback_duration_us",
+        (col("ts_us") - lag(col("ts_us"), 1).over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("event_type")).orderBy(col("ts_us"), col("event_id"))))
+          .cast("double"))
+      .createOrReplaceTempView("odb_cache_base")
+    // feature1 (opposite wick) as a cache column, like the reference's
+    // precomputed bar-level features
+    spark.sql("""CREATE OR REPLACE TEMP VIEW open_deviation_bars AS
+      SELECT *,
+        CASE WHEN close <= open THEN (high - open) / nullif(high - low, 0)
+             ELSE (open - low) / nullif(high - low, 0) END AS opposite_wick_src
+      FROM odb_cache_base""")
+    val template = s"""
+WITH
+base_bars AS (
+    SELECT
+        close_time_ms, event_type, event_id,
+        open, high, low, close,
+        trade_intensity,
+        kyle_lambda_proxy,
+        __FEATURE_COL_1__,
+        __FEATURE_COL_2__,
+        CASE
+            WHEN close <= open THEN (high - open) / nullif(high - low, 0)
+            ELSE (open - low) / nullif(high - low, 0)
+        END AS opposite_wick_pct,
+        slice(collect_list(high) OVER (
+            $w ROWS BETWEEN CURRENT ROW AND __K__ FOLLOWING
+        ), 2, __K__) AS fwd_highs,
+        slice(collect_list(low) OVER (
+            $w ROWS BETWEEN CURRENT ROW AND __K__ FOLLOWING
+        ), 2, __K__) AS fwd_lows,
+        slice(collect_list(open) OVER (
+            $w ROWS BETWEEN CURRENT ROW AND __K__ FOLLOWING
+        ), 2, __K__) AS fwd_opens,
+        slice(collect_list(close) OVER (
+            $w ROWS BETWEEN CURRENT ROW AND __K__ FOLLOWING
+        ), 2, __K__) AS fwd_closes,
+        CASE WHEN close > open THEN 1 ELSE 0 END AS direction,
+        row_number() OVER ($w) AS rn
+    FROM open_deviation_bars
+    WHERE close_time_ms <= 9223372036854775807
+),
+running_stats AS (
+    SELECT
+        *,
+        exclusive_quantile_agg(trade_intensity, __TI_GATE__) OVER (
+            $w
+            ROWS BETWEEN __LOOKBACK__ PRECEDING AND 1 PRECEDING
+        ) AS ti_p95_rolling
+    FROM base_bars
+),
+signal_detection AS (
+    SELECT
+        close_time_ms, event_type, event_id,
+        open, high, low, close,
+        direction,
+        rn,
+        trade_intensity AS ti_0,
+        kyle_lambda_proxy AS kyle_0,
+        direction AS dir_0,
+        lag(direction, 1) OVER w AS dir_1,
+        lag(ti_p95_rolling, 0) OVER w AS ti_p95_prior,
+        __FEATURE_COL_1__ AS feature1_val,
+        __FEATURE_COL_2__ AS feature2_val,
+        lead(open, 1) OVER w AS entry_price,
+        fwd_highs,
+        fwd_lows,
+        fwd_opens,
+        fwd_closes
+    FROM running_stats
+    WINDOW w AS ($w)
+),
+champion_signals AS (
+    SELECT *
+    FROM signal_detection
+    WHERE dir_1 = 0 AND dir_0 = 0
+      AND ti_0 > ti_p95_prior
+      AND kyle_0 > 0
+      AND rn > __WARMUP__
+      AND ti_p95_prior IS NOT NULL
+      AND ti_p95_prior > 0
+      AND entry_price IS NOT NULL
+      AND entry_price > 0
+      AND feature1_val IS NOT NULL
+      AND feature2_val IS NOT NULL
+),
+feature1_with_quantile AS (
+    SELECT
+        *,
+        exclusive_quantile_agg(feature1_val, __QUANTILE_PCT_1__) OVER (
+            $w
+            ROWS BETWEEN __LOOKBACK__ PRECEDING AND 1 PRECEDING
+        ) AS feature1_q
+    FROM champion_signals
+),
+feature2_with_quantile AS (
+    SELECT
+        *,
+        exclusive_quantile_agg(feature2_val, __QUANTILE_PCT_2__) OVER (
+            $w
+            ROWS BETWEEN __LOOKBACK__ PRECEDING AND 1 PRECEDING
+        ) AS feature2_q
+    FROM feature1_with_quantile
+),
+signals AS (
+    SELECT *
+    FROM feature2_with_quantile
+    WHERE feature1_q IS NOT NULL
+      AND feature2_q IS NOT NULL
+      AND feature1_val __DIRECTION_1__ feature1_q
+      AND feature2_val __DIRECTION_2__ feature2_q
+),
+barrier_params AS (
+    SELECT
+        s.*,
+        bp.barrier_profile,
+        bp.tp_mult,
+        bp.sl_mult,
+        bp.max_bars,
+        s.entry_price * (1.0 + bp.tp_mult * (__THRESHOLD_DBPS__ / 100000.0)) AS tp_price,
+        s.entry_price * (1.0 - bp.sl_mult * (__THRESHOLD_DBPS__ / 100000.0)) AS sl_price
+    FROM signals s
+    CROSS JOIN (
+        SELECT 'inverted' AS barrier_profile, 2.5 AS tp_mult, 5.0 AS sl_mult, CAST(30 AS INT) AS max_bars
+        UNION ALL
+        SELECT 'symmetric', 5.0, 5.0, CAST(20 AS INT)
+        UNION ALL
+        SELECT 'momentum', 7.5, 2.5, CAST(20 AS INT)
+    ) bp
+),
+barrier_scan AS (
+    SELECT
+        close_time_ms,
+        entry_price,
+        barrier_profile,
+        tp_mult,
+        sl_mult,
+        max_bars,
+        tp_price,
+        sl_price,
+        fwd_opens,
+        fwd_closes,
+        size(fwd_highs) AS available_bars,
+        coalesce(array_position(transform(slice(fwd_highs, 1, max_bars), x -> x >= tp_price), true), 0) AS raw_tp_bar,
+        coalesce(array_position(transform(slice(fwd_lows, 1, max_bars), x -> x <= sl_price), true), 0) AS raw_sl_bar,
+        size(slice(fwd_highs, 1, max_bars)) AS window_bars
+    FROM barrier_params
+),
+trade_outcomes AS (
+    SELECT
+        close_time_ms,
+        entry_price,
+        barrier_profile,
+        CASE
+            WHEN raw_sl_bar > 0 AND raw_tp_bar > 0 AND raw_sl_bar <= raw_tp_bar THEN 'SL'
+            WHEN raw_sl_bar > 0 AND raw_tp_bar > 0 AND raw_tp_bar < raw_sl_bar THEN 'TP'
+            WHEN raw_sl_bar > 0 AND raw_tp_bar = 0 THEN 'SL'
+            WHEN raw_tp_bar > 0 AND raw_sl_bar = 0 THEN 'TP'
+            WHEN window_bars >= max_bars THEN 'TIME'
+            ELSE 'INCOMPLETE'
+        END AS exit_type,
+        CASE
+            WHEN raw_sl_bar > 0 AND raw_tp_bar > 0 AND raw_sl_bar <= raw_tp_bar THEN raw_sl_bar
+            WHEN raw_sl_bar > 0 AND raw_tp_bar > 0 AND raw_tp_bar < raw_sl_bar THEN raw_tp_bar
+            WHEN raw_sl_bar > 0 AND raw_tp_bar = 0 THEN raw_sl_bar
+            WHEN raw_tp_bar > 0 AND raw_sl_bar = 0 THEN raw_tp_bar
+            WHEN window_bars >= max_bars THEN max_bars
+            ELSE 0
+        END AS exit_bar,
+        CASE
+            WHEN raw_sl_bar > 0 AND (raw_tp_bar = 0 OR raw_sl_bar <= raw_tp_bar)
+                THEN least(element_at(fwd_opens, CAST(raw_sl_bar AS INT)), sl_price)
+            WHEN raw_tp_bar > 0 AND (raw_sl_bar = 0 OR raw_tp_bar < raw_sl_bar)
+                THEN tp_price
+            WHEN window_bars >= max_bars
+                THEN element_at(fwd_closes, max_bars)
+            ELSE 0
+        END AS exit_price
+    FROM barrier_scan
+)
+SELECT
+    barrier_profile,
+    count(*) AS total_signals,
+    count_if(exit_type = 'TP') AS tp_count,
+    count_if(exit_type = 'SL') AS sl_count,
+    count_if(exit_type = 'TIME') AS time_count,
+    round(CAST(count_if(exit_type = 'TP') AS DOUBLE)
+      / nullif(CAST(count_if(exit_type IN ('TP', 'SL', 'TIME')) AS DOUBLE), 0.0), 6) + 0.0 AS win_rate,
+    round(sum(CASE WHEN exit_type = 'TP' OR (exit_type = 'TIME' AND exit_price > entry_price)
+                   THEN (exit_price - entry_price) / entry_price END)
+      / nullif(abs(sum(CASE WHEN exit_type = 'SL' OR (exit_type = 'TIME' AND exit_price <= entry_price)
+                            THEN (exit_price - entry_price) / entry_price END)), 0.0), 6) + 0.0 AS profit_factor,
+    round(avg((exit_price - entry_price) / entry_price), 6) + 0.0 AS expected_value_pct,
+    round(avg(exit_bar), 6) + 0.0 AS avg_bars_held
+FROM trade_outcomes
+WHERE exit_type != 'INCOMPLETE'
+GROUP BY barrier_profile
+ORDER BY barrier_profile"""
+    val instantiated = Seq(
+      "__FEATURE_COL_1__" -> "opposite_wick_src",
+      "__FEATURE_COL_2__" -> "lookback_duration_us",
+      "__QUANTILE_PCT_1__" -> "0.40",
+      "__QUANTILE_PCT_2__" -> "0.60",
+      "__DIRECTION_1__" -> ">",
+      "__DIRECTION_2__" -> "<",
+      "__THRESHOLD_DBPS__" -> "250",
+      "__TI_GATE__" -> "0.50",
+      "__LOOKBACK__" -> "100",
+      "__WARMUP__" -> "19",
+      "__K__" -> "35")
+      .foldLeft(template) { case (t, (k, v)) => t.replace(k, v) }
+    val sqlDf = spark.sql(instantiated)
+    assert(sqlDf.queryExecution.executedPlan.toString
+      .contains("SlidingQuantileWindow"),
+      "the template's rolling quantiles must ride the incremental exec")
+    val got = sqlDf.collect()
+    val want = queries.AdaptiveQueries.q46Gen600Chain(spark, sf).collect()
+    assert(got.length == want.length && got.nonEmpty,
+      s"${got.length} profiles vs ${want.length}")
+    got.zip(want).foreach { case (g, x) => assert(g == x, s"sql $g != q46 $x") }
+  }
+
   test("GraftExtensions applies its injections to a fresh extensions set") {
     // full builder-path coverage needs a fresh SparkContext (one JVM, one
     // context here); instantiating and applying pins the wiring compiles
