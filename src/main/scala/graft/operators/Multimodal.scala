@@ -7,12 +7,14 @@ import org.apache.spark.sql.functions._
   * video as opaque `binary` columns with typed metadata, plus
   * decode / feature-extract / resize / frame-sample operators.
   *
-  * The *decode* step is STUBBED (this container has no image/audio codecs):
-  * `fakeDecode` below is a deterministic stand-in that yields a byte plane
-  * from the payload. Everything around it — the schema, the per-partition
-  * batching, the frame-sampling arithmetic, the feature vector shape — is
-  * the real Spark plumbing a production decode (JNI codec / Python
-  * `mapInPandas` on a PySpark bridge) would drop into.
+  * Decode status by modality: IMAGE is real (JDK javax.imageio PNG,
+  * [[encodeGrayPng]]/[[decodeGray]], q84/q111); AUDIO is real (JDK
+  * javax.sound.sampled WAV, [[encodeWav]]/[[decodeWav]], q115); VIDEO
+  * remains the one documented STUB (`fakeDecode` below — this container
+  * ships no H.264 codec). Everything around the stub — the schema, the
+  * per-partition batching, the frame-sampling arithmetic, the feature
+  * vector shape — is the real Spark plumbing a production decode (JNI
+  * codec / Python `mapInPandas` on a PySpark bridge) would drop into.
   *
   * Scale design: payloads never shuffle — every operator here is a
   * projection or a `mapPartitions` over the payload column; features
@@ -145,5 +147,49 @@ object Multimodal {
       y += 1
     }
     (w, h, out)
+  }
+
+  /** REAL WAV encode (javax.sound.sampled ships with the JDK): 16-bit
+    * signed PCM little-endian RIFF/WAVE container. This replaces the PCM
+    * stub behind the same opaque-binary interface — q39's video codec
+    * remains the one documented stub. */
+  def encodeWav(sampleRate: Float, channels: Int, samples: Array[Short]): Array[Byte] = {
+    val fmt = new javax.sound.sampled.AudioFormat(
+      sampleRate, 16, channels, true, false)
+    val pcm = new Array[Byte](samples.length * 2)
+    var i = 0
+    while (i < samples.length) {
+      pcm(2 * i) = (samples(i) & 0xff).toByte
+      pcm(2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
+      i += 1
+    }
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, samples.length / channels)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** REAL WAV decode: container parse + format header via AudioSystem,
+    * samples reconstructed per the HEADER's declared endianness — every
+    * output of q115 comes from here, not from the writer's inputs. */
+  def decodeWav(wav: Array[Byte]): (Float, Int, Array[Short]) = {
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(wav))
+    val fmt = ais.getFormat
+    require(fmt.getSampleSizeInBits == 16, s"expected 16-bit PCM, got $fmt")
+    val bytes = ais.readAllBytes()
+    ais.close()
+    val out = new Array[Short](bytes.length / 2)
+    val big = fmt.isBigEndian
+    var i = 0
+    while (i < out.length) {
+      out(i) =
+        if (big) (((bytes(2 * i) & 0xff) << 8) | (bytes(2 * i + 1) & 0xff)).toShort
+        else (((bytes(2 * i + 1) & 0xff) << 8) | (bytes(2 * i) & 0xff)).toShort
+      i += 1
+    }
+    (fmt.getSampleRate, fmt.getChannels, out)
   }
 }

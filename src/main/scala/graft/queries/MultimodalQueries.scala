@@ -286,13 +286,78 @@ object MultimodalQueries {
       |FROM grp LEFT JOIN nbr USING (h_lo, h_hi)
       |ORDER BY grp.h_lo, grp.h_hi""".stripMargin
 
+  // ---------------------------------------------------------------------------
+  // q115 — REAL audio decode (javax.sound.sampled WAV, pure JVM — the q84
+  // pattern for the audio modality): per document a deterministic 16-bit
+  // PCM signal (mono or stereo, varying sample rates) is synthesized from
+  // a closed-form formula, WAV-ENCODED into an opaque RIFF container,
+  // then WAV-DECODED — format fields (sample rate, channels) read from
+  // the DECODED header, every sample statistic from the DECODED stream.
+  // The DuckDB oracle evaluates the same sample formula directly, so a
+  // hash match proves the container round trip is lossless, correctly
+  // framed (stereo interleave included) and correctly endianness-handled.
+  // q39's video codec remains the one documented stub. Scale shape:
+  // map-only over doc ids, one clip in flight per row, payloads never
+  // shuffle, source parallelism.
+  def q115AudioDecode(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    graft.Tables.documents(spark, d)
+      .select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val rate = (8000 + (id % 4) * 4000).toFloat
+          val channels = (1 + id % 2).toInt
+          val nSamples = ((200 + id % 57) * channels).toInt
+          val samples = Array.tabulate(nSamples)(k =>
+            (((id * 31 + k * 17) % 65536) - 32768).toShort)
+          val wav = Multimodal.encodeWav(rate, channels, samples)
+          val (decRate, decCh, dec) = Multimodal.decodeWav(wav)
+          var sum = 0L
+          var chk = 0L
+          var mn = Int.MaxValue
+          var mx = Int.MinValue
+          var k = 0
+          while (k < dec.length) {
+            val s = dec(k).toInt
+            sum += s; chk += (k + 1L) * s
+            if (s < mn) mn = s
+            if (s > mx) mx = s
+            k += 1
+          }
+          (id, decRate.toInt, decCh, dec.length.toLong, sum, chk, mn, mx)
+        }
+      }
+      .toDF("doc_id", "sample_rate", "n_channels", "n_samples",
+        "sample_sum", "sample_checksum", "sample_min", "sample_max")
+      .orderBy(col("doc_id"))
+  }
+
+  // the oracle never sees a WAV: it evaluates the PCM formula in SQL and
+  // must agree with what Spark read back OUT of the decoded container
+  val q115Sql: String =
+    """SELECT d.doc_id,
+      |  CAST(8000 + (d.doc_id % 4) * 4000 AS INT) AS sample_rate,
+      |  CAST(1 + d.doc_id % 2 AS INT) AS n_channels,
+      |  CAST((200 + d.doc_id % 57) * (1 + d.doc_id % 2) AS BIGINT) AS n_samples,
+      |  CAST(sum((d.doc_id * 31 + k.k * 17) % 65536 - 32768) AS BIGINT)
+      |    AS sample_sum,
+      |  CAST(sum((k.k + 1) * ((d.doc_id * 31 + k.k * 17) % 65536 - 32768)) AS BIGINT)
+      |    AS sample_checksum,
+      |  CAST(min((d.doc_id * 31 + k.k * 17) % 65536 - 32768) AS INT) AS sample_min,
+      |  CAST(max((d.doc_id * 31 + k.k * 17) % 65536 - 32768) AS INT) AS sample_max
+      |FROM documents d, range(0, 512) k(k)
+      |WHERE k.k < (200 + d.doc_id % 57) * (1 + d.doc_id % 2)
+      |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin
+
   val all: Map[String, Q] = Map(
     "q39_multimodal_meta" -> (q39MultimodalMeta _),
     "q84_image_decode" -> (q84ImageDecode _),
-    "q111_image_phash" -> (q111ImagePhash _))
+    "q111_image_phash" -> (q111ImagePhash _),
+    "q115_audio_decode" -> (q115AudioDecode _))
 
   val oracles: Map[String, String] = Map(
     "q39_multimodal_meta" -> q39Sql,
     "q84_image_decode" -> q84Sql,
-    "q111_image_phash" -> q111Sql)
+    "q111_image_phash" -> q111Sql,
+    "q115_audio_decode" -> q115Sql)
 }
