@@ -45,6 +45,12 @@ object ScaleFixture {
     val skewPct = opts.collectFirst { case o if o.startsWith("skew=") =>
       o.stripPrefix("skew=").toInt }.getOrElse(0)
     val corpusOnly = opts.contains("corpus-only")
+    // hotshingle=P: append one IDENTICAL 350-word block to P% of docs —
+    // Zipfian shingle-head skew (shared shingles outnumber a doc's own, so
+    // most minhash lanes resolve to the shared minima and the hot docs
+    // concentrate into the same band buckets). The q86 hot-BUCKET rehearsal.
+    val hotShinglePct = opts.collectFirst { case o if o.startsWith("hotshingle=") =>
+      o.stripPrefix("hotshingle=").toInt }.getOrElse(0)
     val eventsOnly = opts.contains("events-only")
     val k = seriesK * timeK
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -68,7 +74,7 @@ object ScaleFixture {
     // replica index table: one row per replica, id 0 keeps the original rows
     val reps = spark.range(k).select(col("id").as("rep"))
 
-    if (corpusOnly) { writeCorpus(spark, src, dst, reps, write); return }
+    if (corpusOnly) { writeCorpus(spark, src, dst, reps, write, hotShinglePct); return }
 
     // --- small dims: fixed cardinality at any scale, copy verbatim ---
     if (!eventsOnly) for (t <- Seq("region", "nation"))
@@ -146,7 +152,7 @@ object ScaleFixture {
           .otherwise(col("user_id")))
     write(evScaled, "events")
 
-    if (!eventsOnly) writeCorpus(spark, src, dst, reps, write)
+    if (!eventsOnly) writeCorpus(spark, src, dst, reps, write, hotShinglePct)
 
     println(s"[scale] done: $src -> $dst at ${seriesK}x${timeK} = ${k}x")
     spark.stop()
@@ -156,7 +162,8 @@ object ScaleFixture {
     * partial-duplicate structure) + embeddings (per-replica perturbation).
     * Shared by the full fixture and the corpus-only 100× lane. */
   private def writeCorpus(spark: SparkSession, src: String, dst: String,
-      reps: DataFrame, write: (DataFrame, String) => Unit): Unit = {
+      reps: DataFrame, write: (DataFrame, String) => Unit,
+      hotShinglePct: Int = 0): Unit = {
 
     def maxOf(df: DataFrame, c: String): Long =
       df.agg(max(col(c))).head.getLong(0)
@@ -190,7 +197,17 @@ object ScaleFixture {
         col("source")
       )
       .withColumn("n_chars", length(col("text")).cast("long"))
-    write(expanded, "documents")
+    // hot-shingle injection AFTER expansion, keyed on the EXPANDED doc_id
+    // so the hot set is spread uniformly over replicas
+    val hotPhrase = (0 until 350).map(i => s"zq${i}hot").mkString(" ")
+    val withHot =
+      if (hotShinglePct == 0) expanded
+      else expanded
+        .withColumn("text",
+          when(pmod(col("doc_id"), lit(100)) < hotShinglePct,
+            concat(col("text"), lit(" " + hotPhrase))).otherwise(col("text")))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+    write(withHot, "documents")
     docs.unpersist()
 
     val emb = Tables.embeddings(spark, src)
