@@ -70,11 +70,12 @@ object Bench {
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
         val (t1, err1) = once(fn)
-        // best-of-2 for the expensive queries: a long 113-query session
+        // best-of-2 for everything non-trivial: a long 115-query session
         // accumulates GC/JIT crowding that read as phantom 1.5–2×
         // regressions in r7 — a second isolated run separates a real plan
-        // regression from session noise at ~25% added wall for the suite
-        if (err1.isEmpty && t1 >= 2.0) {
+        // regression from session noise (measured: the r7 common-set
+        // "1.17× regression" became 0.87× under best-of-2)
+        if (err1.isEmpty && t1 >= 1.0) {
           val (t2, err2) = once(fn)
           (name, if (err2.isEmpty) math.min(t1, t2) else t1, err1)
         } else (name, t1, err1)
