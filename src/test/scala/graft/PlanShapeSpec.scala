@@ -186,4 +186,28 @@ class PlanShapeSpec extends GraftSuite {
     assert(!p.contains("SortMergeJoin"),
       s"cross-config stage shuffled a tiny frame:\n$p")
   }
+
+  test("q113 scaled-K assignment: map-only codegen'd kernel — no SortAggregate, " +
+    "no join, no N×K row explosion in the plan") {
+    val p = plan(SimilarityQueries.q113SemanticDedupScaled(spark, sf))
+    assert(p.contains("centroid_argmin"),
+      s"assignment must run the CentroidArgmin kernel:\n$p")
+    // the rejected shapes, each measured fatal at scale: K literal
+    // expressions (codegen death ~K=100), crossJoin+min(struct) (partial
+    // agg plans as SortAggregate and SORTS the N×K exploded rows — disk
+    // spill at 100×)
+    assert(!p.contains("SortAggregate"),
+      s"scaled-K assignment must not sort-aggregate:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"assignment must not explode rows:\n$p")
+  }
+
+  test("q115 audio decode: map-only — no join, no aggregation, source parallelism") {
+    val p = plan(MultimodalQueries.q115AudioDecode(spark, sf))
+    assert(!p.contains("Join") && !p.contains("Aggregate"),
+      s"decode lane must stay a projection:\n$p")
+    // only the deterministic output sort may exchange
+    val exchanges = "Exchange ".r.findAllIn(p).length
+    assert(exchanges <= 1, s"decode lane must not shuffle payloads:\n$p")
+  }
 }
