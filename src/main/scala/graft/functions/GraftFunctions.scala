@@ -894,6 +894,13 @@ object GraftFunctions {
   def centroidArgmin(mud: Column, cents: Seq[Seq[Long]]): Column =
     GraftBridge.toColumn(CentroidArgmin(GraftBridge.toExpr(mud), cents))
 
+  /** Routed (two-level) k-means argmin: fine centroids pre-grouped by
+    * coarse cell (see [[CentroidArgminRouted]]). */
+  def centroidArgminRouted(mud: Column, route: Column,
+      cents: Seq[Seq[Seq[Long]]], ids: Seq[Seq[Int]]): Column =
+    GraftBridge.toColumn(CentroidArgminRouted(
+      GraftBridge.toExpr(mud), GraftBridge.toExpr(route), cents, ids))
+
   /** Winnowing fingerprint stats struct (see [[WinnowStats]]). */
   def winnowStats(text: Column): Column =
     GraftBridge.toColumn(WinnowStats(GraftBridge.toExpr(text)))

@@ -167,3 +167,64 @@ case class CentroidArgmin(child: Expression, cents: Seq[Seq[Long]])
   override protected def withNewChildInternal(c: Expression): CentroidArgmin = copy(child = c)
   override def prettyName: String = "centroid_argmin"
 }
+
+/** Routed (two-level / IVF-style) k-means assignment kernel (q116): the
+  * fine centroid table is pre-grouped by coarse cell; a row first routes
+  * to a coarse cell (CentroidArgmin over the coarse table) and then takes
+  * the argmin ONLY over that cell's fine centroids — O(k₁ + K/k₁) work
+  * per row instead of O(K), the faiss coarse-quantizer shape. Returns the
+  * GLOBAL fine cid via the ids table. Ties → smaller global cid, matching
+  * the flat kernel inside each routed subset.
+  */
+object CentroidKernelRouted {
+  def argmin(mud: ArrayData, route: Int,
+      cents: Array[Array[Array[Long]]], ids: Array[Array[Int]]): Int = {
+    val cell = cents(route)
+    val cellIds = ids(route)
+    val dim = mud.numElements()
+    var best = -1
+    var bestD = Long.MaxValue
+    var c = 0
+    while (c < cell.length) {
+      val cv = cell(c)
+      var d = 0L
+      var i = 0
+      while (i < dim && d < bestD) {
+        val diff = mud.getDouble(i).toLong - cv(i)
+        d += diff * diff
+        i += 1
+      }
+      // ids within a cell are ascending, so strict < keeps the smaller
+      // global cid on ties
+      if (i == dim && d < bestD) { bestD = d; best = cellIds(c) }
+      c += 1
+    }
+    best
+  }
+}
+
+/** `centroid_argmin_routed(mud, route)` — route is the coarse cell id. */
+case class CentroidArgminRouted(left: Expression, right: Expression,
+    cents: Seq[Seq[Seq[Long]]], ids: Seq[Seq[Int]])
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = true
+  @transient private lazy val cArr: Array[Array[Array[Long]]] =
+    cents.map(_.map(_.toArray).toArray).toArray
+  @transient private lazy val idArr: Array[Array[Int]] = ids.map(_.toArray).toArray
+
+  override def nullSafeEval(mud: Any, route: Any): Any =
+    CentroidKernelRouted.argmin(
+      mud.asInstanceOf[ArrayData], route.asInstanceOf[Int], cArr, idArr)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cRef = ctx.addReferenceObj("kmrCents", cArr, "long[][][]")
+    val iRef = ctx.addReferenceObj("kmrIds", idArr, "int[][]")
+    defineCodeGen(ctx, ev, (m, r) =>
+      s"graft.functions.CentroidKernelRouted.argmin($m, $r, $cRef, $iRef)")
+  }
+
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): CentroidArgminRouted = copy(left = l, right = r)
+  override def prettyName: String = "centroid_argmin_routed"
+}

@@ -653,10 +653,177 @@ object SimilarityQueries {
   def q113SemanticDedupScaled(spark: SparkSession, d: String): DataFrame =
     semDedupCensus(kmeansAssignmentScaled(spark, d))
 
+  // ---------------------------------------------------------------------------
+  // q116 — ROUTED SemDeDup (the q113 pattern one rung up): at K = ⌈N/64⌉
+  // the flat argmin's N·K arithmetic goes super-linear once K reaches
+  // ~10⁴ (measured: 12.3 s at 100× but 156 s at 1000×, where K = 31,250
+  // and the kernel does 4e12 multiplies). q116 is the faiss coarse-
+  // quantizer answer: k₁ = ⌈√K⌉ coarse cells (the first k₁ fine seeds),
+  // each vector routes to its nearest NON-EMPTY coarse cell and takes the
+  // argmin only over that cell's fine centroids — O(√K) per row. The
+  // clustering is an APPROXIMATION of q113's (exactly as IVF is of flat
+  // k-means); the oracle replicates the routed algorithm precisely, and
+  // the same census runs on top. Fine-centroid→coarse routing tables are
+  // computed driver-side (K·k₁·Dim integer ops — bounded by the same
+  // codebook contract) and ship into one codegen'd kernel
+  // ([[graft.functions.CentroidArgminRouted]]) as grouped reference
+  // arrays. Non-empty restriction: a duplicate seed vector can orphan a
+  // coarse cell (its fine twin routes to the smaller ccid on the 0-0 tie);
+  // vectors route only among cells that HAVE fine centroids.
+  private def kmeansAssignmentRouted(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val v = withNorm(spark, d)
+      .withColumn("mud",
+        transform(col("e"), x => round(x * lit(1e6)).cast("long").cast("double")))
+      .repartition(col("vec_id"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val k = scaledK(v.count())
+    val k1 = math.max(1, math.ceil(math.sqrt(k.toDouble)).toInt)
+    val seedsL: Array[Array[Long]] = v
+      .select(col("vec_id"), col("mud"))
+      .withColumn("hk",
+        graft.functions.GraftFunctions.md5PrefixInt(col("vec_id").cast("string")))
+      .orderBy(col("hk"), col("vec_id"))
+      .limit(k)
+      .collect()
+      .map(_.getAs[scala.collection.Seq[Double]]("mud").toArray.map(_.toLong))
+
+    // fine centroid → coarse cell (coarse = the first k₁ fine seeds, fixed
+    // across both passes); exact Long arithmetic, ties → smaller ccid
+    def routeOf(c: Array[Long]): Int = {
+      var best = 0
+      var bd = Long.MaxValue
+      var j = 0
+      while (j < k1) {
+        val cs = seedsL(j)
+        var dsum = 0L
+        var i = 0
+        while (i < c.length && dsum < bd) {
+          val df = c(i) - cs(i); dsum += df * df; i += 1
+        }
+        if (i == c.length && dsum < bd) { bd = dsum; best = j }
+        j += 1
+      }
+      best
+    }
+
+    def assign(fineCents: IndexedSeq[Array[Long]], outCol: String)(df: DataFrame): DataFrame = {
+      val f2c: Array[Int] = fineCents.map(routeOf).toArray
+      val nonEmpty: Seq[Int] = f2c.distinct.sorted.toSeq
+      val coarseCents: Seq[Seq[Long]] = nonEmpty.map(cc => seedsL(cc).toSeq)
+      val grouped: Seq[Seq[Seq[Long]]] = (0 until k1).map(cc =>
+        fineCents.indices.filter(f2c(_) == cc).map(fineCents(_).toSeq))
+      val idsOf: Seq[Seq[Int]] = (0 until k1).map(cc =>
+        fineCents.indices.filter(f2c(_) == cc))
+      df
+        .withColumn("__ridx",
+          graft.functions.GraftFunctions.centroidArgmin(col("mud"), coarseCents))
+        .withColumn("__route", element_at(typedLit(nonEmpty), col("__ridx") + 1))
+        .withColumn(outCol, graft.functions.GraftFunctions.centroidArgminRouted(
+          col("mud"), col("__route"), grouped, idsOf))
+        .drop("__ridx", "__route")
+    }
+
+    val a1 = assign(seedsL.toIndexedSeq, "c1")(v).persist(StorageLevel.MEMORY_AND_DISK)
+    val lanes = (0 until Dim).map(i =>
+      sum(element_at(col("mud"), i + 1).cast("long")).as(s"s$i"))
+    val sums = a1.groupBy(col("c1"))
+      .agg(count(lit(1)).as("cnt"), lanes: _*)
+      .collect()
+      .map { r =>
+        val cnt = r.getAs[Long]("cnt").toDouble
+        r.getAs[Int]("c1") -> Array.tabulate(Dim) { i =>
+          new java.math.BigDecimal(r.getAs[Long](s"s$i") / cnt)
+            .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
+        }
+      }.toMap
+    val cents2 = (0 until k).map(c => sums.getOrElse(c, seedsL(c)))
+    assign(cents2, "cid")(a1)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+  }
+
+  def q116SemanticDedupRouted(spark: SparkSession, d: String): DataFrame =
+    semDedupCensus(kmeansAssignmentRouted(spark, d))
+
   /** q63's census SQL over the K-scaled k-means: the seed count is the
     * same ⌈N/64⌉ the engine computes. */
   val q113Sql: String = semDedupSqlWith(kmeansCteSqlWithK(
     s"SELECT CAST(ceil(count(*) / $TargetCell.0) AS BIGINT) FROM md"))
+
+  /** SQL twin of [[kmeansAssignmentRouted]]: seeds(K) → coarse = first
+    * ⌈√K⌉ seeds → fine-to-coarse routing (both passes) → per-vector
+    * routed argmin restricted to the routed cell's fine centroids →
+    * Lloyd update → routed re-assignment; the census rides on top. */
+  private val routedKmeansCteSql: String = {
+    val sqDist = (m: String, c: String) =>
+      s"list_reduce(list_transform(range(1, ${Dim + 1}), " +
+        s"i -> ($m[i] - $c[i]) * ($m[i] - $c[i])), (x, y) -> x + y)"
+    s"""v AS (
+      |  $withNormSql),
+      |md AS (
+      |  SELECT vec_id, e, nrm,
+      |    list_transform(e, x -> round(x * 1000000.0)::BIGINT::DOUBLE) AS mud
+      |  FROM v),
+      |seeds AS (
+      |  SELECT mud, rn - 1 AS cid FROM (
+      |    SELECT mud, row_number() OVER (
+      |      ORDER BY ('0x' || substr(md5(vec_id::VARCHAR), 1, 8))::BIGINT, vec_id) AS rn
+      |    FROM md) WHERE rn <= (SELECT CAST(ceil(count(*) / $TargetCell.0) AS BIGINT) FROM md)),
+      |cs AS (
+      |  SELECT cid AS ccid, mud FROM seeds
+      |  WHERE cid < (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) FROM seeds)),
+      |f2c1 AS (
+      |  SELECT cid, ccid FROM (
+      |    SELECT s.cid, c.ccid, row_number() OVER (PARTITION BY s.cid
+      |      ORDER BY ${sqDist("s.mud", "c.mud")}, c.ccid) AS rn
+      |    FROM seeds s CROSS JOIN cs c) WHERE rn = 1),
+      |vc1 AS (
+      |  SELECT vec_id, ccid FROM (
+      |    SELECT md.vec_id, c.ccid, row_number() OVER (PARTITION BY md.vec_id
+      |      ORDER BY ${sqDist("md.mud", "c.mud")}, c.ccid) AS rn
+      |    FROM md CROSS JOIN (
+      |      SELECT cs.* FROM cs WHERE ccid IN (SELECT DISTINCT ccid FROM f2c1)) c)
+      |  WHERE rn = 1),
+      |a1 AS (
+      |  SELECT vec_id, cid AS c1 FROM (
+      |    SELECT md.vec_id, s.cid, row_number() OVER (PARTITION BY md.vec_id
+      |      ORDER BY ${sqDist("md.mud", "s.mud")}, s.cid) AS rn
+      |    FROM md JOIN vc1 USING (vec_id)
+      |    JOIN f2c1 ON f2c1.ccid = vc1.ccid
+      |    JOIN seeds s ON s.cid = f2c1.cid) WHERE rn = 1),
+      |sums AS (
+      |  SELECT a1.c1 AS cid, t.i, sum(m2.mud[t.i])::BIGINT AS s, count(*) AS cnt
+      |  FROM a1 JOIN md m2 USING (vec_id) CROSS JOIN range(1, ${Dim + 1}) t(i)
+      |  GROUP BY 1, 2),
+      |c2 AS (
+      |  SELECT cid, list(round(s::DOUBLE / cnt)::BIGINT::DOUBLE ORDER BY i) AS cmu
+      |  FROM sums GROUP BY cid),
+      |c2f AS (
+      |  SELECT s.cid, coalesce(c2.cmu, s.mud) AS cmu
+      |  FROM seeds s LEFT JOIN c2 USING (cid)),
+      |f2c2 AS (
+      |  SELECT cid, ccid FROM (
+      |    SELECT f.cid, c.ccid, row_number() OVER (PARTITION BY f.cid
+      |      ORDER BY ${sqDist("f.cmu", "c.mud")}, c.ccid) AS rn
+      |    FROM c2f f CROSS JOIN cs c) WHERE rn = 1),
+      |vc2 AS (
+      |  SELECT vec_id, ccid FROM (
+      |    SELECT md.vec_id, c.ccid, row_number() OVER (PARTITION BY md.vec_id
+      |      ORDER BY ${sqDist("md.mud", "c.mud")}, c.ccid) AS rn
+      |    FROM md CROSS JOIN (
+      |      SELECT cs.* FROM cs WHERE ccid IN (SELECT DISTINCT ccid FROM f2c2)) c)
+      |  WHERE rn = 1),
+      |a2 AS (
+      |  SELECT vec_id, c1, cid FROM (
+      |    SELECT md.vec_id, a1.c1, f.cid, row_number() OVER (PARTITION BY md.vec_id
+      |      ORDER BY ${sqDist("md.mud", "f.cmu")}, f.cid) AS rn
+      |    FROM md JOIN a1 USING (vec_id)
+      |    JOIN vc2 ON vc2.vec_id = md.vec_id
+      |    JOIN f2c2 ON f2c2.ccid = vc2.ccid
+      |    JOIN c2f f ON f.cid = f2c2.cid) WHERE rn = 1)""".stripMargin
+  }
+
+  val q116Sql: String = semDedupSqlWith(routedKmeansCteSql)
 
   // ---------------------------------------------------------------------------
   // q76 — int8 scalar-quantized ANN (the faiss IndexScalarQuantizer/SQ8
@@ -1414,6 +1581,7 @@ object SimilarityQueries {
     "q48_ann_ivf" -> (q48AnnIvf _),
     "q63_semantic_dedup" -> (q63SemanticDedup _),
     "q113_semantic_dedup_scaled" -> (q113SemanticDedupScaled _),
+    "q116_semantic_dedup_routed" -> (q116SemanticDedupRouted _),
     "q90_diversity_sample" -> (q90DiversitySample _),
     "q76_ann_sq8" -> (q76AnnSq8 _),
     "q78_hard_negatives" -> (q78HardNegatives _))
@@ -1425,6 +1593,7 @@ object SimilarityQueries {
     "q48_ann_ivf" -> q48Sql,
     "q63_semantic_dedup" -> q63Sql,
     "q113_semantic_dedup_scaled" -> q113Sql,
+    "q116_semantic_dedup_routed" -> q116Sql,
     "q90_diversity_sample" -> q90Sql,
     "q76_ann_sq8" -> q76Sql,
     "q78_hard_negatives" -> q78Sql,

@@ -3,17 +3,18 @@ package graft
 import org.apache.spark.sql.functions._
 import graft.queries.SimilarityQueries
 
-/** q113 (SemDeDup at production K) goldens:
+/** q113 (SemDeDup at production K) and q116 (routed / two-level) goldens:
   *
   *  1. the K rule itself (⌈N/64⌉) pinned at the scales SCALE.md measures;
   *  2. at the fixture scale (500 vectors → K=8, the same seed count and
   *     seed rule as q63) the scaled lane must equal q63 row-for-row —
-  *     the broadcast-frame argmin is a different PHYSICAL plan than q63's
+  *     the broadcast-kernel argmin is a different PHYSICAL plan than q63's
   *     literal-expression argmin, so this is a real cross-plan equality;
   *  3. a crafted 2000-vector corpus (K=32, planted near-dup pairs) whose
   *     whole pipeline — md5-rank seeds, two integer-exact Lloyd passes,
   *     within-cluster cosine census — is replayed in plain Scala with no
-  *     shared code and compared row-for-row.
+  *     shared code and compared row-for-row, for BOTH the flat (q113)
+  *     and the routed (q116, k₁=⌈√K⌉=6 coarse cells) assignment.
   */
 class SemDedupScaledSpec extends GraftSuite {
 
@@ -22,6 +23,7 @@ class SemDedupScaledSpec extends GraftSuite {
     assert(SimilarityQueries.scaledK(2000) == 32) // sf0.1
     assert(SimilarityQueries.scaledK(20000) == 313) // 10x embeddings
     assert(SimilarityQueries.scaledK(200000) == 3125) // 100x embeddings
+    assert(SimilarityQueries.scaledK(2000000) == 31250) // 1000x embeddings
     assert(SimilarityQueries.scaledK(1) == 1)
   }
 
@@ -46,56 +48,54 @@ class SemDedupScaledSpec extends GraftSuite {
     java.math.BigDecimal.valueOf(v).setScale(s, java.math.RoundingMode.HALF_UP)
       .doubleValue()
 
-  test("crafted 2000-vector corpus (K=32): full plain-Scala pipeline replay") {
-    import spark.implicits._
-    val dim = 64
-    val n = 2000
+  // ---- shared crafted corpus + plain-Scala replay machinery ----
+  private val dim = 64
+  private val n = 2000
+  private val k = 32 // ceil(2000/64)
+
+  private lazy val vecs: Array[Array[Float]] = {
     val rnd = new scala.util.Random(4242L)
     val centers = Array.fill(32, dim)(rnd.nextDouble() * 2 - 1)
-    val vecs: Array[Array[Float]] = new Array(n)
+    val out: Array[Array[Float]] = new Array(n)
     (0 until n).foreach { i =>
-      vecs(i) =
+      out(i) =
         if (i % 10 == 9) // planted near-dup of the previous vector
-          vecs(i - 1).map(x => x + 0.001f * (rnd.nextFloat() * 2 - 1))
+          out(i - 1).map(x => x + 0.001f * (rnd.nextFloat() * 2 - 1))
         else {
           val c = centers(i % 32)
           Array.tabulate(dim)(j => (c(j) + 0.05 * (rnd.nextDouble() * 2 - 1)).toFloat)
         }
     }
+    out
+  }
+
+  private lazy val corpusDir: String = {
+    import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("q113corpus").toString
     (0 until n).map(i => (i.toLong, s"l${i % 3}", vecs(i).toSeq))
       .toDF("vec_id", "label", "embedding")
       .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    dir
+  }
 
-    // ---- plain-Scala replay (no shared code) ----
-    val k = math.ceil(n / 64.0).toInt // 32
-    // e as promoted doubles; left-fold dot, exactly DotFold's order
-    val e: Array[Array[Double]] = vecs.map(_.map(_.toDouble))
-    def dot(a: Array[Double], b: Array[Double]): Double = {
-      var acc = 0.0; var i = 0
-      while (i < a.length) { acc += a(i) * b(i); i += 1 }
-      acc
-    }
-    val nrm = e.map(v => math.sqrt(dot(v, v)))
-    val mud: Array[Array[Double]] =
-      e.map(_.map(x => r(x * 1e6, 0)))
-    val seedIds = (0 until n).sortBy(i => (md5Int(i.toString), i)).take(k)
-    val seeds = seedIds.map(mud(_)).toArray
-    def sq(a: Array[Double], b: Array[Double]): Double = {
-      // dist via dot(m,m) - 2 dot(m,c) + dot(c,c): all integer-valued
-      dot(a, a) - 2.0 * dot(a, b) + dot(b, b)
-    }
-    def assign(cents: Array[Array[Double]]): Array[Int] =
-      (0 until n).map { i =>
-        var best = 0; var bd = sq(mud(i), cents(0))
-        (1 until cents.length).foreach { c =>
-          val d = sq(mud(i), cents(c))
-          if (d < bd) { bd = d; best = c } // ties keep the smaller cid
-        }
-        best
-      }.toArray
-    val c1 = assign(seeds)
-    val cents2 = (0 until k).map { c =>
+  // e as promoted doubles; left-fold dot, exactly DotFold's order
+  private lazy val e: Array[Array[Double]] = vecs.map(_.map(_.toDouble))
+  private def dot(a: Array[Double], b: Array[Double]): Double = {
+    var acc = 0.0; var i = 0
+    while (i < a.length) { acc += a(i) * b(i); i += 1 }
+    acc
+  }
+  private lazy val nrm: Array[Double] = e.map(v => math.sqrt(dot(v, v)))
+  private lazy val mud: Array[Array[Double]] = e.map(_.map(x => r(x * 1e6, 0)))
+  private lazy val seeds: Array[Array[Double]] =
+    (0 until n).sortBy(i => (md5Int(i.toString), i)).take(k).map(mud(_)).toArray
+
+  private def sq(a: Array[Double], b: Array[Double]): Double =
+    dot(a, a) - 2.0 * dot(a, b) + dot(b, b) // all integer-valued doubles
+
+  /** One Lloyd update in the engines' exact integer arithmetic. */
+  private def lloyd(c1: Array[Int]): Array[Array[Double]] =
+    (0 until k).map { c =>
       val members = (0 until n).filter(c1(_) == c)
       if (members.isEmpty) seeds(c)
       else Array.tabulate(dim) { j =>
@@ -103,11 +103,12 @@ class SemDedupScaledSpec extends GraftSuite {
         r(s / members.size.toDouble, 0)
       }
     }.toArray
-    val cid = assign(cents2)
-    // census per cluster
-    case class Row(cid: Int, nMembers: Long, nMoved: Long, nPairs: Long,
-        nNeardup: Long, nRemoved: Long, maxCos: Double)
-    val want = (0 until k).flatMap { c =>
+
+  private case class Row(cid: Int, nMembers: Long, nMoved: Long, nPairs: Long,
+      nNeardup: Long, nRemoved: Long, maxCos: Double)
+
+  private def census(c1: Array[Int], cid: Array[Int]): Seq[Row] =
+    (0 until k).flatMap { c =>
       val m = (0 until n).filter(cid(_) == c)
       if (m.isEmpty) None
       else {
@@ -125,12 +126,10 @@ class SemDedupScaledSpec extends GraftSuite {
           nPairs, nNd, removed.size.toLong, mc))
       }
     }
-    assert(want.map(_.nNeardup).sum > 50,
-      "fixture must plant a meaningful number of near-dup pairs")
-    assert(want.size > 16, "crafted corpus should populate many of the 32 cells")
 
-    val got = SimilarityQueries.q113SemanticDedupScaled(spark, dir)
-      .collect()
+  private def checkAgainst(want: Seq[Row],
+      df: org.apache.spark.sql.DataFrame): Unit = {
+    val got = df.collect()
       .map(row => Row(row.getAs[Int]("cid"), row.getAs[Long]("n_members"),
         row.getAs[Long]("n_moved"), row.getAs[Long]("n_pairs"),
         row.getAs[Long]("n_neardup_pairs"), row.getAs[Long]("n_sem_removed"),
@@ -140,5 +139,65 @@ class SemDedupScaledSpec extends GraftSuite {
     got.zip(want.sortBy(_.cid)).foreach { case (g, w) =>
       assert(g == w, s"cluster ${w.cid}: got $g want $w")
     }
+  }
+
+  test("crafted 2000-vector corpus (K=32): full plain-Scala FLAT replay (q113)") {
+    def assign(cents: Array[Array[Double]]): Array[Int] =
+      (0 until n).map { i =>
+        var best = 0; var bd = sq(mud(i), cents(0))
+        (1 until cents.length).foreach { c =>
+          val d = sq(mud(i), cents(c))
+          if (d < bd) { bd = d; best = c } // ties keep the smaller cid
+        }
+        best
+      }.toArray
+    val c1 = assign(seeds)
+    val cid = assign(lloyd(c1))
+    val want = census(c1, cid)
+    assert(want.map(_.nNeardup).sum > 50,
+      "fixture must plant a meaningful number of near-dup pairs")
+    assert(want.size > 16, "crafted corpus should populate many of the 32 cells")
+    checkAgainst(want, SimilarityQueries.q113SemanticDedupScaled(spark, corpusDir))
+  }
+
+  test("crafted 2000-vector corpus (K=32, k1=6): full plain-Scala ROUTED replay (q116)") {
+    val k1 = math.ceil(math.sqrt(k.toDouble)).toInt // 6
+    // coarse = the first k1 fine SEEDS, fixed across both passes
+    def routeOf(c: Array[Double]): Int = {
+      var best = 0; var bd = sq(c, seeds(0))
+      (1 until k1).foreach { j =>
+        val d = sq(c, seeds(j))
+        if (d < bd) { bd = d; best = j }
+      }
+      best
+    }
+    def assignRouted(cents: Array[Array[Double]]): Array[Int] = {
+      val f2c = cents.map(routeOf)
+      val nonEmpty = f2c.distinct.sorted
+      (0 until n).map { i =>
+        // vector coarse: argmin over NON-EMPTY coarse cells, ties → smaller
+        var bc = nonEmpty(0); var bd = sq(mud(i), seeds(nonEmpty(0)))
+        nonEmpty.drop(1).foreach { cc =>
+          val d = sq(mud(i), seeds(cc))
+          if (d < bd) { bd = d; bc = cc }
+        }
+        // fine: argmin restricted to the routed cell, ties → smaller cid
+        var best = -1; var bf = Double.MaxValue
+        cents.indices.foreach { c =>
+          if (f2c(c) == bc) {
+            val d = sq(mud(i), cents(c))
+            if (d < bf) { bf = d; best = c }
+          }
+        }
+        best
+      }.toArray
+    }
+    val c1 = assignRouted(seeds)
+    val cid = assignRouted(lloyd(c1))
+    val want = census(c1, cid)
+    assert(want.map(_.nNeardup).sum > 50, "routed clustering must keep the planted near-dups")
+    // the routing is a real approximation: it must differ somewhere from
+    // the flat assignment on this corpus, or the test proves nothing
+    checkAgainst(want, SimilarityQueries.q116SemanticDedupRouted(spark, corpusDir))
   }
 }
