@@ -202,6 +202,25 @@ class PlanShapeSpec extends GraftSuite {
       s"assignment must not explode rows:\n$p")
   }
 
+  test("q116 routed assignment: both kernel stages present, no SortAggregate, " +
+    "no row explosion") {
+    val p = plan(SimilarityQueries.q116SemanticDedupRouted(spark, sf))
+    assert(p.contains("centroid_argmin") && p.contains("centroid_argmin_routed"),
+      s"routing must run coarse CentroidArgmin then CentroidArgminRouted:\n$p")
+    assert(!p.contains("SortAggregate"), s"no sort-aggregated argmin:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"assignment must not explode rows:\n$p")
+  }
+
+  test("q114 residual IVF-PQ: probes broadcast to the coded corpus, no corpus shuffle " +
+    "for the candidate stage") {
+    val p = plan(SimilarityQueries.q114AnnIvfPqResidual(spark, sf))
+    assert(p.contains("BroadcastHashJoin"),
+      s"probe×cell candidate stage must ride a broadcast join:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"no quadratic fallback:\n$p")
+  }
+
   test("q115 audio decode: map-only — no join, no aggregation, source parallelism") {
     val p = plan(MultimodalQueries.q115AudioDecode(spark, sf))
     assert(!p.contains("Join") && !p.contains("Aggregate"),
