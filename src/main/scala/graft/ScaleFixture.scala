@@ -51,6 +51,12 @@ object ScaleFixture {
     // concentrate into the same band buckets). The q86 hot-BUCKET rehearsal.
     val hotShinglePct = opts.collectFirst { case o if o.startsWith("hotshingle=") =>
       o.stripPrefix("hotshingle=").toInt }.getOrElse(0)
+    // dupvec=P: set P% of embeddings to ONE identical constant vector —
+    // the degenerate-cluster rehearsal for the semantic-dedup lane (all
+    // copies land in one k-means cell; q117's exact-first collapse is the
+    // lane that stays flat)
+    val dupVecPct = opts.collectFirst { case o if o.startsWith("dupvec=") =>
+      o.stripPrefix("dupvec=").toInt }.getOrElse(0)
     val eventsOnly = opts.contains("events-only")
     val k = seriesK * timeK
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -74,7 +80,7 @@ object ScaleFixture {
     // replica index table: one row per replica, id 0 keeps the original rows
     val reps = spark.range(k).select(col("id").as("rep"))
 
-    if (corpusOnly) { writeCorpus(spark, src, dst, reps, write, hotShinglePct); return }
+    if (corpusOnly) { writeCorpus(spark, src, dst, reps, write, hotShinglePct, dupVecPct); return }
 
     // --- small dims: fixed cardinality at any scale, copy verbatim ---
     if (!eventsOnly) for (t <- Seq("region", "nation"))
@@ -152,7 +158,7 @@ object ScaleFixture {
           .otherwise(col("user_id")))
     write(evScaled, "events")
 
-    if (!eventsOnly) writeCorpus(spark, src, dst, reps, write, hotShinglePct)
+    if (!eventsOnly) writeCorpus(spark, src, dst, reps, write, hotShinglePct, dupVecPct)
 
     println(s"[scale] done: $src -> $dst at ${seriesK}x${timeK} = ${k}x")
     spark.stop()
@@ -163,7 +169,7 @@ object ScaleFixture {
     * Shared by the full fixture and the corpus-only 100× lane. */
   private def writeCorpus(spark: SparkSession, src: String, dst: String,
       reps: DataFrame, write: (DataFrame, String) => Unit,
-      hotShinglePct: Int = 0): Unit = {
+      hotShinglePct: Int = 0, dupVecPct: Int = 0): Unit = {
 
     def maxOf(df: DataFrame, c: String): Long =
       df.agg(max(col(c))).head.getLong(0)
@@ -221,6 +227,12 @@ object ScaleFixture {
         ).as("embedding"),
         col("label")
       )
-    write(embScaled, "embeddings")
+    val embOut =
+      if (dupVecPct == 0) embScaled
+      else embScaled.withColumn("embedding",
+        when(pmod(col("vec_id"), lit(100)) < dupVecPct,
+          expr("transform(embedding, x -> CAST(0.25 AS FLOAT))"))
+          .otherwise(col("embedding")))
+    write(embOut, "embeddings")
   }
 }

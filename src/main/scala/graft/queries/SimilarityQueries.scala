@@ -595,7 +595,6 @@ object SimilarityQueries {
 
   private def kmeansAssignmentScaled(spark: SparkSession, d: String): DataFrame = {
     import org.apache.spark.storage.StorageLevel
-    import spark.implicits._
     // repartition BEFORE persist: the dominant stage is the ×K candidate
     // explosion on the crossJoin's STREAM side, which otherwise inherits
     // the corpus parquet's split count (2 at the 10× fixture — 30 of 32
@@ -606,6 +605,14 @@ object SimilarityQueries {
         transform(col("e"), x => round(x * lit(1e6)).cast("long").cast("double")))
       .repartition(col("vec_id"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    scaledAssignFrom(v)
+  }
+
+  /** The flat scaled-K pipeline over a prepared (vec_id, e, nrm, mud)
+    * frame (already repartitioned + persisted) — shared by q113 (whole
+    * corpus) and q117 (exact-dup reps only). */
+  private def scaledAssignFrom(v: DataFrame): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
     val k = scaledK(v.count())
     // same deterministic seed rule as q63: the K smallest (md5(vec_id), vec_id)
     val seeds: Array[Array[Double]] = v
@@ -744,6 +751,73 @@ object SimilarityQueries {
 
   def q116SemanticDedupRouted(spark: SparkSession, d: String): DataFrame =
     semDedupCensus(kmeansAssignmentRouted(spark, d))
+
+  // ---------------------------------------------------------------------------
+  // q117 — EXACT-first semantic dedup (the q49 exact→near discipline
+  // applied to embeddings): identical vectors are cos=1 near-dups by
+  // definition, and a corpus where one vector repeats d times puts all d
+  // copies into ONE k-means cell regardless of K — C(d, 2) pairs that no
+  // cluster-size rule can split (identical points cannot be separated).
+  // That is the semantic lane's degenerate-cluster exposure, and the fix
+  // is the text pipeline's: collapse EXACT duplicates first (group by the
+  // micro-unit vector itself — no float-equality games), cluster only the
+  // representatives, run the census over reps, and report the exact
+  // multiplicity separately. K follows the rule on the DISTINCT count
+  // (the corpus being clustered). Measured: 5% of a 200k corpus set to
+  // one identical vector sends q113's census quadratic (C(10k,2) = 50M
+  // pairs in one cell) while q117 is flat (SCALE.md r8).
+  def q117SemanticDedupExactFirst(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val all = withNorm(spark, d)
+      .withColumn("mud",
+        transform(col("e"), x => round(x * lit(1e6)).cast("long").cast("double")))
+    val nTotal = all.count()
+    // reps: smallest vec_id per distinct micro-unit vector (8-byte-exact
+    // grouping on the integer-valued array, the md5(text)-groupBy shape)
+    val repIds = all.groupBy(col("mud")).agg(min(col("vec_id")).as("vec_id"))
+      .select(col("vec_id"))
+    val v = all.join(repIds, "vec_id")
+      .select(col("vec_id"), col("e"), col("nrm"), col("mud"))
+      .repartition(col("vec_id"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val census = semDedupCensus(scaledAssignFrom(v))
+    v.agg(count(lit(1)).as("n_reps"))
+      .withColumn("n_total", lit(nTotal))
+      .withColumn("n_exact_removed", col("n_total") - col("n_reps"))
+      .select(col("n_total"), col("n_reps"), col("n_exact_removed"))
+      .crossJoin(census)
+      .orderBy(col("cid"))
+  }
+
+  /** Oracle: v/md → reps by mud-group → the flat scaled-K chain over the
+    * reps (K = ⌈reps/64⌉) → the census, exact scalars cross-joined on. */
+  val q117Sql: String = {
+    // the q113 CTE chain with md redefined to the REPS frame; K's scalar
+    // subquery then counts reps, matching the engine's rule
+    val chain = kmeansCteSqlWithK(
+      s"SELECT CAST(ceil(count(*) / $TargetCell.0) AS BIGINT) FROM md")
+      .replace(
+        "md AS (",
+        """md0 AS (
+          |  SELECT vec_id, e, nrm,
+          |    list_transform(e, x -> round(x * 1000000.0)::BIGINT::DOUBLE) AS mud
+          |  FROM v),
+          |repids AS (
+          |  SELECT min(vec_id) AS vec_id FROM md0 GROUP BY mud),
+          |md AS (
+          |  SELECT md0.* FROM md0 JOIN repids USING (vec_id)),
+          |md_unused AS (""".stripMargin)
+    val censusSql = semDedupSqlWith(chain)
+    // splice the exact scalars into the final SELECT and keep the census
+    // column list/order identical to the engine's crossJoin
+    censusSql.replace(
+      "SELECT m.cid,",
+      """SELECT
+        |  (SELECT count(*) FROM md0) AS n_total,
+        |  (SELECT count(*) FROM md) AS n_reps,
+        |  (SELECT count(*) FROM md0) - (SELECT count(*) FROM md) AS n_exact_removed,
+        |  m.cid,""".stripMargin)
+  }
 
   /** q63's census SQL over the K-scaled k-means: the seed count is the
     * same ⌈N/64⌉ the engine computes. */
@@ -1582,6 +1656,7 @@ object SimilarityQueries {
     "q63_semantic_dedup" -> (q63SemanticDedup _),
     "q113_semantic_dedup_scaled" -> (q113SemanticDedupScaled _),
     "q116_semantic_dedup_routed" -> (q116SemanticDedupRouted _),
+    "q117_semantic_dedup_exact_first" -> (q117SemanticDedupExactFirst _),
     "q90_diversity_sample" -> (q90DiversitySample _),
     "q76_ann_sq8" -> (q76AnnSq8 _),
     "q78_hard_negatives" -> (q78HardNegatives _))
@@ -1594,6 +1669,7 @@ object SimilarityQueries {
     "q63_semantic_dedup" -> q63Sql,
     "q113_semantic_dedup_scaled" -> q113Sql,
     "q116_semantic_dedup_routed" -> q116Sql,
+    "q117_semantic_dedup_exact_first" -> q117Sql,
     "q90_diversity_sample" -> q90Sql,
     "q76_ann_sq8" -> q76Sql,
     "q78_hard_negatives" -> q78Sql,

@@ -200,4 +200,39 @@ class SemDedupScaledSpec extends GraftSuite {
     // the flat assignment on this corpus, or the test proves nothing
     checkAgainst(want, SimilarityQueries.q116SemanticDedupRouted(spark, corpusDir))
   }
+
+  test("q117 exact-first: planted exact duplicates collapse, and the census " +
+    "over reps equals q113 on the duplicate-free corpus") {
+    import spark.implicits._
+    // corpus2 = the crafted corpus + 400 EXACT copies of existing vectors
+    // (new vec_ids 2000..2399 duplicating vecs(i % 50) bit-for-bit)
+    val dir2 = java.nio.file.Files.createTempDirectory("q117corpus").toString
+    val rows = (0 until n).map(i => (i.toLong, s"l${i % 3}", vecs(i).toSeq)) ++
+      (0 until 400).map(j => ((n + j).toLong, s"l${j % 3}", vecs(j % 50).toSeq))
+    rows.toDF("vec_id", "label", "embedding")
+      .write.mode("overwrite").parquet(s"$dir2/embeddings.parquet")
+
+    val got = SimilarityQueries.q117SemanticDedupExactFirst(spark, dir2).collect()
+    // scalars on every row: 2400 total, 2000 reps, 400 exact-removed
+    got.foreach { r =>
+      assert(r.getAs[Long]("n_total") == 2400L)
+      assert(r.getAs[Long]("n_reps") == 2000L, s"reps: $r")
+      assert(r.getAs[Long]("n_exact_removed") == 400L)
+    }
+    // the reps ARE the original 2000 vectors with their original ids (each
+    // duplicate's min vec_id is the original), so the per-cluster census
+    // must equal q113 on the duplicate-free corpus row-for-row
+    val want = SimilarityQueries.q113SemanticDedupScaled(spark, corpusDir)
+      .collect().map(_.toSeq).sortBy(_.toString)
+    val gotCensus = got
+      .map(r => Seq[Any](r.getAs[Int]("cid"), r.getAs[Long]("n_members"),
+        r.getAs[Long]("n_moved"), r.getAs[Long]("n_pairs"),
+        r.getAs[Long]("n_neardup_pairs"), r.getAs[Long]("n_sem_removed"),
+        r.getAs[Double]("max_cos")))
+      .sortBy(_.toString)
+    assert(gotCensus.length == want.length && gotCensus.nonEmpty)
+    gotCensus.zip(want).foreach { case (g, w) =>
+      assert(g == w, s"q117 census $g != q113-on-distinct $w")
+    }
+  }
 }
