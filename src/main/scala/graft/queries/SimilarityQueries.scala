@@ -684,6 +684,13 @@ object SimilarityQueries {
         transform(col("e"), x => round(x * lit(1e6)).cast("long").cast("double")))
       .repartition(col("vec_id"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    routedAssignFrom(v)
+  }
+
+  /** The routed scaled-K pipeline over a prepared (vec_id, e, nrm, mud)
+    * frame — shared by q116 (whole corpus) and q118 (exact-dup reps). */
+  private def routedAssignFrom(v: DataFrame): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
     val k = scaledK(v.count())
     val k1 = math.max(1, math.ceil(math.sqrt(k.toDouble)).toInt)
     val seedsL: Array[Array[Long]] = v
@@ -766,51 +773,65 @@ object SimilarityQueries {
   // (the corpus being clustered). Measured: 5% of a 200k corpus set to
   // one identical vector sends q113's census quadratic (C(10k,2) = 50M
   // pairs in one cell) while q117 is flat (SCALE.md r8).
-  def q117SemanticDedupExactFirst(spark: SparkSession, d: String): DataFrame = {
+  /** Exact-collapse prep shared by q117/q118: total count + the persisted
+    * reps frame (smallest vec_id per distinct micro-unit vector —
+    * 8-byte-exact grouping on the integer-valued array, the
+    * md5(text)-groupBy shape). */
+  private def exactFirstReps(spark: SparkSession, d: String): (Long, DataFrame) = {
     import org.apache.spark.storage.StorageLevel
     val all = withNorm(spark, d)
       .withColumn("mud",
         transform(col("e"), x => round(x * lit(1e6)).cast("long").cast("double")))
     val nTotal = all.count()
-    // reps: smallest vec_id per distinct micro-unit vector (8-byte-exact
-    // grouping on the integer-valued array, the md5(text)-groupBy shape)
     val repIds = all.groupBy(col("mud")).agg(min(col("vec_id")).as("vec_id"))
       .select(col("vec_id"))
     val v = all.join(repIds, "vec_id")
       .select(col("vec_id"), col("e"), col("nrm"), col("mud"))
       .repartition(col("vec_id"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val census = semDedupCensus(scaledAssignFrom(v))
+    (nTotal, v)
+  }
+
+  private def exactFirstOutput(nTotal: Long, v: DataFrame, census: DataFrame): DataFrame =
     v.agg(count(lit(1)).as("n_reps"))
       .withColumn("n_total", lit(nTotal))
       .withColumn("n_exact_removed", col("n_total") - col("n_reps"))
       .select(col("n_total"), col("n_reps"), col("n_exact_removed"))
       .crossJoin(census)
       .orderBy(col("cid"))
+
+  def q117SemanticDedupExactFirst(spark: SparkSession, d: String): DataFrame = {
+    val (nTotal, v) = exactFirstReps(spark, d)
+    exactFirstOutput(nTotal, v, semDedupCensus(scaledAssignFrom(v)))
   }
 
-  /** Oracle: v/md → reps by mud-group → the flat scaled-K chain over the
-    * reps (K = ⌈reps/64⌉) → the census, exact scalars cross-joined on. */
-  val q117Sql: String = {
-    // the q113 CTE chain with md redefined to the REPS frame; K's scalar
-    // subquery then counts reps, matching the engine's rule
-    val chain = kmeansCteSqlWithK(
-      s"SELECT CAST(ceil(count(*) / $TargetCell.0) AS BIGINT) FROM md")
-      .replace(
-        "md AS (",
-        """md0 AS (
-          |  SELECT vec_id, e, nrm,
-          |    list_transform(e, x -> round(x * 1000000.0)::BIGINT::DOUBLE) AS mud
-          |  FROM v),
-          |repids AS (
-          |  SELECT min(vec_id) AS vec_id FROM md0 GROUP BY mud),
-          |md AS (
-          |  SELECT md0.* FROM md0 JOIN repids USING (vec_id)),
-          |md_unused AS (""".stripMargin)
-    val censusSql = semDedupSqlWith(chain)
-    // splice the exact scalars into the final SELECT and keep the census
-    // column list/order identical to the engine's crossJoin
-    censusSql.replace(
+  /** q118 — the full production stack in one query: exact-first collapse
+    * (q117) ∘ routed assignment (q116) ∘ the shared census. This is what a
+    * 100 TB run actually deploys: duplicates can't create degenerate
+    * cells, and the argmin is O(√K) per row. */
+  def q118SemanticDedupStack(spark: SparkSession, d: String): DataFrame = {
+    val (nTotal, v) = exactFirstReps(spark, d)
+    exactFirstOutput(nTotal, v, semDedupCensus(routedAssignFrom(v)))
+  }
+
+  /** Oracle transform shared by q117/q118: redefine `md` to the reps
+    * frame (the original md body becomes an unreferenced CTE that DuckDB
+    * never executes — K's scalar subquery then counts reps, matching the
+    * engine's rule) and splice the exact scalars into the final SELECT,
+    * keeping the census column list identical to the engine's crossJoin. */
+  private def exactFirstSqlOver(chain: String): String = {
+    val reChained = chain.replace(
+      "md AS (",
+      """md0 AS (
+        |  SELECT vec_id, e, nrm,
+        |    list_transform(e, x -> round(x * 1000000.0)::BIGINT::DOUBLE) AS mud
+        |  FROM v),
+        |repids AS (
+        |  SELECT min(vec_id) AS vec_id FROM md0 GROUP BY mud),
+        |md AS (
+        |  SELECT md0.* FROM md0 JOIN repids USING (vec_id)),
+        |md_unused AS (""".stripMargin)
+    semDedupSqlWith(reChained).replace(
       "SELECT m.cid,",
       """SELECT
         |  (SELECT count(*) FROM md0) AS n_total,
@@ -818,6 +839,16 @@ object SimilarityQueries {
         |  (SELECT count(*) FROM md0) - (SELECT count(*) FROM md) AS n_exact_removed,
         |  m.cid,""".stripMargin)
   }
+
+  /** Oracle: v/md → reps by mud-group → the flat scaled-K chain over the
+    * reps (K = ⌈reps/64⌉) → the census, exact scalars cross-joined on. */
+  val q117Sql: String = exactFirstSqlOver(kmeansCteSqlWithK(
+    s"SELECT CAST(ceil(count(*) / $TargetCell.0) AS BIGINT) FROM md"))
+
+  /** Oracle: the routed chain over the reps frame. (lazy: the routed CTE
+    * val is declared later in the file; the registry maps at the end force
+    * this after everything is initialized) */
+  lazy val q118Sql: String = exactFirstSqlOver(routedKmeansCteSql)
 
   /** q63's census SQL over the K-scaled k-means: the seed count is the
     * same ⌈N/64⌉ the engine computes. */
@@ -1657,6 +1688,7 @@ object SimilarityQueries {
     "q113_semantic_dedup_scaled" -> (q113SemanticDedupScaled _),
     "q116_semantic_dedup_routed" -> (q116SemanticDedupRouted _),
     "q117_semantic_dedup_exact_first" -> (q117SemanticDedupExactFirst _),
+    "q118_semantic_dedup_stack" -> (q118SemanticDedupStack _),
     "q90_diversity_sample" -> (q90DiversitySample _),
     "q76_ann_sq8" -> (q76AnnSq8 _),
     "q78_hard_negatives" -> (q78HardNegatives _))
@@ -1670,6 +1702,7 @@ object SimilarityQueries {
     "q113_semantic_dedup_scaled" -> q113Sql,
     "q116_semantic_dedup_routed" -> q116Sql,
     "q117_semantic_dedup_exact_first" -> q117Sql,
+    "q118_semantic_dedup_stack" -> q118Sql,
     "q90_diversity_sample" -> q90Sql,
     "q76_ann_sq8" -> q76Sql,
     "q78_hard_negatives" -> q78Sql,

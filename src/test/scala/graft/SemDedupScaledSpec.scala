@@ -234,5 +234,26 @@ class SemDedupScaledSpec extends GraftSuite {
     gotCensus.zip(want).foreach { case (g, w) =>
       assert(g == w, s"q117 census $g != q113-on-distinct $w")
     }
+
+    // and the full production stack (q118 = exact-first ∘ routed): same
+    // scalars, census == q116 on the duplicate-free corpus
+    val got118 = SimilarityQueries.q118SemanticDedupStack(spark, dir2).collect()
+    got118.foreach { r =>
+      assert(r.getAs[Long]("n_total") == 2400L &&
+        r.getAs[Long]("n_reps") == 2000L &&
+        r.getAs[Long]("n_exact_removed") == 400L, s"stack scalars: $r")
+    }
+    val want116 = SimilarityQueries.q116SemanticDedupRouted(spark, corpusDir)
+      .collect().map(_.toSeq).sortBy(_.toString)
+    val got118Census = got118
+      .map(r => Seq[Any](r.getAs[Int]("cid"), r.getAs[Long]("n_members"),
+        r.getAs[Long]("n_moved"), r.getAs[Long]("n_pairs"),
+        r.getAs[Long]("n_neardup_pairs"), r.getAs[Long]("n_sem_removed"),
+        r.getAs[Double]("max_cos")))
+      .sortBy(_.toString)
+    assert(got118Census.length == want116.length && got118Census.nonEmpty)
+    got118Census.zip(want116).foreach { case (g, w) =>
+      assert(g == w, s"q118 census $g != q116-on-distinct $w")
+    }
   }
 }
