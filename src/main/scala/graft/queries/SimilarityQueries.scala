@@ -611,7 +611,13 @@ object SimilarityQueries {
   /** The flat scaled-K pipeline over a prepared (vec_id, e, nrm, mud)
     * frame (already repartitioned + persisted) — shared by q113 (whole
     * corpus) and q117 (exact-dup reps only). */
-  private def scaledAssignFrom(v: DataFrame): DataFrame = {
+  private def scaledAssignFrom(v: DataFrame): DataFrame =
+    scaledAssignWithCents(v)._2
+
+  /** As [[scaledAssignFrom]], also returning the final (post-Lloyd)
+    * centroid table — the streaming gate's broadcast side. */
+  private def scaledAssignWithCents(v: DataFrame)
+      : (IndexedSeq[Array[Double]], DataFrame) = {
     import org.apache.spark.storage.StorageLevel
     val k = scaledK(v.count())
     // same deterministic seed rule as q63: the K smallest (md5(vec_id), vec_id)
@@ -653,12 +659,32 @@ object SimilarityQueries {
       }.toMap
     // empty clusters keep their seed, as in q63
     val cents2 = (0 until k).map(c => sums.getOrElse(c, seeds(c)))
-    assign(cents2, "cid")(a1)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    (cents2,
+      assign(cents2, "cid")(a1)
+        .persist(StorageLevel.MEMORY_AND_DISK))
   }
 
   def q113SemanticDedupScaled(spark: SparkSession, d: String): DataFrame =
     semDedupCensus(kmeansAssignmentScaled(spark, d))
+
+  /** Batch-built static index for [[graft.streaming.StreamingOps
+    * .streamingSemanticGate]]: the q113 centroid table (final Lloyd pass,
+    * Long form for the kernel) and the per-cell member arrays
+    * (vec_id, e, nrm structs per cid) a streamed vector is verified
+    * against. */
+  private[graft] def semanticStreamIndex(spark: SparkSession, d: String)
+      : (Seq[Seq[Long]], DataFrame) = {
+    import org.apache.spark.storage.StorageLevel
+    val v = withNorm(spark, d)
+      .withColumn("mud",
+        transform(col("e"), x => round(x * lit(1e6)).cast("long").cast("double")))
+      .repartition(col("vec_id"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val (cents, a2) = scaledAssignWithCents(v)
+    val members = a2.groupBy(col("cid"))
+      .agg(collect_list(struct(col("vec_id"), col("e"), col("nrm"))).as("members"))
+    (cents.map(_.map(_.toLong).toSeq), members)
+  }
 
   // ---------------------------------------------------------------------------
   // q116 — ROUTED SemDeDup (the q113 pattern one rung up): at K = ⌈N/64⌉

@@ -393,6 +393,47 @@ object StreamingOps {
         (col("n_shared_bands") > 0).as("near_dup_candidate"))
   }
 
+  /** Streaming SEMANTIC near-dup gate — the q113 SemDeDup lane online
+    * against a static reference corpus: each arriving embedding is
+    * micro-unit-quantized and assigned to its k-means cell by the SAME
+    * codegen'd kernel the batch lane uses (centroid table broadcast by
+    * reference), then cosine-verified against ONLY that cell's static
+    * members (per-cell struct arrays, broadcast stream-static join).
+    * Entirely STATELESS — assignment and the member fold are per-row
+    * projections — so it runs at source parallelism. The dot product is
+    * the DotFold-equivalent builtin fold (same left-fold order, exact
+    * float promotion), so flags agree bit-for-bit with a batch run of the
+    * same projection (StreamingSpec pins the full-corpus replay).
+    *
+    * Scale bound: the broadcast index carries the whole reference corpus'
+    * vectors grouped by cell (≈ N·(Dim·4 B) — ~256 MB per million
+    * vectors); past broadcast range, shard the gate by cid ranges or
+    * fall back to the batch census — the stream-side projection is
+    * unchanged either way. */
+  def streamingSemanticGate(vecs: DataFrame, cents: Seq[Seq[Long]],
+      cellMembers: DataFrame, minCos: Double = 0.9): DataFrame =
+    vecs
+      .withColumn("e", col("embedding"))
+      .withColumn("nrm",
+        sqrt(graft.functions.GraftFunctions.dotFold(col("e"), col("e"))))
+      .withColumn("mud",
+        transform(col("e"), x => round(x * lit(1e6)).cast("long").cast("double")))
+      .withColumn("cid",
+        graft.functions.GraftFunctions.centroidArgmin(col("mud"), cents))
+      .join(broadcast(cellMembers), Seq("cid"), "left")
+      .withColumn("best_cos", expr(
+        """coalesce(array_max(transform(
+          |  filter(members, m -> m.vec_id <> vec_id),
+          |  m -> round(aggregate(zip_with(e, m.e,
+          |         (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
+          |       CAST(0 AS DOUBLE), (a, v) -> a + v)
+          |     / nullif(nrm * m.nrm, CAST(0 AS DOUBLE)), 6))), CAST(-2 AS DOUBLE))"""
+          .stripMargin))
+      .select(col("vec_id"), col("cid"),
+        coalesce(size(col("members")), lit(0)).as("n_cell_members"),
+        col("best_cos"),
+        (col("best_cos") >= minCos).as("semantic_near_dup"))
+
   /** Stateless streaming DSIR selection gate (q66 online): each arriving
     * document is scored against the static corpus' hashed log-ratio
     * language model — the 4096-bucket table collapsed into ONE broadcast

@@ -170,6 +170,53 @@ class StreamingSpec extends GraftSuite {
     } finally query.stop()
   }
 
+  test("streamingSemanticGate: full sf0.01 embeddings replay matches the batch " +
+    "projection vector-for-vector") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val sf001 = "/root/testdata/sf0.01"
+    val (cents, members) = graft.queries.SimilarityQueries
+      .semanticStreamIndex(spark, sf001)
+    val membersCached = members.cache()
+    val all = Tables.embeddings(spark, sf001)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getAs[Long]("vec_id"),
+        r.getAs[scala.collection.Seq[Float]]("embedding")))
+    // batch side: the same gate projection on a static frame
+    val batch = StreamingOps.streamingSemanticGate(
+        Tables.embeddings(spark, sf001).select(col("vec_id"), col("embedding")),
+        cents, membersCached)
+      .collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        ((r.getAs[Int]("cid"), r.getAs[Int]("n_cell_members"),
+          r.getAs[Double]("best_cos"), r.getAs[Boolean]("semantic_near_dup"))))
+      .toMap
+    // every vector is its own cell's member and is excluded from its own
+    // verification, so the flags are real near-NEIGHBOR signals
+    assert(batch.values.exists(_._4) || batch.nonEmpty)
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val query = StreamingOps.streamingSemanticGate(
+        mem.toDS().toDF("vec_id", "embedding"), cents, membersCached)
+      .writeStream.format("memory").queryName("semantic_gate_out")
+      .outputMode("append").start()
+    try {
+      all.grouped(120).foreach { chunk =>
+        mem.addData(chunk.map { case (id, e) => (id, e.toSeq) }.toIndexedSeq)
+        query.processAllAvailable()
+      }
+      val streamed = spark.table("semantic_gate_out").collect()
+        .map(r => r.getAs[Long]("vec_id") ->
+          ((r.getAs[Int]("cid"), r.getAs[Int]("n_cell_members"),
+            r.getAs[Double]("best_cos"), r.getAs[Boolean]("semantic_near_dup"))))
+        .toMap
+      assert(streamed.keySet == batch.keySet,
+        s"coverage differs: ${streamed.size} vs ${batch.size}")
+      batch.foreach { case (k, b) =>
+        assert(streamed(k) == b, s"vec $k: streamed=${streamed(k)} batch=$b")
+      }
+    } finally { query.stop(); membersCached.unpersist() }
+  }
+
   test("streamingCurationGate: stateless quality+decontamination flags match batch") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
