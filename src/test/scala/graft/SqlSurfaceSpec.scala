@@ -416,6 +416,248 @@ ORDER BY barrier_profile"""
     got.zip(want).foreach { case (g, x) => assert(g == x, s"sql $g != q46 $x") }
   }
 
+  test("FULL gen720 walk-forward template as spark.sql text matches the DSL " +
+    "two-segment barrier operators trade-for-trade (434-combo grid)") {
+    ensureRegistered()
+    import org.apache.spark.sql.expressions.Window
+    import graft.operators.{Barriers, BarFrame}
+    // The reference's per-trade WFO extraction template
+    // (sql/gen720_wf_3down_template.sql:34-246): aligned scan → forward
+    // arrays → rolling p95 → 3down formation → inline 434-combo grid
+    // (8 phase1 × 7 sl_tight × 9 max_bars, phase1 < max_bars) →
+    // two-segment SL scan (wide bars 1..phase1, tight after, seg2 offset,
+    // effective-SL gap fill) → per-trade rows. Dialect deltas as in the
+    // gen600 test, plus: the triple arrayJoin grid becomes three crossed
+    // explode subqueries with D-suffixed literals (ClickHouse float
+    // literals are Float64; Spark parses bare 7.5 as DECIMAL, which would
+    // silently type the carried grid column differently); toString/
+    // toUInt32 → CAST; the single-symbol aligned LIMIT becomes a no-op
+    // bound (multi-series fixture, windows PARTITION BY event_type). SQL
+    // text and DSL run the SAME engine, so rows must match bit-for-bit
+    // with no rounding discipline.
+    val w = "PARTITION BY event_type ORDER BY close_time_ms, event_id"
+    queries.EventBars.bars(spark, sf)
+      .withColumn("close_time_ms", col("ts_us"))
+      .withColumn("trade_intensity",
+        abs((col("close") - col("open")) / nullif(col("open"), lit(0.0))))
+      .withColumn("kyle_lambda_proxy", lit(1.0))
+      .createOrReplaceTempView("g720_cache")
+    val sqlText = s"""
+WITH
+base_bars AS (
+    SELECT
+        close_time_ms, event_type, event_id,
+        open, high, low, close,
+        trade_intensity,
+        kyle_lambda_proxy,
+        slice(collect_list(high) OVER (
+            $w ROWS BETWEEN CURRENT ROW AND 41 FOLLOWING), 2, 40) AS fwd_highs,
+        slice(collect_list(low) OVER (
+            $w ROWS BETWEEN CURRENT ROW AND 41 FOLLOWING), 2, 40) AS fwd_lows,
+        slice(collect_list(open) OVER (
+            $w ROWS BETWEEN CURRENT ROW AND 41 FOLLOWING), 2, 40) AS fwd_opens,
+        slice(collect_list(close) OVER (
+            $w ROWS BETWEEN CURRENT ROW AND 41 FOLLOWING), 2, 40) AS fwd_closes,
+        CASE WHEN close > open THEN 1 ELSE 0 END AS direction,
+        row_number() OVER ($w) AS rn
+    FROM g720_cache
+    WHERE close_time_ms <= 9223372036854775807
+),
+running_stats AS (
+    SELECT *,
+        exclusive_quantile_agg(trade_intensity, 0.50) OVER (
+            $w ROWS BETWEEN 100 PRECEDING AND 1 PRECEDING) AS ti_p95_rolling
+    FROM base_bars
+),
+signal_detection AS (
+    SELECT
+        close_time_ms, event_type, event_id,
+        open, high, low, close, direction, rn,
+        trade_intensity AS ti_0,
+        kyle_lambda_proxy AS kyle_0,
+        direction AS dir_0,
+        lag(direction, 1) OVER w AS dir_1,
+        lag(direction, 2) OVER w AS dir_2,
+        lag(ti_p95_rolling, 0) OVER w AS ti_p95_prior,
+        lead(open, 1) OVER w AS entry_price,
+        fwd_highs, fwd_lows, fwd_opens, fwd_closes
+    FROM running_stats
+    WINDOW w AS ($w)
+),
+formation_signals AS (
+    SELECT *
+    FROM signal_detection
+    WHERE dir_2 = 0 AND dir_1 = 0 AND dir_0 = 0
+      AND ti_0 > ti_p95_prior
+      AND kyle_0 > 0
+      AND rn > 19
+      AND ti_p95_prior IS NOT NULL
+      AND ti_p95_prior > 0
+      AND entry_price IS NOT NULL
+      AND entry_price > 0
+),
+barrier_grid AS (
+    SELECT
+        phase1_bars,
+        sl_tight_mult,
+        max_bars,
+        concat('p', CAST(phase1_bars AS STRING),
+               '_slt', lpad(CAST(CAST(sl_tight_mult * 10 AS INT) AS STRING), 3, '0'),
+               '_mb', CAST(max_bars AS STRING)) AS barrier_id
+    FROM (SELECT explode(array(2, 3, 5, 7, 10, 15, 20, 30)) AS phase1_bars)
+    CROSS JOIN (SELECT explode(array(7.5D, 5.0D, 3.5D, 2.5D, 1.0D, 0.5D, 0.0D)) AS sl_tight_mult)
+    CROSS JOIN (SELECT explode(array(10, 15, 20, 30, 40)) AS max_bars)
+    WHERE phase1_bars < max_bars
+),
+signal_barrier AS (
+    SELECT
+        s.close_time_ms AS signal_ts_ms,
+        s.event_type, s.event_id,
+        s.entry_price,
+        s.fwd_highs, s.fwd_lows, s.fwd_opens, s.fwd_closes,
+        g.barrier_id, g.phase1_bars, g.sl_tight_mult, g.max_bars,
+        s.entry_price * (1.0 + 2.5 * (250 / 100000.0)) AS tp_price,
+        s.entry_price * (1.0 - 5.0 * (250 / 100000.0)) AS sl_wide_price,
+        s.entry_price * (1.0 - g.sl_tight_mult * (250 / 100000.0)) AS sl_tight_price
+    FROM formation_signals s
+    CROSS JOIN barrier_grid g
+),
+barrier_scan AS (
+    SELECT
+        signal_ts_ms, event_type, event_id, entry_price, barrier_id,
+        phase1_bars, sl_tight_mult, max_bars,
+        tp_price, sl_wide_price, sl_tight_price, fwd_opens, fwd_closes,
+        size(fwd_highs) AS available_bars,
+        coalesce(array_position(transform(slice(fwd_highs, 1, max_bars), x -> x >= tp_price), true), 0) AS raw_tp_bar,
+        coalesce(array_position(transform(slice(fwd_lows, 1, phase1_bars), x -> x <= sl_wide_price), true), 0) AS raw_sl_seg1,
+        coalesce(array_position(transform(
+            slice(fwd_lows, phase1_bars + 1, max_bars - phase1_bars), x -> x <= sl_tight_price), true), 0) AS raw_sl_seg2_local,
+        size(slice(fwd_highs, 1, max_bars)) AS window_bars
+    FROM signal_barrier
+),
+barrier_merged AS (
+    SELECT *,
+        CASE
+            WHEN raw_sl_seg1 > 0 THEN raw_sl_seg1
+            WHEN raw_sl_seg2_local > 0 THEN raw_sl_seg2_local + phase1_bars
+            ELSE 0
+        END AS raw_sl_bar,
+        CASE
+            WHEN raw_sl_seg1 > 0 THEN sl_wide_price
+            WHEN raw_sl_seg2_local > 0 THEN sl_tight_price
+            ELSE 0
+        END AS effective_sl_price
+    FROM barrier_scan
+),
+trade_outcomes AS (
+    SELECT
+        signal_ts_ms, event_type, event_id, entry_price, barrier_id,
+        phase1_bars, sl_tight_mult, max_bars,
+        CASE
+            WHEN raw_sl_bar > 0 AND raw_tp_bar > 0 AND raw_sl_bar <= raw_tp_bar THEN 'SL'
+            WHEN raw_sl_bar > 0 AND raw_tp_bar > 0 AND raw_tp_bar < raw_sl_bar THEN 'TP'
+            WHEN raw_sl_bar > 0 AND raw_tp_bar = 0 THEN 'SL'
+            WHEN raw_tp_bar > 0 AND raw_sl_bar = 0 THEN 'TP'
+            WHEN window_bars >= max_bars THEN 'TIME'
+            ELSE 'INCOMPLETE'
+        END AS exit_type,
+        CASE
+            WHEN raw_sl_bar > 0 AND raw_tp_bar > 0 AND raw_sl_bar <= raw_tp_bar THEN raw_sl_bar
+            WHEN raw_sl_bar > 0 AND raw_tp_bar > 0 AND raw_tp_bar < raw_sl_bar THEN raw_tp_bar
+            WHEN raw_sl_bar > 0 AND raw_tp_bar = 0 THEN raw_sl_bar
+            WHEN raw_tp_bar > 0 AND raw_sl_bar = 0 THEN raw_tp_bar
+            WHEN window_bars >= max_bars THEN max_bars
+            ELSE 0
+        END AS exit_bar,
+        CASE
+            WHEN raw_sl_bar > 0 AND (raw_tp_bar = 0 OR raw_sl_bar <= raw_tp_bar)
+                THEN least(element_at(fwd_opens, CAST(raw_sl_bar AS INT)), effective_sl_price)
+            WHEN raw_tp_bar > 0 AND (raw_sl_bar = 0 OR raw_tp_bar < raw_sl_bar)
+                THEN tp_price
+            WHEN window_bars >= max_bars
+                THEN element_at(fwd_closes, max_bars)
+            ELSE 0
+        END AS exit_price
+    FROM barrier_merged
+)
+SELECT
+    '3down' AS formation,
+    barrier_id,
+    phase1_bars, sl_tight_mult, max_bars,
+    event_type, event_id,
+    signal_ts_ms,
+    entry_price,
+    exit_type,
+    exit_bar,
+    exit_price,
+    (exit_price - entry_price) / entry_price AS return_pct
+FROM trade_outcomes
+ORDER BY event_type, event_id, barrier_id"""
+    val sqlRows = spark.sql(sqlText).collect()
+    assert(sqlRows.nonEmpty, "gen720 text must produce trades on the fixture")
+    assert(spark.sql(sqlText).select(col("barrier_id")).distinct().count() >= 200,
+      "the inline grid must expand to hundreds of combos")
+
+    // DSL side: the registered operators (EventBars + Barriers.twoSegmentSl)
+    // with the identical parameters
+    val bars = queries.EventBars.bars(spark, sf)
+    val ws = Window.partitionBy(col("event_type")).orderBy(col("ts_us"), col("event_id"))
+    val sig0 = bars
+      .withColumn("ti", abs((col("close") - col("open")) / nullif(col("open"), lit(0.0))))
+      .withColumn("dir_0", BarFrame.direction(col("open"), col("close")))
+      .withColumn("dir_1", lag(col("dir_0"), 1).over(ws))
+      .withColumn("dir_2", lag(col("dir_0"), 2).over(ws))
+      .withColumn("ti_p95_prior",
+        graft.functions.GraftFunctions.exclusiveQuantileAgg(col("ti"), 0.50)
+          .over(ws.rowsBetween(-100, -1)))
+      .withColumn("entry_price", lead(col("open"), 1).over(ws))
+      .filter(col("dir_2") === 0 && col("dir_1") === 0 && col("dir_0") === 0 &&
+        col("ti") > col("ti_p95_prior") &&
+        col("rn") > 20 && // engine rn counts the dropped seed bar; text rn > 19
+        col("ti_p95_prior").isNotNull && col("ti_p95_prior") > 0 &&
+        col("entry_price").isNotNull && col("entry_price") > 0)
+    val sig = queries.EventBars.forwardArraysFor(sig0, bars, 40)
+    import spark.implicits._
+    val grid = (for {
+      p1 <- Seq(2, 3, 5, 7, 10, 15, 20, 30)
+      slt <- Seq(7.5, 5.0, 3.5, 2.5, 1.0, 0.5, 0.0)
+      mb <- Seq(10, 15, 20, 30, 40)
+      if p1 < mb
+    } yield (p1, slt, mb)).toDF("phase1_bars", "sl_tight_mult", "max_bars")
+    val trades = Barriers.twoSegmentSl(
+      sig.crossJoin(broadcast(grid))
+        .withColumn("tp_pct", lit(2.5 * (250 / 100000.0)))
+        .withColumn("sl_wide_pct", lit(5.0 * (250 / 100000.0)))
+        .withColumn("sl_tight_pct", col("sl_tight_mult") * (250 / 100000.0)))
+    val dslRows = trades
+      .select(col("event_type"), col("event_id"),
+        col("phase1_bars"), col("sl_tight_mult"), col("max_bars"),
+        col("entry_price"), col("exit_type"), col("exit_bar"), col("exit_price"))
+      .collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("event_id"),
+        r.getAs[Int]("phase1_bars"), r.getAs[Double]("sl_tight_mult"),
+        r.getAs[Int]("max_bars")) ->
+        ((r.getAs[Double]("entry_price"), r.getAs[String]("exit_type"),
+          r.get(r.fieldIndex("exit_bar")).toString.toLong,
+          r.getAs[Double]("exit_price"))))
+      .toMap
+    val sqlMap = sqlRows
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("event_id"),
+        r.getAs[Int]("phase1_bars"), r.getAs[Double]("sl_tight_mult"),
+        r.getAs[Int]("max_bars")) ->
+        ((r.getAs[Double]("entry_price"), r.getAs[String]("exit_type"),
+          r.get(r.fieldIndex("exit_bar")).toString.toLong,
+          r.getAs[Double]("exit_price"))))
+      .toMap
+    assert(sqlMap.keySet == dslRows.keySet,
+      s"trade sets differ: sql=${sqlMap.size} dsl=${dslRows.size}; " +
+        s"sql-only=${(sqlMap.keySet -- dslRows.keySet).take(2)} " +
+        s"dsl-only=${(dslRows.keySet -- sqlMap.keySet).take(2)}")
+    sqlMap.foreach { case (k, s) =>
+      assert(dslRows(k) == s, s"trade $k: sql=$s dsl=${dslRows(k)}")
+    }
+  }
+
   test("GraftExtensions applies its injections to a fresh extensions set") {
     // full builder-path coverage needs a fresh SparkContext (one JVM, one
     // context here); instantiating and applying pins the wiring compiles
