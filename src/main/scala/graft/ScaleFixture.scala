@@ -57,6 +57,12 @@ object ScaleFixture {
     // lane that stays flat)
     val dupVecPct = opts.collectFirst { case o if o.startsWith("dupvec=") =>
       o.stripPrefix("dupvec=").toInt }.getOrElse(0)
+    // nearvec=P: set P% of embeddings to NEAR-identical but DISTINCT
+    // vectors (one base + a tiny per-vec_id perturbation) — the
+    // degenerate-cell rehearsal exact-first CANNOT collapse; q119's
+    // capped census is the lane that stays flat
+    val nearVecPct = opts.collectFirst { case o if o.startsWith("nearvec=") =>
+      o.stripPrefix("nearvec=").toInt }.getOrElse(0)
     val eventsOnly = opts.contains("events-only")
     val k = seriesK * timeK
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -80,7 +86,7 @@ object ScaleFixture {
     // replica index table: one row per replica, id 0 keeps the original rows
     val reps = spark.range(k).select(col("id").as("rep"))
 
-    if (corpusOnly) { writeCorpus(spark, src, dst, reps, write, hotShinglePct, dupVecPct); return }
+    if (corpusOnly) { writeCorpus(spark, src, dst, reps, write, hotShinglePct, dupVecPct, nearVecPct); return }
 
     // --- small dims: fixed cardinality at any scale, copy verbatim ---
     if (!eventsOnly) for (t <- Seq("region", "nation"))
@@ -158,7 +164,7 @@ object ScaleFixture {
           .otherwise(col("user_id")))
     write(evScaled, "events")
 
-    if (!eventsOnly) writeCorpus(spark, src, dst, reps, write, hotShinglePct, dupVecPct)
+    if (!eventsOnly) writeCorpus(spark, src, dst, reps, write, hotShinglePct, dupVecPct, nearVecPct)
 
     println(s"[scale] done: $src -> $dst at ${seriesK}x${timeK} = ${k}x")
     spark.stop()
@@ -169,7 +175,7 @@ object ScaleFixture {
     * Shared by the full fixture and the corpus-only 100× lane. */
   private def writeCorpus(spark: SparkSession, src: String, dst: String,
       reps: DataFrame, write: (DataFrame, String) => Unit,
-      hotShinglePct: Int = 0, dupVecPct: Int = 0): Unit = {
+      hotShinglePct: Int = 0, dupVecPct: Int = 0, nearVecPct: Int = 0): Unit = {
 
     def maxOf(df: DataFrame, c: String): Long =
       df.agg(max(col(c))).head.getLong(0)
@@ -227,11 +233,17 @@ object ScaleFixture {
         ).as("embedding"),
         col("label")
       )
-    val embOut =
+    val embDup =
       if (dupVecPct == 0) embScaled
       else embScaled.withColumn("embedding",
         when(pmod(col("vec_id"), lit(100)) < dupVecPct,
           expr("transform(embedding, x -> CAST(0.25 AS FLOAT))"))
+          .otherwise(col("embedding")))
+    val embOut =
+      if (nearVecPct == 0) embDup
+      else embDup.withColumn("embedding",
+        when(pmod(col("vec_id") + 50L, lit(100)) < nearVecPct,
+          expr("transform(embedding, (x, i) -> CAST(0.25 + 0.0001 * sin(vec_id * 13.7D + i) AS FLOAT))"))
           .otherwise(col("embedding")))
     write(embOut, "embeddings")
   }

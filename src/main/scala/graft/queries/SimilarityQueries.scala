@@ -427,6 +427,73 @@ object SimilarityQueries {
       .orderBy(col("cid"))
   }
 
+  /** CAPPED census (the q86 bucket-cap + q91 resolution discipline for
+    * cells): cells ≤ cap run the full pairwise census; larger cells are
+    * QUARANTINED — a dense blob of near-identical but DISTINCT vectors
+    * (which exact-first cannot collapse and which any distance-based
+    * clustering necessarily co-locates) would otherwise pay C(blob, 2).
+    * Quarantined cells resolve through O(members) member-vs-rep
+    * verification (rep = the cell's smallest vec_id): `n_pairs` counts
+    * the verifications actually run, `n_sem_removed` the members whose
+    * cos-to-rep clears the threshold (a LOWER bound of full-census
+    * removal — the q91 honesty contract, flagged by `quarantined`). */
+  private def semDedupCensusCapped(a2: DataFrame, cap: Int): DataFrame = {
+    val members = a2.groupBy(col("cid")).agg(
+      count(lit(1)).as("n_members"),
+      count_if(col("c1") =!= col("cid")).as("n_moved"))
+    val smallCells = members.filter(col("n_members") <= cap).select(col("cid"))
+    val aSmall = a2.join(broadcast(smallCells), "cid")
+    val l = aSmall.select(col("cid"), col("vec_id").as("id1"),
+      col("e").as("e1"), col("nrm").as("n1"))
+      .withColumn("salt", pmod(col("id1"), lit(PairSalt)))
+      .repartition(col("cid"), col("salt"))
+    val r = aSmall.select(col("cid").as("cid_r"), col("vec_id").as("id2"),
+      col("e").as("e2"), col("nrm").as("n2"))
+      .withColumn("salt_r", explode(array((0 until PairSalt).map(lit): _*)))
+    val pairs = l.join(r,
+      col("cid") === col("cid_r") && col("salt") === col("salt_r") &&
+        col("id1") < col("id2"))
+      .withColumn("cos", round(dot("e1", "e2") / nullif(col("n1") * col("n2"), lit(0.0)), 6))
+      .groupBy(col("cid"))
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        count_if(col("cos") >= 0.9).as("n_neardup_pairs"),
+        countDistinct(when(col("cos") >= 0.9, col("id2"))).as("n_sem_removed"),
+        (round(max(col("cos")), 4) + 0.0).as("max_cos"))
+    // quarantined cells: ONE rep per cell (smallest vec_id), broadcast
+    // with its vector; every other member verifies against it — O(members)
+    val bigCells = members.filter(col("n_members") > cap).select(col("cid"))
+    val aBig = a2.join(broadcast(bigCells), "cid")
+    val reps = aBig.groupBy(col("cid")).agg(min(col("vec_id")).as("rep_id"))
+      .withColumnRenamed("cid", "cid_q")
+    val repVec = aBig
+      .join(broadcast(reps),
+        aBig("cid") === col("cid_q") && aBig("vec_id") === col("rep_id"))
+      .select(col("cid_q"), col("rep_id"), col("e").as("re"), col("nrm").as("rn2"))
+    val bigVer = aBig.join(broadcast(repVec), aBig("cid") === repVec("cid_q"))
+      .filter(col("vec_id") =!= col("rep_id"))
+      .withColumn("cos", round(dot("e", "re") / nullif(col("nrm") * col("rn2"), lit(0.0)), 6))
+      .groupBy(col("cid"))
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        count_if(col("cos") >= 0.9).as("n_neardup_pairs"),
+        count_if(col("cos") >= 0.9).as("n_sem_removed"),
+        (round(max(col("cos")), 4) + 0.0).as("max_cos"))
+    val small = members.join(broadcast(smallCells), Seq("cid"))
+      .join(pairs, Seq("cid"), "left")
+      .withColumn("quarantined", lit(false))
+    val big = members.filter(col("n_members") > cap)
+      .join(bigVer, Seq("cid"), "left")
+      .withColumn("quarantined", lit(true))
+    small.unionByName(big)
+      .select(col("cid"), col("n_members"), col("n_moved"), col("quarantined"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("n_neardup_pairs"), lit(0L)).as("n_neardup_pairs"),
+        coalesce(col("n_sem_removed"), lit(0L)).as("n_sem_removed"),
+        coalesce(col("max_cos"), lit(0.0)).as("max_cos"))
+      .orderBy(col("cid"))
+  }
+
   /** SQL twin of [[kmeansAssignment]]/[[kmeansAssignmentScaled]]: CTEs
     * `v` → `md` → `seeds` → `a1` → `sums` → `c2` → `c2f` → `a2`;
     * interpolated into the q63/q90 (K=8) and q113 (scaled-K) oracles.
@@ -845,18 +912,23 @@ object SimilarityQueries {
     * never executes — K's scalar subquery then counts reps, matching the
     * engine's rule) and splice the exact scalars into the final SELECT,
     * keeping the census column list identical to the engine's crossJoin. */
+  /** Redefine `md` in a k-means CTE chain to the exact-dedup REPS frame
+    * (the original md body becomes an unreferenced CTE DuckDB never
+    * executes). */
+  private def repsChainOver(chain: String): String = chain.replace(
+    "md AS (",
+    """md0 AS (
+      |  SELECT vec_id, e, nrm,
+      |    list_transform(e, x -> round(x * 1000000.0)::BIGINT::DOUBLE) AS mud
+      |  FROM v),
+      |repids AS (
+      |  SELECT min(vec_id) AS vec_id FROM md0 GROUP BY mud),
+      |md AS (
+      |  SELECT md0.* FROM md0 JOIN repids USING (vec_id)),
+      |md_unused AS (""".stripMargin)
+
   private def exactFirstSqlOver(chain: String): String = {
-    val reChained = chain.replace(
-      "md AS (",
-      """md0 AS (
-        |  SELECT vec_id, e, nrm,
-        |    list_transform(e, x -> round(x * 1000000.0)::BIGINT::DOUBLE) AS mud
-        |  FROM v),
-        |repids AS (
-        |  SELECT min(vec_id) AS vec_id FROM md0 GROUP BY mud),
-        |md AS (
-        |  SELECT md0.* FROM md0 JOIN repids USING (vec_id)),
-        |md_unused AS (""".stripMargin)
+    val reChained = repsChainOver(chain)
     semDedupSqlWith(reChained).replace(
       "SELECT m.cid,",
       """SELECT
@@ -875,6 +947,90 @@ object SimilarityQueries {
     * val is declared later in the file; the registry maps at the end force
     * this after everything is initialized) */
   lazy val q118Sql: String = exactFirstSqlOver(routedKmeansCteSql)
+
+  // ---------------------------------------------------------------------------
+  // q119 — the CAPPED production stack: q118 (exact-first ∘ routed) with
+  // the q86 bucket-cap discipline applied to the census. Exact-first
+  // cannot collapse a dense blob of near-identical but DISTINCT vectors
+  // (same story, different hashes), and any distance-based clustering
+  // necessarily co-locates it — C(blob, 2) pairs that no K can split.
+  // Cells above CellCap are QUARANTINED: their members verify against ONE
+  // cell rep (O(members), the q91 member-vs-root pattern), reported as a
+  // LOWER bound of removal with a `quarantined` flag a production run
+  // alerts on.
+  //
+  // When does a mega-cell actually form? NOT from ordinary density:
+  // md5-rank seeding is mass-proportional, so a dense blob normally draws
+  // ~B/64 seeds and splits into target-size cells (measured: the 1000×
+  // nearvec rehearsal produced only 644-member tail cells — q118 absorbs
+  // those fine). The wall is the SEED-MISALLOCATION tail — a B-vector
+  // blob draws zero seeds with probability e^(−K·B/N), and an adversarial
+  // id assignment can force it — which lands ALL B members in one outside
+  // cell: silent C(B, 2). The cap converts that tail event into a flagged
+  // O(B) resolution; SemDedupScaledSpec engineers exactly this blob
+  // (largest-md5-rank ids → provably seedless) and pins the quarantine,
+  // the members−1 verification count, and small-cell equality with q118.
+  private val CellCap = 256
+
+  def q119SemanticDedupCapped(spark: SparkSession, d: String): DataFrame = {
+    val (nTotal, v) = exactFirstReps(spark, d)
+    exactFirstOutput(nTotal, v,
+      semDedupCensusCapped(routedAssignFrom(v), CellCap))
+  }
+
+  lazy val q119Sql: String = {
+    s"""WITH ${repsChainOver(routedKmeansCteSql)},
+      |members AS (
+      |  SELECT cid, count(*) AS n_members,
+      |    count(*) FILTER (WHERE c1 <> cid) AS n_moved
+      |  FROM a2 GROUP BY cid),
+      |smallc AS (SELECT cid FROM members WHERE n_members <= $CellCap),
+      |p AS (
+      |  SELECT x.cid, count(*) AS n_pairs,
+      |    count(*) FILTER (WHERE cos >= 0.9) AS n_neardup_pairs,
+      |    count(DISTINCT id2) FILTER (WHERE cos >= 0.9) AS n_sem_removed,
+      |    round(max(cos), 4) + 0.0 AS max_cos
+      |  FROM (
+      |    SELECT xa.cid, xb.vec_id AS id2,
+      |      round(${dotSql("xa.e", "xb.e")} / nullif(xa.nrm * xb.nrm, 0.0), 6) AS cos
+      |    FROM (SELECT a2.cid, md.vec_id, md.e, md.nrm
+      |          FROM a2 JOIN md USING (vec_id) JOIN smallc USING (cid)) xa
+      |    JOIN (SELECT a2.cid, md.vec_id, md.e, md.nrm
+      |          FROM a2 JOIN md USING (vec_id) JOIN smallc USING (cid)) xb
+      |      ON xa.cid = xb.cid AND xa.vec_id < xb.vec_id) x
+      |  GROUP BY x.cid),
+      |bigc AS (SELECT cid FROM members WHERE n_members > $CellCap),
+      |brep AS (
+      |  SELECT a2.cid, min(vec_id) AS rep_id
+      |  FROM a2 JOIN bigc USING (cid) GROUP BY a2.cid),
+      |bp AS (
+      |  SELECT q.cid, count(*) AS n_pairs,
+      |    count(*) FILTER (WHERE cos >= 0.9) AS n_neardup_pairs,
+      |    count(*) FILTER (WHERE cos >= 0.9) AS n_sem_removed,
+      |    round(max(cos), 4) + 0.0 AS max_cos
+      |  FROM (
+      |    SELECT a2.cid, a2.vec_id,
+      |      round(${dotSql("me.e", "mr.e")} / nullif(me.nrm * mr.nrm, 0.0), 6) AS cos
+      |    FROM a2
+      |    JOIN brep b ON b.cid = a2.cid AND a2.vec_id <> b.rep_id
+      |    JOIN md me ON me.vec_id = a2.vec_id
+      |    JOIN md mr ON mr.vec_id = b.rep_id) q
+      |  GROUP BY q.cid)
+      |SELECT
+      |  (SELECT count(*) FROM md0) AS n_total,
+      |  (SELECT count(*) FROM md) AS n_reps,
+      |  (SELECT count(*) FROM md0) - (SELECT count(*) FROM md) AS n_exact_removed,
+      |  m.cid, m.n_members, m.n_moved,
+      |  (m.n_members > $CellCap) AS quarantined,
+      |  coalesce(p.n_pairs, bp.n_pairs, 0) AS n_pairs,
+      |  coalesce(p.n_neardup_pairs, bp.n_neardup_pairs, 0) AS n_neardup_pairs,
+      |  coalesce(p.n_sem_removed, bp.n_sem_removed, 0) AS n_sem_removed,
+      |  coalesce(p.max_cos, bp.max_cos, 0.0) AS max_cos
+      |FROM members m
+      |LEFT JOIN p USING (cid)
+      |LEFT JOIN bp USING (cid)
+      |ORDER BY m.cid""".stripMargin
+  }
 
   /** q63's census SQL over the K-scaled k-means: the seed count is the
     * same ⌈N/64⌉ the engine computes. */
@@ -1715,6 +1871,7 @@ object SimilarityQueries {
     "q116_semantic_dedup_routed" -> (q116SemanticDedupRouted _),
     "q117_semantic_dedup_exact_first" -> (q117SemanticDedupExactFirst _),
     "q118_semantic_dedup_stack" -> (q118SemanticDedupStack _),
+    "q119_semantic_dedup_capped" -> (q119SemanticDedupCapped _),
     "q90_diversity_sample" -> (q90DiversitySample _),
     "q76_ann_sq8" -> (q76AnnSq8 _),
     "q78_hard_negatives" -> (q78HardNegatives _))
@@ -1729,6 +1886,7 @@ object SimilarityQueries {
     "q116_semantic_dedup_routed" -> q116Sql,
     "q117_semantic_dedup_exact_first" -> q117Sql,
     "q118_semantic_dedup_stack" -> q118Sql,
+    "q119_semantic_dedup_capped" -> q119Sql,
     "q90_diversity_sample" -> q90Sql,
     "q76_ann_sq8" -> q76Sql,
     "q78_hard_negatives" -> q78Sql,

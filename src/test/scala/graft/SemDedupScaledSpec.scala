@@ -256,4 +256,65 @@ class SemDedupScaledSpec extends GraftSuite {
       assert(g == w, s"q118 census $g != q116-on-distinct $w")
     }
   }
+
+  test("q119 capped census: an engineered seedless blob quarantines, resolves " +
+    "in O(members), and small cells match the uncapped stack") {
+    import spark.implicits._
+    // The mega-cell event is SEED MISALLOCATION: md5-rank seeding is
+    // mass-proportional, so a dense region usually gets ~B/64 seeds and
+    // splits into target-size cells — the tail case is a blob that draws
+    // NO seed (probability e^(−K·B/N)). Engineer it deterministically:
+    // pick blob vec_ids whose md5 ranks are LARGEST among candidates, so
+    // none of them can be among the K smallest (the seeds). All blob
+    // members then fall into one outside centroid's cell.
+    val blobSize = 600
+    val candidates = (10000L until 14000L)
+      .sortBy(id => (md5Int(id.toString), id))
+    val blobIds = candidates.takeRight(blobSize) // largest md5 ranks
+    val rows = (0 until n).map(i => (i.toLong, s"l${i % 3}", vecs(i).toSeq)) ++
+      blobIds.zipWithIndex.map { case (id, j) =>
+        // near-identical but DISTINCT: far from the crafted corpus'
+        // [-1, 1]-cube clusters so the blob shares one outside cell
+        (id, "lb", Array.tabulate(dim)(i =>
+          (5.0 + 1e-4 * math.sin(j * 13.7 + i)).toFloat).toSeq)
+      }
+    val dir3 = java.nio.file.Files.createTempDirectory("q119corpus").toString
+    rows.toDF("vec_id", "label", "embedding")
+      .write.mode("overwrite").parquet(s"$dir3/embeddings.parquet")
+
+    val got = SimilarityQueries.q119SemanticDedupCapped(spark, dir3).collect()
+    val quarantined = got.filter(_.getAs[Boolean]("quarantined"))
+    assert(quarantined.nonEmpty, "the seedless blob must exceed the 256 cap")
+    val qMembers = quarantined.map(_.getAs[Long]("n_members")).sum
+    assert(qMembers >= blobSize, s"blob must be quarantined: $qMembers")
+    quarantined.foreach { r =>
+      // O(members) resolution: exactly members−1 rep verifications
+      assert(r.getAs[Long]("n_pairs") == r.getAs[Long]("n_members") - 1, s"$r")
+      // near-identical blob: essentially every member is cos≈1 to the rep
+      assert(r.getAs[Long]("n_sem_removed") >= r.getAs[Long]("n_members") - 2, s"$r")
+      assert(r.getAs[Double]("max_cos") >= 0.99, s"$r")
+    }
+    // non-quarantined rows must equal the UNCAPPED stack's census rows
+    // (q118 on the same corpus, same assignment) for the same cids
+    val smallCids = got.filterNot(_.getAs[Boolean]("quarantined"))
+      .map(_.getAs[Int]("cid")).toSet
+    val uncapped = SimilarityQueries.q118SemanticDedupStack(spark, dir3)
+      .collect()
+      .filter(r => smallCids.contains(r.getAs[Int]("cid")))
+      .map(r => Seq[Any](r.getAs[Int]("cid"), r.getAs[Long]("n_members"),
+        r.getAs[Long]("n_moved"), r.getAs[Long]("n_pairs"),
+        r.getAs[Long]("n_neardup_pairs"), r.getAs[Long]("n_sem_removed"),
+        r.getAs[Double]("max_cos")))
+      .sortBy(_.toString)
+    val small119 = got.filterNot(_.getAs[Boolean]("quarantined"))
+      .map(r => Seq[Any](r.getAs[Int]("cid"), r.getAs[Long]("n_members"),
+        r.getAs[Long]("n_moved"), r.getAs[Long]("n_pairs"),
+        r.getAs[Long]("n_neardup_pairs"), r.getAs[Long]("n_sem_removed"),
+        r.getAs[Double]("max_cos")))
+      .sortBy(_.toString)
+    assert(small119.length == uncapped.length && small119.nonEmpty)
+    small119.zip(uncapped).foreach { case (g, w) =>
+      assert(g == w, s"small-cell census $g != uncapped $w")
+    }
+  }
 }
