@@ -221,6 +221,20 @@ class PlanShapeSpec extends GraftSuite {
       s"no quadratic fallback:\n$p")
   }
 
+  test("q119 capped census: routed kernels + broadcast cell/rep joins, " +
+    "no quadratic fallback") {
+    val p = plan(SimilarityQueries.q119SemanticDedupCapped(spark, sf))
+    assert(p.contains("centroid_argmin_routed"),
+      s"q119 rides the routed assignment:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian product:\n$p")
+    // exactly ONE nested-loop join is allowed: the 1-row exact-scalars
+    // crossJoin onto the census (row-count 1 × cells, not data × data)
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(p).length
+    assert(bnlj <= 1,
+      s"cell filtering and rep verification must stay equi/broadcast joins ($bnlj BNLJ):\n$p")
+    assert(!p.contains("SortAggregate"), s"no sort-aggregated argmin:\n$p")
+  }
+
   test("q115 audio decode: map-only — no join, no aggregation, source parallelism") {
     val p = plan(MultimodalQueries.q115AudioDecode(spark, sf))
     assert(!p.contains("Join") && !p.contains("Aggregate"),
