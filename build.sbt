@@ -11,6 +11,10 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Route the forked run JVM's stdout RAW (no "[info] " logger prefix):
+// the round driver parses graft.Bench's one-line JSON record from stdout,
+// and sbt's default logger wrapping made its `parsed` field null in r8.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -104,8 +104,11 @@ object Bench {
     // stdout gets the compact total-only line ALONE: short enough that no
     // tail window can cut it, so a parser that reads the last metric line
     // always gets a complete record (per-query map lives in BENCH_LAST.json)
+    // n_queries counts REAL queries; the synthetic staging row is labeled
+    // separately so cross-round totals stay comparable (r8 ADVICE)
+    val stagingSec = staging.collect { case (_, v, None) => v }.sum
     println(
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":{},"sf":"$sfDir","failures":$nFail,"n_queries":${results.length},"full_record":"BENCH_LAST.json"}""")
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":{},"sf":"$sfDir","failures":$nFail,"n_queries":${results.length - staging.length},"staging_sec":${r3(stagingSec)},"full_record":"BENCH_LAST.json"}""")
     if (nFail > 0) sys.exit(1)
   }
 }

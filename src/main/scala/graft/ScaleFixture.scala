@@ -63,6 +63,11 @@ object ScaleFixture {
     // capped census is the lane that stays flat
     val nearVecPct = opts.collectFirst { case o if o.startsWith("nearvec=") =>
       o.stripPrefix("nearvec=").toInt }.getOrElse(0)
+    // the two windows (pmod(id,100)<dup and pmod(id+50,100)<near) are
+    // disjoint only while dup+near <= 100; past that nearvec silently
+    // overwrites dupvec rows and the injected mix lies (r8 ADVICE)
+    require(dupVecPct + nearVecPct <= 100,
+      s"dupvec=$dupVecPct + nearvec=$nearVecPct > 100: windows would overlap")
     val eventsOnly = opts.contains("events-only")
     val k = seriesK * timeK
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")

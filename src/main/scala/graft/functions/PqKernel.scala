@@ -152,6 +152,11 @@ object CentroidKernel {
   * DOUBLE vector (q63/q113's `mud` column). */
 case class CentroidArgmin(child: Expression, cents: Seq[Seq[Long]])
     extends UnaryExpression {
+  // contract (r8 ADVICE): an empty table would silently return cid 0 and a
+  // ragged table would AIOOBE mid-scan — fail fast at construction instead
+  require(cents.nonEmpty, "centroid_argmin: empty centroid table")
+  require(cents.forall(_.length == cents.head.length),
+    "centroid_argmin: ragged centroid table")
   override def dataType: DataType = IntegerType
   override def nullable: Boolean = true
   @transient private lazy val cArr: Array[Array[Long]] = cents.map(_.toArray).toArray
@@ -199,6 +204,10 @@ object CentroidKernelRouted {
       if (i == dim && d < bestD) { bestD = d; best = cellIds(c) }
       c += 1
     }
+    // an empty routed cell has no argmin — loud failure beats a plausible
+    // -1 flowing into downstream joins (r8 ADVICE)
+    if (best < 0)
+      throw new IllegalStateException(s"centroid_argmin_routed: empty cell $route")
     best
   }
 }
@@ -207,6 +216,12 @@ object CentroidKernelRouted {
 case class CentroidArgminRouted(left: Expression, right: Expression,
     cents: Seq[Seq[Seq[Long]]], ids: Seq[Seq[Int]])
     extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  // contract (r8 ADVICE): cells and their id lists must align 1:1; an
+  // empty or misaligned table must fail at construction, not mid-scan
+  require(cents.nonEmpty && cents.length == ids.length,
+    "centroid_argmin_routed: empty or cell/ids-misaligned table")
+  require(cents.iterator.zip(ids.iterator).forall { case (c, i) => c.length == i.length },
+    "centroid_argmin_routed: cell/ids length mismatch")
   override def dataType: DataType = IntegerType
   override def nullable: Boolean = true
   @transient private lazy val cArr: Array[Array[Array[Long]]] =

@@ -512,8 +512,13 @@ object CorpusOpsQueries {
     // top-20 term is guaranteed among the candidates); on a flatter
     // distribution fall back to the exact census rather than silently
     // returning a correct-looking but unguaranteed list
-    val min20 = viaCandidates.agg(min(col("n"))).head()
-    val guaranteed = !min20.isNullAt(0) && min20.getLong(0) * cap > nTotal
+    val st = viaCandidates.agg(min(col("n")), count(lit(1))).head()
+    // exactness needs BOTH: the 20th count clears N/cap (superset
+    // guarantee) AND the candidate path actually produced a full top-20 —
+    // a pathological MG merge leaving <20 survivors must not be trusted
+    // even if every survivor clears the threshold (r8 ADVICE)
+    val guaranteed = !st.isNullAt(0) && st.getLong(0) * cap > nTotal &&
+      st.getLong(1) >= 20L
     if (guaranteed) viaCandidates
     else rank(terms.groupBy(col("term")).agg(count(lit(1)).as("n")))
   }
