@@ -1597,8 +1597,10 @@ object SimilarityQueries {
   // Scale shape: q106's verbatim — the only addition is a per-(probe,
   // cell) LUT (nprobe rows per probe, still broadcast) and one map-only
   // residual projection behind the same broadcast centroid table.
-  // Measured recall@5 vs exact q29 at sf0.01: 0.75 vs q106's 0.35 at the
-  // same nprobe=2 — the residual-vs-global trade, pinned in PqAnnSpec.
+  // Measured recall@5 vs exact q29 at the same nprobe=2, pinned at BOTH
+  // fixtures in PqAnnSpec: 0.40 vs q106's 0.375 on the 500-vector corpus
+  // (sf0.001 ≡ sf0.01 embeddings — 0.40 is that fixture's reachability
+  // ceiling), 0.35 vs 0.325 at sf0.1 (2,000 vectors, 31 cells).
   private val pqResCbCache =
     new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Array[Long]]]]()
   private val pqResCellCache =
