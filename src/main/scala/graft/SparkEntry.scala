@@ -41,6 +41,7 @@ object SparkEntry {
       (graft.queries.AdaptiveQueries.all, graft.queries.AdaptiveQueries.oracles),
       (graft.queries.CurationQueries.all, graft.queries.CurationQueries.oracles),
       (graft.queries.RankingQueries.all, graft.queries.RankingQueries.oracles),
+      (graft.queries.EvalStatsQueries.all, graft.queries.EvalStatsQueries.oracles),
       (graft.queries.CorpusOpsQueries.all, graft.queries.CorpusOpsQueries.oracles),
       (graft.queries.AsofQueries.all, graft.queries.AsofQueries.oracles))
 

@@ -63,7 +63,7 @@ object RankingQueries {
         ((col("value") - col("prev")) / col("prev")).as("r"))
   }
 
-  private val duckCfgRets: String =
+  private[graft] val duckCfgRets: String =
     s"""ev AS (
        |  SELECT event_type, user_id % $Buckets AS bucket,
        |    epoch_us(ts) AS ts_us, event_id, value
@@ -85,7 +85,7 @@ object RankingQueries {
   // windowed cumulative return (sequential, deterministic order in both
   // engines). Metrics are rounded to 6 dp HERE, so every downstream
   // selection stage consumes identical doubles in both engines.
-  private def cfgMetrics(spark: SparkSession, d: String): DataFrame = {
+  private[graft] def cfgMetrics(spark: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy(col("cfg")).orderBy(col("ts_us"), col("event_id"))
       .rowsBetween(Window.unboundedPreceding, 0)
     val n = count(lit(1)).cast("double")
@@ -107,7 +107,7 @@ object RankingQueries {
         round(max(col("runmax") - col("cum")), 6).as("maxdd"))
   }
 
-  private val duckCfgMetrics: String =
+  private[graft] val duckCfgMetrics: String =
     s"""$duckCfgRets,
        |cum0 AS (
        |  SELECT cfg, r, ts_us, event_id,
