@@ -901,6 +901,13 @@ object GraftFunctions {
     GraftBridge.toColumn(CentroidArgminRouted(
       GraftBridge.toExpr(mud), GraftBridge.toExpr(route), cents, ids))
 
+  /** Per-row argmin over a JOINED cell table (see [[CellArgmin]]) — the
+    * staged routed assignment's kernel: centroids arrive as column
+    * values, never as driver/broadcast state. */
+  def cellArgmin(mud: Column, cells: Column, ids: Column): Column =
+    GraftBridge.toColumn(CellArgmin(GraftBridge.toExpr(mud),
+      GraftBridge.toExpr(cells), GraftBridge.toExpr(ids)))
+
   /** Winnowing fingerprint stats struct (see [[WinnowStats]]). */
   def winnowStats(text: Column): Column =
     GraftBridge.toColumn(WinnowStats(GraftBridge.toExpr(text)))

@@ -243,3 +243,59 @@ case class CentroidArgminRouted(left: Expression, right: Expression,
       l: Expression, r: Expression): CentroidArgminRouted = copy(left = l, right = r)
   override def prettyName: String = "centroid_argmin_routed"
 }
+
+/** Column-borne cell argmin (the STAGED routed assignment, q125): same
+  * math as [[CentroidKernelRouted]], but the cell's fine-centroid table
+  * arrives as JOINED COLUMN VALUES (array<array<bigint>> + array<int>)
+  * instead of a broadcast-by-reference object — which is the whole point:
+  * the centroid table never exists on the driver or in a broadcast, so
+  * driver state is O(√K) no matter how large K grows (the ≥10⁸-vector
+  * regime where the reference-object form needs a multi-GB driver heap).
+  * ids must be ascending within the cell; strict < keeps the smaller
+  * global cid on ties, matching the routed kernel bit-for-bit.
+  */
+object CellArgminKernel {
+  def argmin(mud: ArrayData, cells: ArrayData, ids: ArrayData): Int = {
+    val dim = mud.numElements()
+    val nc = cells.numElements()
+    var best = -1
+    var bestD = Long.MaxValue
+    var c = 0
+    while (c < nc) {
+      val cv = cells.getArray(c)
+      var d = 0L
+      var i = 0
+      while (i < dim && d < bestD) {
+        val diff = mud.getDouble(i).toLong - cv.getLong(i)
+        d += diff * diff
+        i += 1
+      }
+      if (i == dim && d < bestD) { bestD = d; best = ids.getInt(c) }
+      c += 1
+    }
+    if (best < 0)
+      throw new IllegalStateException("cell_argmin: empty cell table")
+    best
+  }
+}
+
+/** `cell_argmin(mud, cells, ids)` — cells/ids are the joined row's own
+  * per-cell centroid table. */
+case class CellArgmin(first: Expression, second: Expression, third: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(mud: Any, cells: Any, ids: Any): Any =
+    CellArgminKernel.argmin(mud.asInstanceOf[ArrayData],
+      cells.asInstanceOf[ArrayData], ids.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (m, c, i) =>
+      s"graft.functions.CellArgminKernel.argmin($m, $c, $i)")
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): CellArgmin =
+    copy(first = f, second = s, third = t)
+  override def prettyName: String = "cell_argmin"
+}

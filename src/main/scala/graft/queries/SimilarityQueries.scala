@@ -853,6 +853,123 @@ object SimilarityQueries {
     semDedupCensus(kmeansAssignmentRouted(spark, d))
 
   // ---------------------------------------------------------------------------
+  // q125 — STAGED routed assignment (r8 verdict "What's missing" #1): the
+  // q118 stack with the K-proportional driver state removed. In
+  // routedAssignFrom, three pieces of state scale with K on the DRIVER:
+  // the K-row seed collect, the K-row Lloyd centroid-update collect, and
+  // the K×65-long kernel reference array rebroadcast per pass — ~8 MB per
+  // million vectors (the PQ-codebook contract), but ≈8 GB at 10⁹ vectors
+  // (K ≈ 1.6·10⁷), which no driver heap survives. Here the centroid table
+  // NEVER exists on the driver or in a broadcast:
+  //   • seeds: a 3×-expected-threshold filter on the uniform md5 rank
+  //     bounds the sort to O(K) rows (exactness checked — falls back to
+  //     the full sort if the band underflows), the sort is a distributed
+  //     range-partitioned orderBy, and zipWithIndex (partition-ordered
+  //     after orderBy) assigns cid = rank with no driver materialization.
+  //   • coarse table: the first k₁ = ⌈√K⌉ seeds — the ONLY collected
+  //     state, O(√K) (~170 KB at K = 1.6·10⁷).
+  //   • fine→coarse routing: the same CentroidArgmin kernel, map-only
+  //     over the K-row seed FRAME (not a driver loop).
+  //   • per-cell tables: groupBy(route) packs each coarse cell's fine
+  //     centroids into one row (cid-ascending for the tie rule); vectors
+  //     compute their route map-only, then meet their cell's table in a
+  //     SHUFFLE-HASH equi join on the route key (hinted: a broadcast
+  //     would collect the cells to the driver, defeating the point) and
+  //     take the argmin via the column-borne CellArgmin kernel.
+  //   • Lloyd update: the per-cid lane sums stay a DataFrame and rejoin
+  //     the seed frame (coalesce = empty cells keep seeds, HALF_UP mean
+  //     rounding as everywhere).
+  // The TRADE vs the broadcast-kernel form, stated honestly: assignment
+  // costs a route-keyed shuffle of the corpus per pass (2 passes) instead
+  // of zero shuffles — at K ≤ ~10⁶ the kernel form (q116/q118) is
+  // strictly better; beyond that it cannot run at all, and this is the
+  // path that can. Same algorithm, bit-identical output: the oracle IS
+  // q118's, and SemDedupStagedSpec pins q125 ≡ q118 row-for-row.
+  private def routedAssignStagedFrom(v: DataFrame,
+      targetCell: Int = TargetCell): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{ArrayType, DoubleType, IntegerType, StructField, StructType}
+    val spark = v.sparkSession
+    val n = v.count()
+    val k = math.max(1, math.ceil(n / targetCell.toDouble).toInt)
+    val k1 = math.max(1, math.ceil(math.sqrt(k.toDouble)).toInt)
+
+    val hkv = v.select(col("vec_id"), col("mud"))
+      .withColumn("hk",
+        graft.functions.GraftFunctions.md5PrefixInt(col("vec_id").cast("string")))
+    val t2: Long = math.min(Int.MaxValue.toLong,
+      (3.0 * k / math.max(n, 1L) * Int.MaxValue).toLong + 1024L)
+    val band0 = hkv.filter(col("hk") < t2)
+    val band = if (band0.count() >= k) band0 else hkv
+    val seedRdd = band.orderBy(col("hk"), col("vec_id")).rdd
+      .zipWithIndex()
+      .filter(_._2 < k)
+      .map { case (r, i) =>
+        Row(i.toInt, r.getAs[scala.collection.Seq[Double]]("mud"))
+      }
+    val seedSchema = StructType(Seq(
+      StructField("cid", IntegerType, nullable = false),
+      StructField("smud", ArrayType(DoubleType, containsNull = false))))
+    val seeds = spark.createDataFrame(seedRdd, seedSchema)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    // the only collected state: O(√K) coarse vectors
+    val coarse: Seq[Seq[Long]] = seeds.filter(col("cid") < k1)
+      .orderBy(col("cid")).collect()
+      .map(_.getAs[scala.collection.Seq[Double]]("smud").map(_.toLong).toSeq).toSeq
+
+    def assign(fine: DataFrame, outCol: String)(df: DataFrame): DataFrame = {
+      val cells = fine
+        .withColumn("fr",
+          graft.functions.GraftFunctions.centroidArgmin(col("smud"), coarse))
+        .groupBy(col("fr"))
+        .agg(sort_array(collect_list(struct(col("cid"), col("smud")))).as("cs"))
+        .select(col("fr"),
+          expr("transform(cs, x -> transform(x.smud, v -> CAST(v AS BIGINT)))").as("cc"),
+          expr("transform(cs, x -> x.cid)").as("ids"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      // O(√K): the non-empty coarse ids (a duplicate seed can orphan a
+      // coarse cell — vectors route only among cells that HAVE fine
+      // centroids, the routedAssignFrom rule)
+      val nonEmpty: Seq[Int] = cells.select(col("fr")).collect()
+        .map(_.getInt(0)).sorted.toSeq
+      val coarseNE: Seq[Seq[Long]] = nonEmpty.map(coarse(_))
+      df
+        .withColumn("__ridx",
+          graft.functions.GraftFunctions.centroidArgmin(col("mud"), coarseNE))
+        .withColumn("__route", element_at(typedLit(nonEmpty), col("__ridx") + 1))
+        .join(cells.withColumnRenamed("fr", "__route").hint("shuffle_hash"),
+          Seq("__route"))
+        .withColumn(outCol,
+          graft.functions.GraftFunctions.cellArgmin(col("mud"), col("cc"), col("ids")))
+        .drop("__ridx", "__route", "cc", "ids")
+    }
+
+    val a1 = assign(seeds, "c1")(v).persist(StorageLevel.MEMORY_AND_DISK)
+    val lanes = (0 until Dim).map(i =>
+      sum(element_at(col("mud"), i + 1).cast("long")).as(s"s$i"))
+    // Lloyd sums stay distributed: K rows keyed by c1, rejoined to seeds
+    val sums = a1.groupBy(col("c1"))
+      .agg(count(lit(1)).as("cnt"), lanes: _*)
+      .select(col("c1"), array((0 until Dim).map(i =>
+        round(col(s"s$i").cast("double") / col("cnt"), 0)): _*).as("umud"))
+    val fine2 = seeds.join(sums, seeds("cid") === sums("c1"), "left")
+      .select(col("cid"), coalesce(col("umud"), col("smud")).as("smud"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    assign(fine2, "cid")(a1)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+  }
+
+  /** q125 — exact-first collapse ∘ STAGED routed assignment ∘ census.
+    * Same algorithm as q118 (only the centroid table's physical placement
+    * differs), so the oracle is q118's verbatim. */
+  def q125SemanticDedupStaged(spark: SparkSession, d: String): DataFrame = {
+    val (nTotal, v) = exactFirstReps(spark, d)
+    exactFirstOutput(nTotal, v, semDedupCensus(routedAssignStagedFrom(v)))
+  }
+
+  // ---------------------------------------------------------------------------
   // q117 — EXACT-first semantic dedup (the q49 exact→near discipline
   // applied to embeddings): identical vectors are cos=1 near-dups by
   // definition, and a corpus where one vector repeats d times puts all d
@@ -876,7 +993,17 @@ object SimilarityQueries {
       .withColumn("mud",
         transform(col("e"), x => round(x * lit(1e6)).cast("long").cast("double")))
     val nTotal = all.count()
-    val repIds = all.groupBy(col("mud")).agg(min(col("vec_id")).as("vec_id"))
+    // DIGEST-keyed grouping (r8 verdict "What's wrong" #1): keying the
+    // exchange on the raw 64-element array shipped ~520 B/row of content
+    // through the shuffle and drove the 32 GB driver-heap requirement at
+    // 1000×. xxhash64 over the integer-valued micro-unit vector is the
+    // q24 md5(text) pattern (DedupQueries.scala:31-40) — an 8-byte shuffle
+    // key with map-side partial min(vec_id), same accepted-collision
+    // stance as the text lane (2⁻⁶⁴ per pair). ExactCollapseSpec pins
+    // output equality with the array-keyed form; the oracle still groups
+    // by mud itself.
+    val repIds = all.groupBy(xxhash64(col("mud")).as("mh"))
+      .agg(min(col("vec_id")).as("vec_id"))
       .select(col("vec_id"))
     val v = all.join(repIds, "vec_id")
       .select(col("vec_id"), col("e"), col("nrm"), col("mud"))
@@ -1873,6 +2000,7 @@ object SimilarityQueries {
     "q116_semantic_dedup_routed" -> (q116SemanticDedupRouted _),
     "q117_semantic_dedup_exact_first" -> (q117SemanticDedupExactFirst _),
     "q118_semantic_dedup_stack" -> (q118SemanticDedupStack _),
+    "q125_semantic_dedup_staged" -> (q125SemanticDedupStaged _),
     "q119_semantic_dedup_capped" -> (q119SemanticDedupCapped _),
     "q90_diversity_sample" -> (q90DiversitySample _),
     "q76_ann_sq8" -> (q76AnnSq8 _),
@@ -1888,6 +2016,7 @@ object SimilarityQueries {
     "q116_semantic_dedup_routed" -> q116Sql,
     "q117_semantic_dedup_exact_first" -> q117Sql,
     "q118_semantic_dedup_stack" -> q118Sql,
+    "q125_semantic_dedup_staged" -> q118Sql,
     "q119_semantic_dedup_capped" -> q119Sql,
     "q90_diversity_sample" -> q90Sql,
     "q76_ann_sq8" -> q76Sql,

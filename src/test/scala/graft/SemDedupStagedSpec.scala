@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.queries.SimilarityQueries
+
+/** Pins for the r9 semantic-lane scale work: the digest-keyed exact
+  * collapse (r8 verdict "What's wrong" #1) and the staged routed
+  * assignment q125 (r8 "What's missing" #1). */
+class SemDedupStagedSpec extends GraftSuite {
+
+  test("digest-keyed exact collapse picks the same representatives as the " +
+    "array-keyed form") {
+    // the q24 pattern applied to vectors: grouping min(vec_id) by
+    // xxhash64(mud) must equal grouping by the raw array (no collisions
+    // on this corpus; collision stance documented at the call site)
+    val mud = Tables.embeddings(spark, sf)
+      .withColumn("mud",
+        expr("transform(embedding, x -> CAST(round(x * 1000000.0) AS BIGINT))"))
+    val byArray = mud.groupBy(col("mud")).agg(min(col("vec_id")).as("vec_id"))
+      .select(col("vec_id")).collect().map(_.getLong(0)).toSet
+    val byDigest = mud.groupBy(xxhash64(col("mud"))).agg(min(col("vec_id")).as("vec_id"))
+      .select(col("vec_id")).collect().map(_.getLong(0)).toSet
+    assert(byDigest == byArray)
+    assert(byArray.nonEmpty)
+  }
+
+  test("q125 staged stack output equals q118 row-for-row") {
+    val staged = SimilarityQueries.q125SemanticDedupStaged(spark, sf).collect()
+    val kernel = SimilarityQueries.q118SemanticDedupStack(spark, sf).collect()
+    assert(staged.length == kernel.length && staged.nonEmpty)
+    staged.zip(kernel).foreach { case (s, k) =>
+      assert(s == k, s"staged row $s != kernel row $k")
+    }
+  }
+
+  test("q125 plan: cell_argmin kernel present, cells meet vectors in a " +
+    "shuffle join (never a broadcast that would re-materialize K on the " +
+    "driver), no quadratic fallback") {
+    val p = SimilarityQueries.q125SemanticDedupStaged(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("cell_argmin"),
+      s"staged assignment must ride the column-borne CellArgmin kernel:\n$p")
+    assert(p.contains("centroid_argmin"),
+      s"coarse routing must stay the map-only kernel:\n$p")
+    assert(p.contains("ShuffledHashJoin"),
+      s"the cells join must be the hinted shuffle-hash join:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian product:\n$p")
+    // the 1-row exact-scalars crossJoin onto the census is the only
+    // allowed nested-loop join (the q119 rule)
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(p).length
+    assert(bnlj <= 1, s"unexpected nested-loop joins ($bnlj):\n$p")
+    assert(!p.contains("SortAggregate"), s"no sort-aggregated argmin:\n$p")
+  }
+}
