@@ -885,21 +885,21 @@ object SimilarityQueries {
   // strictly better; beyond that it cannot run at all, and this is the
   // path that can. Same algorithm, bit-identical output: the oracle IS
   // q118's, and SemDedupStagedSpec pins q125 ≡ q118 row-for-row.
-  private def routedAssignStagedFrom(v: DataFrame,
-      targetCell: Int = TargetCell): DataFrame = {
+  /** The staged seed frame: (cid, smud) with cid = md5-rank, built with
+    * NO K-row driver materialization (banded distributed sort +
+    * zipWithIndex). Shared by the staged assignment and the SemScale
+    * seed-geometry census. */
+  private[graft] def stagedSeeds(v: DataFrame, k: Int): DataFrame = {
     import org.apache.spark.storage.StorageLevel
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types.{ArrayType, DoubleType, IntegerType, StructField, StructType}
     val spark = v.sparkSession
-    val n = v.count()
-    val k = math.max(1, math.ceil(n / targetCell.toDouble).toInt)
-    val k1 = math.max(1, math.ceil(math.sqrt(k.toDouble)).toInt)
-
+    val n = math.max(v.count(), 1L)
     val hkv = v.select(col("vec_id"), col("mud"))
       .withColumn("hk",
         graft.functions.GraftFunctions.md5PrefixInt(col("vec_id").cast("string")))
     val t2: Long = math.min(Int.MaxValue.toLong,
-      (3.0 * k / math.max(n, 1L) * Int.MaxValue).toLong + 1024L)
+      (3.0 * k / n * Int.MaxValue).toLong + 1024L)
     val band0 = hkv.filter(col("hk") < t2)
     val band = if (band0.count() >= k) band0 else hkv
     val seedRdd = band.orderBy(col("hk"), col("vec_id")).rdd
@@ -911,13 +911,42 @@ object SimilarityQueries {
     val seedSchema = StructType(Seq(
       StructField("cid", IntegerType, nullable = false),
       StructField("smud", ArrayType(DoubleType, containsNull = false))))
-    val seeds = spark.createDataFrame(seedRdd, seedSchema)
+    spark.createDataFrame(seedRdd, seedSchema)
       .persist(StorageLevel.MEMORY_AND_DISK)
+  }
 
-    // the only collected state: O(√K) coarse vectors
-    val coarse: Seq[Seq[Long]] = seeds.filter(col("cid") < k1)
+  /** The O(√K) coarse table — the staged path's ONLY collected state. */
+  private[graft] def stagedCoarse(seeds: DataFrame, k1: Int): Seq[Seq[Long]] =
+    seeds.filter(col("cid") < k1)
       .orderBy(col("cid")).collect()
       .map(_.getAs[scala.collection.Seq[Double]]("smud").map(_.toLong).toSeq).toSeq
+
+  /** Rehearsal hook (SemScale): fine-centroids-per-coarse-cell census for
+    * the routed lane's seed geometry — (fr, n_fine) ordered worst-first.
+    * This is the distribution that decides routed task balance: a coarse
+    * cell holding m fine centroids costs every vector routed there O(m). */
+  private[graft] def coarseCellCensus(spark: SparkSession, d: String,
+      targetCell: Int = TargetCell): DataFrame = {
+    val (_, v) = exactFirstReps(spark, d)
+    val k = math.max(1, math.ceil(v.count() / targetCell.toDouble).toInt)
+    val k1 = math.max(1, math.ceil(math.sqrt(k.toDouble)).toInt)
+    val seeds = stagedSeeds(v, k)
+    val coarse = stagedCoarse(seeds, k1)
+    seeds.withColumn("fr",
+        graft.functions.GraftFunctions.centroidArgmin(col("smud"), coarse))
+      .groupBy(col("fr")).agg(count(lit(1)).as("n_fine"))
+      .orderBy(col("n_fine").desc, col("fr"))
+  }
+
+  private def routedAssignStagedFrom(v: DataFrame,
+      targetCell: Int = TargetCell): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val n = v.count()
+    val k = math.max(1, math.ceil(n / targetCell.toDouble).toInt)
+    val k1 = math.max(1, math.ceil(math.sqrt(k.toDouble)).toInt)
+    val seeds = stagedSeeds(v, k)
+    // the only collected state: O(√K) coarse vectors
+    val coarse: Seq[Seq[Long]] = stagedCoarse(seeds, k1)
 
     def assign(fine: DataFrame, outCol: String)(df: DataFrame): DataFrame = {
       val cells = fine
@@ -967,6 +996,16 @@ object SimilarityQueries {
   def q125SemanticDedupStaged(spark: SparkSession, d: String): DataFrame = {
     val (nTotal, v) = exactFirstReps(spark, d)
     exactFirstOutput(nTotal, v, semDedupCensus(routedAssignStagedFrom(v)))
+  }
+
+  /** Rehearsal hook (SemScale): the q125 stack at an overridden cell
+    * target, so a 2M-vector fixture reaches K ≥ 10⁵ (targetCell=16 →
+    * K = 125,000) without a 10⁸-vector corpus. */
+  private[graft] def stagedStackRehearsal(spark: SparkSession, d: String,
+      targetCell: Int): DataFrame = {
+    val (nTotal, v) = exactFirstReps(spark, d)
+    exactFirstOutput(nTotal, v,
+      semDedupCensus(routedAssignStagedFrom(v, targetCell)))
   }
 
   // ---------------------------------------------------------------------------
