@@ -64,10 +64,13 @@ object ScaleFixture {
     val nearVecPct = opts.collectFirst { case o if o.startsWith("nearvec=") =>
       o.stripPrefix("nearvec=").toInt }.getOrElse(0)
     // the two windows (pmod(id,100)<dup and pmod(id+50,100)<near) are
-    // disjoint only while dup+near <= 100; past that nearvec silently
-    // overwrites dupvec rows and the injected mix lies (r8 ADVICE)
-    require(dupVecPct + nearVecPct <= 100,
-      s"dupvec=$dupVecPct + nearvec=$nearVecPct > 100: windows would overlap")
+    // residue intervals [0,dup) and [50,50+near mod 100): disjoint iff
+    // BOTH stay on their own side of residue 50 — a sum check lets e.g.
+    // dup=60,near=10 through even though residues 50-59 get both
+    // treatments and nearvec silently overwrites dupvec (r9 ADVICE)
+    require(dupVecPct <= 50 && nearVecPct <= 50,
+      s"dupvec=$dupVecPct nearvec=$nearVecPct: each must be <= 50 or the " +
+        "residue windows [0,dup) and [50,50+near) overlap")
     val eventsOnly = opts.contains("events-only")
     val k = seriesK * timeK
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")

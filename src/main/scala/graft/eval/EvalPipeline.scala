@@ -62,7 +62,7 @@ object EvalPipeline {
     */
   def perConfigStats(trades: DataFrame,
       nBlocks: Int, tsMin: Long, tsMax: Long,
-      ouBars: Option[DataFrame] = None, empiricalTpFrac: Double = 0.0125,
+      ouBars: Option[DataFrame] = None, empiricalTpFrac: Double = 0.025,
       ouLookback: Int = 1000): Dataset[ConfigStats] = {
     val spark = trades.sparkSession
     import spark.implicits._
@@ -151,7 +151,7 @@ object EvalPipeline {
   def run(trades: DataFrame, slEmp: Double = 0.0125, ouRatio: Double = 1.0,
       nBlocks: Int = 8, nBootstrap: Int = 500,
       varSrEmpirical: Boolean = false, rwMaxConfigs: Int = 256,
-      ouBars: Option[DataFrame] = None, empiricalTpFrac: Double = 0.0125,
+      ouBars: Option[DataFrame] = None, empiricalTpFrac: Double = 0.025,
       ouLookback: Int = 1000, ouDistributed: Boolean = false): PipelineResult = {
     // cross-config time range for CSCV block binning (one tiny agg job)
     val range = trades.agg(min(col("ts_us")), max(col("ts_us"))).collect().head

@@ -34,11 +34,12 @@ object EvalStatsQueries {
 
   type Q = (SparkSession, String) => DataFrame
 
-  // Reference constants (config.py:28,40): N_TRIALS=1008 and the derived
-  // empirical barrier fractions SL_EMP = TP_emp = 2.5 × 0.005.
+  // Reference constants (config.py:28,39-40): N_TRIALS=1008 and the derived
+  // empirical barrier fractions TP_EMP = TP_MULT·BAR_RANGE = 5.0 × 0.005
+  // = 0.025, SL_EMP = SL_MULT·BAR_RANGE = 2.5 × 0.005 = 0.0125.
   private val NTrials = 1008
   private val SlEmp = 0.0125
-  private val TpEmp = 0.0125
+  private val TpEmp = 0.025
   private val LnNTrials = math.log(NTrials.toDouble) // pinned literal both engines
   // scipy.stats.norm.ppf evaluated at authoring time — query constants
   // (the alphas are fixed), so the quantiles are too; no inverse-CDF
@@ -259,9 +260,12 @@ object EvalStatsQueries {
       concat(col("event_type"), lit("#"), (col("user_id") % 10).cast("string")).as("cfg"),
       Tables.tsUs(ev).as("ts_us"), col("event_id"), col("value"))
     val w = Window.partitionBy(col("cfg")).orderBy(col("ts_us"), col("event_id"))
+    // No lag-null filter: the OLS moments skip the first row anyway (avg
+    // ignores the NULL x/y), but mean_price must cover ALL prices — the
+    // reference takes np.mean over the full series (ou_barriers.py:48),
+    // and eval/Stats.calibrateOu does the same.
     base.withColumn("x", lag(col("value"), 1).over(w))
       .withColumn("y", col("value") - col("x"))
-      .filter(col("x").isNotNull)
       .groupBy(col("cfg"))
       .agg(
         (avg(col("x") * col("y")) - avg(col("x")) * avg(col("y"))).as("cov_xy"),
@@ -352,7 +356,7 @@ object EvalStatsQueries {
        |    avg(x * x) - avg(x) * avg(x) AS var_x,
        |    avg((value - x) * (value - x)) - avg(value - x) * avg(value - x) AS var_y,
        |    avg(value) AS mean_price
-       |  FROM oux WHERE x IS NOT NULL GROUP BY cfg),
+       |  FROM oux GROUP BY cfg),
        |oucal AS (
        |  SELECT cfg,
        |    round(CASE WHEN tp_frac > 0 THEN least(1.0, $TpEmp / tp_frac) END, 6)
