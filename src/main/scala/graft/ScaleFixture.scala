@@ -31,6 +31,9 @@ import org.apache.spark.sql.functions._
   *                       family survive a bot holding 10% of traffic?)
   *   opt `corpus-only` — write only documents + embeddings (the corpus
   *                       axis at 100× without paying for the rest)
+  *   opt `emb-only`    — write only embeddings (the semantic-dedup lane
+  *                       never reads documents; at 1000× the 5M-doc text
+  *                       expansion is pure fixture-build cost)
   *   opt `events-only` — write only events (push the event-stream axis
   *                       hard without replicating the TPC-H star)
   */
@@ -68,9 +71,12 @@ object ScaleFixture {
     // BOTH stay on their own side of residue 50 — a sum check lets e.g.
     // dup=60,near=10 through even though residues 50-59 get both
     // treatments and nearvec silently overwrites dupvec (r9 ADVICE)
-    require(dupVecPct <= 50 && nearVecPct <= 50,
-      s"dupvec=$dupVecPct nearvec=$nearVecPct: each must be <= 50 or the " +
-        "residue windows [0,dup) and [50,50+near) overlap")
+    // One-sided high percentages are safe when the other window is empty
+    // (r10 ADVICE): dup=70,near=0 has no near window to collide with.
+    require((dupVecPct <= 50 && nearVecPct <= 50)
+        || dupVecPct == 0 || nearVecPct == 0,
+      s"dupvec=$dupVecPct nearvec=$nearVecPct: each must be <= 50 (or the " +
+        "other 0) or the residue windows [0,dup) and [50,50+near) overlap")
     val eventsOnly = opts.contains("events-only")
     val k = seriesK * timeK
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -94,7 +100,12 @@ object ScaleFixture {
     // replica index table: one row per replica, id 0 keeps the original rows
     val reps = spark.range(k).select(col("id").as("rep"))
 
-    if (corpusOnly) { writeCorpus(spark, src, dst, reps, write, hotShinglePct, dupVecPct, nearVecPct); return }
+    val embOnly = opts.contains("emb-only")
+    if (corpusOnly || embOnly) {
+      writeCorpus(spark, src, dst, reps, write, hotShinglePct, dupVecPct,
+        nearVecPct, embOnly)
+      return
+    }
 
     // --- small dims: fixed cardinality at any scale, copy verbatim ---
     if (!eventsOnly) for (t <- Seq("region", "nation"))
@@ -183,7 +194,43 @@ object ScaleFixture {
     * Shared by the full fixture and the corpus-only 100× lane. */
   private def writeCorpus(spark: SparkSession, src: String, dst: String,
       reps: DataFrame, write: (DataFrame, String) => Unit,
-      hotShinglePct: Int = 0, dupVecPct: Int = 0, nearVecPct: Int = 0): Unit = {
+      hotShinglePct: Int = 0, dupVecPct: Int = 0, nearVecPct: Int = 0,
+      embOnly: Boolean = false): Unit = {
+
+    def maxOf(df: DataFrame, c: String): Long =
+      df.agg(max(col(c))).head.getLong(0)
+
+    if (!embOnly) writeDocs(spark, src, dst, reps, write, hotShinglePct)
+
+    val emb = Tables.embeddings(spark, src)
+    val vM = maxOf(emb, "vec_id") + 1
+    val embScaled = emb
+      .crossJoin(reps)
+      .select(
+        (col("vec_id") + col("rep") * vM).as("vec_id"),
+        expr(
+          "transform(embedding, (x, i) -> cast(x + 0.02 * sin(vec_id * 31.0d + i + rep * 7.0d) as float))"
+        ).as("embedding"),
+        col("label")
+      )
+    val embDup =
+      if (dupVecPct == 0) embScaled
+      else embScaled.withColumn("embedding",
+        when(pmod(col("vec_id"), lit(100)) < dupVecPct,
+          expr("transform(embedding, x -> CAST(0.25 AS FLOAT))"))
+          .otherwise(col("embedding")))
+    val embOut =
+      if (nearVecPct == 0) embDup
+      else embDup.withColumn("embedding",
+        when(pmod(col("vec_id") + 50L, lit(100)) < nearVecPct,
+          expr("transform(embedding, (x, i) -> CAST(0.25 + 0.0001 * sin(vec_id * 13.7D + i) AS FLOAT))"))
+          .otherwise(col("embedding")))
+    write(embOut, "embeddings")
+  }
+
+  private def writeDocs(spark: SparkSession, src: String, dst: String,
+      reps: DataFrame, write: (DataFrame, String) => Unit,
+      hotShinglePct: Int): Unit = {
 
     def maxOf(df: DataFrame, c: String): Long =
       df.agg(max(col(c))).head.getLong(0)
@@ -229,30 +276,5 @@ object ScaleFixture {
         .withColumn("n_chars", length(col("text")).cast("long"))
     write(withHot, "documents")
     docs.unpersist()
-
-    val emb = Tables.embeddings(spark, src)
-    val vM = maxOf(emb, "vec_id") + 1
-    val embScaled = emb
-      .crossJoin(reps)
-      .select(
-        (col("vec_id") + col("rep") * vM).as("vec_id"),
-        expr(
-          "transform(embedding, (x, i) -> cast(x + 0.02 * sin(vec_id * 31.0d + i + rep * 7.0d) as float))"
-        ).as("embedding"),
-        col("label")
-      )
-    val embDup =
-      if (dupVecPct == 0) embScaled
-      else embScaled.withColumn("embedding",
-        when(pmod(col("vec_id"), lit(100)) < dupVecPct,
-          expr("transform(embedding, x -> CAST(0.25 AS FLOAT))"))
-          .otherwise(col("embedding")))
-    val embOut =
-      if (nearVecPct == 0) embDup
-      else embDup.withColumn("embedding",
-        when(pmod(col("vec_id") + 50L, lit(100)) < nearVecPct,
-          expr("transform(embedding, (x, i) -> CAST(0.25 + 0.0001 * sin(vec_id * 13.7D + i) AS FLOAT))"))
-          .otherwise(col("embedding")))
-    write(embOut, "embeddings")
   }
 }

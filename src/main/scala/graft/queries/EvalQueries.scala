@@ -269,10 +269,16 @@ object EvalQueries {
     returns(spark, d)
       .withColumn("x", lag(col("close"), 1).over(w))
       .withColumn("y", col("close") - col("x"))
-      .filter(col("x").isNotNull)
+      // No lag-null filter: the OLS moments skip the first row anyway (avg
+      // ignores the NULL x/y), but mean_price must cover ALL prices — the
+      // reference takes np.mean over the full series (ou_barriers.py:48),
+      // and eval/Stats.calibrateOu does the same (the r10 q122 fix,
+      // EvalStatsQueries.scala:263; EvalStatsCrossCheckSpec pins q37 ≡
+      // calibrateOu so the two cannot drift again). n stays the pair
+      // count: count(x) skips the NULL first row.
       .groupBy(col("event_type"))
       .agg(
-        count(lit(1)).as("n"),
+        count(col("x")).as("n"),
         avg(col("x")).as("xb"), avg(col("y")).as("yb"),
         (avg(col("x") * col("y")) - avg(col("x")) * avg(col("y"))).as("cov_xy"),
         (avg(col("x") * col("x")) - avg(col("x")) * avg(col("x"))).as("var_x"),
@@ -299,12 +305,12 @@ object EvalQueries {
        |    lag(close, 1) OVER (PARTITION BY event_type ORDER BY ts_us, event_id) AS x
        |  FROM rets),
        |suff AS (
-       |  SELECT event_type, count(*) AS n,
+       |  SELECT event_type, count(x) AS n,
        |    avg(x * (close - x)) - avg(x) * avg(close - x) AS cov_xy,
        |    avg(x * x) - avg(x) * avg(x) AS var_x,
        |    avg((close - x) * (close - x)) - avg(close - x) * avg(close - x) AS var_y,
        |    avg(close) AS mean_price
-       |  FROM xy WHERE x IS NOT NULL GROUP BY event_type),
+       |  FROM xy GROUP BY event_type),
        |cal AS (
        |  SELECT event_type, n, -(cov_xy / nullif(var_x, 0.0)) AS mu,
        |    sqrt(greatest(var_y - (cov_xy / nullif(var_x, 0.0)) * (cov_xy / nullif(var_x, 0.0)) * var_x, 0.0)) AS sigma,

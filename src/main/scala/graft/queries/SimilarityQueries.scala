@@ -898,8 +898,12 @@ object SimilarityQueries {
     val hkv = v.select(col("vec_id"), col("mud"))
       .withColumn("hk",
         graft.functions.GraftFunctions.md5PrefixInt(col("vec_id").cast("string")))
-    val t2: Long = math.min(Int.MaxValue.toLong,
-      (3.0 * k / n * Int.MaxValue).toLong + 1024L)
+    // hk is uniform over [0, 2^32) (unsigned 4-byte md5 prefix), so the
+    // 3× safety margin must scale by 2^32 — scaling by Int.MaxValue (2^31)
+    // halved the real margin to ~1.5× and tripped the full-sort fallback
+    // more often than designed (r10 ADVICE).
+    val t2: Long = math.min(1L << 32,
+      (3.0 * k / n * (1L << 32).toDouble).toLong + 1024L)
     val band0 = hkv.filter(col("hk") < t2)
     val band = if (band0.count() >= k) band0 else hkv
     val seedRdd = band.orderBy(col("hk"), col("vec_id")).rdd
@@ -1038,7 +1042,7 @@ object SimilarityQueries {
     // 1000×. xxhash64 over the integer-valued micro-unit vector is the
     // q24 md5(text) pattern (DedupQueries.scala:31-40) — an 8-byte shuffle
     // key with map-side partial min(vec_id), same accepted-collision
-    // stance as the text lane (2⁻⁶⁴ per pair). ExactCollapseSpec pins
+    // stance as the text lane (2⁻⁶⁴ per pair). SemDedupStagedSpec pins
     // output equality with the array-keyed form; the oracle still groups
     // by mud itself.
     val repIds = all.groupBy(xxhash64(col("mud")).as("mh"))

@@ -118,4 +118,42 @@ class EvalStatsCrossCheckSpec extends GraftSuite {
       assert(row.getAs[String]("example_survivor") == ex, s"cutoff $cut example")
     }
   }
+
+  test("q37 equals Stats.calibrateOu per event_type (mean_price over the " +
+    "FULL series, ou_barriers.py:48)") {
+    // r10 fixed the lag-filtered mean_price in q122's OU copy; this pin
+    // keeps q37 on the same (reference/golden) semantics so the two OU
+    // calibrations cannot drift apart again.
+    val closesByType: Map[String, Array[Double]] =
+      queries.EventBars.bars(spark, sf)
+        .filter(col("open") =!= 0.0)
+        .select(col("event_type"), col("ts_us"), col("event_id"), col("close"))
+        .collect()
+        .groupBy(_.getAs[String]("event_type"))
+        .map { case (et, rows) =>
+          et -> rows.sortBy(x => (x.getAs[Long]("ts_us"), x.getAs[Long]("event_id")))
+            .map(_.getAs[Double]("close"))
+        }
+    val got = queries.EvalQueries.q37OuCalibration(spark, sf).collect()
+      .map(row => row.getAs[String]("event_type") -> row).toMap
+    assert(got.keySet == closesByType.keySet)
+    var calibrated = 0
+    for ((et, prices) <- closesByType) {
+      val row = got(et)
+      assert(row.getAs[Long]("n") == prices.length - 1L, s"$et n")
+      // minPrices = 2 disables the golden's sample-size gate (q37 reports
+      // every series; the gate is a caller policy, not calibration math)
+      Stats.calibrateOu(prices, minPrices = 2) match {
+        case Some(c) =>
+          assert(math.abs(row.getAs[Double]("mu") - r(c.muDt, 6)) < 1e-9, s"$et mu")
+          assert(math.abs(row.getAs[Double]("sigma") - r(c.sigmaDt, 6)) < 1e-9, s"$et sigma")
+          assert(math.abs(row.getAs[Double]("half_life") - r(c.halfLife, 6)) < 1e-9, s"$et hl")
+          assert(math.abs(row.getAs[Double]("tp_frac") - r(c.optimalTpFrac, 8)) < 1e-9, s"$et tp")
+          calibrated += 1
+        case None =>
+          assert(row.isNullAt(row.fieldIndex("half_life")), s"$et should not calibrate")
+      }
+    }
+    assert(calibrated > 0, "no event_type calibrated — fixture degenerate?")
+  }
 }
