@@ -48,21 +48,27 @@ import org.apache.spark.sql.functions._
   */
 object SemScale {
 
-  /** Peak-heap via the MemoryPoolMXBeans' own high-water marks (exact —
-    * maintained by the JVM, not sampled), summed over heap pools. */
-  private def heapPeakMb(): Long = {
-    import scala.jdk.CollectionConverters._
-    java.lang.management.ManagementFactory.getMemoryPoolMXBeans.asScala
-      .filter(_.getType == java.lang.management.MemoryType.HEAP)
-      .map(_.getPeakUsage.getUsed).sum / (1024 * 1024)
+  /** Peak-heap via a 100 ms sampler of the SIMULTANEOUS heap used
+    * (MemoryMXBean). Summing per-pool peak marks overcounts — G1 pool
+    * peaks happen at different instants and their sum can exceed Xmx —
+    * so the sampled concurrent max is the honest number; completion
+    * inside Xmx is the binding proof either way. */
+  @volatile private var peakHeap: Long = 0L
+  private def startHeapSampler(): Unit = {
+    peakHeap = 0L
+    val bean = java.lang.management.ManagementFactory.getMemoryMXBean
+    val t = new Thread(() => {
+      while (true) {
+        val used = bean.getHeapMemoryUsage.getUsed
+        if (used > peakHeap) peakHeap = used
+        Thread.sleep(100)
+      }
+    })
+    t.setDaemon(true)
+    t.start()
   }
-
-  private def resetHeapPeaks(): Unit = {
-    import scala.jdk.CollectionConverters._
-    java.lang.management.ManagementFactory.getMemoryPoolMXBeans.asScala
-      .filter(_.getType == java.lang.management.MemoryType.HEAP)
-      .foreach(_.resetPeakUsage())
-  }
+  private def heapPeakMb(): Long = peakHeap / (1024 * 1024)
+  private def resetHeapPeaks(): Unit = peakHeap = 0L
 
   private def time[A](f: => A): (A, Double) = {
     val t0 = System.nanoTime()
@@ -88,6 +94,7 @@ object SemScale {
 
   def main(args: Array[String]): Unit = {
     val mode = args.headOption.getOrElse("staged")
+    startHeapSampler()
     mode match {
       case "staged" =>
         val d = args(1)
@@ -165,11 +172,15 @@ object SemScale {
 
       case "dedup" =>
         val d = args(1)
+        // optional filter (fresh-JVM single-query measurement: running
+        // q118 after q117 in one JVM hands it JIT + page-cache warmup)
+        val only = args.lift(2).map(_.split(',').toSet)
         val spark = session()
         val n = Tables.embeddings(spark, d).count()
         for ((name, q) <- Seq(
             "q117" -> queries.SimilarityQueries.q117SemanticDedupExactFirst _,
-            "q118" -> queries.SimilarityQueries.q118SemanticDedupStack _)) {
+            "q118" -> queries.SimilarityQueries.q118SemanticDedupStack _)
+            if only.forall(_.contains(name))) {
           resetHeapPeaks()
           val (rows, wall) = time(q(spark, d).count())
           println(s"""{"mode":"dedup","query":"$name","dir":"$d",""" +
