@@ -658,6 +658,260 @@ ORDER BY event_type, event_id, barrier_id"""
     }
   }
 
+  test("FULL gen200 template as spark.sql text matches q18 trade-for-trade " +
+    "(band self-join forward arrays + arrayJoin grid + slice/first-index scan)") {
+    // The reference's sql/gen200_triple_barrier.sql:100-266 CTE chain,
+    // structurally verbatim and sed-instantiated to q18's fixture
+    // parameters (tp_mult=4.0 / sl_mult=2.0 × the 0.0025 bar range ≡
+    // tp 1% / sl 0.5%; max_bars=20; rn%25=0 as the champion predicate
+    // stand-in — q18's own signal rule). The shape this test pins that
+    // gen600's transcription does NOT: forward arrays come from the
+    // AUDIT-#3 BAND SELF-JOIN (:158-171 — signals × base_bars ON rn
+    // BETWEEN s.rn+1 AND s.rn+K, groupArray per signal), not a window
+    // collect, and the param grid arrives by arrayJoin (:174-186 →
+    // LATERAL VIEW explode). Dialect spellings as in the gen600 test;
+    // groupArray's implicit order becomes an explicit struct-sorted
+    // collect_list (Spark's collect_list is unordered by contract).
+    val k = 35
+    queries.EventBars.bars(spark, sf).createOrReplaceTempView("gen200_bars")
+    val sqlText = s"""
+WITH
+base_bars AS (
+    SELECT event_type, ts_us, event_id, rn, open, high, low, close
+    FROM gen200_bars
+),
+signal_detection AS (
+    SELECT *,
+        lead(open, 1) OVER (PARTITION BY event_type
+                            ORDER BY ts_us, event_id) AS entry_price
+    FROM base_bars
+),
+signals AS (
+    SELECT * FROM signal_detection
+    WHERE rn % 25 = 0
+      AND entry_price IS NOT NULL
+      AND entry_price > 0
+),
+forward_arrays AS (
+    SELECT
+        s.event_type, s.event_id, s.entry_price, s.rn AS signal_rn,
+        transform(array_sort(collect_list(struct(b.rn, b.high, b.low, b.open, b.close))),
+                  x -> x.high) AS fwd_highs,
+        transform(array_sort(collect_list(struct(b.rn, b.high, b.low, b.open, b.close))),
+                  x -> x.low) AS fwd_lows,
+        transform(array_sort(collect_list(struct(b.rn, b.high, b.low, b.open, b.close))),
+                  x -> x.open) AS fwd_opens,
+        transform(array_sort(collect_list(struct(b.rn, b.high, b.low, b.open, b.close))),
+                  x -> x.close) AS fwd_closes
+    FROM signals s
+    INNER JOIN base_bars b
+        ON s.event_type = b.event_type
+       AND b.rn BETWEEN s.rn + 1 AND s.rn + $k
+    GROUP BY s.event_type, s.event_id, s.entry_price, s.rn
+),
+param_expanded AS (
+    SELECT fa.*, tp_mult, sl_mult, max_bars
+    FROM forward_arrays fa
+    LATERAL VIEW explode(array(4.0D)) t1 AS tp_mult
+    LATERAL VIEW explode(array(2.0D)) t2 AS sl_mult
+    LATERAL VIEW explode(array(20)) t3 AS max_bars
+),
+param_with_prices AS (
+    SELECT *,
+        entry_price * (1.0 + tp_mult * 0.0025) AS tp_price,
+        entry_price * (1.0 - sl_mult * 0.0025) AS sl_price
+    FROM param_expanded
+),
+barrier_scan AS (
+    SELECT
+        event_type, event_id, entry_price, tp_mult, sl_mult, max_bars,
+        tp_price, sl_price, fwd_opens, fwd_closes,
+        size(fwd_highs) AS available_bars,
+        coalesce(array_position(
+            transform(slice(fwd_highs, 1, max_bars), x -> x >= tp_price),
+            true), 0) AS raw_tp_bar,
+        coalesce(array_position(
+            transform(slice(fwd_lows, 1, max_bars), x -> x <= sl_price),
+            true), 0) AS raw_sl_bar,
+        size(slice(fwd_highs, 1, max_bars)) AS window_bars
+    FROM param_with_prices
+),
+trade_outcomes AS (
+    SELECT
+        event_type, event_id, entry_price, tp_price, sl_price,
+        CASE
+            WHEN raw_sl_bar > 0 AND raw_tp_bar > 0 AND raw_sl_bar <= raw_tp_bar THEN 'SL'
+            WHEN raw_sl_bar > 0 AND raw_tp_bar > 0 AND raw_tp_bar < raw_sl_bar THEN 'TP'
+            WHEN raw_sl_bar > 0 AND raw_tp_bar = 0 THEN 'SL'
+            WHEN raw_tp_bar > 0 AND raw_sl_bar = 0 THEN 'TP'
+            WHEN window_bars >= max_bars THEN 'TIME'
+            ELSE 'INCOMPLETE'
+        END AS exit_type,
+        CAST(CASE
+            WHEN raw_sl_bar > 0 AND raw_tp_bar > 0 AND raw_sl_bar <= raw_tp_bar THEN raw_sl_bar
+            WHEN raw_sl_bar > 0 AND raw_tp_bar > 0 AND raw_tp_bar < raw_sl_bar THEN raw_tp_bar
+            WHEN raw_sl_bar > 0 AND raw_tp_bar = 0 THEN raw_sl_bar
+            WHEN raw_tp_bar > 0 AND raw_sl_bar = 0 THEN raw_tp_bar
+            WHEN window_bars >= max_bars THEN max_bars
+            ELSE 0
+        END AS BIGINT) AS exit_bar,
+        CASE
+            WHEN raw_sl_bar > 0 AND (raw_tp_bar = 0 OR raw_sl_bar <= raw_tp_bar)
+                THEN least(element_at(fwd_opens, CAST(raw_sl_bar AS INT)), sl_price)
+            WHEN raw_tp_bar > 0 AND (raw_sl_bar = 0 OR raw_tp_bar < raw_sl_bar)
+                THEN tp_price
+            WHEN window_bars >= max_bars
+                THEN element_at(fwd_closes, max_bars)
+            ELSE 0
+        END AS exit_price
+    FROM barrier_scan
+)
+SELECT event_type, event_id,
+    (floor(entry_price * 1e6 + 0.5) / 1e6) AS entry_price,
+    exit_type, exit_bar,
+    (floor(exit_price * 1e6 + 0.5) / 1e6) AS exit_price,
+    (floor(((exit_price - entry_price) / entry_price) * 1e6 + 0.5) / 1e6) AS return_pct
+FROM trade_outcomes
+WHERE exit_type != 'INCOMPLETE'
+ORDER BY event_type, event_id"""
+    val got = spark.sql(sqlText).collect()
+    val want = queries.BarrierQueries.q18TripleBarrier(spark, sf).collect()
+    assert(got.nonEmpty && got.length == want.length,
+      s"gen200 text: ${got.length} trades vs q18's ${want.length}")
+    got.zip(want).foreach { case (g, x) => assert(g == x, s"sql $g != q18 $x") }
+  }
+
+  test("FULL gen201 template as spark.sql text matches q20 trade-for-trade " +
+    "(running-max arrayMap + dual-array arrayFirstIndex trailing stop)") {
+    // The reference's sql/gen201_trailing_stop.sql:100-246 chain,
+    // sed-instantiated to q20's parameters (tp_mult=8.0 / trail_mult=4.0
+    // × 0.0025 ≡ tp 2% / trail 1%; max_bars=15). The two shapes this
+    // test pins: the per-bar running-max construction
+    // arrayMap(i -> greatest(entry, arrayReduce('max', arraySlice(h,1,i))),
+    // arrayEnumerate(h)) (:144-155 → transform(sequence(...))) and the
+    // TWO-ARRAY lambda arrayFirstIndex((l, ts) -> l <= ts, lows, sls)
+    // (:188-196 → array_position over zip_with). Trailing SL wins ties;
+    // gap fill = least(open, trailing_sl[bar]).
+    val k = 35
+    queries.EventBars.bars(spark, sf).createOrReplaceTempView("gen200_bars")
+    val sqlText = s"""
+WITH
+base_bars AS (
+    SELECT event_type, ts_us, event_id, rn, open, high, low, close
+    FROM gen200_bars
+),
+signal_detection AS (
+    SELECT *,
+        lead(open, 1) OVER (PARTITION BY event_type
+                            ORDER BY ts_us, event_id) AS entry_price
+    FROM base_bars
+),
+signals AS (
+    SELECT * FROM signal_detection
+    WHERE rn % 25 = 0
+      AND entry_price IS NOT NULL
+      AND entry_price > 0
+),
+forward_arrays AS (
+    SELECT
+        s.event_type, s.event_id, s.entry_price, s.rn AS signal_rn,
+        transform(array_sort(collect_list(struct(b.rn, b.high, b.low, b.open, b.close))),
+                  x -> x.high) AS fwd_highs,
+        transform(array_sort(collect_list(struct(b.rn, b.high, b.low, b.open, b.close))),
+                  x -> x.low) AS fwd_lows,
+        transform(array_sort(collect_list(struct(b.rn, b.high, b.low, b.open, b.close))),
+                  x -> x.open) AS fwd_opens,
+        transform(array_sort(collect_list(struct(b.rn, b.high, b.low, b.open, b.close))),
+                  x -> x.close) AS fwd_closes
+    FROM signals s
+    INNER JOIN base_bars b
+        ON s.event_type = b.event_type
+       AND b.rn BETWEEN s.rn + 1 AND s.rn + $k
+    GROUP BY s.event_type, s.event_id, s.entry_price, s.rn
+),
+param_expanded AS (
+    SELECT fa.*, tp_mult, trail_mult, max_bars
+    FROM forward_arrays fa
+    LATERAL VIEW explode(array(8.0D)) t1 AS tp_mult
+    LATERAL VIEW explode(array(4.0D)) t2 AS trail_mult
+    LATERAL VIEW explode(array(15)) t3 AS max_bars
+),
+param_with_trailing AS (
+    SELECT *,
+        entry_price * (1.0 + tp_mult * 0.0025) AS tp_price,
+        trail_mult * 0.0025 AS trail_pct,
+        transform(sequence(1, size(fwd_highs)),
+                  i -> greatest(entry_price, array_max(slice(fwd_highs, 1, i))))
+            AS running_maxes
+    FROM param_expanded
+),
+param_with_prices AS (
+    SELECT *,
+        transform(running_maxes, rm -> rm * (1.0 - trail_pct)) AS trailing_sls
+    FROM param_with_trailing
+),
+barrier_scan AS (
+    SELECT
+        event_type, event_id, entry_price, tp_mult, trail_mult, max_bars,
+        tp_price, trailing_sls, fwd_opens, fwd_closes,
+        size(fwd_highs) AS available_bars,
+        coalesce(array_position(
+            transform(slice(fwd_highs, 1, max_bars), x -> x >= tp_price),
+            true), 0) AS raw_tp_bar,
+        coalesce(array_position(
+            zip_with(slice(fwd_lows, 1, max_bars),
+                     slice(trailing_sls, 1, max_bars),
+                     (l, ts) -> l <= ts),
+            true), 0) AS raw_trail_bar,
+        size(slice(fwd_highs, 1, max_bars)) AS window_bars
+    FROM param_with_prices
+),
+trade_outcomes AS (
+    SELECT
+        event_type, event_id, entry_price, tp_price,
+        CASE
+            WHEN raw_trail_bar > 0 AND raw_tp_bar > 0 AND raw_trail_bar <= raw_tp_bar THEN 'TRAIL'
+            WHEN raw_trail_bar > 0 AND raw_tp_bar > 0 AND raw_tp_bar < raw_trail_bar THEN 'TP'
+            WHEN raw_trail_bar > 0 AND raw_tp_bar = 0 THEN 'TRAIL'
+            WHEN raw_tp_bar > 0 AND raw_trail_bar = 0 THEN 'TP'
+            WHEN window_bars >= max_bars THEN 'TIME'
+            ELSE 'INCOMPLETE'
+        END AS exit_type,
+        CAST(CASE
+            WHEN raw_trail_bar > 0 AND raw_tp_bar > 0 AND raw_trail_bar <= raw_tp_bar THEN raw_trail_bar
+            WHEN raw_trail_bar > 0 AND raw_tp_bar > 0 AND raw_tp_bar < raw_trail_bar THEN raw_tp_bar
+            WHEN raw_trail_bar > 0 AND raw_tp_bar = 0 THEN raw_trail_bar
+            WHEN raw_tp_bar > 0 AND raw_trail_bar = 0 THEN raw_tp_bar
+            WHEN window_bars >= max_bars THEN max_bars
+            ELSE 0
+        END AS BIGINT) AS exit_bar,
+        CASE
+            WHEN raw_trail_bar > 0 AND (raw_tp_bar = 0 OR raw_trail_bar <= raw_tp_bar)
+                THEN least(element_at(fwd_opens, CAST(raw_trail_bar AS INT)),
+                           element_at(trailing_sls, CAST(raw_trail_bar AS INT)))
+            WHEN raw_tp_bar > 0 AND (raw_trail_bar = 0 OR raw_tp_bar < raw_trail_bar)
+                THEN tp_price
+            WHEN window_bars >= max_bars
+                THEN element_at(fwd_closes, max_bars)
+            ELSE 0
+        END AS exit_price
+    FROM barrier_scan
+)
+SELECT event_type, event_id,
+    (floor(entry_price * 1e6 + 0.5) / 1e6) AS entry_price,
+    exit_type, exit_bar,
+    (floor(exit_price * 1e6 + 0.5) / 1e6) AS exit_price,
+    (floor(((exit_price - entry_price) / entry_price) * 1e6 + 0.5) / 1e6) AS return_pct
+FROM trade_outcomes
+WHERE exit_type != 'INCOMPLETE'
+ORDER BY event_type, event_id"""
+    val got = spark.sql(sqlText).collect()
+    val want = queries.BarrierQueries.q20TrailingStop(spark, sf).collect()
+    assert(got.nonEmpty && got.length == want.length,
+      s"gen201 text: ${got.length} trades vs q20's ${want.length}")
+    got.zip(want).foreach { case (g, x) => assert(g == x, s"sql $g != q20 $x") }
+  }
+
   test("GraftExtensions applies its injections to a fresh extensions set") {
     // full builder-path coverage needs a fresh SparkContext (one JVM, one
     // context here); instantiating and applying pins the wiring compiles
