@@ -407,11 +407,41 @@ object StreamingOps {
     *
     * Scale bound: the broadcast index carries the whole reference corpus'
     * vectors grouped by cell (≈ N·(Dim·4 B) — ~256 MB per million
-    * vectors); past broadcast range, shard the gate by cid ranges or
-    * fall back to the batch census — the stream-side projection is
-    * unchanged either way. */
+    * vectors); past broadcast range, use [[streamingSemanticGateSharded]]
+    * (cid-range shards, each broadcast 1/S of the index) or fall back to
+    * the batch census — the stream-side projection is unchanged either
+    * way. */
   def streamingSemanticGate(vecs: DataFrame, cents: Seq[Seq[Long]],
       cellMembers: DataFrame, minCos: Double = 0.9): DataFrame =
+    semanticVerify(semanticAssign(vecs, cents), cellMembers, minCos)
+
+  /** The sharded form of [[streamingSemanticGate]] for reference corpora
+    * past single-broadcast range: the member index splits into `nShards`
+    * contiguous cid ranges, each stream branch filters to ITS range after
+    * the (stateless, per-row) cell assignment and joins only that range's
+    * broadcast slice — so each broadcast is ~1/S of the index and the
+    * ranges partition the cid space, making the union row-identical to
+    * the unsharded gate (StreamingSpec pins the full replay). The honest
+    * trade: each arriving row evaluates the assignment projection once
+    * per branch (S× the argmin kernel — map-side arithmetic, no state,
+    * no shuffle), the price of keeping every branch a self-contained
+    * stream-static broadcast join. */
+  def streamingSemanticGateSharded(vecs: DataFrame, cents: Seq[Seq[Long]],
+      cellMembers: DataFrame, nShards: Int, minCos: Double = 0.9): DataFrame = {
+    require(nShards >= 1, s"nShards=$nShards")
+    val width = math.max(1, math.ceil(cents.length.toDouble / nShards).toInt)
+    (0 until nShards).map { s =>
+      val lo = s * width
+      val inRange = col("cid") >= lo && col("cid") < lo + width
+      semanticVerify(
+        semanticAssign(vecs, cents).filter(inRange),
+        cellMembers.filter(inRange), minCos)
+    }.reduce(_ union _)
+  }
+
+  /** Stateless per-row cell assignment (micro-unit quantize + codegen'd
+    * argmin kernel against the broadcast-by-reference centroid table). */
+  private def semanticAssign(vecs: DataFrame, cents: Seq[Seq[Long]]): DataFrame =
     vecs
       .withColumn("e", col("embedding"))
       .withColumn("nrm",
@@ -420,6 +450,13 @@ object StreamingOps {
         transform(col("e"), x => round(x * lit(1e6)).cast("long").cast("double")))
       .withColumn("cid",
         graft.functions.GraftFunctions.centroidArgmin(col("mud"), cents))
+
+  /** Cosine verification against the assigned cell's static members via
+    * one stream-static broadcast join (the shared tail of the sharded and
+    * unsharded gates). */
+  private def semanticVerify(withCid: DataFrame, cellMembers: DataFrame,
+      minCos: Double): DataFrame =
+    withCid
       .join(broadcast(cellMembers), Seq("cid"), "left")
       .withColumn("best_cos", expr(
         """coalesce(array_max(transform(

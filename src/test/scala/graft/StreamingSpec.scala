@@ -217,6 +217,51 @@ class StreamingSpec extends GraftSuite {
     } finally { query.stop(); membersCached.unpersist() }
   }
 
+  test("streamingSemanticGateSharded: cid-range shards replay the full sf0.01 " +
+    "stream row-identical to the unsharded gate") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val sf001 = "/root/testdata/sf0.01"
+    val (cents, members) = graft.queries.SimilarityQueries
+      .semanticStreamIndex(spark, sf001)
+    val membersCached = members.cache()
+    val unsharded = StreamingOps.streamingSemanticGate(
+        Tables.embeddings(spark, sf001).select(col("vec_id"), col("embedding")),
+        cents, membersCached)
+      .collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        ((r.getAs[Int]("cid"), r.getAs[Int]("n_cell_members"),
+          r.getAs[Double]("best_cos"), r.getAs[Boolean]("semantic_near_dup"))))
+      .toMap
+    val all = Tables.embeddings(spark, sf001)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getAs[Long]("vec_id"),
+        r.getAs[scala.collection.Seq[Float]]("embedding")))
+    val mem = MemoryStream[(Long, Seq[Float])]
+    // 4 shards over K=8 cells: every branch holds a 2-cid slice, so the
+    // range filters and the union path are all genuinely exercised
+    val query = StreamingOps.streamingSemanticGateSharded(
+        mem.toDS().toDF("vec_id", "embedding"), cents, membersCached, nShards = 4)
+      .writeStream.format("memory").queryName("semantic_gate_shard_out")
+      .outputMode("append").start()
+    try {
+      all.grouped(200).foreach { chunk =>
+        mem.addData(chunk.map { case (id, e) => (id, e.toSeq) }.toIndexedSeq)
+        query.processAllAvailable()
+      }
+      val streamed = spark.table("semantic_gate_shard_out").collect()
+        .map(r => r.getAs[Long]("vec_id") ->
+          ((r.getAs[Int]("cid"), r.getAs[Int]("n_cell_members"),
+            r.getAs[Double]("best_cos"), r.getAs[Boolean]("semantic_near_dup"))))
+        .toMap
+      assert(streamed.keySet == unsharded.keySet,
+        s"coverage differs: ${streamed.size} vs ${unsharded.size}")
+      unsharded.foreach { case (k, b) =>
+        assert(streamed(k) == b, s"vec $k: sharded=${streamed(k)} unsharded=$b")
+      }
+    } finally { query.stop(); membersCached.unpersist() }
+  }
+
   test("streamingCurationGate: stateless quality+decontamination flags match batch") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
