@@ -49,6 +49,17 @@ object Bench {
           catch { case e: Throwable => Some(jsonEscape(e.toString)) }
         Seq(("q_staging_dedup", (System.nanoTime() - t0) / 1e9, err))
       } else Seq.empty
+    // the eval staging frames (q72's KDE regularity lane + the tamrs
+    // chain) are likewise built once and shared by q72/q122/q123
+    val stagingEval: Seq[(String, Double, Option[String])] =
+      if (only.forall(_.exists(Set("q72_signal_regularity",
+          "q122_tamrs", "q123_tier_screening")))) {
+        val t0 = System.nanoTime()
+        val err =
+          try { graft.queries.EvalStaging.build(spark, sfDir); None }
+          catch { case e: Throwable => Some(jsonEscape(e.toString)) }
+        Seq(("q_staging_eval", (System.nanoTime() - t0) / 1e9, err))
+      } else Seq.empty
     def once(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
         : (Double, Option[String]) = {
       // isolate queries: a predecessor's cached frames are not this query's
@@ -66,7 +77,8 @@ object Bench {
         catch { case e: Throwable => Some(jsonEscape(e.toString)) }
       ((System.nanoTime() - t0) / 1e9, err)
     }
-    val results = staging ++ SparkEntry.queries.toSeq
+    val allStaging = staging ++ stagingEval
+    val results = allStaging ++ SparkEntry.queries.toSeq
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
         val (t1, err1) = once(fn)
@@ -106,9 +118,9 @@ object Bench {
     // always gets a complete record (per-query map lives in BENCH_LAST.json)
     // n_queries counts REAL queries; the synthetic staging row is labeled
     // separately so cross-round totals stay comparable (r8 ADVICE)
-    val stagingSec = staging.collect { case (_, v, None) => v }.sum
+    val stagingSec = allStaging.collect { case (_, v, None) => v }.sum
     println(
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":{},"sf":"$sfDir","failures":$nFail,"n_queries":${results.length - staging.length},"staging_sec":${r3(stagingSec)},"full_record":"BENCH_LAST.json"}""")
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":{},"sf":"$sfDir","failures":$nFail,"n_queries":${results.length - allStaging.length},"staging_sec":${r3(stagingSec)},"full_record":"BENCH_LAST.json"}""")
     if (nFail > 0) sys.exit(1)
   }
 }

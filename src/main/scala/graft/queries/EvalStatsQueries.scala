@@ -285,13 +285,17 @@ object EvalStatsQueries {
           .as("ou_barrier_ratio"))
   }
 
-  /** The joined TAMRS frame, reused by q122 and q123. */
-  private def tamrsFrame(spark: SparkSession, d: String): DataFrame =
+  /** The joined TAMRS frame (raw builder — EvalStaging stages its output;
+    * q122/q123 read the staged copy so the chain builds once per corpus). */
+  private[queries] def tamrsFrameRaw(spark: SparkSession, d: String): DataFrame =
     rachevByCfg(spark, d)
       .join(slCdarByCfg(spark, d), Seq("cfg"), "left")
       .join(ouByCfg(spark, d), Seq("cfg"), "left")
       .withColumn("tamrs",
         round(col("rachev_ratio") * col("sl_cdar_ratio") * col("ou_barrier_ratio"), 6))
+
+  private def tamrsFrame(spark: SparkSession, d: String): DataFrame =
+    EvalStaging.tamrs(spark, d)
 
   def q122Tamrs(spark: SparkSession, d: String): DataFrame =
     tamrsFrame(spark, d)
@@ -397,7 +401,7 @@ object EvalStatsQueries {
   private val CoverageMin = Seq(0.0, 0.50, 0.70)
 
   def q123TierScreening(spark: SparkSession, d: String): DataFrame = {
-    val reg = RankingQueries.q72SignalRegularity(spark, d)
+    val reg = EvalStaging.regularity(spark, d)
       .select(col("cfg"), col("kde_peak_cv"), col("coverage"))
     def geOk(c: Column, thr: Double): Column =
       if (thr <= 0.0) lit(true) else coalesce(c >= thr, lit(false))

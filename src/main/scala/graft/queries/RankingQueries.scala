@@ -775,7 +775,11 @@ object RankingQueries {
     "q69_ebh_fdr" -> (q69EbhFdr _),
     "q70_gt_composite" -> (q70GtComposite _),
     "q71_knee" -> (q71Knee _),
-    "q72_signal_regularity" -> (q72SignalRegularity _))
+    // the query-surface entry reads the staged frame (built once per
+    // corpus; Bench accounts it as q_staging_eval) — q72SignalRegularity
+    // itself stays the raw builder PlanShapeSpec audits
+    "q72_signal_regularity" -> ((s: SparkSession, d: String) =>
+      EvalStaging.regularity(s, d).orderBy(col("cfg"))))
 
   val oracles: Map[String, String] = Map(
     "q68_topsis" -> q68Sql,
