@@ -9,7 +9,10 @@ import org.apache.spark.sql.SparkSession
   * that ONE Spark job's wall-clock is decoupled from the config count —
   * the curve (configs ×720, wall ×·) is the evidence SCALE.md records.
   *
-  * Usage: runMain graft.SweepScale <sfDir> <outDir>
+  * Usage: runMain graft.SweepScale <sfDir> <outDir> [big]
+  *   `big` appends the gen600-width step (302,400 configs ≈ the
+  *   reference's 300,960 sed-generated files) — ~10× the 30k step's
+  *   wall, so it is opt-in rather than part of the dev loop.
   */
 object SweepScale {
 
@@ -53,7 +56,10 @@ object SweepScale {
     val steps = Seq(
       ("sweep42", 1, 1, 1),      // 14 × 3 × 1   =     42 configs
       ("sweep1k", 4, 3, 2),      // 14 × 3 × 24  =  1,008 (gen520's n)
-      ("sweep30k", 10, 9, 8))    // 14 × 3 × 720 = 30,240
+      ("sweep30k", 10, 9, 8)) ++ // 14 × 3 × 720 = 30,240
+      // gen600 width: 14 × 3 × 7,200 = 302,400 ≈ the reference's 300,960
+      // (scripts/gen600/generate.sh:107-176)
+      (if (args.contains("big")) Seq(("sweep300k", 20, 18, 20)) else Seq.empty)
     steps.foreach { case (gen, nTp, nSl, nMb) =>
       val g = grid(nTp, nSl, nMb)
       val spec = Sweep.SweepSpec(gen, formations, g, regimeGates = gates)
