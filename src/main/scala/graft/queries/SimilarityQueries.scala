@@ -754,6 +754,54 @@ object SimilarityQueries {
   }
 
   // ---------------------------------------------------------------------------
+  // q126 — the streaming semantic gate's BATCH TWIN, oracle-checked: the
+  // r11 cid-range-sharded gate (StreamingOps.streamingSemanticGateSharded,
+  // nShards=4) run over the whole embeddings table as a static frame.
+  // Streaming operators are spec-only by design (the driver harness is
+  // batch-only); this query gives the gate projection itself — q113's
+  // cell assignment + per-vector best-cos verification against the
+  // assigned cell's members — a DuckDB CORRECTNESS row, and because the
+  // batch path and the stream path are the SAME DataFrame transformation,
+  // the oracle transitively covers the stream (StreamingSpec pins
+  // stream ≡ batch and shard ≡ unsharded on full replays). Scale shape:
+  // each shard broadcasts 1/S of the member index (the r11 answer to the
+  // ~256 MB/M-vector single-broadcast bound); assignment is the map-only
+  // codegen'd kernel; nothing here shuffles the corpus.
+  def q126SemanticGateCensus(spark: SparkSession, d: String): DataFrame = {
+    val (cents, members) = semanticStreamIndex(spark, d)
+    graft.streaming.StreamingOps.streamingSemanticGateSharded(
+        Tables.embeddings(spark, d).select(col("vec_id"), col("embedding")),
+        cents, members, nShards = 4)
+      .select(col("vec_id"), col("cid"),
+        col("n_cell_members").cast("long").as("n_cell_members"),
+        // + 0.0 normalizes a rounded -0.0 (the compare.py discipline)
+        (col("best_cos") + lit(0.0)).as("best_cos"),
+        col("semantic_near_dup").cast("int").as("semantic_near_dup"))
+      .orderBy(col("vec_id"))
+  }
+
+  val q126Sql: String =
+    s"""WITH ${kmeansCteSqlWithK(
+        s"SELECT CAST(ceil(count(*) / $TargetCell.0) AS BIGINT) FROM md")},
+       |mm AS (
+       |  SELECT a2.vec_id, a2.cid, md.e, md.nrm
+       |  FROM a2 JOIN md USING (vec_id)),
+       |cellsz AS (SELECT cid, count(*) AS n_cell_members FROM mm GROUP BY cid),
+       |best AS (
+       |  SELECT x.vec_id,
+       |    max(round(${dotSql("x.e", "y.e")}
+       |      / nullif(x.nrm * y.nrm, 0.0), 6)) AS bc
+       |  FROM mm x JOIN mm y ON x.cid = y.cid AND y.vec_id <> x.vec_id
+       |  GROUP BY x.vec_id)
+       |SELECT m.vec_id, m.cid, c.n_cell_members,
+       |  (coalesce(b.bc, -2.0) + 0.0) AS best_cos,
+       |  CAST(coalesce(b.bc, -2.0) >= 0.9 AS INT) AS semantic_near_dup
+       |FROM mm m
+       |JOIN cellsz c USING (cid)
+       |LEFT JOIN best b ON b.vec_id = m.vec_id
+       |ORDER BY m.vec_id""".stripMargin
+
+  // ---------------------------------------------------------------------------
   // q116 — ROUTED SemDeDup (the q113 pattern one rung up): at K = ⌈N/64⌉
   // the flat argmin's N·K arithmetic goes super-linear once K reaches
   // ~10⁴ (measured: 12.3 s at 100× but 156 s at 1000×, where K = 31,250
@@ -2044,6 +2092,7 @@ object SimilarityQueries {
     "q117_semantic_dedup_exact_first" -> (q117SemanticDedupExactFirst _),
     "q118_semantic_dedup_stack" -> (q118SemanticDedupStack _),
     "q125_semantic_dedup_staged" -> (q125SemanticDedupStaged _),
+    "q126_semantic_gate_census" -> (q126SemanticGateCensus _),
     "q119_semantic_dedup_capped" -> (q119SemanticDedupCapped _),
     "q90_diversity_sample" -> (q90DiversitySample _),
     "q76_ann_sq8" -> (q76AnnSq8 _),
@@ -2060,6 +2109,7 @@ object SimilarityQueries {
     "q117_semantic_dedup_exact_first" -> q117Sql,
     "q118_semantic_dedup_stack" -> q118Sql,
     "q125_semantic_dedup_staged" -> q118Sql,
+    "q126_semantic_gate_census" -> q126Sql,
     "q119_semantic_dedup_capped" -> q119Sql,
     "q90_diversity_sample" -> q90Sql,
     "q76_ann_sq8" -> q76Sql,

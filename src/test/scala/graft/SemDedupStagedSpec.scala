@@ -51,4 +51,25 @@ class SemDedupStagedSpec extends GraftSuite {
     assert(bnlj <= 1, s"unexpected nested-loop joins ($bnlj):\n$p")
     assert(!p.contains("SortAggregate"), s"no sort-aggregated argmin:\n$p")
   }
+
+  test("coarseCellCensus is a total partition of the fine seeds (the " +
+    "SemScale rehearsal hook's invariant)") {
+    // every fine centroid routes to exactly one coarse cell: the census
+    // must sum to K = ceil(nReps / targetCell) with every route id inside
+    // [0, k1); worst-cell inspection (SCALE.md r11) is only meaningful if
+    // this partition property holds
+    val targetCell = 16
+    val rows = SimilarityQueries.coarseCellCensus(spark, sf, targetCell).collect()
+    val nReps = Tables.embeddings(spark, sf)
+      .withColumn("mud",
+        expr("transform(embedding, x -> CAST(round(x * 1000000.0) AS BIGINT))"))
+      .select(col("mud")).distinct().count()
+    val k = math.ceil(nReps / targetCell.toDouble).toLong
+    val k1 = math.ceil(math.sqrt(k.toDouble)).toInt
+    assert(rows.map(_.getAs[Long]("n_fine")).sum == k,
+      s"census must cover all $k fine seeds")
+    assert(rows.forall(r => r.getAs[Int]("fr") >= 0 && r.getAs[Int]("fr") < k1),
+      s"route ids must lie in [0, $k1)")
+    assert(rows.map(_.getAs[Int]("fr")).distinct.length == rows.length)
+  }
 }
