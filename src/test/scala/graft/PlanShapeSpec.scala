@@ -243,4 +243,18 @@ class PlanShapeSpec extends GraftSuite {
     val exchanges = "Exchange ".r.findAllIn(p).length
     assert(exchanges <= 1, s"decode lane must not shuffle payloads:\n$p")
   }
+
+  test("q126 sharded gate: one broadcast-hash branch per cid-range shard " +
+    "under a union, assignment stays the codegen'd kernel") {
+    val p = plan(SimilarityQueries.q126SemanticGateCensus(spark, sf))
+    val bhj = "BroadcastHashJoin".r.findAllIn(p).length
+    assert(bhj == 4, s"expected 4 shard branches each broadcasting 1/S " +
+      s"of the member index, got $bhj:\n$p")
+    assert(p.contains("Union"), s"shard branches must union:\n$p")
+    assert(p.contains("centroid_argmin"),
+      s"assignment must run the CentroidArgmin kernel:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct")
+        && !p.contains("BroadcastNestedLoopJoin"),
+      s"the corpus must never shuffle or cross-join for the gate:\n$p")
+  }
 }
