@@ -73,6 +73,9 @@ object ScaleFixture {
     // treatments and nearvec silently overwrites dupvec (r9 ADVICE)
     // One-sided high percentages are safe when the other window is empty
     // (r10 ADVICE): dup=70,near=0 has no near window to collide with.
+    require(dupVecPct <= 100 && nearVecPct <= 100,
+      s"dupvec=$dupVecPct nearvec=$nearVecPct: percentages above 100 make " +
+        "pmod(id,100) windows degenerate (always-true)")
     require((dupVecPct <= 50 && nearVecPct <= 50)
         || dupVecPct == 0 || nearVecPct == 0,
       s"dupvec=$dupVecPct nearvec=$nearVecPct: each must be <= 50 (or the " +

@@ -154,6 +154,11 @@ object SemScale {
         val emb = Tables.embeddings(spark, src)
         val n = emb.count()
         val blobN = n * blobPct / 100
+        // limit(0).agg(min) yields a null aggregate → NPE at getLong; fail
+        // with a usable message instead (r11 ADVICE)
+        require(blobN >= 1,
+          s"blobfix: pct=$blobPct of n=$n rounds to blobN=$blobN (< 1) — " +
+            "corpus too small or pct too low to plant a blob")
         // the blobN LARGEST md5 ranks can never be among the k smallest
         // (k ≪ n − blobN): a provably seedless blob
         val ranked = emb.withColumn("hk",
