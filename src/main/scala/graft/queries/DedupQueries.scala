@@ -349,8 +349,18 @@ object DedupQueries {
       .map("%02x".format(_)).mkString
 
   private[graft] object Staging {
-    private lazy val root =
-      java.nio.file.Files.createTempDirectory("graft_dedup_staging")
+    private lazy val root = {
+      val r = java.nio.file.Files.createTempDirectory("graft_dedup_staging")
+      // staged copies would otherwise accumulate in /tmp across bench/test
+      // JVMs (the EvalStaging r11 ADVICE, same medicine here)
+      sys.addShutdownHook {
+        import java.nio.file.{Files, Path}
+        if (Files.exists(r))
+          Files.walk(r).sorted(java.util.Comparator.reverseOrder[Path]())
+            .forEach(p => Files.deleteIfExists(p))
+      }
+      r
+    }
     private val done = new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
 
     def scoredAndCounts(spark: SparkSession, d: String): (DataFrame, DataFrame) = {
@@ -359,11 +369,13 @@ object DedupQueries {
         val dirKey = pathKey(d)
         val sPath = root.resolve(s"scored_$dirKey").toString
         val cPath = root.resolve(s"counts_$dirKey").toString
-        graft.sources.ResultSink.append(scored, sPath, Nil)
-        graft.sources.ResultSink.append(
-          docs.agg(count(lit(1)).as("n_docs"))
-            .crossJoin(reps.agg(count(lit(1)).as("n_after_exact"))),
-          cPath, Nil)
+        // Overwrite, not Append: a failed build is not memoized, and a
+        // retry must not append onto its committed part-files (the
+        // EvalStaging r11 ADVICE, same medicine here)
+        scored.write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(sPath)
+        docs.agg(count(lit(1)).as("n_docs"))
+          .crossJoin(reps.agg(count(lit(1)).as("n_after_exact")))
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(cPath)
         (sPath, cPath)
       })
       (graft.sources.ResultSink.read(spark, sp),
@@ -579,8 +591,16 @@ object DedupQueries {
   // q49; removal is greedy per verified pair (later doc loses), existing
   // docs always win ties against incoming.
   private[graft] object IncrementalIndex {
-    private lazy val root =
-      java.nio.file.Files.createTempDirectory("graft_incr_index")
+    private lazy val root = {
+      val r = java.nio.file.Files.createTempDirectory("graft_incr_index")
+      sys.addShutdownHook {
+        import java.nio.file.{Files, Path}
+        if (Files.exists(r))
+          Files.walk(r).sorted(java.util.Comparator.reverseOrder[Path]())
+            .forEach(p => Files.deleteIfExists(p))
+      }
+      r
+    }
     private val done =
       new java.util.concurrent.ConcurrentHashMap[String, (String, String, String)]()
 
@@ -603,9 +623,10 @@ object DedupQueries {
         val dPath = root.resolve(s"digests_$dirKey").toString
         val bPath = root.resolve(s"bands_$dirKey").toString
         val sPath = root.resolve(s"sketches_$dirKey").toString
-        graft.sources.ResultSink.append(reps.select(col("th")), dPath, Nil)
-        graft.sources.ResultSink.append(bands, bPath, Nil)
-        graft.sources.ResultSink.append(sketches, sPath, Nil)
+        reps.select(col("th"))
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(dPath)
+        bands.write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(bPath)
+        sketches.write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(sPath)
         sketches.unpersist()
         (dPath, bPath, sPath)
       })
