@@ -38,6 +38,26 @@ import org.apache.spark.sql.functions._
   *                                route to one fine cell: the mega-cell /
   *                                hot-route event the capped census and
   *                                the staged join's skew story must absorb.
+  *   gateindex <src> <dst>      — build + WRITE the gate's static index
+  *                                (centroids + per-cell member arrays) via
+  *                                the batch q113 flat lane (whose 2M-vector
+  *                                memory appetite is the build's, not the
+  *                                gate's — run this row at whatever heap
+  *                                the flat lane needs and report it).
+  *   gateindexr <src> <dst>     — ROUTED twin of gateindex (q116 routing
+  *                                tables + members by routed cid): same
+  *                                broadcast footprint, O(√K) assignment
+  *                                kernel instead of O(K).
+  *   gate <src> <idx> [S] [mod] [union|seq|seqa]
+  *                              — the streaming semantic gate (batch twin,
+  *                                stream ≡ batch pinned by StreamingSpec)
+  *                                reading the written index in a fresh JVM:
+  *                                gates a 1-in-<mod> probe batch at S
+  *                                cid-range shards (1 = unsharded). The
+  *                                2M-vector index is ~544 MB raw — the
+  *                                single-broadcast bound the r11 sharding
+  *                                answers; each shard scans only its cid
+  *                                range of the index parquet.
   *   dedup <dir>                — q117 then q118 timed with peak heap (the
   *                                1000×+dupvec re-run after the digest-keyed
   *                                exact collapse; r8 measured 180.6/85.2 s
@@ -195,8 +215,189 @@ object SemScale {
           spark.sharedState.cacheManager.clearCache()
         }
 
+      case "gateindex" =>
+        // One-time static-index build for the streaming semantic gate:
+        // centroid table + per-cell member arrays, WRITTEN as parquet (the
+        // production discipline — the gate consumes a written index, never
+        // rebuilds the corpus groupBy). Runs the batch q113 flat lane, so
+        // at 2M vectors it carries that lane's known memory appetite
+        // (3 cached corpus copies + the K = ⌈N/64⌉ argmin passes — the r8
+        // measurement put the flat lane past 8g at this scale; production
+        // builds would use the routed q116/q125 lanes). Build heap is
+        // reported so the gate rows can cite it honestly.
+        val src = args(1)
+        val dst = args(2)
+        val spark = session()
+        val n = Tables.embeddings(spark, src).count()
+        resetHeapPeaks()
+        val (cents, buildWall) = time {
+          val (c, m) = queries.SimilarityQueries.semanticStreamIndex(spark, src)
+          // range-partitioned index layout: each cid-range shard's broadcast
+          // build then scans only ITS files/row-groups (the plain groupBy
+          // output scatters cids across every file, and S concurrently-
+          // materializing shard broadcasts each re-read the WHOLE index —
+          // measured: 8 unpruned concurrent 519 MB scans OOM'd an 8g gate
+          // JVM that the pruned layout serves comfortably)
+          m.repartitionByRange(32, col("cid")).sortWithinPartitions("cid")
+            .write.mode("overwrite").parquet(s"$dst/members.parquet")
+          c
+        }
+        import spark.implicits._
+        cents.zipWithIndex.map { case (v, i) => (i, v) }.toDF("cid", "cent")
+          .repartition(1).write.mode("overwrite").parquet(s"$dst/cents.parquet")
+        println(s"""{"mode":"gateindex","src":"$src","dst":"$dst",""" +
+          s""""n_vectors":$n,"k":${cents.length},""" +
+          s""""index_payload_mb":${n * 272 / 1000000},""" +
+          f""""build_wall_sec":$buildWall%.1f,""" +
+          s""""build_peak_heap_mb":${heapPeakMb()},"xmx_mb":${xmxMb()}}""")
+
+      case "gateindexr" =>
+        // ROUTED twin of `gateindex`: builds + writes the q116 routed-lane
+        // index (routing tables + members by ROUTED cid). The written
+        // tables are the gate's broadcast side (~K·Dim·8 B, same as flat),
+        // but a `gate` run against this index pays O(2√K·Dim) kernel work
+        // per probe row instead of O(K·Dim) — the measured answer to the
+        // flat gate's assignment-dominated 2M-vector wall.
+        val src = args(1)
+        val dst = args(2)
+        val spark = session()
+        val n = Tables.embeddings(spark, src).count()
+        resetHeapPeaks()
+        val (k, buildWall) = time {
+          val (tabs, m) = queries.SimilarityQueries
+            .semanticStreamIndexRouted(spark, src)
+          m.repartitionByRange(32, col("cid")).sortWithinPartitions("cid")
+            .write.mode("overwrite").parquet(s"$dst/members.parquet")
+          import spark.implicits._
+          tabs.nonEmpty.zip(tabs.coarse).map { case (cc, v) => (cc, v) }
+            .toDF("ccid", "cmud")
+            .repartition(1).write.mode("overwrite").parquet(s"$dst/coarse.parquet")
+          tabs.idsOf.indices.flatMap(cc =>
+              tabs.idsOf(cc).zip(tabs.grouped(cc)).map { case (cid, cmud) =>
+                (cc, cid, cmud) })
+            .toDF("ccid", "cid", "cmud")
+            .repartition(1).write.mode("overwrite").parquet(s"$dst/fine.parquet")
+          tabs.grouped.map(_.size).sum
+        }
+        println(s"""{"mode":"gateindexr","src":"$src","dst":"$dst",""" +
+          s""""n_vectors":$n,"k":$k,""" +
+          s""""index_payload_mb":${n * 272 / 1000000},""" +
+          f""""build_wall_sec":$buildWall%.1f,""" +
+          s""""build_peak_heap_mb":${heapPeakMb()},"xmx_mb":${xmxMb()}}""")
+
+      case "gate" =>
+        // The streaming semantic gate at its design regime: a 2M-vector
+        // static reference corpus, whose member index (~272 B/vector raw:
+        // 64 floats + vec_id + nrm ≈ 544 MB at 2M) is past comfortable
+        // single-broadcast range — the bound the r11 cid-range sharding
+        // exists for. Reads the `gateindex`/`gateindexr`-written index in
+        // a FRESH JVM (one per measured row) and gates a 1-in-<mod> probe
+        // batch at nShards cid-range shards (1 = unsharded). The batch
+        // twin IS the stream path (StreamingSpec pins stream ≡ batch and
+        // shard ≡ unsharded on full replays), so these walls are
+        // per-microbatch costs. Each shard's broadcast build reads ONLY
+        // its cid range — the range filter pushes into the members
+        // parquet scan. A routed index (fine.parquet present) switches
+        // the assignment head to the O(√K) routed kernel; the verify tail
+        // and all variants are layout-independent.
+        val src = args(1)
+        val idx = args(2)
+        val nShards = args.lift(3).map(_.toInt).getOrElse(1)
+        val probeMod = args.lift(4).map(_.toInt).getOrElse(20)
+        val spark = session()
+        resetHeapPeaks()
+        val routed = java.nio.file.Files.exists(
+          java.nio.file.Paths.get(s"$idx/fine.parquet"))
+        val members = spark.read.parquet(s"$idx/members.parquet")
+        val probe = Tables.embeddings(spark, src)
+          .filter(pmod(col("vec_id"), lit(probeMod)) === 0)
+          .select(col("vec_id"), col("embedding"))
+        // Assignment head per layout. The routed reconstruction collects
+        // the K-row fine table to the driver — the same O(K) state the
+        // flat gate's centroid Seq carries; the ROUTED win is kernel
+        // arithmetic per probe row, not driver state (the staged q125
+        // lane is the path that removes driver-K-state; the gate keeps
+        // the broadcast-kernel contract because its per-microbatch probe
+        // frames are small).
+        val (k, assignHead): (Int, DataFrame => DataFrame) = if (!routed) {
+          val cents: Seq[Seq[Long]] = spark.read.parquet(s"$idx/cents.parquet")
+            .orderBy(col("cid")).collect().map(_.getSeq[Long](1)).toSeq
+          (cents.length,
+            (p: DataFrame) => graft.streaming.StreamingOps
+              .semanticGateAssign(p, cents))
+        } else {
+          val coarseRows = spark.read.parquet(s"$idx/coarse.parquet")
+            .orderBy(col("ccid")).collect()
+          val nonEmpty = coarseRows.map(_.getInt(0)).toSeq
+          val coarse = coarseRows.map(_.getSeq[Long](1).toSeq).toSeq
+          val fineRows = spark.read.parquet(s"$idx/fine.parquet")
+            .orderBy(col("ccid"), col("cid")).collect()
+          val k1 = fineRows.map(_.getInt(0)).max + 1
+          val byCc = fineRows.groupBy(_.getInt(0))
+          val grouped = (0 until k1).map(cc => byCc.getOrElse(cc, Array())
+            .map(_.getSeq[Long](2).toSeq).toSeq)
+          val idsOf = (0 until k1).map(cc => byCc.getOrElse(cc, Array())
+            .map(_.getInt(1)).toSeq)
+          val tabs = queries.SimilarityQueries.RoutedTables(
+            nonEmpty, coarse, grouped, idsOf)
+          (fineRows.length,
+            (p: DataFrame) => graft.streaming.StreamingOps
+              .semanticGateAssignRouted(p, tabs))
+        }
+        // `union` is one S-branch DAG (all shard relations resident at
+        // once on a single JVM). `seq` drives the same shards
+        // SEQUENTIALLY (one action per shard, broadcasts reclaimed
+        // between) — the bounded-residency form for indexes past executor
+        // memory as a whole — re-evaluating the assignment head per shard
+        // (each branch self-contained, the union twin's semantics).
+        // `seqa` is the assign-ONCE sequential form: the kernel runs one
+        // time over the probe batch, the (probe-sized) assigned frame
+        // persists, and each shard runs only its verify join — the form a
+        // production foreachBatch consumer would use.
+        val variant = args.lift(5).getOrElse("union")
+        val width = math.max(1, math.ceil(k.toDouble / nShards).toInt)
+        def verifyShard(assigned: DataFrame, s: Int): DataFrame =
+          graft.streaming.StreamingOps.semanticGateVerifyShard(
+            assigned, members, s * width, s * width + width)
+        val aggCols = Seq(count(lit(1)).as("n_probe"),
+          count(when(col("semantic_near_dup"), 1)).as("n_flagged"),
+          max(col("n_cell_members")).as("max_cell"))
+        def agg1(df: DataFrame): (Long, Long, Int) = {
+          val r = df.agg(aggCols.head, aggCols.tail: _*).head()
+          (r.getAs[Long]("n_probe"), r.getAs[Long]("n_flagged"),
+            if (r.isNullAt(2)) 0 else r.getAs[Int]("max_cell"))
+        }
+        val (res, gateWall) = time {
+          variant match {
+            case "union" =>
+              agg1((0 until nShards).map(s => verifyShard(assignHead(probe), s))
+                .reduce(_ union _))
+            case "seq" | "seqa" =>
+              val assignedOnce = if (variant != "seqa") None else Some {
+                val a = assignHead(probe)
+                  .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+                a.count() // materialize: the kernel pass happens HERE, once
+                a
+              }
+              val out = (0 until nShards).map { s =>
+                agg1(verifyShard(assignedOnce.getOrElse(assignHead(probe)), s))
+              }.reduce((a, b) =>
+                (a._1 + b._1, a._2 + b._2, math.max(a._3, b._3)))
+              assignedOnce.foreach(_.unpersist())
+              out
+            case other => sys.error(s"unknown gate variant: $other")
+          }
+        }
+        println(s"""{"mode":"gate","src":"$src","idx":"$idx",""" +
+          s""""k":$k,"n_shards":$nShards,"routed":$routed,""" +
+          s""""variant":"$variant",""" +
+          s""""n_probe":${res._1},"n_flagged":${res._2},""" +
+          s""""max_cell":${res._3},""" +
+          f""""gate_wall_sec":$gateWall%.1f,"gate_peak_heap_mb":${heapPeakMb()},""" +
+          s""""xmx_mb":${xmxMb()}}""")
+
       case other =>
-        System.err.println(s"unknown mode: $other (staged|census|blobfix|dedup)")
+        System.err.println(s"unknown mode: $other (staged|census|blobfix|dedup|gate)")
         sys.exit(2)
     }
   }

@@ -287,7 +287,7 @@ object EvalStatsQueries {
 
   /** The joined TAMRS frame (raw builder — EvalStaging stages its output;
     * q122/q123 read the staged copy so the chain builds once per corpus). */
-  private[queries] def tamrsFrameRaw(spark: SparkSession, d: String): DataFrame =
+  private[graft] def tamrsFrameRaw(spark: SparkSession, d: String): DataFrame =
     rachevByCfg(spark, d)
       .join(slCdarByCfg(spark, d), Seq("cfg"), "left")
       .join(ouByCfg(spark, d), Seq("cfg"), "left")

@@ -753,6 +753,29 @@ object SimilarityQueries {
     (cents.map(_.map(_.toLong).toSeq), members)
   }
 
+  /** ROUTED batch-built static index for [[graft.streaming.StreamingOps
+    * .streamingSemanticGateRouted]]: the q116 routed assignment's final
+    * routing tables plus per-(routed)-cell member arrays. Same contract
+    * as [[semanticStreamIndex]] with the flat centroid table replaced by
+    * [[RoutedTables]] — the gate's per-row kernel work drops from O(K)
+    * to O(√K + K/√K) while the driver/broadcast footprint stays the same
+    * ~K·Dim·8 B. Cell BOUNDARIES are the routed lane's (q116), not the
+    * flat lane's (q113) — the two gates are distinct, both oracle-checked
+    * (q126 / q127). */
+  private[graft] def semanticStreamIndexRouted(spark: SparkSession, d: String)
+      : (RoutedTables, DataFrame) = {
+    import org.apache.spark.storage.StorageLevel
+    val v = withNorm(spark, d)
+      .withColumn("mud",
+        transform(col("e"), x => round(x * lit(1e6)).cast("long").cast("double")))
+      .repartition(col("vec_id"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val (tabs, a2) = routedAssignWithTables(v)
+    val members = a2.groupBy(col("cid"))
+      .agg(collect_list(struct(col("vec_id"), col("e"), col("nrm"))).as("members"))
+    (tabs, members)
+  }
+
   // ---------------------------------------------------------------------------
   // q126 — the streaming semantic gate's BATCH TWIN, oracle-checked: the
   // r11 cid-range-sharded gate (StreamingOps.streamingSemanticGateSharded,
@@ -780,9 +803,11 @@ object SimilarityQueries {
       .orderBy(col("vec_id"))
   }
 
-  val q126Sql: String =
-    s"""WITH ${kmeansCteSqlWithK(
-        s"SELECT CAST(ceil(count(*) / $TargetCell.0) AS BIGINT) FROM md")},
+  /** The gate-census SQL tail over any kmeans CTE block that defines
+    * `md` (vec_id, e, nrm, mud) and `a2` (vec_id, cid) — shared by the
+    * flat (q126) and routed (q127) gate oracles. */
+  private def gateCensusSqlOver(kmeansCte: String): String =
+    s"""WITH $kmeansCte,
        |mm AS (
        |  SELECT a2.vec_id, a2.cid, md.e, md.nrm
        |  FROM a2 JOIN md USING (vec_id)),
@@ -800,6 +825,33 @@ object SimilarityQueries {
        |JOIN cellsz c USING (cid)
        |LEFT JOIN best b ON b.vec_id = m.vec_id
        |ORDER BY m.vec_id""".stripMargin
+
+  val q126Sql: String = gateCensusSqlOver(kmeansCteSqlWithK(
+    s"SELECT CAST(ceil(count(*) / $TargetCell.0) AS BIGINT) FROM md"))
+
+  // ---------------------------------------------------------------------------
+  // q127 — the ROUTED streaming semantic gate's batch twin, oracle-checked:
+  // same census projection as q126 over the q116 routed cell geometry. The
+  // motivating measurement (SCALE.md r12): at 2M vectors / K = 31,250 the
+  // flat gate's assignment kernel is O(probes·K·Dim) and dominates the
+  // microbatch wall; routing the SAME assignment through the coarse
+  // quantizer (coarse argmin over √K seeds, then in-cell argmin over the
+  // routed cell's ~√K fine centroids) cuts the per-row kernel to
+  // O(2√K·Dim) with an unchanged ~16 MB broadcast footprint. Cell
+  // boundaries are the routed lane's, so the oracle is the q116 routed
+  // kmeans CTE (exact integer distances, ties → smaller ccid/cid) under
+  // the q126 census tail.
+  def q127SemanticGateRoutedCensus(spark: SparkSession, d: String): DataFrame = {
+    val (tabs, members) = semanticStreamIndexRouted(spark, d)
+    graft.streaming.StreamingOps.streamingSemanticGateRouted(
+        Tables.embeddings(spark, d).select(col("vec_id"), col("embedding")),
+        tabs, members)
+      .select(col("vec_id"), col("cid"),
+        col("n_cell_members").cast("long").as("n_cell_members"),
+        (col("best_cos") + lit(0.0)).as("best_cos"),
+        col("semantic_near_dup").cast("int").as("semantic_near_dup"))
+      .orderBy(col("vec_id"))
+  }
 
   // ---------------------------------------------------------------------------
   // q116 — ROUTED SemDeDup (the q113 pattern one rung up): at K = ⌈N/64⌉
@@ -828,23 +880,23 @@ object SimilarityQueries {
     routedAssignFrom(v)
   }
 
-  /** The routed scaled-K pipeline over a prepared (vec_id, e, nrm, mud)
-    * frame — shared by q116 (whole corpus) and q118 (exact-dup reps). */
-  private def routedAssignFrom(v: DataFrame): DataFrame = {
-    import org.apache.spark.storage.StorageLevel
-    val k = scaledK(v.count())
-    val k1 = math.max(1, math.ceil(math.sqrt(k.toDouble)).toInt)
-    val seedsL: Array[Array[Long]] = v
-      .select(col("vec_id"), col("mud"))
-      .withColumn("hk",
-        graft.functions.GraftFunctions.md5PrefixInt(col("vec_id").cast("string")))
-      .orderBy(col("hk"), col("vec_id"))
-      .limit(k)
-      .collect()
-      .map(_.getAs[scala.collection.Seq[Double]]("mud").toArray.map(_.toLong))
+  /** The driver-resident routing tables of ONE routed-assignment pass —
+    * everything [[routedAssignApply]] needs to place a NEW vector in its
+    * routed fine cell: the non-empty coarse ids, their coarse (seed)
+    * vectors, and each coarse cell's fine-centroid table (cid-ascending).
+    * ~(K+√K)·Dim·8 B ≈ 16 MB at K = 31,250 — same order as the flat
+    * gate's centroid table, but the KERNEL work per row drops from O(K)
+    * to O(√K + K/√K): this is what makes the routed streaming gate's
+    * assignment head ~√K/2 cheaper than the flat one. */
+  private[graft] final case class RoutedTables(
+      nonEmpty: Seq[Int], coarse: Seq[Seq[Long]],
+      grouped: Seq[Seq[Seq[Long]]], idsOf: Seq[Seq[Int]])
 
-    // fine centroid → coarse cell (coarse = the first k₁ fine seeds, fixed
-    // across both passes); exact Long arithmetic, ties → smaller ccid
+  /** Build [[RoutedTables]] for a fine-centroid table under the fixed
+    * coarse quantizer (the first k₁ SEEDS — fixed across passes); exact
+    * Long arithmetic, ties → smaller ccid, the routedAssignFrom rule. */
+  private def routedTablesOf(seedsL: Array[Array[Long]], k1: Int,
+      fineCents: IndexedSeq[Array[Long]]): RoutedTables = {
     def routeOf(c: Array[Long]): Int = {
       var best = 0
       var bd = Long.MaxValue
@@ -861,23 +913,52 @@ object SimilarityQueries {
       }
       best
     }
+    val f2c: Array[Int] = fineCents.map(routeOf).toArray
+    val nonEmpty = f2c.distinct.sorted.toSeq
+    RoutedTables(
+      nonEmpty = nonEmpty,
+      coarse = nonEmpty.map(cc => seedsL(cc).toSeq),
+      grouped = (0 until k1).map(cc =>
+        fineCents.indices.filter(f2c(_) == cc).map(fineCents(_).toSeq)),
+      idsOf = (0 until k1).map(cc =>
+        fineCents.indices.filter(f2c(_) == cc)))
+  }
 
-    def assign(fineCents: IndexedSeq[Array[Long]], outCol: String)(df: DataFrame): DataFrame = {
-      val f2c: Array[Int] = fineCents.map(routeOf).toArray
-      val nonEmpty: Seq[Int] = f2c.distinct.sorted.toSeq
-      val coarseCents: Seq[Seq[Long]] = nonEmpty.map(cc => seedsL(cc).toSeq)
-      val grouped: Seq[Seq[Seq[Long]]] = (0 until k1).map(cc =>
-        fineCents.indices.filter(f2c(_) == cc).map(fineCents(_).toSeq))
-      val idsOf: Seq[Seq[Int]] = (0 until k1).map(cc =>
-        fineCents.indices.filter(f2c(_) == cc))
-      df
-        .withColumn("__ridx",
-          graft.functions.GraftFunctions.centroidArgmin(col("mud"), coarseCents))
-        .withColumn("__route", element_at(typedLit(nonEmpty), col("__ridx") + 1))
-        .withColumn(outCol, graft.functions.GraftFunctions.centroidArgminRouted(
-          col("mud"), col("__route"), grouped, idsOf))
-        .drop("__ridx", "__route")
-    }
+  /** One routed-assignment projection (coarse kernel → route → in-cell
+    * kernel) — map-only, stateless, shared by the batch lanes and the
+    * routed streaming gate. */
+  private[graft] def routedAssignApply(t: RoutedTables, outCol: String)(
+      df: DataFrame): DataFrame =
+    df
+      .withColumn("__ridx",
+        graft.functions.GraftFunctions.centroidArgmin(col("mud"), t.coarse))
+      .withColumn("__route", element_at(typedLit(t.nonEmpty), col("__ridx") + 1))
+      .withColumn(outCol, graft.functions.GraftFunctions.centroidArgminRouted(
+        col("mud"), col("__route"), t.grouped, t.idsOf))
+      .drop("__ridx", "__route")
+
+  /** The routed scaled-K pipeline over a prepared (vec_id, e, nrm, mud)
+    * frame — shared by q116 (whole corpus) and q118 (exact-dup reps). */
+  private def routedAssignFrom(v: DataFrame): DataFrame =
+    routedAssignWithTables(v)._2
+
+  /** As [[routedAssignFrom]], also returning the FINAL pass's routing
+    * tables — the routed streaming gate's broadcast side. */
+  private[graft] def routedAssignWithTables(v: DataFrame): (RoutedTables, DataFrame) = {
+    import org.apache.spark.storage.StorageLevel
+    val k = scaledK(v.count())
+    val k1 = math.max(1, math.ceil(math.sqrt(k.toDouble)).toInt)
+    val seedsL: Array[Array[Long]] = v
+      .select(col("vec_id"), col("mud"))
+      .withColumn("hk",
+        graft.functions.GraftFunctions.md5PrefixInt(col("vec_id").cast("string")))
+      .orderBy(col("hk"), col("vec_id"))
+      .limit(k)
+      .collect()
+      .map(_.getAs[scala.collection.Seq[Double]]("mud").toArray.map(_.toLong))
+
+    def assign(fineCents: IndexedSeq[Array[Long]], outCol: String)(df: DataFrame): DataFrame =
+      routedAssignApply(routedTablesOf(seedsL, k1, fineCents), outCol)(df)
 
     val a1 = assign(seedsL.toIndexedSeq, "c1")(v).persist(StorageLevel.MEMORY_AND_DISK)
     val lanes = (0 until Dim).map(i =>
@@ -893,8 +974,10 @@ object SimilarityQueries {
         }
       }.toMap
     val cents2 = (0 until k).map(c => sums.getOrElse(c, seedsL(c)))
-    assign(cents2, "cid")(a1)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val tables = routedTablesOf(seedsL, k1, cents2)
+    (tables,
+      routedAssignApply(tables, "cid")(a1)
+        .persist(StorageLevel.MEMORY_AND_DISK))
   }
 
   def q116SemanticDedupRouted(spark: SparkSession, d: String): DataFrame =
@@ -1329,6 +1412,12 @@ object SimilarityQueries {
   }
 
   val q116Sql: String = semDedupSqlWith(routedKmeansCteSql)
+
+  /** q127's oracle: the routed kmeans CTE (q116's, verbatim) under the
+    * shared gate-census tail. Lazy — routedKmeansCteSql is declared above
+    * but gateCensusSqlOver's enclosing-object init order still makes
+    * eager cross-references fragile (the q118Sql lesson). */
+  lazy val q127Sql: String = gateCensusSqlOver(routedKmeansCteSql)
 
   // ---------------------------------------------------------------------------
   // q76 — int8 scalar-quantized ANN (the faiss IndexScalarQuantizer/SQ8
@@ -2093,6 +2182,7 @@ object SimilarityQueries {
     "q118_semantic_dedup_stack" -> (q118SemanticDedupStack _),
     "q125_semantic_dedup_staged" -> (q125SemanticDedupStaged _),
     "q126_semantic_gate_census" -> (q126SemanticGateCensus _),
+    "q127_semantic_gate_routed" -> (q127SemanticGateRoutedCensus _),
     "q119_semantic_dedup_capped" -> (q119SemanticDedupCapped _),
     "q90_diversity_sample" -> (q90DiversitySample _),
     "q76_ann_sq8" -> (q76AnnSq8 _),
@@ -2110,6 +2200,7 @@ object SimilarityQueries {
     "q118_semantic_dedup_stack" -> q118Sql,
     "q125_semantic_dedup_staged" -> q118Sql,
     "q126_semantic_gate_census" -> q126Sql,
+    "q127_semantic_gate_routed" -> q127Sql,
     "q119_semantic_dedup_capped" -> q119Sql,
     "q90_diversity_sample" -> q90Sql,
     "q76_ann_sq8" -> q76Sql,

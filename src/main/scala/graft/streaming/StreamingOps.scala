@@ -431,13 +431,80 @@ object StreamingOps {
     require(nShards >= 1, s"nShards=$nShards")
     val width = math.max(1, math.ceil(cents.length.toDouble / nShards).toInt)
     (0 until nShards).map { s =>
-      val lo = s * width
-      val inRange = col("cid") >= lo && col("cid") < lo + width
-      semanticVerify(
-        semanticAssign(vecs, cents).filter(inRange),
-        cellMembers.filter(inRange), minCos)
+      semanticGateShard(vecs, cents, cellMembers, s * width, s * width + width,
+        minCos)
     }.reduce(_ union _)
   }
+
+  /** ONE cid-range branch of [[streamingSemanticGateSharded]] — public so a
+    * memory-bounded consumer can drive the shards SEQUENTIALLY (one action
+    * per shard, earlier broadcasts reclaimed between) instead of through
+    * the union form, whose S branch relations are all resident at once on
+    * any executor running every branch: the union bounds the size of each
+    * broadcast OBJECT (collect spike, serialization limits, per-relation
+    * allocation), not the sum — when the WHOLE index is past executor
+    * memory, sequential shard passes (in streaming: one shard per
+    * foreachBatch pass) are the bounded-residency form. The branches
+    * partition the cid space, so the union of sequential results is
+    * row-identical to the union form (pinned by StreamingSpec transitively
+    * — the sharded gate is literally a union of these). */
+  def semanticGateShard(vecs: DataFrame, cents: Seq[Seq[Long]],
+      cellMembers: DataFrame, loCid: Int, hiCid: Int,
+      minCos: Double = 0.9): DataFrame =
+    semanticGateVerifyShard(semanticAssign(vecs, cents), cellMembers,
+      loCid, hiCid, minCos)
+
+  /** The assignment HEAD of the gate alone — exposed so a sequential-shard
+    * consumer can pay the argmin kernel ONCE per probe batch and persist
+    * the (tiny, probe-sized) assigned frame, instead of re-evaluating the
+    * O(probes·K·Dim) assignment inside every [[semanticGateShard]] branch.
+    * The centroid table is K·Dim·8 B (~16 MB at K = 31,250 — always
+    * broadcastable); only the MEMBER index scales with the corpus, so the
+    * assign-once + verify-per-shard split keeps the expensive residency
+    * (members) at 1/S while making the S× kernel repeat — the union form's
+    * honest price — a one-time cost. */
+  def semanticGateAssign(vecs: DataFrame, cents: Seq[Seq[Long]]): DataFrame =
+    semanticAssign(vecs, cents)
+
+  /** The verify TAIL over one cid-range slice of an already-assigned probe
+    * batch ([[semanticGateAssign]] output). `semanticGateShard ==
+    * semanticGateVerifyShard ∘ semanticGateAssign` by construction, so the
+    * StreamingSpec shard pins cover this split transitively. */
+  def semanticGateVerifyShard(assigned: DataFrame, cellMembers: DataFrame,
+      loCid: Int, hiCid: Int, minCos: Double = 0.9): DataFrame = {
+    val inRange = col("cid") >= loCid && col("cid") < hiCid
+    semanticVerify(assigned.filter(inRange), cellMembers.filter(inRange),
+      minCos)
+  }
+
+  /** The ROUTED semantic gate — [[streamingSemanticGate]] with the flat
+    * O(K)-per-row assignment kernel replaced by the q116 coarse-quantizer
+    * route (coarse argmin over ~√K seeds, then in-cell argmin over the
+    * routed cell's ~√K fine centroids): O(2√K·Dim) arithmetic per
+    * arriving row at the same ~K·Dim·8 B broadcast footprint, against an
+    * index whose cells are the ROUTED lane's (built by
+    * `SimilarityQueries.semanticStreamIndexRouted`; boundaries differ
+    * from the flat q113 cells — the two gates are separate operators,
+    * oracle-checked as q126/q127). Still stateless map-only assignment +
+    * one stream-static broadcast join, so everything said about the flat
+    * gate's sharding ([[semanticGateVerifyShard]] over cid ranges)
+    * applies unchanged. */
+  def streamingSemanticGateRouted(vecs: DataFrame,
+      tables: graft.queries.SimilarityQueries.RoutedTables,
+      cellMembers: DataFrame, minCos: Double = 0.9): DataFrame =
+    semanticVerify(semanticGateAssignRouted(vecs, tables), cellMembers, minCos)
+
+  /** Routed assignment HEAD alone (see [[semanticGateAssign]] for why the
+    * head is exposed: assign-once sequential-shard consumers). */
+  def semanticGateAssignRouted(vecs: DataFrame,
+      tables: graft.queries.SimilarityQueries.RoutedTables): DataFrame =
+    graft.queries.SimilarityQueries.routedAssignApply(tables, "cid")(
+      vecs
+        .withColumn("e", col("embedding"))
+        .withColumn("nrm",
+          sqrt(graft.functions.GraftFunctions.dotFold(col("e"), col("e"))))
+        .withColumn("mud",
+          transform(col("e"), x => round(x * lit(1e6)).cast("long").cast("double"))))
 
   /** Stateless per-row cell assignment (micro-unit quantize + codegen'd
     * argmin kernel against the broadcast-by-reference centroid table). */

@@ -257,4 +257,18 @@ class PlanShapeSpec extends GraftSuite {
         && !p.contains("BroadcastNestedLoopJoin"),
       s"the corpus must never shuffle or cross-join for the gate:\n$p")
   }
+
+  test("q127 routed gate: assignment is the coarse+routed kernel pair, " +
+    "verify stays one broadcast-hash join, corpus never shuffles") {
+    val p = plan(SimilarityQueries.q127SemanticGateRoutedCensus(spark, sf))
+    assert(p.contains("centroid_argmin_routed"),
+      s"in-cell assignment must run the routed kernel:\n$p")
+    assert(p.contains("centroid_argmin("),
+      s"coarse routing must run the flat kernel over the √K seeds:\n$p")
+    assert("BroadcastHashJoin".r.findAllIn(p).length == 1,
+      s"unsharded routed gate = exactly one member broadcast join:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct")
+        && !p.contains("BroadcastNestedLoopJoin"),
+      s"the probe side must never shuffle or cross-join for the gate:\n$p")
+  }
 }

@@ -262,6 +262,106 @@ class StreamingSpec extends GraftSuite {
     } finally { query.stop(); membersCached.unpersist() }
   }
 
+  test("semanticGateShard: sequential cid-range branches partition the gate " +
+    "output (disjoint, union == unsharded)") {
+    val sf001 = "/root/testdata/sf0.01"
+    val (cents, members) = graft.queries.SimilarityQueries
+      .semanticStreamIndex(spark, sf001)
+    val membersCached = members.cache()
+    try {
+      val vecs = Tables.embeddings(spark, sf001)
+        .select(col("vec_id"), col("embedding"))
+      def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => r.getAs[Long]("vec_id") ->
+          ((r.getAs[Int]("cid"), r.getAs[Int]("n_cell_members"),
+            java.lang.Double.doubleToLongBits(r.getAs[Double]("best_cos")),
+            r.getAs[Boolean]("semantic_near_dup"))))
+      val full = key(StreamingOps.streamingSemanticGate(vecs, cents, membersCached))
+        .toMap
+      // 3 shards over K=8: uneven last range exercises the hi-bound clamp
+      val width = math.max(1, math.ceil(cents.length / 3.0).toInt)
+      val branches = (0 until 3).map(s =>
+        key(StreamingOps.semanticGateShard(vecs, cents, membersCached,
+          s * width, s * width + width)))
+      val ids = branches.map(_.map(_._1).toSet)
+      for (i <- ids.indices; j <- ids.indices if i < j)
+        assert((ids(i) intersect ids(j)).isEmpty,
+          s"shards $i/$j overlap: ${(ids(i) intersect ids(j)).take(3)}")
+      val merged = branches.flatten.toMap
+      assert(merged.keySet == full.keySet,
+        s"coverage differs: ${merged.size} vs ${full.size}")
+      full.foreach { case (k, b) =>
+        assert(merged(k) == b, s"vec $k: sequential=${merged(k)} unsharded=$b")
+      }
+      // assign-ONCE split: verifyShard over a pre-assigned (persisted) frame
+      // is row-identical to the self-contained per-shard branches
+      val assigned = StreamingOps.semanticGateAssign(vecs, cents).cache()
+      try {
+        val onceMerged = (0 until 3).flatMap(s =>
+          key(StreamingOps.semanticGateVerifyShard(assigned, membersCached,
+            s * width, s * width + width))).toMap
+        assert(onceMerged == full,
+          s"assign-once drifted: ${(onceMerged.toSet diff full.toSet).take(3)}")
+      } finally assigned.unpersist()
+    } finally membersCached.unpersist()
+  }
+
+  test("streamingSemanticGateRouted: full sf0.01 replay matches batch, and " +
+    "every probe lands in its index-assigned routed cell") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val sf001 = "/root/testdata/sf0.01"
+    val (tabs, members) = graft.queries.SimilarityQueries
+      .semanticStreamIndexRouted(spark, sf001)
+    val membersCached = members.cache()
+    val query0 = {
+      val mem = MemoryStream[(Long, Seq[Float])]
+      (mem, StreamingOps.streamingSemanticGateRouted(
+          mem.toDS().toDF("vec_id", "embedding"), tabs, membersCached)
+        .writeStream.format("memory").queryName("semantic_gate_routed_out")
+        .outputMode("append").start())
+    }
+    val (mem, query) = query0
+    try {
+      val batch = StreamingOps.streamingSemanticGateRouted(
+          Tables.embeddings(spark, sf001).select(col("vec_id"), col("embedding")),
+          tabs, membersCached)
+        .collect()
+        .map(r => r.getAs[Long]("vec_id") ->
+          ((r.getAs[Int]("cid"), r.getAs[Int]("n_cell_members"),
+            r.getAs[Double]("best_cos"), r.getAs[Boolean]("semantic_near_dup"))))
+        .toMap
+      // routing determinism: a replayed corpus vector must land in the
+      // cell the index build assigned it (same kernel, same tables)
+      val indexCid = membersCached
+        .select(col("cid"), explode(col("members")).as("m"))
+        .select(col("m.vec_id"), col("cid")).collect()
+        .map(r => r.getLong(0) -> r.getInt(1)).toMap
+      assert(batch.keySet == indexCid.keySet)
+      batch.foreach { case (k, b) =>
+        assert(b._1 == indexCid(k), s"vec $k routed to ${b._1}, index has ${indexCid(k)}")
+      }
+      val all = Tables.embeddings(spark, sf001)
+        .select(col("vec_id"), col("embedding")).collect()
+        .map(r => (r.getAs[Long]("vec_id"),
+          r.getAs[scala.collection.Seq[Float]]("embedding")))
+      all.grouped(120).foreach { chunk =>
+        mem.addData(chunk.map { case (id, e) => (id, e.toSeq) }.toIndexedSeq)
+        query.processAllAvailable()
+      }
+      val streamed = spark.table("semantic_gate_routed_out").collect()
+        .map(r => r.getAs[Long]("vec_id") ->
+          ((r.getAs[Int]("cid"), r.getAs[Int]("n_cell_members"),
+            r.getAs[Double]("best_cos"), r.getAs[Boolean]("semantic_near_dup"))))
+        .toMap
+      assert(streamed.keySet == batch.keySet,
+        s"coverage differs: ${streamed.size} vs ${batch.size}")
+      batch.foreach { case (k, b) =>
+        assert(streamed(k) == b, s"vec $k: streamed=${streamed(k)} batch=$b")
+      }
+    } finally { query.stop(); membersCached.unpersist() }
+  }
+
   test("streamingCurationGate: stateless quality+decontamination flags match batch") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
