@@ -38,13 +38,15 @@ import org.apache.spark.sql.functions._
   *                                route to one fine cell: the mega-cell /
   *                                hot-route event the capped census and
   *                                the staged join's skew story must absorb.
-  *   gateindex <src> <dst>      — build + WRITE the gate's static index
+  *   gateindex <src> <dst> [targetCell]
+  *                              — build + WRITE the gate's static index
   *                                (centroids + per-cell member arrays) via
   *                                the batch q113 flat lane (whose 2M-vector
   *                                memory appetite is the build's, not the
   *                                gate's — run this row at whatever heap
   *                                the flat lane needs and report it).
-  *   gateindexr <src> <dst>     — ROUTED twin of gateindex (q116 routing
+  *   gateindexr <src> <dst> [targetCell]
+  *                              — ROUTED twin of gateindex (q116 routing
   *                                tables + members by routed cid): same
   *                                broadcast footprint, O(√K) assignment
   *                                kernel instead of O(K).
@@ -227,11 +229,13 @@ object SemScale {
         // reported so the gate rows can cite it honestly.
         val src = args(1)
         val dst = args(2)
+        val tc = args.lift(3).map(_.toInt)
+          .getOrElse(queries.SimilarityQueries.TargetCell)
         val spark = session()
         val n = Tables.embeddings(spark, src).count()
         resetHeapPeaks()
         val (cents, buildWall) = time {
-          val (c, m) = queries.SimilarityQueries.semanticStreamIndex(spark, src)
+          val (c, m) = queries.SimilarityQueries.semanticStreamIndex(spark, src, tc)
           // range-partitioned index layout: each cid-range shard's broadcast
           // build then scans only ITS files/row-groups (the plain groupBy
           // output scatters cids across every file, and S concurrently-
@@ -260,12 +264,14 @@ object SemScale {
         // flat gate's assignment-dominated 2M-vector wall.
         val src = args(1)
         val dst = args(2)
+        val tc = args.lift(3).map(_.toInt)
+          .getOrElse(queries.SimilarityQueries.TargetCell)
         val spark = session()
         val n = Tables.embeddings(spark, src).count()
         resetHeapPeaks()
         val (k, buildWall) = time {
           val (tabs, m) = queries.SimilarityQueries
-            .semanticStreamIndexRouted(spark, src)
+            .semanticStreamIndexRouted(spark, src, tc)
           m.repartitionByRange(32, col("cid")).sortWithinPartitions("cid")
             .write.mode("overwrite").parquet(s"$dst/members.parquet")
           import spark.implicits._

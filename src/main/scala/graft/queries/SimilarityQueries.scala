@@ -655,7 +655,30 @@ object SimilarityQueries {
   // is q63's verbatim: integer micro-units end-to-end, HALF_UP centroid
   // rounding, (dist, cid) tie-break — SemDedupScaledSpec replays the whole
   // pipeline in plain Scala and SCALE.md carries the 10×/100× wall rows.
-  private val TargetCell = 64
+  private[graft] val TargetCell = 64
+
+  /** Collect the K smallest (md5-rank, vec_id) seed rows (vec_id, mud, hk)
+    * through the staged lane's BAND trick: filter to the uniform-hash
+    * prefix expected to hold 3·K rows (exactness: if the band holds ≥ K
+    * rows, the K-th smallest hk lies inside it, so the global top-K does
+    * too; underflow falls back to the full frame). Without the band,
+    * `orderBy.limit(K).collect()` ships every partition's top-K — 32×K
+    * rows at local[32] — which at K = 125,000 exceeded
+    * spark.driver.maxResultSize (measured: 1,042 MiB of task results for
+    * a 64 MB seed table) and killed the gate-index build. The band bounds
+    * driver-shipped rows to ~3·K regardless of partition count. */
+  private def collectSeedRows(v: DataFrame, k: Int)
+      : Array[org.apache.spark.sql.Row] = {
+    val n = math.max(v.count(), 1L)
+    val hkv = v.select(col("vec_id"), col("mud"))
+      .withColumn("hk",
+        graft.functions.GraftFunctions.md5PrefixInt(col("vec_id").cast("string")))
+    val t2: Long = math.min(1L << 32,
+      (3.0 * k / n * (1L << 32).toDouble).toLong + 1024L)
+    val band0 = hkv.filter(col("hk") < t2)
+    val band = if (band0.count() >= k) band0 else hkv
+    band.orderBy(col("hk"), col("vec_id")).limit(k).collect()
+  }
 
   private[graft] def scaledK(n: Long): Int =
     math.max(1, math.ceil(n / TargetCell.toDouble).toInt)
@@ -683,18 +706,12 @@ object SimilarityQueries {
 
   /** As [[scaledAssignFrom]], also returning the final (post-Lloyd)
     * centroid table — the streaming gate's broadcast side. */
-  private def scaledAssignWithCents(v: DataFrame)
-      : (IndexedSeq[Array[Double]], DataFrame) = {
+  private def scaledAssignWithCents(v: DataFrame,
+      targetCell: Int = TargetCell): (IndexedSeq[Array[Double]], DataFrame) = {
     import org.apache.spark.storage.StorageLevel
-    val k = scaledK(v.count())
+    val k = math.max(1, math.ceil(v.count() / targetCell.toDouble).toInt)
     // same deterministic seed rule as q63: the K smallest (md5(vec_id), vec_id)
-    val seeds: Array[Array[Double]] = v
-      .select(col("vec_id"), col("mud"))
-      .withColumn("hk",
-        graft.functions.GraftFunctions.md5PrefixInt(col("vec_id").cast("string")))
-      .orderBy(col("hk"), col("vec_id"))
-      .limit(k)
-      .collect()
+    val seeds: Array[Array[Double]] = collectSeedRows(v, k)
       .map(_.getAs[scala.collection.Seq[Double]]("mud").toArray)
 
     // MAP-ONLY argmin (vs q63's K-literal-expression argmin, which stops
@@ -739,15 +756,15 @@ object SimilarityQueries {
     * Long form for the kernel) and the per-cell member arrays
     * (vec_id, e, nrm structs per cid) a streamed vector is verified
     * against. */
-  private[graft] def semanticStreamIndex(spark: SparkSession, d: String)
-      : (Seq[Seq[Long]], DataFrame) = {
+  private[graft] def semanticStreamIndex(spark: SparkSession, d: String,
+      targetCell: Int = TargetCell): (Seq[Seq[Long]], DataFrame) = {
     import org.apache.spark.storage.StorageLevel
     val v = withNorm(spark, d)
       .withColumn("mud",
         transform(col("e"), x => round(x * lit(1e6)).cast("long").cast("double")))
       .repartition(col("vec_id"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val (cents, a2) = scaledAssignWithCents(v)
+    val (cents, a2) = scaledAssignWithCents(v, targetCell)
     val members = a2.groupBy(col("cid"))
       .agg(collect_list(struct(col("vec_id"), col("e"), col("nrm"))).as("members"))
     (cents.map(_.map(_.toLong).toSeq), members)
@@ -762,15 +779,15 @@ object SimilarityQueries {
     * ~K·Dim·8 B. Cell BOUNDARIES are the routed lane's (q116), not the
     * flat lane's (q113) — the two gates are distinct, both oracle-checked
     * (q126 / q127). */
-  private[graft] def semanticStreamIndexRouted(spark: SparkSession, d: String)
-      : (RoutedTables, DataFrame) = {
+  private[graft] def semanticStreamIndexRouted(spark: SparkSession, d: String,
+      targetCell: Int = TargetCell): (RoutedTables, DataFrame) = {
     import org.apache.spark.storage.StorageLevel
     val v = withNorm(spark, d)
       .withColumn("mud",
         transform(col("e"), x => round(x * lit(1e6)).cast("long").cast("double")))
       .repartition(col("vec_id"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val (tabs, a2) = routedAssignWithTables(v)
+    val (tabs, a2) = routedAssignWithTables(v, targetCell)
     val members = a2.groupBy(col("cid"))
       .agg(collect_list(struct(col("vec_id"), col("e"), col("nrm"))).as("members"))
     (tabs, members)
@@ -944,17 +961,12 @@ object SimilarityQueries {
 
   /** As [[routedAssignFrom]], also returning the FINAL pass's routing
     * tables — the routed streaming gate's broadcast side. */
-  private[graft] def routedAssignWithTables(v: DataFrame): (RoutedTables, DataFrame) = {
+  private[graft] def routedAssignWithTables(v: DataFrame,
+      targetCell: Int = TargetCell): (RoutedTables, DataFrame) = {
     import org.apache.spark.storage.StorageLevel
-    val k = scaledK(v.count())
+    val k = math.max(1, math.ceil(v.count() / targetCell.toDouble).toInt)
     val k1 = math.max(1, math.ceil(math.sqrt(k.toDouble)).toInt)
-    val seedsL: Array[Array[Long]] = v
-      .select(col("vec_id"), col("mud"))
-      .withColumn("hk",
-        graft.functions.GraftFunctions.md5PrefixInt(col("vec_id").cast("string")))
-      .orderBy(col("hk"), col("vec_id"))
-      .limit(k)
-      .collect()
+    val seedsL: Array[Array[Long]] = collectSeedRows(v, k)
       .map(_.getAs[scala.collection.Seq[Double]]("mud").toArray.map(_.toLong))
 
     def assign(fineCents: IndexedSeq[Array[Long]], outCol: String)(df: DataFrame): DataFrame =
