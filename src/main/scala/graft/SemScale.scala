@@ -92,6 +92,24 @@ object SemScale {
   private def heapPeakMb(): Long = peakHeap / (1024 * 1024)
   private def resetHeapPeaks(): Unit = peakHeap = 0L
 
+  /** The `gate` mode auto-detects the index layout by fine.parquet's
+    * presence, and the per-subpath Overwrite writes never clean a REUSED
+    * dst — rebuilding a routed dir as flat (or vice versa) would leave
+    * the other layout's tables behind and silently pair stale routing
+    * tables with new members. Each builder therefore drops the OTHER
+    * layout's subpaths up front. */
+  private def dropOtherLayout(dst: String, routed: Boolean): Unit = {
+    val stale = if (routed) Seq("cents.parquet") else Seq("fine.parquet", "coarse.parquet")
+    stale.foreach { p =>
+      val dir = java.nio.file.Paths.get(dst, p)
+      if (java.nio.file.Files.exists(dir)) {
+        java.nio.file.Files.walk(dir)
+          .sorted(java.util.Comparator.reverseOrder())
+          .forEach(f => java.nio.file.Files.deleteIfExists(f))
+      }
+    }
+  }
+
   private def time[A](f: => A): (A, Double) = {
     val t0 = System.nanoTime()
     val r = f
@@ -234,6 +252,7 @@ object SemScale {
         val spark = session()
         val n = Tables.embeddings(spark, src).count()
         resetHeapPeaks()
+        dropOtherLayout(dst, routed = false)
         val (cents, buildWall) = time {
           val (c, m) = queries.SimilarityQueries.semanticStreamIndex(spark, src, tc)
           // range-partitioned index layout: each cid-range shard's broadcast
@@ -247,7 +266,7 @@ object SemScale {
           c
         }
         import spark.implicits._
-        cents.zipWithIndex.map { case (v, i) => (i, v) }.toDF("cid", "cent")
+        cents.zipWithIndex.map(_.swap).toDF("cid", "cent")
           .repartition(1).write.mode("overwrite").parquet(s"$dst/cents.parquet")
         println(s"""{"mode":"gateindex","src":"$src","dst":"$dst",""" +
           s""""n_vectors":$n,"k":${cents.length},""" +
@@ -269,14 +288,14 @@ object SemScale {
         val spark = session()
         val n = Tables.embeddings(spark, src).count()
         resetHeapPeaks()
+        dropOtherLayout(dst, routed = true)
         val (k, buildWall) = time {
           val (tabs, m) = queries.SimilarityQueries
             .semanticStreamIndexRouted(spark, src, tc)
           m.repartitionByRange(32, col("cid")).sortWithinPartitions("cid")
             .write.mode("overwrite").parquet(s"$dst/members.parquet")
           import spark.implicits._
-          tabs.nonEmpty.zip(tabs.coarse).map { case (cc, v) => (cc, v) }
-            .toDF("ccid", "cmud")
+          tabs.nonEmpty.zip(tabs.coarse).toDF("ccid", "cmud")
             .repartition(1).write.mode("overwrite").parquet(s"$dst/coarse.parquet")
           tabs.idsOf.indices.flatMap(cc =>
               tabs.idsOf(cc).zip(tabs.grouped(cc)).map { case (cid, cmud) =>
@@ -310,6 +329,8 @@ object SemScale {
         val idx = args(2)
         val nShards = args.lift(3).map(_.toInt).getOrElse(1)
         val probeMod = args.lift(4).map(_.toInt).getOrElse(20)
+        require(nShards >= 1, s"nShards=$nShards (must be >= 1)")
+        require(probeMod >= 1, s"probeMod=$probeMod (must be >= 1)")
         val spark = session()
         resetHeapPeaks()
         val routed = java.nio.file.Files.exists(
@@ -403,7 +424,8 @@ object SemScale {
           s""""xmx_mb":${xmxMb()}}""")
 
       case other =>
-        System.err.println(s"unknown mode: $other (staged|census|blobfix|dedup|gate)")
+        System.err.println(s"unknown mode: $other " +
+          "(staged|census|blobfix|dedup|gateindex|gateindexr|gate)")
         sys.exit(2)
     }
   }

@@ -349,18 +349,8 @@ object DedupQueries {
       .map("%02x".format(_)).mkString
 
   private[graft] object Staging {
-    private lazy val root = {
-      val r = java.nio.file.Files.createTempDirectory("graft_dedup_staging")
-      // staged copies would otherwise accumulate in /tmp across bench/test
-      // JVMs (the EvalStaging r11 ADVICE, same medicine here)
-      sys.addShutdownHook {
-        import java.nio.file.{Files, Path}
-        if (Files.exists(r))
-          Files.walk(r).sorted(java.util.Comparator.reverseOrder[Path]())
-            .forEach(p => Files.deleteIfExists(p))
-      }
-      r
-    }
+    private lazy val root =
+      StagingRoots.tempRootWithCleanup("graft_dedup_staging")
     private val done = new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
 
     def scoredAndCounts(spark: SparkSession, d: String): (DataFrame, DataFrame) = {
@@ -591,16 +581,8 @@ object DedupQueries {
   // q49; removal is greedy per verified pair (later doc loses), existing
   // docs always win ties against incoming.
   private[graft] object IncrementalIndex {
-    private lazy val root = {
-      val r = java.nio.file.Files.createTempDirectory("graft_incr_index")
-      sys.addShutdownHook {
-        import java.nio.file.{Files, Path}
-        if (Files.exists(r))
-          Files.walk(r).sorted(java.util.Comparator.reverseOrder[Path]())
-            .forEach(p => Files.deleteIfExists(p))
-      }
-      r
-    }
+    private lazy val root =
+      StagingRoots.tempRootWithCleanup("graft_incr_index")
     private val done =
       new java.util.concurrent.ConcurrentHashMap[String, (String, String, String)]()
 

@@ -3,6 +3,23 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+/** Per-JVM temp staging root with recursive delete on JVM exit — staged
+  * parquet copies would otherwise accumulate in /tmp across bench/test
+  * JVMs (r11 ADVICE). ONE definition for the three per-JVM staging
+  * caches (eval, dedup, incremental index). */
+private[graft] object StagingRoots {
+  def tempRootWithCleanup(prefix: String): java.nio.file.Path = {
+    val r = java.nio.file.Files.createTempDirectory(prefix)
+    sys.addShutdownHook {
+      import java.nio.file.{Files, Path}
+      if (Files.exists(r))
+        Files.walk(r).sorted(java.util.Comparator.reverseOrder[Path]())
+          .forEach(p => Files.deleteIfExists(p))
+    }
+    r
+  }
+}
+
 /** Staged shared eval frames (the DedupQueries.Staging discipline on the
   * eval axis): q72's KDE regularity lane and the q122/q123 TAMRS frame are
   * the two expensive chains the selection layer re-derived per query —
@@ -20,18 +37,7 @@ import org.apache.spark.sql.functions._
   * audits the raw KDE plan, and the DuckDB oracles replay the raw chains
   * — staging changes where the rows are read from, never what they are. */
 private[graft] object EvalStaging {
-  private lazy val root = {
-    val r = java.nio.file.Files.createTempDirectory("graft_eval_staging")
-    // staged copies would otherwise accumulate in /tmp across bench/test
-    // JVMs (r11 ADVICE) — recursive delete on JVM exit
-    sys.addShutdownHook {
-      import java.nio.file.{Files, Path}
-      if (Files.exists(r))
-        Files.walk(r).sorted(java.util.Comparator.reverseOrder[Path]())
-          .forEach(p => Files.deleteIfExists(p))
-    }
-    r
-  }
+  private lazy val root = StagingRoots.tempRootWithCleanup("graft_eval_staging")
   // memoized as futures, built OUTSIDE the map's critical section:
   // computeIfAbsent holds the hash-bin lock for the whole build, and two
   // keys in one bin then serialize — measured: the "concurrent" regularity
@@ -66,7 +72,14 @@ private[graft] object EvalStaging {
       }
       fresh
     }
-    graft.sources.ResultSink.read(spark, fut.join())
+    // join() wraps a build failure in CompletionException — rethrow the
+    // raw cause so consumers (and Bench's error column) see the same
+    // exception type the unstaged chain threw
+    val path = try fut.join() catch {
+      case e: java.util.concurrent.CompletionException if e.getCause != null =>
+        throw e.getCause
+    }
+    graft.sources.ResultSink.read(spark, path)
   }
 
   /** q72's full regularity output (cfg, n, qualified, n_peaks,

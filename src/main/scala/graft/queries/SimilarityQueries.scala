@@ -667,17 +667,28 @@ object SimilarityQueries {
     * spark.driver.maxResultSize (measured: 1,042 MiB of task results for
     * a 64 MB seed table) and killed the gate-index build. The band bounds
     * driver-shipped rows to ~3·K regardless of partition count. */
-  private def collectSeedRows(v: DataFrame, k: Int)
-      : Array[org.apache.spark.sql.Row] = {
-    val n = math.max(v.count(), 1L)
+  private def collectSeedRows(v: DataFrame, k: Int, n: Long)
+      : Array[org.apache.spark.sql.Row] =
+    seedBand(v, k, n).orderBy(col("hk"), col("vec_id")).limit(k).collect()
+
+  /** The hk-banded seed-candidate frame (vec_id, mud, hk): all rows whose
+    * md5-rank falls below the threshold expected to hold 3·K rows
+    * (hk is uniform over [0, 2³²) — the unsigned 4-byte md5 prefix — so
+    * the margin scales by 2³², NOT Int.MaxValue: the r10-ADVICE rule).
+    * Exact: if the band holds ≥ K rows, the K-th smallest hk lies inside
+    * it, so the global top-K by (hk, vec_id) does too; underflow falls
+    * back to the full frame. ONE definition shared by the collecting
+    * consumer ([[collectSeedRows]], the gate-index builders) and the
+    * distributed one ([[stagedSeeds]]), so a margin/scaling fix can never
+    * drift between the lanes. */
+  private def seedBand(v: DataFrame, k: Int, n: Long): DataFrame = {
     val hkv = v.select(col("vec_id"), col("mud"))
       .withColumn("hk",
         graft.functions.GraftFunctions.md5PrefixInt(col("vec_id").cast("string")))
     val t2: Long = math.min(1L << 32,
-      (3.0 * k / n * (1L << 32).toDouble).toLong + 1024L)
+      (3.0 * k / math.max(n, 1L) * (1L << 32).toDouble).toLong + 1024L)
     val band0 = hkv.filter(col("hk") < t2)
-    val band = if (band0.count() >= k) band0 else hkv
-    band.orderBy(col("hk"), col("vec_id")).limit(k).collect()
+    if (band0.count() >= k) band0 else hkv
   }
 
   private[graft] def scaledK(n: Long): Int =
@@ -709,9 +720,10 @@ object SimilarityQueries {
   private def scaledAssignWithCents(v: DataFrame,
       targetCell: Int = TargetCell): (IndexedSeq[Array[Double]], DataFrame) = {
     import org.apache.spark.storage.StorageLevel
-    val k = math.max(1, math.ceil(v.count() / targetCell.toDouble).toInt)
+    val n = v.count()
+    val k = math.max(1, math.ceil(n / targetCell.toDouble).toInt)
     // same deterministic seed rule as q63: the K smallest (md5(vec_id), vec_id)
-    val seeds: Array[Array[Double]] = collectSeedRows(v, k)
+    val seeds: Array[Array[Double]] = collectSeedRows(v, k, n)
       .map(_.getAs[scala.collection.Seq[Double]]("mud").toArray)
 
     // MAP-ONLY argmin (vs q63's K-literal-expression argmin, which stops
@@ -964,9 +976,10 @@ object SimilarityQueries {
   private[graft] def routedAssignWithTables(v: DataFrame,
       targetCell: Int = TargetCell): (RoutedTables, DataFrame) = {
     import org.apache.spark.storage.StorageLevel
-    val k = math.max(1, math.ceil(v.count() / targetCell.toDouble).toInt)
+    val n = v.count()
+    val k = math.max(1, math.ceil(n / targetCell.toDouble).toInt)
     val k1 = math.max(1, math.ceil(math.sqrt(k.toDouble)).toInt)
-    val seedsL: Array[Array[Long]] = collectSeedRows(v, k)
+    val seedsL: Array[Array[Long]] = collectSeedRows(v, k, n)
       .map(_.getAs[scala.collection.Seq[Double]]("mud").toArray.map(_.toLong))
 
     def assign(fineCents: IndexedSeq[Array[Long]], outCol: String)(df: DataFrame): DataFrame =
@@ -1037,18 +1050,7 @@ object SimilarityQueries {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types.{ArrayType, DoubleType, IntegerType, StructField, StructType}
     val spark = v.sparkSession
-    val n = math.max(v.count(), 1L)
-    val hkv = v.select(col("vec_id"), col("mud"))
-      .withColumn("hk",
-        graft.functions.GraftFunctions.md5PrefixInt(col("vec_id").cast("string")))
-    // hk is uniform over [0, 2^32) (unsigned 4-byte md5 prefix), so the
-    // 3× safety margin must scale by 2^32 — scaling by Int.MaxValue (2^31)
-    // halved the real margin to ~1.5× and tripped the full-sort fallback
-    // more often than designed (r10 ADVICE).
-    val t2: Long = math.min(1L << 32,
-      (3.0 * k / n * (1L << 32).toDouble).toLong + 1024L)
-    val band0 = hkv.filter(col("hk") < t2)
-    val band = if (band0.count() >= k) band0 else hkv
+    val band = seedBand(v, k, v.count())
     val seedRdd = band.orderBy(col("hk"), col("vec_id")).rdd
       .zipWithIndex()
       .filter(_._2 < k)

@@ -499,22 +499,24 @@ object StreamingOps {
   def semanticGateAssignRouted(vecs: DataFrame,
       tables: graft.queries.SimilarityQueries.RoutedTables): DataFrame =
     graft.queries.SimilarityQueries.routedAssignApply(tables, "cid")(
-      vecs
-        .withColumn("e", col("embedding"))
-        .withColumn("nrm",
-          sqrt(graft.functions.GraftFunctions.dotFold(col("e"), col("e"))))
-        .withColumn("mud",
-          transform(col("e"), x => round(x * lit(1e6)).cast("long").cast("double"))))
+      prepGateVecs(vecs))
 
-  /** Stateless per-row cell assignment (micro-unit quantize + codegen'd
-    * argmin kernel against the broadcast-by-reference centroid table). */
-  private def semanticAssign(vecs: DataFrame, cents: Seq[Seq[Long]]): DataFrame =
+  /** Shared e/nrm/mud preparation of an arriving embedding row — the
+    * micro-unit quantization rule (round(x·1e6)) is bit-exactness-
+    * critical against the DuckDB oracles and the index build, so the
+    * flat and routed heads MUST share it. */
+  private def prepGateVecs(vecs: DataFrame): DataFrame =
     vecs
       .withColumn("e", col("embedding"))
       .withColumn("nrm",
         sqrt(graft.functions.GraftFunctions.dotFold(col("e"), col("e"))))
       .withColumn("mud",
         transform(col("e"), x => round(x * lit(1e6)).cast("long").cast("double")))
+
+  /** Stateless per-row cell assignment (micro-unit quantize + codegen'd
+    * argmin kernel against the broadcast-by-reference centroid table). */
+  private def semanticAssign(vecs: DataFrame, cents: Seq[Seq[Long]]): DataFrame =
+    prepGateVecs(vecs)
       .withColumn("cid",
         graft.functions.GraftFunctions.centroidArgmin(col("mud"), cents))
 
