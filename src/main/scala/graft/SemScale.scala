@@ -101,12 +101,7 @@ object SemScale {
   private def dropOtherLayout(dst: String, routed: Boolean): Unit = {
     val stale = if (routed) Seq("cents.parquet") else Seq("fine.parquet", "coarse.parquet")
     stale.foreach { p =>
-      val dir = java.nio.file.Paths.get(dst, p)
-      if (java.nio.file.Files.exists(dir)) {
-        java.nio.file.Files.walk(dir)
-          .sorted(java.util.Comparator.reverseOrder())
-          .forEach(f => java.nio.file.Files.deleteIfExists(f))
-      }
+      queries.StagingRoots.deleteRecursively(java.nio.file.Paths.get(dst, p))
     }
   }
 

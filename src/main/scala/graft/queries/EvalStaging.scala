@@ -10,13 +10,20 @@ import org.apache.spark.sql.functions._
 private[graft] object StagingRoots {
   def tempRootWithCleanup(prefix: String): java.nio.file.Path = {
     val r = java.nio.file.Files.createTempDirectory(prefix)
-    sys.addShutdownHook {
-      import java.nio.file.{Files, Path}
-      if (Files.exists(r))
-        Files.walk(r).sorted(java.util.Comparator.reverseOrder[Path]())
-          .forEach(p => Files.deleteIfExists(p))
-    }
+    sys.addShutdownHook { deleteRecursively(r) }
     r
+  }
+
+  /** Recursive delete, closing the Files.walk stream (it holds directory
+    * handles until closed). */
+  def deleteRecursively(r: java.nio.file.Path): Unit = {
+    import java.nio.file.{Files, Path}
+    if (Files.exists(r)) {
+      val walk = Files.walk(r)
+      try walk.sorted(java.util.Comparator.reverseOrder[Path]())
+        .forEach(p => Files.deleteIfExists(p))
+      finally walk.close()
+    }
   }
 }
 

@@ -405,12 +405,19 @@ object StreamingOps {
     * float promotion), so flags agree bit-for-bit with a batch run of the
     * same projection (StreamingSpec pins the full-corpus replay).
     *
-    * Scale bound: the broadcast index carries the whole reference corpus'
-    * vectors grouped by cell (≈ N·(Dim·4 B) — ~256 MB per million
-    * vectors); past broadcast range, use [[streamingSemanticGateSharded]]
-    * (cid-range shards, each broadcast 1/S of the index) or fall back to
-    * the batch census — the stream-side projection is unchanged either
-    * way. */
+    * Scale bound (measured at 2M vectors / K = 31,250 — SCALE.md r12):
+    * the broadcast index carries the whole reference corpus' vectors
+    * grouped by cell (≈ N·(Dim·4 B) — ~256 MB per million vectors), and
+    * the whole-index broadcast survives an 8 GB JVM only in a GC-thrash
+    * regime. Past broadcast range the production form is assign-once +
+    * sequential cid-range verify passes ([[semanticGateAssign]] then
+    * [[semanticGateVerifyShard]] per shard — 55.1 s for a 100k-probe
+    * batch vs 382.2 s unsharded); the single-DAG union form
+    * ([[streamingSemanticGateSharded]]) bounds each broadcast OBJECT but
+    * keeps all S relations resident at once and OOMs where the
+    * sequential form is comfortable. The flat assignment head is O(K)
+    * per row and grows with the corpus — [[streamingSemanticGateRouted]]
+    * is the √K-scaling head for large K. */
   def streamingSemanticGate(vecs: DataFrame, cents: Seq[Seq[Long]],
       cellMembers: DataFrame, minCos: Double = 0.9): DataFrame =
     semanticVerify(semanticAssign(vecs, cents), cellMembers, minCos)
