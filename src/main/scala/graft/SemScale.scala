@@ -328,8 +328,18 @@ object SemScale {
         require(probeMod >= 1, s"probeMod=$probeMod (must be >= 1)")
         val spark = session()
         resetHeapPeaks()
+        val hasFlat = java.nio.file.Files.exists(
+          java.nio.file.Paths.get(s"$idx/cents.parquet"))
         val routed = java.nio.file.Files.exists(
           java.nio.file.Paths.get(s"$idx/fine.parquet"))
+        // layout auto-detect is only safe when exactly one layout's tables
+        // exist: a dir written before dropOtherLayout (or partially
+        // deleted) could pair stale routing tables with the other build's
+        // members (r12 ADVICE) — fail fast, direct to a rebuild
+        require(!(hasFlat && routed),
+          s"index dir $idx contains BOTH layouts (cents.parquet AND " +
+            "fine.parquet) — stale mixed build; rebuild it with " +
+            "gateindex/gateindexr (which drop the other layout) or delete it")
         val members = spark.read.parquet(s"$idx/members.parquet")
         val probe = Tables.embeddings(spark, src)
           .filter(pmod(col("vec_id"), lit(probeMod)) === 0)

@@ -112,19 +112,29 @@ private[graft] object EvalStaging {
     * axis (≈50 keys, skew-free by construction), so there is nothing to
     * coalesce or skew-split — while its stage-by-stage materialization
     * nearly doubled the DAG's latency (13.1 s → 7.2 s measured). The
-    * consumers (q72/q122/q123) still run under the session's AQE. */
+    * consumers (q72/q122/q123) still run under the session's AQE.
+    *
+    * The AQE disable lives on a CLONED session (`newSession`: shared
+    * context, cache and staged files; session-local SQL conf), never the
+    * caller's — a query running concurrently on the caller's session keeps
+    * its own AQE regime (r12 verdict; EvalStagingSpec polls the caller's
+    * conf during a live build). */
   def build(spark: SparkSession, d: String): Unit = {
     import scala.concurrent.{Await, Future, ExecutionContext}
     import scala.concurrent.duration.Duration
+    import scala.util.Try
     val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
-    val aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    val buildSession = spark.newSession()
+    buildSession.conf.set("spark.sql.adaptive.enabled", "false")
     try {
-      spark.conf.set("spark.sql.adaptive.enabled", "false")
       val fs = Seq(
-        Future(regularity(spark, d)),
-        Future(tamrs(spark, d)))
-      fs.foreach(Await.result(_, Duration.Inf))
-    } finally { spark.conf.set("spark.sql.adaptive.enabled", aqe); pool.shutdown() }
+        Future(regularity(buildSession, d)),
+        Future(tamrs(buildSession, d)))
+      // await BOTH builds before teardown — bailing on the first failure
+      // would shut the pool under the still-running second build (r12
+      // ADVICE) — then rethrow the first failure
+      fs.map(f => Try(Await.result(f, Duration.Inf))).foreach(_.get)
+    } finally pool.shutdown()
   }
 }

@@ -676,8 +676,13 @@ object SimilarityQueries {
     * (hk is uniform over [0, 2³²) — the unsigned 4-byte md5 prefix — so
     * the margin scales by 2³², NOT Int.MaxValue: the r10-ADVICE rule).
     * Exact: if the band holds ≥ K rows, the K-th smallest hk lies inside
-    * it, so the global top-K by (hk, vec_id) does too; underflow falls
-    * back to the full frame. ONE definition shared by the collecting
+    * it, so the global top-K by (hk, vec_id) does too; underflow WIDENS
+    * the threshold (doubling) until the band holds K rows — never a
+    * fallback to the unbanded frame, whose orderBy.limit(K).collect would
+    * re-introduce the 32×K per-partition top-K driver shipment the band
+    * exists to prevent (r12 ADVICE). Each doubling at most doubles the
+    * expected band population, so driver-shipped rows stay O(K) on the
+    * rare retry path too. ONE definition shared by the collecting
     * consumer ([[collectSeedRows]], the gate-index builders) and the
     * distributed one ([[stagedSeeds]]), so a margin/scaling fix can never
     * drift between the lanes. */
@@ -685,10 +690,17 @@ object SimilarityQueries {
     val hkv = v.select(col("vec_id"), col("mud"))
       .withColumn("hk",
         graft.functions.GraftFunctions.md5PrefixInt(col("vec_id").cast("string")))
-    val t2: Long = math.min(1L << 32,
-      (3.0 * k / math.max(n, 1L) * (1L << 32).toDouble).toLong + 1024L)
-    val band0 = hkv.filter(col("hk") < t2)
-    if (band0.count() >= k) band0 else hkv
+    val full = 1L << 32
+    var t2: Long = math.min(full,
+      (3.0 * k / math.max(n, 1L) * full.toDouble).toLong + 1024L)
+    var band = hkv.filter(col("hk") < t2)
+    while (band.count() < k && t2 < full) {
+      t2 = math.min(full, t2 * 2)
+      band = hkv.filter(col("hk") < t2)
+    }
+    // at t2 == 2³² the predicate is vacuous (band == the whole frame):
+    // k is within margin-of-n, the one regime where unbanded is unavoidable
+    band
   }
 
   private[graft] def scaledK(n: Long): Int =

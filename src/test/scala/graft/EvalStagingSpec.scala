@@ -10,16 +10,19 @@ import org.apache.spark.sql.DataFrame
   */
 class EvalStagingSpec extends GraftSuite {
 
-  private def key(df: DataFrame): Set[Seq[Any]] =
+  // sorted MULTISET of rows, not a Set: a staged frame that dropped or
+  // duplicated a row whose values tie another row would pass a Set compare
+  // (r12 ADVICE)
+  private def key(df: DataFrame): Seq[String] =
     df.collect().map { r =>
       (0 until r.length).map { i =>
         r.get(i) match {
-          // NaN != NaN and -0.0 vs 0.0 would false-negative a Set compare
+          // NaN != NaN and -0.0 vs 0.0 would false-negative the compare
           case d: java.lang.Double => java.lang.Double.doubleToLongBits(d)
           case v => v
         }
-      }
-    }.toSet
+      }.mkString("|")
+    }.toSeq.sorted
 
   test("staged regularity frame == raw q72 chain (bit-exact)") {
     val raw = key(queries.RankingQueries.q72SignalRegularity(spark, sf))
@@ -47,5 +50,34 @@ class EvalStagingSpec extends GraftSuite {
     val before = spark.conf.get("spark.sql.adaptive.enabled", "true")
     queries.EvalStaging.build(spark, sf)
     assert(spark.conf.get("spark.sql.adaptive.enabled", "true") == before)
+  }
+
+  test("build() never flips the caller session's AQE — a concurrent query " +
+    "keeps its own regime (r12 verdict)") {
+    // EvalStaging memoizes per corpus PATH — a symlink alias to the same
+    // fixture forces a genuinely live build to poll against
+    val alias = java.nio.file.Files.createTempDirectory("graft_aqe_probe")
+      .resolve("sf").toString
+    java.nio.file.Files.createSymbolicLink(
+      java.nio.file.Paths.get(alias), java.nio.file.Paths.get(sf))
+    val before = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    @volatile var failure: Option[Throwable] = None
+    @volatile var done = false
+    val t = new Thread(() => {
+      try queries.EvalStaging.build(spark, alias)
+      catch { case e: Throwable => failure = Some(e) }
+      finally done = true
+    })
+    t.start()
+    val seen = scala.collection.mutable.ArrayBuffer[String]()
+    seen += spark.conf.get("spark.sql.adaptive.enabled", "true")
+    while (!done) {
+      seen += spark.conf.get("spark.sql.adaptive.enabled", "true")
+      Thread.sleep(2)
+    }
+    t.join()
+    failure.foreach(throw _)
+    assert(seen.nonEmpty && seen.forall(_ == before),
+      s"caller session saw AQE flip during build: ${seen.distinct}")
   }
 }
