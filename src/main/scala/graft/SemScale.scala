@@ -50,7 +50,7 @@ import org.apache.spark.sql.functions._
   *                                tables + members by routed cid): same
   *                                broadcast footprint, O(√K) assignment
   *                                kernel instead of O(K).
-  *   gate <src> <idx> [S] [mod] [union|seq|seqa]
+  *   gate <src> <idx> [S] [mod] [union|seq|seqa|stga]
   *                              — the streaming semantic gate (batch twin,
   *                                stream ≡ batch pinned by StreamingSpec)
   *                                reading the written index in a fresh JVM:
@@ -289,13 +289,11 @@ object SemScale {
             .semanticStreamIndexRouted(spark, src, tc)
           m.repartitionByRange(32, col("cid")).sortWithinPartitions("cid")
             .write.mode("overwrite").parquet(s"$dst/members.parquet")
-          import spark.implicits._
-          tabs.nonEmpty.zip(tabs.coarse).toDF("ccid", "cmud")
+          val (coarseDf, fineDf) =
+            queries.SimilarityQueries.routedTablesFrames(spark, tabs)
+          coarseDf
             .repartition(1).write.mode("overwrite").parquet(s"$dst/coarse.parquet")
-          tabs.idsOf.indices.flatMap(cc =>
-              tabs.idsOf(cc).zip(tabs.grouped(cc)).map { case (cid, cmud) =>
-                (cc, cid, cmud) })
-            .toDF("ccid", "cid", "cmud")
+          fineDf
             .repartition(1).write.mode("overwrite").parquet(s"$dst/fine.parquet")
           tabs.grouped.map(_.size).sum
         }
@@ -344,38 +342,6 @@ object SemScale {
         val probe = Tables.embeddings(spark, src)
           .filter(pmod(col("vec_id"), lit(probeMod)) === 0)
           .select(col("vec_id"), col("embedding"))
-        // Assignment head per layout. The routed reconstruction collects
-        // the K-row fine table to the driver — the same O(K) state the
-        // flat gate's centroid Seq carries; the ROUTED win is kernel
-        // arithmetic per probe row, not driver state (the staged q125
-        // lane is the path that removes driver-K-state; the gate keeps
-        // the broadcast-kernel contract because its per-microbatch probe
-        // frames are small).
-        val (k, assignHead): (Int, DataFrame => DataFrame) = if (!routed) {
-          val cents: Seq[Seq[Long]] = spark.read.parquet(s"$idx/cents.parquet")
-            .orderBy(col("cid")).collect().map(_.getSeq[Long](1)).toSeq
-          (cents.length,
-            (p: DataFrame) => graft.streaming.StreamingOps
-              .semanticGateAssign(p, cents))
-        } else {
-          val coarseRows = spark.read.parquet(s"$idx/coarse.parquet")
-            .orderBy(col("ccid")).collect()
-          val nonEmpty = coarseRows.map(_.getInt(0)).toSeq
-          val coarse = coarseRows.map(_.getSeq[Long](1).toSeq).toSeq
-          val fineRows = spark.read.parquet(s"$idx/fine.parquet")
-            .orderBy(col("ccid"), col("cid")).collect()
-          val k1 = fineRows.map(_.getInt(0)).max + 1
-          val byCc = fineRows.groupBy(_.getInt(0))
-          val grouped = (0 until k1).map(cc => byCc.getOrElse(cc, Array())
-            .map(_.getSeq[Long](2).toSeq).toSeq)
-          val idsOf = (0 until k1).map(cc => byCc.getOrElse(cc, Array())
-            .map(_.getInt(1)).toSeq)
-          val tabs = queries.SimilarityQueries.RoutedTables(
-            nonEmpty, coarse, grouped, idsOf)
-          (fineRows.length,
-            (p: DataFrame) => graft.streaming.StreamingOps
-              .semanticGateAssignRouted(p, tabs))
-        }
         // `union` is one S-branch DAG (all shard relations resident at
         // once on a single JVM). `seq` drives the same shards
         // SEQUENTIALLY (one action per shard, broadcasts reclaimed
@@ -385,8 +351,56 @@ object SemScale {
         // `seqa` is the assign-ONCE sequential form: the kernel runs one
         // time over the probe batch, the (probe-sized) assigned frame
         // persists, and each shard runs only its verify join — the form a
-        // production foreachBatch consumer would use.
+        // production foreachBatch consumer would use. `stga` is seqa with
+        // the STAGED assignment head (streamingSemanticGateStaged): only
+        // the O(√K) coarse table is collected; the K-row fine table stays
+        // a distributed frame and meets probes in a shuffle-hash join —
+        // the r12 "at K ≥ 10⁷" upgrade path, measured here.
         val variant = args.lift(5).getOrElse("union")
+        require(variant != "stga" || routed,
+          "stga (staged assignment) requires a routed (gateindexr) index")
+        // Assignment head per layout/variant, with the DRIVER-RESIDENT
+        // routing state it carries (bytes) reported honestly: the flat
+        // and routed broadcast heads collect O(K) centroid state — fine
+        // for per-microbatch probe gates at today's K, structurally
+        // impossible at K ≥ 10⁷ — while the staged head collects O(√K).
+        val (k, assignHead, routingStateBytes): (Int, DataFrame => DataFrame, Long) =
+          if (variant == "stga") {
+            val tabs = queries.SimilarityQueries.stagedGateTables(
+              spark.read.parquet(s"$idx/coarse.parquet"),
+              spark.read.parquet(s"$idx/fine.parquet"))
+            (spark.read.parquet(s"$idx/fine.parquet").count().toInt,
+              (p: DataFrame) => graft.streaming.StreamingOps
+                .semanticGateAssignStaged(p, tabs),
+              tabs.coarse.map(_.size.toLong * 8 + 4).sum)
+          } else if (!routed) {
+            val cents: Seq[Seq[Long]] = spark.read.parquet(s"$idx/cents.parquet")
+              .orderBy(col("cid")).collect().map(_.getSeq[Long](1)).toSeq
+            (cents.length,
+              (p: DataFrame) => graft.streaming.StreamingOps
+                .semanticGateAssign(p, cents),
+              cents.map(_.size.toLong * 8).sum)
+          } else {
+            val coarseRows = spark.read.parquet(s"$idx/coarse.parquet")
+              .orderBy(col("ccid")).collect()
+            val nonEmpty = coarseRows.map(_.getInt(0)).toSeq
+            val coarse = coarseRows.map(_.getSeq[Long](1).toSeq).toSeq
+            val fineRows = spark.read.parquet(s"$idx/fine.parquet")
+              .orderBy(col("ccid"), col("cid")).collect()
+            val k1 = fineRows.map(_.getInt(0)).max + 1
+            val byCc = fineRows.groupBy(_.getInt(0))
+            val grouped = (0 until k1).map(cc => byCc.getOrElse(cc, Array())
+              .map(_.getSeq[Long](2).toSeq).toSeq)
+            val idsOf = (0 until k1).map(cc => byCc.getOrElse(cc, Array())
+              .map(_.getInt(1)).toSeq)
+            val tabs = queries.SimilarityQueries.RoutedTables(
+              nonEmpty, coarse, grouped, idsOf)
+            (fineRows.length,
+              (p: DataFrame) => graft.streaming.StreamingOps
+                .semanticGateAssignRouted(p, tabs),
+              (coarse.map(_.size.toLong) ++
+                grouped.flatten.map(_.size.toLong)).sum * 8)
+          }
         val width = math.max(1, math.ceil(k.toDouble / nShards).toInt)
         def verifyShard(assigned: DataFrame, s: Int): DataFrame =
           graft.streaming.StreamingOps.semanticGateVerifyShard(
@@ -404,8 +418,8 @@ object SemScale {
             case "union" =>
               agg1((0 until nShards).map(s => verifyShard(assignHead(probe), s))
                 .reduce(_ union _))
-            case "seq" | "seqa" =>
-              val assignedOnce = if (variant != "seqa") None else Some {
+            case "seq" | "seqa" | "stga" =>
+              val assignedOnce = if (variant == "seq") None else Some {
                 val a = assignHead(probe)
                   .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
                 a.count() // materialize: the kernel pass happens HERE, once
@@ -423,6 +437,7 @@ object SemScale {
         println(s"""{"mode":"gate","src":"$src","idx":"$idx",""" +
           s""""k":$k,"n_shards":$nShards,"routed":$routed,""" +
           s""""variant":"$variant",""" +
+          s""""routing_state_kb":${routingStateBytes / 1024},""" +
           s""""n_probe":${res._1},"n_flagged":${res._2},""" +
           s""""max_cell":${res._3},""" +
           f""""gate_wall_sec":$gateWall%.1f,"gate_peak_heap_mb":${heapPeakMb()},""" +

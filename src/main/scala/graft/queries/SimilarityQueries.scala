@@ -965,6 +965,73 @@ object SimilarityQueries {
         fineCents.indices.filter(f2c(_) == cc)))
   }
 
+  /** The gateindexr PARQUET layout of [[RoutedTables]] — (ccid, cmud)
+    * coarse rows + (ccid, cid, cmud) fine rows — ONE definition shared by
+    * the SemScale index writer and the staged-gate spec, so the written
+    * layout and [[stagedGateTables]]'s reader can never drift. */
+  private[graft] def routedTablesFrames(spark: SparkSession,
+      t: RoutedTables): (DataFrame, DataFrame) = {
+    import spark.implicits._
+    val coarse = t.nonEmpty.zip(t.coarse).toDF("ccid", "cmud")
+    val fine = t.idsOf.indices.flatMap(cc =>
+        t.idsOf(cc).zip(t.grouped(cc)).map { case (cid, cmud) => (cc, cid, cmud) })
+      .toDF("ccid", "cid", "cmud")
+    (coarse, fine)
+  }
+
+  /** STAGED routed-gate tables (the q125 staging discipline on the gate's
+    * routing state — r12 SCALE.md's named residual): only the O(√K)
+    * coarse table is collected; the K-row fine table stays a DISTRIBUTED
+    * frame, grouped per coarse cell, and meets probe rows in a
+    * shuffle-hash join. Driver/broadcast routing state is ~√K·Dim·8 B
+    * (~180 KB at K = 125,000) instead of [[RoutedTables]]' ~K·Dim·8 B
+    * (~16 MB at K = 31,250, O(K) — unusable at K ≥ 10⁷). */
+  private[graft] final case class StagedGateTables(
+      nonEmpty: Seq[Int], coarse: Seq[Seq[Long]], cells: DataFrame)
+
+  /** Build [[StagedGateTables]] from the gateindexr parquet frames
+    * (coarse: (ccid, cmud); fine: (ccid, cid, cmud)). The per-cell pack
+    * is cid-ascending (sort_array on the (cid, cmud) struct), the
+    * [[routedTablesOf]] tie rule. */
+  private[graft] def stagedGateTables(coarseDf: DataFrame,
+      fineDf: DataFrame): StagedGateTables = {
+    import org.apache.spark.storage.StorageLevel
+    // O(√K): the non-empty coarse ids and their vectors — the ONLY
+    // collected routing state on this path
+    val coarseRows = coarseDf.orderBy(col("ccid")).collect()
+    val cells = fineDf
+      .groupBy(col("ccid"))
+      .agg(sort_array(collect_list(struct(col("cid"), col("cmud")))).as("cs"))
+      .select(col("ccid").as("__route"),
+        expr("transform(cs, x -> x.cmud)").as("cc"),
+        expr("transform(cs, x -> x.cid)").as("ids"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    StagedGateTables(
+      nonEmpty = coarseRows.map(_.getInt(0)).toSeq,
+      coarse = coarseRows.map(_.getSeq[Long](1).toSeq).toSeq,
+      cells = cells)
+  }
+
+  /** One STAGED routed-assignment projection over a prepared (…, mud)
+    * frame: coarse argmin (O(√K) codegen kernel) → route → shuffle-hash
+    * equi join with the grouped fine-cell frame (hinted: a broadcast
+    * would re-materialize the K-row table on the driver, defeating the
+    * staging) → in-cell argmin via the column-borne [[graft.functions
+    * .CellArgmin]] kernel. Row-for-row identical to [[routedAssignApply]]
+    * (same kernels, same cid-ascending tie rule — StreamingSpec pins the
+    * full sf0.01 replay); the trade is one route-keyed shuffle of the
+    * PROBE side per batch, the q125 contract. */
+  private[graft] def stagedGateAssignApply(t: StagedGateTables,
+      outCol: String)(df: DataFrame): DataFrame =
+    df
+      .withColumn("__ridx",
+        graft.functions.GraftFunctions.centroidArgmin(col("mud"), t.coarse))
+      .withColumn("__route", element_at(typedLit(t.nonEmpty), col("__ridx") + 1))
+      .join(t.cells.hint("shuffle_hash"), Seq("__route"))
+      .withColumn(outCol,
+        graft.functions.GraftFunctions.cellArgmin(col("mud"), col("cc"), col("ids")))
+      .drop("__ridx", "__route", "cc", "ids")
+
   /** One routed-assignment projection (coarse kernel → route → in-cell
     * kernel) — map-only, stateless, shared by the batch lanes and the
     * routed streaming gate. */

@@ -508,6 +508,33 @@ object StreamingOps {
     graft.queries.SimilarityQueries.routedAssignApply(tables, "cid")(
       prepGateVecs(vecs))
 
+  /** The STAGED routed semantic gate — [[streamingSemanticGateRouted]]
+    * with the O(K) broadcast routing state removed (the r12 SCALE.md
+    * residual, shipped): the assignment head reads the gateindexr-written
+    * coarse/fine parquet tables, collects ONLY the O(√K) coarse table
+    * (~180 KB at K = 125,000 vs ~16 MB→O(K) for [[RoutedTables]]), and
+    * meets the K-row fine table — still a distributed frame — in a
+    * shuffle-hash join keyed by the coarse route: the q125 staging
+    * discipline applied to the gate, the form that still fits at
+    * K ≥ 10⁷. Honest trade: the probe batch pays one route-keyed shuffle
+    * per micro-batch (probe-sized, not corpus-sized) where the broadcast
+    * head pays none. Assignment is row-for-row identical to the routed
+    * broadcast head (same kernels, same tie rules — StreamingSpec pins
+    * the full sf0.01 replay through the written parquet layout); the
+    * verify tail and its cid-range sharding ([[semanticGateVerifyShard]])
+    * apply unchanged. */
+  def streamingSemanticGateStaged(vecs: DataFrame,
+      tables: graft.queries.SimilarityQueries.StagedGateTables,
+      cellMembers: DataFrame, minCos: Double = 0.9): DataFrame =
+    semanticVerify(semanticGateAssignStaged(vecs, tables), cellMembers, minCos)
+
+  /** Staged assignment HEAD alone (assign-once sequential-shard
+    * consumers, as [[semanticGateAssign]]). */
+  def semanticGateAssignStaged(vecs: DataFrame,
+      tables: graft.queries.SimilarityQueries.StagedGateTables): DataFrame =
+    graft.queries.SimilarityQueries.stagedGateAssignApply(tables, "cid")(
+      prepGateVecs(vecs))
+
   /** Shared e/nrm/mud preparation of an arriving embedding row — the
     * micro-unit quantization rule (round(x·1e6)) is bit-exactness-
     * critical against the DuckDB oracles and the index build, so the

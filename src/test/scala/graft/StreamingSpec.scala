@@ -362,6 +362,82 @@ class StreamingSpec extends GraftSuite {
     } finally { query.stop(); membersCached.unpersist() }
   }
 
+  test("streamingSemanticGateStaged: staged assignment == broadcast routed " +
+    "assignment row-for-row on the sf0.01 replay, through the written " +
+    "parquet layout, with O(√K) collected routing state") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val sf001 = "/root/testdata/sf0.01"
+    val (tabs, members) = graft.queries.SimilarityQueries
+      .semanticStreamIndexRouted(spark, sf001)
+    val membersCached = members.cache()
+    val dir = java.nio.file.Files.createTempDirectory("graft_staged_gate").toString
+    try {
+      // REAL parquet round-trip: the staged head must read the exact
+      // layout SemScale's gateindexr writer produces (shared frames
+      // helper), not an in-memory shortcut
+      val (coarseDf, fineDf) = graft.queries.SimilarityQueries
+        .routedTablesFrames(spark, tabs)
+      coarseDf.write.parquet(s"$dir/coarse.parquet")
+      fineDf.write.parquet(s"$dir/fine.parquet")
+      val staged = graft.queries.SimilarityQueries.stagedGateTables(
+        spark.read.parquet(s"$dir/coarse.parquet"),
+        spark.read.parquet(s"$dir/fine.parquet"))
+      // the staged head's collected routing state is the coarse table
+      // alone: O(√K) entries, strictly fewer than K fine centroids
+      val kFine = tabs.grouped.map(_.size).sum
+      assert(staged.coarse.length == tabs.nonEmpty.length &&
+        staged.coarse.length <= math.ceil(math.sqrt(kFine.toDouble)).toInt,
+        s"staged coarse table ${staged.coarse.length} rows vs K=$kFine")
+      val vecs = Tables.embeddings(spark, sf001)
+        .select(col("vec_id"), col("embedding"))
+      def cidMap(df: org.apache.spark.sql.DataFrame): Map[Long, Int] =
+        df.select(col("vec_id"), col("cid")).collect()
+          .map(r => r.getLong(0) -> r.getInt(1)).toMap
+      val stagedAssign = cidMap(StreamingOps.semanticGateAssignStaged(vecs, staged))
+      val routedAssign = cidMap(StreamingOps.semanticGateAssignRouted(vecs, tabs))
+      assert(stagedAssign.keySet == routedAssign.keySet,
+        s"coverage differs: ${stagedAssign.size} vs ${routedAssign.size}")
+      routedAssign.foreach { case (k, c) =>
+        assert(stagedAssign(k) == c, s"vec $k: staged=${stagedAssign(k)} routed=$c")
+      }
+      // full gate output parity (verify tail shared, so this pins the
+      // composed operator too)
+      def gateKey(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => r.getAs[Long]("vec_id") ->
+          ((r.getAs[Int]("cid"), r.getAs[Int]("n_cell_members"),
+            r.getAs[Double]("best_cos"), r.getAs[Boolean]("semantic_near_dup"))))
+          .toMap
+      val batchStaged = gateKey(StreamingOps.streamingSemanticGateStaged(
+        vecs, staged, membersCached))
+      val batchRouted = gateKey(StreamingOps.streamingSemanticGateRouted(
+        vecs, tabs, membersCached))
+      assert(batchStaged == batchRouted)
+      // stream ≡ batch on a full replay (the staged head is a stream-static
+      // shuffle join — exercise it under the streaming engine, not just
+      // the batch planner)
+      val mem = MemoryStream[(Long, Seq[Float])]
+      val query = StreamingOps.streamingSemanticGateStaged(
+          mem.toDS().toDF("vec_id", "embedding"), staged, membersCached)
+        .writeStream.format("memory").queryName("semantic_gate_staged_out")
+        .outputMode("append").start()
+      try {
+        val all = vecs.collect().map(r => (r.getAs[Long]("vec_id"),
+          r.getAs[scala.collection.Seq[Float]]("embedding").toSeq))
+        all.grouped(200).foreach { chunk =>
+          mem.addData(chunk.toIndexedSeq)
+          query.processAllAvailable()
+        }
+        val streamed = gateKey(spark.table("semantic_gate_staged_out"))
+        assert(streamed == batchStaged,
+          s"stream drifted from batch: ${streamed.size} vs ${batchStaged.size}")
+      } finally query.stop()
+    } finally {
+      membersCached.unpersist()
+      queries.StagingRoots.deleteRecursively(java.nio.file.Paths.get(dir))
+    }
+  }
+
   test("streamingCurationGate: stateless quality+decontamination flags match batch") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
