@@ -61,4 +61,20 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     packs.map(_._2).reduce(_ ++ _)
+
+  /** Alternate TERMINATING oracle forms for queries whose self-contained
+    * oracleSql does not finish in practical time at large SF, plus the
+    * prerequisite relation each needs materialized iteratively outside
+    * SQL. Dumped by Verify as oracle_prereq.json and consumed by
+    * tools/compare.py; the driver's own gate keeps oracle_sql.json
+    * untouched (the recursive q47 form terminates at the driver's
+    * sf0.01). Keys: kind (the compare.py materializer), table (relation
+    * name the oracle reads), input_sql (what the materializer consumes),
+    * oracle_sql (the alternate oracle). */
+  def oraclePrereq: Map[String, Map[String, String]] = Map(
+    "q47_regime_gated_sweep" -> Map(
+      "kind" -> "laguerre_regime",
+      "table" -> "lag_regime",
+      "input_sql" -> graft.queries.SweepQueries.q47PrereqInputSql,
+      "oracle_sql" -> graft.queries.SweepQueries.q47SqlPrecomputed))
 }

@@ -53,6 +53,14 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // alternate terminating oracle forms + their iterative prerequisites
+    // (tools/compare.py's large-SF path; the driver ignores this file)
+    val prereq = SparkEntry.oraclePrereq
+      .map { case (name, spec) =>
+        s"${q(name)}: ${spec.map { case (k, v) => s"${q(k)}: ${q(v)}" }
+          .mkString("{", ",", "}")}"
+      }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/oracle_prereq.json"), prereq)
     spark.stop()
   }
 }

@@ -375,7 +375,11 @@ object SweepQueries {
       |  FROM rec r
       |  JOIN lt l ON l.event_type = r.event_type AND l.li = r.li)""".stripMargin
 
-  val q47Sql: String = {
+  /** The q47 oracle TAIL (dirs → sweep → metrics) over any prefix CTE
+    * block that defines `bars` and `rbars` (bar columns + regime) — shared
+    * by the recursive form ([[q47Sql]]) and the precomputed form
+    * ([[q47SqlPrecomputed]]) so the two can never drift. */
+  private def q47SqlFrom(prefixCtes: String): String = {
     val formationBlocks = sweepFormations.map { case (name, p) =>
       s"SELECT '$name' AS formation, * FROM signals WHERE $p"
     }.mkString("\n  UNION ALL\n  ")
@@ -384,8 +388,7 @@ object SweepQueries {
     }.mkString("\n  UNION ALL\n  ")
     val gridValues = grid.map { case (n, tp, sl, mb) => s"('$n', $tp, $sl, $mb)" }
       .mkString(", ")
-    s"""${EventBars.duckCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
-       |$laguerreRecCte,
+    s"""$prefixCtes,
        |dirs AS (
        |  SELECT *,
        |    CASE WHEN close > open THEN 1 ELSE 0 END AS dir_0,
@@ -443,6 +446,42 @@ object SweepQueries {
        |GROUP BY formation, regime_gate, barrier_profile
        |ORDER BY formation, regime_gate, barrier_profile""".stripMargin
   }
+
+  val q47Sql: String = q47SqlFrom(
+    s"""${EventBars.duckCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+       |$laguerreRecCte""".stripMargin)
+
+  // ---------------------------------------------------------------------------
+  // q47 PRECOMPUTED oracle — the sf0.1-TERMINATING form. The recursive-CTE
+  // oracle above is exact but runs one recursive iteration per bar index
+  // with a join against `lt` each — it does not terminate in practical
+  // time at sf0.1 (~100k bars/series), which was the single skipped cell
+  // in the round-close gates through r12. The terminating restatement:
+  // the Laguerre rsi/regime series is computed ITERATIVELY outside SQL
+  // (tools/laguerre_proto.py scala_rsi — the Python transliteration of
+  // operators/Laguerre.rsi, validated bit-exact against both the Scala
+  // loop and the recursive SQL at sf0.01) into a registered
+  // lag_regime(event_type, ts_us, event_id, regime) relation, and the
+  // oracle consumes that in place of the recursion; the whole sweep tail
+  // is byte-identical (q47SqlFrom). Ships via oracle_prereq.json (Verify)
+  // for tools/compare.py; the driver's own sf0.01 gate keeps the
+  // self-contained recursive form in oracle_sql.json.
+
+  /** Input the iterative prereq consumes: the bar series, ordered exactly
+    * as the per-series loop walks it. */
+  val q47PrereqInputSql: String =
+    s"""${EventBars.duckCte}
+       |SELECT event_type, ts_us, event_id, high, low, close
+       |FROM bars ORDER BY event_type, ts_us, event_id""".stripMargin
+
+  /** q47 with the recursion replaced by a join against the materialized
+    * lag_regime relation. */
+  val q47SqlPrecomputed: String = q47SqlFrom(
+    s"""${EventBars.duckCte},
+       |rbars AS (
+       |  SELECT b.event_type, b.ts_us, b.event_id, b.open, b.high, b.low,
+       |    b.close, b.rn, lr.regime
+       |  FROM bars b JOIN lag_regime lr USING (event_type, ts_us, event_id))""".stripMargin)
 
   val all: Map[String, Q] = Map(
     "q43_formation_barrier_sweep" -> (q43FormationBarrierSweep _),

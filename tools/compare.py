@@ -3,16 +3,23 @@
 
 Usage: python3 tools/compare.py <sfDir> <verifyOutDir> [skipName,...]
 
-The optional third arg skips named queries (e.g. q47_regime_gated_sweep at
-sf0.1, whose recursive oracle does not terminate in practical time there);
-also, queries whose Spark dump is absent from <verifyOutDir> are skipped
-silently when a filter dumped only a subset.
+The optional third arg skips named queries; queries whose Spark dump is
+absent from <verifyOutDir> are skipped silently when a filter dumped only
+a subset.
 
 Runs each oracle SQL from <verifyOutDir>/oracle_sql.json in DuckDB with the
 sfDir parquet tables registered as views, loads the Spark result parquet from
 <verifyOutDir>/<name>/, sorts columns by name and rows by all values, and
 compares cell-by-cell (exact for non-floats; exact-then-1e-9-relative report
 for floats so we can see how close a mismatch is).
+
+When <verifyOutDir>/oracle_prereq.json names a query, its alternate
+TERMINATING oracle form is used instead: the prerequisite relation is
+materialized iteratively in Python (e.g. the Laguerre RSI recursion — the
+laguerre_proto.scala_rsi transliteration validated bit-exact against both
+the Scala loop and the recursive SQL at sf0.01) and registered before the
+alternate SQL runs. This is what lets q47 run at sf0.1, where the
+self-contained recursive-CTE oracle does not finish in practical time.
 """
 import glob
 import json
@@ -33,6 +40,29 @@ def norm(v):
     return v
 
 
+def materialize_prereq(con, spec):
+    """Register spec['table'] computed iteratively per spec['kind'];
+    returns a cleanup closure."""
+    kind = spec["kind"]
+    if kind != "laguerre_regime":
+        raise ValueError(f"unknown prereq kind: {kind}")
+    from itertools import groupby
+    import pandas as pd
+    import laguerre_proto
+    rows = con.execute(spec["input_sql"]).fetchall()
+    out = []
+    for _, grp in groupby(rows, key=lambda r: r[0]):
+        g = list(grp)
+        rs = laguerre_proto.scala_rsi(
+            [r[3] for r in g], [r[4] for r in g], [r[5] for r in g])
+        for r, v in zip(g, rs):
+            out.append((r[0], r[1], r[2],
+                        0 if v < 0.15 else (2 if v > 0.85 else 1)))
+    df = pd.DataFrame(out, columns=["event_type", "ts_us", "event_id", "regime"])
+    con.register(spec["table"], df)
+    return lambda: con.unregister(spec["table"])
+
+
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     skip = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else set()
@@ -41,6 +71,10 @@ def main():
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    try:
+        prereq = json.load(open(f"{out_dir}/oracle_prereq.json"))
+    except FileNotFoundError:
+        prereq = {}
     n_pass = n_fail = n_skip = 0
     for name, sql in sorted(oracle.items()):
         if name in skip:
@@ -51,12 +85,21 @@ def main():
             # a filtered Verify run dumped only a subset — not a failure
             n_skip += 1
             continue
+        cleanup = None
+        note = ""
         try:
+            if name in prereq:
+                cleanup = materialize_prereq(con, prereq[name])
+                sql = prereq[name]["oracle_sql"]
+                note = f" [precomputed {prereq[name]['kind']}]"
             want = con.execute(sql).fetch_df()
         except Exception as e:
             print(f"FAIL {name}: oracle SQL error: {e}")
             n_fail += 1
             continue
+        finally:
+            if cleanup:
+                cleanup()
         try:
             got = con.execute(
                 f"SELECT * FROM '{out_dir}/{name}/*.parquet'").fetch_df()
@@ -79,7 +122,7 @@ def main():
         grows = sorted([tuple(str(norm(v)) for v in r)
                         for r in got.itertuples(index=False)])
         if wrows == grows:
-            print(f"PASS {name} ({len(want)} rows)")
+            print(f"PASS {name} ({len(want)} rows){note}")
             n_pass += 1
         else:
             bad = sum(1 for a, b in zip(wrows, grows) if a != b)

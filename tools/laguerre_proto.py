@@ -1,8 +1,13 @@
 #!/usr/bin/env python3
-"""Dev-loop prototype: validate that a DuckDB WITH RECURSIVE replay of the
-Laguerre RSI recursion (operators/Laguerre.scala:33-93) is bit-exact against
-a direct Python transliteration of the Scala loop. Not shipped; the winning
-SQL moves into SweepQueries.q47Sql."""
+"""Laguerre RSI oracle support. Two roles:
+(1) dev-loop validator: check the DuckDB WITH RECURSIVE replay of the
+    recursion (operators/Laguerre.scala:33-93) is bit-exact against
+    scala_rsi, the direct Python transliteration of the Scala loop
+    (the winning SQL lives in SweepQueries.q47Sql);
+(2) scala_rsi is IMPORTED by tools/compare.py to materialize the
+    lag_regime prereq relation for q47's terminating oracle form
+    (oracle_prereq.json) — the recursion runs iteratively here because
+    the recursive CTE does not finish in practical time at sf0.1."""
 import sys
 import duckdb
 
