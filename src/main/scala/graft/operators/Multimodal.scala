@@ -7,14 +7,16 @@ import org.apache.spark.sql.functions._
   * video as opaque `binary` columns with typed metadata, plus
   * decode / feature-extract / resize / frame-sample operators.
   *
-  * Decode status by modality: IMAGE is real (JDK javax.imageio PNG,
-  * [[encodeGrayPng]]/[[decodeGray]], q84/q111); AUDIO is real (JDK
-  * javax.sound.sampled WAV, [[encodeWav]]/[[decodeWav]], q115); VIDEO
-  * remains the one documented STUB (`fakeDecode` below — this container
-  * ships no H.264 codec). Everything around the stub — the schema, the
-  * per-partition batching, the frame-sampling arithmetic, the feature
-  * vector shape — is the real Spark plumbing a production decode (JNI
-  * codec / Python `mapInPandas` on a PySpark bridge) would drop into.
+  * Decode status by modality — ALL REAL, pure-JVM codecs: IMAGE via
+  * javax.imageio PNG ([[encodeGrayPng]]/[[decodeGray]], q84/q111);
+  * AUDIO via javax.sound.sampled WAV ([[encodeWav]]/[[decodeWav]],
+  * q115); VIDEO via MJPEG — a concatenated-JPEG elementary stream,
+  * container-split on SOI/EOI markers and frame-decoded with the JDK
+  * JPEG codec ([[encodeMjpeg]]/[[splitMjpegFrames]]/[[decodeGray]],
+  * q128). An H.264-class inter-frame codec would need an external jar
+  * this container doesn't ship; MJPEG is a real production video format
+  * (every frame intra-coded) and exercises the same plumbing — container
+  * parse, frame sampling, per-frame decode.
   *
   * Scale design: payloads never shuffle — every operator here is a
   * projection or a `mapPartitions` over the payload column; features
@@ -44,13 +46,14 @@ object Multimodal {
           (pmod(col("doc_id"), lit(8)) + 1).cast("int").as("n_channels"))
           .as("meta"))
 
-  /** STUB decode: deterministic byte-plane from the opaque payload.
-    * A real implementation would decode JPEG/PCM/H.264 here; the plumbing
-    * (mapPartitions batch shape, output schema) is what this pins down.
+  /** Deterministic 64-byte fingerprint fold over an OPAQUE payload — the
+    * feature-extraction plumbing for payloads whose modality/codec is
+    * unknown or unregistered (the catalog lane, q39): xor-fold into a
+    * fixed plane so downstream feature shapes are realistic without
+    * decoding. Known-codec payloads use the real decoders instead
+    * ([[decodeGray]] / [[decodeWav]] / [[splitMjpegFrames]]).
     */
   def fakeDecode(payload: Array[Byte], plane: Int): Array[Byte] = {
-    // ??? real codec goes here — deterministic fake: xor-fold the payload
-    // into a fixed 64-byte plane so downstream shapes are realistic.
     val out = new Array[Byte](64)
     var i = 0
     while (i < payload.length) {
@@ -169,6 +172,73 @@ object Multimodal {
     javax.sound.sampled.AudioSystem.write(
       ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
     bos.toByteArray
+  }
+
+  /** REAL JPEG encode of a W×H 8-bit grayscale raster at an explicit
+    * compression quality (the JDK JPEG codec; ImageIO.write's format
+    * shortcut offers no quality control). At quality 1.0 a raster that is
+    * CONSTANT WITHIN EACH 8×8 BLOCK round-trips bit-exactly — only the
+    * DC coefficient is non-zero per block and its quantizer divisor is 1
+    * — which is what lets q128's oracle evaluate decoded pixels in
+    * closed form (MultimodalSpec pins the exactness). */
+  def encodeGrayJpeg(w: Int, h: Int, pix: Array[Int],
+      quality: Float = 1.0f): Array[Byte] = {
+    javax.imageio.ImageIO.setUseCache(false)
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { raster.setSample(x, y, 0, pix(y * w + x)); x += 1 }
+      y += 1
+    }
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpg").next()
+    val param = writer.getDefaultWriteParam
+    param.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    param.setCompressionQuality(quality)
+    val baos = new java.io.ByteArrayOutputStream()
+    val out = new javax.imageio.stream.MemoryCacheImageOutputStream(baos)
+    try {
+      writer.setOutput(out)
+      writer.write(null, new javax.imageio.IIOImage(img, null, null), param)
+    } finally { writer.dispose(); out.close() }
+    baos.toByteArray
+  }
+
+  /** REAL MJPEG encode: each frame JPEG-compressed independently (every
+    * frame intra-coded — the defining property of motion-JPEG) and
+    * concatenated into one elementary stream. Frames as (w, h, row-major
+    * gray raster). */
+  def encodeMjpeg(frames: Seq[(Int, Int, Array[Int])]): Array[Byte] = {
+    val baos = new java.io.ByteArrayOutputStream()
+    frames.foreach { case (w, h, pix) => baos.write(encodeGrayJpeg(w, h, pix)) }
+    baos.toByteArray
+  }
+
+  /** REAL MJPEG container parse: split a concatenated-JPEG stream into
+    * frames by SOI (FFD8) / EOI (FFD9) marker scan — the standard MJPEG
+    * elementary-stream walk. Entropy-coded segments escape 0xFF as
+    * 0xFF00 and in-frame markers are restart/define codes, so EOI only
+    * terminates a frame; the JDK writer emits no nested JPEGs (EXIF
+    * thumbnails) that could fool the scan. Fails loudly on truncated or
+    * garbage streams rather than yielding partial frames. */
+  def splitMjpegFrames(clip: Array[Byte]): IndexedSeq[Array[Byte]] = {
+    val frames = scala.collection.mutable.ArrayBuffer[Array[Byte]]()
+    var i = 0
+    while (i < clip.length) {
+      require(i + 1 < clip.length &&
+        (clip(i) & 0xff) == 0xff && (clip(i + 1) & 0xff) == 0xd8,
+        s"MJPEG stream: expected SOI at offset $i")
+      var j = i + 2
+      while (j + 1 < clip.length &&
+          !((clip(j) & 0xff) == 0xff && (clip(j + 1) & 0xff) == 0xd9))
+        j += 1
+      require(j + 1 < clip.length, s"MJPEG stream: frame at $i has no EOI")
+      frames += java.util.Arrays.copyOfRange(clip, i, j + 2)
+      i = j + 2
+    }
+    frames.toIndexedSeq
   }
 
   /** REAL WAV decode: container parse + format header via AudioSystem,

@@ -4,10 +4,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.operators.Multimodal
 
-/** Oracle-checkable surface of the multimodal plumbing: payload metadata,
-  * content hashing and frame-sampling arithmetic (the decode itself is a
-  * stub — see [[graft.operators.Multimodal]]; its outputs are pinned by
-  * MultimodalSpec, not the SQL oracle).
+/** Oracle-checkable surface of the multimodal plumbing: payload metadata
+  * and catalog arithmetic (q39), plus REAL pure-JVM codec lanes for every
+  * modality — image decode (q84) and perceptual-hash dedup (q111), audio
+  * decode (q115), video MJPEG container-walk + frame decode (q128) — each
+  * hash-checked against a closed-form oracle evaluation of the same
+  * rasters/samples (see [[graft.operators.Multimodal]]).
   */
 object MultimodalQueries {
 
@@ -296,9 +298,8 @@ object MultimodalQueries {
   // The DuckDB oracle evaluates the same sample formula directly, so a
   // hash match proves the container round trip is lossless, correctly
   // framed (stereo interleave included) and correctly endianness-handled.
-  // q39's video codec remains the one documented stub. Scale shape:
-  // map-only over doc ids, one clip in flight per row, payloads never
-  // shuffle, source parallelism.
+  // Scale shape: map-only over doc ids, one clip in flight per row,
+  // payloads never shuffle, source parallelism.
   def q115AudioDecode(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
     graft.Tables.documents(spark, d)
@@ -349,15 +350,106 @@ object MultimodalQueries {
       |WHERE k.k < (200 + d.doc_id % 57) * (1 + d.doc_id % 2)
       |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin
 
+  // ---------------------------------------------------------------------------
+  // q128 — REAL video frame decode (MJPEG through the JDK JPEG codec,
+  // closing the video column of the modality matrix: image q84, audio
+  // q115, video q128 — all real). Per document a short clip is
+  // synthesized as BLOCK-CONSTANT grayscale frames (raster constant
+  // within each 8×8 JPEG block), each frame JPEG-encoded at quality 1.0
+  // and concatenated into an MJPEG elementary stream; then the opaque
+  // clip bytes are container-SPLIT on SOI/EOI markers, every 2nd frame
+  // is SAMPLED, and each sampled frame is JPEG-DECODED — every output
+  // statistic comes from the DECODED rasters. Block-constant frames at
+  // quality 1.0 round-trip bit-exactly (only the DC coefficient per
+  // block survives the DCT and its quantizer divisor is 1 —
+  // MultimodalSpec pins the exactness, including through the container
+  // walk), so the DuckDB oracle evaluates the same block formula in
+  // closed form: a hash match proves encode → container parse →
+  // frame-sample → decode end to end. Scale shape: map-only over doc
+  // ids, one clip in flight per row, payloads never shuffle,
+  // aggregate-free projection at source parallelism.
+  def q128VideoDecode(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    graft.Tables.documents(spark, d)
+      .select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val nFrames = (3 + id % 5).toInt
+          val nbx = (1 + id % 2).toInt
+          val nby = (1 + id % 3).toInt
+          val (w, h) = (8 * nbx, 8 * nby)
+          val frames = (0 until nFrames).map { f =>
+            val pix = new Array[Int](w * h)
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                pix(y * w + x) =
+                  ((id * 31 + f * 17 + (y / 8) * 7 + (x / 8) * 13) % 256).toInt
+                x += 1
+              }
+              y += 1
+            }
+            (w, h, pix)
+          }
+          val clip = Multimodal.encodeMjpeg(frames)
+          // everything below reads ONLY the opaque clip bytes
+          val split = Multimodal.splitMjpegFrames(clip)
+          val sampled = split.zipWithIndex.filter(_._2 % 2 == 0)
+          var pixSum = 0L
+          var chk = 0L
+          var dw = 0
+          var dh = 0
+          sampled.foreach { case (jpg, f) =>
+            val (fw, fh, dec) = Multimodal.decodeGray(jpg)
+            dw = fw; dh = fh
+            var i = 0
+            while (i < dec.length) {
+              val bi = (i / fw) / 8
+              val bj = (i % fw) / 8
+              pixSum += dec(i)
+              chk += (f + 1L) * (bi.toLong * (fw / 8) + bj + 1L) * dec(i)
+              i += 1
+            }
+          }
+          (id, split.length, sampled.length, dw, dh, pixSum, chk)
+        }
+      }
+      .toDF("doc_id", "n_frames_total", "n_frames_sampled",
+        "width", "height", "pix_sum", "pix_checksum")
+      .orderBy(col("doc_id"))
+  }
+
+  // the oracle never sees a JPEG byte: it evaluates the block formula in
+  // SQL and must agree with what Spark read back OUT of the decoded,
+  // container-split, frame-sampled stream
+  val q128Sql: String =
+    """SELECT d.doc_id,
+      |  CAST(3 + d.doc_id % 5 AS INT) AS n_frames_total,
+      |  CAST(floor((4 + d.doc_id % 5) / 2.0) AS INT) AS n_frames_sampled,
+      |  CAST(8 * (1 + d.doc_id % 2) AS INT) AS width,
+      |  CAST(8 * (1 + d.doc_id % 3) AS INT) AS height,
+      |  CAST(64 * sum((d.doc_id * 31 + f.f * 17 + bi.i * 7 + bj.j * 13) % 256)
+      |    AS BIGINT) AS pix_sum,
+      |  CAST(64 * sum((f.f + 1) * (bi.i * (1 + d.doc_id % 2) + bj.j + 1)
+      |      * ((d.doc_id * 31 + f.f * 17 + bi.i * 7 + bj.j * 13) % 256))
+      |    AS BIGINT) AS pix_checksum
+      |FROM documents d, range(0, 7) f(f), range(0, 3) bi(i), range(0, 2) bj(j)
+      |WHERE f.f < 3 + d.doc_id % 5 AND f.f % 2 = 0
+      |  AND bi.i < 1 + d.doc_id % 3 AND bj.j < 1 + d.doc_id % 2
+      |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin
+
   val all: Map[String, Q] = Map(
     "q39_multimodal_meta" -> (q39MultimodalMeta _),
     "q84_image_decode" -> (q84ImageDecode _),
     "q111_image_phash" -> (q111ImagePhash _),
-    "q115_audio_decode" -> (q115AudioDecode _))
+    "q115_audio_decode" -> (q115AudioDecode _),
+    "q128_video_decode" -> (q128VideoDecode _))
 
   val oracles: Map[String, String] = Map(
     "q39_multimodal_meta" -> q39Sql,
     "q84_image_decode" -> q84Sql,
     "q111_image_phash" -> q111Sql,
-    "q115_audio_decode" -> q115Sql)
+    "q115_audio_decode" -> q115Sql,
+    "q128_video_decode" -> q128Sql)
 }

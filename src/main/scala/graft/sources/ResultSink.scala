@@ -61,7 +61,11 @@ object ResultSink {
     * JSONL caches; Spark's line-reader splits and decompresses codec'd
     * JSONL transparently on read, so the capability is the codec'd
     * round-trip (gzip here — a brotli Hadoop codec would drop in the same
-    * way, but no JVM brotli codec ships with Spark). */
+    * way, but no JVM brotli codec ships with Spark). Re-audited r13: the
+    * container's only brotli surface is commons-compress's
+    * BrotliCompressorInputStream WRAPPER, which is decompress-only and
+    * itself requires the absent org.brotli:dec jar — there is no codec to
+    * vendor without egress, so gzip remains the documented stand-in. */
   def writeJsonlGz(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).option("compression", "gzip").json(path)
 

@@ -75,4 +75,52 @@ class MultimodalSpec extends GraftSuite {
     val padded = Multimodal.resizePlane(p, 8)
     assert(padded.length == 8 && padded.drop(5).forall(_ == 0))
   }
+
+  test("MJPEG: block-constant gray frames at quality 1.0 round-trip " +
+    "bit-exactly through encode -> container split -> JPEG decode") {
+    // the q128 oracle contract: a raster constant within each 8x8 block
+    // keeps only the DC coefficient per block (quantizer divisor 1 at
+    // quality 1.0), so decode must reproduce every pixel exactly
+    val frames = (0 until 6).map { f =>
+      val (w, h) = (16, 24)
+      val pix = Array.tabulate(w * h) { i =>
+        val (y, x) = (i / w, i % w)
+        (f * 41 + (y / 8) * 7 + (x / 8) * 13) % 256
+      }
+      (w, h, pix)
+    }
+    val clip = Multimodal.encodeMjpeg(frames)
+    val split = Multimodal.splitMjpegFrames(clip)
+    assert(split.length == frames.length,
+      s"container walk found ${split.length} frames, wrote ${frames.length}")
+    // frame boundaries land exactly: re-concatenation is the original clip
+    assert(split.foldLeft(0)(_ + _.length) == clip.length)
+    frames.zip(split).zipWithIndex.foreach { case (((w, h, pix), jpg), f) =>
+      val (dw, dh, dec) = Multimodal.decodeGray(jpg)
+      assert(dw == w && dh == h, s"frame $f decoded ${dw}x$dh, wrote ${w}x$h")
+      assert(dec.sameElements(pix), s"frame $f pixels drifted after JPEG decode")
+    }
+  }
+
+  test("MJPEG container walk fails loudly on truncated / non-JPEG streams") {
+    val clip = Multimodal.encodeMjpeg(
+      Seq((8, 8, Array.fill(64)(128))))
+    intercept[IllegalArgumentException] {
+      Multimodal.splitMjpegFrames(clip.dropRight(2)) // EOI cut off
+    }
+    intercept[IllegalArgumentException] {
+      Multimodal.splitMjpegFrames("not a jpeg".getBytes) // no SOI
+    }
+  }
+
+  test("non-block-constant frames survive the container walk (lossy decode " +
+    "is allowed there; only the q128 fixture class must be exact)") {
+    val (w, h) = (16, 16)
+    val pix = Array.tabulate(w * h)(i => (i * 37) % 256) // per-pixel gradient
+    val clip = Multimodal.encodeMjpeg(Seq((w, h, pix), (w, h, pix)))
+    val split = Multimodal.splitMjpegFrames(clip)
+    assert(split.length == 2)
+    val (dw, dh, dec) = Multimodal.decodeGray(split(1))
+    assert(dw == w && dh == h && dec.length == w * h)
+  }
 }
