@@ -25,6 +25,13 @@ object Sweep {
 
   final case class BarrierCfg(profile: String, tpPct: Double, slPct: Double, maxBars: Int)
 
+  /** One cell of a gen800-style LAGUERRE parameter grid: recursion params
+    * (atrPeriod, adaptiveOffset) + regime thresholds (levelUp/levelDown).
+    * Only the recursion params cost a per-series loop; thresholds fan out
+    * columnar. */
+  final case class LagCfg(name: String, atrPeriod: Int, adaptiveOffset: Double,
+      levelUp: Double, levelDown: Double)
+
   final case class SweepSpec(
       generation: String,
       formations: Seq[(String, String)], // name -> SQL predicate over dir_0/1/2
@@ -36,7 +43,15 @@ object Sweep {
       // 1 neutral / 2 bullish). The default single any-gate keeps the
       // ungated sweep shape (and skips the Laguerre join entirely).
       regimeGates: Seq[(String, String)] = Seq("any_regime" -> "true"),
-      laguerre: operators.Laguerre.Config = operators.Laguerre.Config())
+      laguerre: operators.Laguerre.Config = operators.Laguerre.Config(),
+      // gen800 WIDTH: a grid of Laguerre configs as a sweep axis. When
+      // non-empty the single `laguerre` config is ignored; the sweep runs
+      // the grid's DISTINCT recursions once per series (Laguerre
+      // .attachRsis), and each trade row meets the (lagCfg × gate)
+      // combinations in a broadcast fan-out join AFTER the barrier scan —
+      // outcomes are regime-independent, so the scan cost never multiplies
+      // by the Laguerre axis. Output gains a `lag_cfg` key column.
+      laguerreGrid: Seq[LagCfg] = Seq.empty)
 
   /** Run a sweep and write results + telemetry under `outDir`. Returns the
     * per-(formation, regime_gate, profile) metrics frame. */
@@ -48,8 +63,17 @@ object Sweep {
     // gate dimension: join per-bar Laguerre regime labels only when a gate
     // actually reads them (any_regime-only sweeps pay nothing)
     val needRegimes = spec.regimeGates.exists(_._2.trim != "true")
+    val gridMode = spec.laguerreGrid.nonEmpty
+    // the Laguerre-grid axis needs only its DISTINCT recursions computed
+    // per series; thresholds are columnar downstream
+    val recs: Seq[(Int, Double)] =
+      spec.laguerreGrid.map(c => (c.atrPeriod, c.adaptiveOffset)).distinct
+    val recIdx: Map[(Int, Double), Int] = recs.zipWithIndex.toMap
     val withRegime =
-      if (!needRegimes) bars.withColumn("regime", lit(1))
+      if (gridMode)
+        operators.Laguerre.attachRsis(bars, recs.map { case (ap, ao) =>
+          operators.Laguerre.Config(atrPeriod = ap, adaptiveOffset = ao) })
+      else if (!needRegimes) bars.withColumn("regime", lit(1))
       else operators.Laguerre.attachRegimes(bars, spec.laguerre).drop("rsi")
     val flagged = withRegime
       .withColumn("dir_0", BarFrame.direction(col("open"), col("close")))
@@ -83,25 +107,52 @@ object Sweep {
     // signal, so the array scan runs once per (signal × barrier config)
     // and the stacks explode narrow outcome rows — a signal firing f
     // formations costs one scan, not f
+    val regimeCols =
+      if (gridMode) Seq(col("rsis")) else Seq(col("regime"))
     val scanned = Barriers.tripleBarrier(sig.crossJoin(broadcast(gridDf)))
-      .select(col("dir_0"), col("dir_1"), col("dir_2"), col("regime"),
+      .select(Seq(col("dir_0"), col("dir_1"), col("dir_2")) ++ regimeCols ++ Seq(
         col("barrier_profile"), col("tp_pct"), col("sl_pct"), col("max_bars"),
-        col("entry_price"), col("exit_type"), col("exit_bar"), col("exit_price"))
-    val trades = scanned
+        col("entry_price"), col("exit_type"), col("exit_bar"), col("exit_price")): _*)
+    val tagged = scanned
       .select(col("*"), expr(stackExpr)).filter(col("flag") === 1)
-      .select(col("*"), expr(gateStack)).filter(col("gate_flag") === 1)
+    val (trades, keyCols) =
+      if (!gridMode) {
+        (tagged.select(col("*"), expr(gateStack)).filter(col("gate_flag") === 1),
+          Seq(col("formation"), col("regime_gate"), col("barrier_profile")))
+      } else {
+        // the Laguerre-grid fan-out: every (lagCfg × gate) combination as a
+        // broadcast table joined AFTER the scan — the scan ran once per
+        // (signal × barrier), and only narrow outcome rows multiply by the
+        // Laguerre axis. The gate predicates read `regime`; in grid mode
+        // each row's regime is this config's thresholding of its
+        // recursion's rsi, so the predicate text substitutes the CASE.
+        val lagGateDf = (for {
+          c <- spec.laguerreGrid; (g, _) <- spec.regimeGates
+        } yield (c.name, g, recIdx((c.atrPeriod, c.adaptiveOffset)) + 1,
+          c.levelUp, c.levelDown))
+          .toDF("lag_cfg", "regime_gate", "rec_idx", "lu", "ld")
+        val caseRegime = "(CASE WHEN element_at(rsis, rec_idx) < ld THEN 0 " +
+          "WHEN element_at(rsis, rec_idx) > lu THEN 2 ELSE 1 END)"
+        val gateFlag = spec.regimeGates.map { case (n, p) =>
+          s"WHEN regime_gate = '$n' THEN (${p.replace("regime", caseRegime)})"
+        }.mkString("CASE ", " ", " ELSE false END")
+        (tagged.crossJoin(broadcast(lagGateDf)).filter(expr(gateFlag)),
+          Seq(col("formation"), col("lag_cfg"), col("regime_gate"),
+            col("barrier_profile")))
+      }
     val metrics = Barriers
-      .metricsAgg(trades, col("formation"), col("regime_gate"), col("barrier_profile"),
-        col("tp_pct"), col("sl_pct"), col("max_bars"))
+      .metricsAgg(trades, keyCols ++ Seq(
+        col("tp_pct"), col("sl_pct"), col("max_bars")): _*)
       .withColumn("generation", lit(spec.generation))
 
     ResultSink.overwritePartitions(metrics, s"$outDir/results",
       Seq("generation", "formation"))
     val wallS = (System.nanoTime() - t0) / 1e9
     val telemetry = Seq((spec.generation, spec.formations.size, spec.grid.size,
-      spec.regimeGates.size, wallS, java.time.Instant.now().toString))
+      spec.regimeGates.size, math.max(1, spec.laguerreGrid.size), wallS,
+      java.time.Instant.now().toString))
       .toDF("generation", "n_formations", "n_barriers", "n_regime_gates",
-        "wall_s", "finished_at")
+        "n_laguerre", "wall_s", "finished_at")
     ResultSink.appendJsonl(telemetry, s"$outDir/telemetry")
     sig.unpersist()
     metrics

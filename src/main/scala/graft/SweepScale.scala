@@ -60,7 +60,7 @@ object SweepScale {
       // gen600 width: 14 × 3 × 7,200 = 302,400 ≈ the reference's 300,960
       // (scripts/gen600/generate.sh:107-176)
       (if (args.contains("big")) Seq(("sweep300k", 20, 18, 20)) else Seq.empty)
-    steps.foreach { case (gen, nTp, nSl, nMb) =>
+    if (!args.contains("gen800only")) steps.foreach { case (gen, nTp, nSl, nMb) =>
       val g = grid(nTp, nSl, nMb)
       val spec = Sweep.SweepSpec(gen, formations, g, regimeGates = gates)
       val t0 = System.nanoTime()
@@ -69,6 +69,40 @@ object SweepScale {
       val wall = (System.nanoTime() - t0) / 1e9
       val nCfg = formations.size * gates.size * g.size
       println(f"""{"step":"$gen","n_configs":$nCfg,"result_rows":$n,"wall_s":$wall%.1f}""")
+    }
+    // gen800 width (scripts/gen800_sweep.py:6): 288 Laguerre configs ×
+    // (5 patterns × 3 gates × 20 barriers) = 86,400 configs. The Laguerre
+    // axis costs its 12 DISTINCT recursions once per series
+    // (Laguerre.attachRsis); thresholds and gates fan out columnar after
+    // the barrier scan, so the scan never multiplies by the 288.
+    if (args.contains("gen800") || args.contains("gen800only")) {
+      val lagGrid = for {
+        ap <- Seq(14, 32, 64, 100)
+        lu <- Seq(0.60, 0.65, 0.70, 0.75, 0.80, 0.85)
+        ld <- Seq(0.10, 0.15, 0.25, 0.40)
+        ao <- Seq(0.50, 0.75, 1.00)
+      } yield Sweep.LagCfg(s"ap${ap}_lu${lu}_ld${ld}_ao$ao", ap, ao, lu, ld)
+      // the reference's 5 patterns (gen800_sweep.py PATTERNS), dir-grid form
+      val five = Seq(
+        "p3_000" -> "(dir_2 = 0 AND dir_1 = 0 AND dir_0 = 0)", // 3down
+        "p3_100" -> "(dir_2 = 1 AND dir_1 = 0 AND dir_0 = 0)", // udd
+        "p3_010" -> "(dir_2 = 0 AND dir_1 = 1 AND dir_0 = 0)", // dud
+        "p2_00" -> "(dir_1 = 0 AND dir_0 = 0)",                // 2down
+        "p1_0" -> "(dir_0 = 0)")                               // wl1d slot
+      val gates800 = Seq(
+        "bullish_only" -> "(regime = 2)",
+        "not_bearish" -> "(regime >= 1)",
+        "any_regime" -> "true")
+      val g = grid(5, 2, 2) // 20 barrier profiles
+      val spec = Sweep.SweepSpec("gen800", five, g,
+        regimeGates = gates800, laguerreGrid = lagGrid)
+      val t0 = System.nanoTime()
+      val out = Sweep.run(spark, sfDir, spec, outDir)
+      val n = out.count()
+      val wall = (System.nanoTime() - t0) / 1e9
+      val nCfg = five.size * gates800.size * g.size * lagGrid.size
+      println(f"""{"step":"gen800","n_configs":$nCfg,"n_laguerre":${lagGrid.size},""" +
+        f""""result_rows":$n,"wall_s":$wall%.1f}""")
     }
     spark.stop()
   }

@@ -128,6 +128,40 @@ object Laguerre {
     out.toDF()
   }
 
+  /** Multi-recursion attachment for the gen800-width sweep
+    * (scripts/gen800_sweep.py:31-60 sweeps a LAGUERRE PARAMETER grid):
+    * runs N recursions — the grid's distinct (atrPeriod, adaptiveOffset)
+    * pairs; the level thresholds never enter the recursion, so a
+    * 288-config grid needs only its 12 distinct recursions here — over
+    * ONE buffered pass per series and appends `rsis` (cfg-ordered array).
+    * Cost: the same single groupByKey exchange as [[attachRegimes]] plus
+    * N sequential O(n) loops per buffered series — parallel ACROSS
+    * series×partitions like every other lane of the sweep; thresholds and
+    * gates fan out columnar downstream (Sweep.run's laguerreGrid path). */
+  def attachRsis(bars: DataFrame, cfgs: Seq[Config]): DataFrame = {
+    val schema = bars.schema.add("rsis",
+      org.apache.spark.sql.types.ArrayType(DoubleType, containsNull = false))
+    val etIdx = bars.schema.fieldIndex("event_type")
+    val tsIdx = bars.schema.fieldIndex("ts_us")
+    val eidIdx = bars.schema.fieldIndex("event_id")
+    val hIdx = bars.schema.fieldIndex("high")
+    val lIdx = bars.schema.fieldIndex("low")
+    val cIdx = bars.schema.fieldIndex("close")
+    val grouped = bars.groupByKey((r: Row) => r.getString(etIdx))(Encoders.STRING)
+    val out = grouped.flatMapGroups { (_: String, it: Iterator[Row]) =>
+      val rows = it.toArray.sortBy(r => (r.getLong(tsIdx), r.getLong(eidIdx)))
+      val highs = rows.map(_.getDouble(hIdx))
+      val lows = rows.map(_.getDouble(lIdx))
+      val closes = rows.map(_.getDouble(cIdx))
+      val rs: Array[Array[Double]] =
+        cfgs.map(c => rsi(highs, lows, closes, c)).toArray
+      rows.iterator.zipWithIndex.map { case (row, i) =>
+        Row.fromSeq(row.toSeq :+ rs.map(_(i)).toSeq)
+      }
+    }(Encoders.row(schema))
+    out.toDF()
+  }
+
   def withRegimes(bars: DataFrame, cfg: Config = Config()): Dataset[LaguerreRow] = {
     val spark = bars.sparkSession
     import spark.implicits._

@@ -124,6 +124,68 @@ class SweepSpec extends GraftSuite {
       assert(census.getOrElse(g, 0L) == n, s"census mismatch for $g")
   }
 
+  test("gen800 laguerreGrid mode: the default-config cell reproduces the " +
+    "single-config gated sweep row-for-row; thresholds fan out monotonically") {
+    import org.apache.spark.sql.Row
+    val formations = Seq("2down_ng" -> "(dir_1 = 0 AND dir_0 = 0)")
+    val gates = Seq(
+      "bullish_only" -> "(regime = 2)",
+      "not_bearish" -> "(regime >= 1)",
+      "any_regime" -> "true")
+    // one cell IS the default Laguerre config; one differs in the
+    // recursion axis, one only in the threshold axis (shares a recursion)
+    val lagGrid = Seq(
+      Sweep.LagCfg("default", 32, 0.75, 0.85, 0.15),
+      Sweep.LagCfg("fastrec", 14, 1.0, 0.85, 0.15),
+      Sweep.LagCfg("widethr", 32, 0.75, 0.60, 0.40))
+    val gridRun = Sweep.run(spark, sf, SweepSpec("g800grid", formations, grid,
+      regimeGates = gates, laguerreGrid = lagGrid),
+      Files.createTempDirectory("graft_sweep800").toString)
+    val single = Sweep.run(spark, sf, SweepSpec("g800one", formations, grid,
+      regimeGates = gates),
+      Files.createTempDirectory("graft_sweep801").toString)
+    val cols = Seq("formation", "regime_gate", "barrier_profile",
+      "total_signals", "tp_count", "sl_count", "time_count",
+      "win_rate", "profit_factor")
+    def key(r: Row) = (r.getString(0), r.getString(1), r.getString(2))
+    val defSlice = gridRun.filter(col("lag_cfg") === "default")
+      .select(cols.map(col): _*).collect().map(r => key(r) -> r).toMap
+    val one = single.select(cols.map(col): _*).collect()
+      .map(r => key(r) -> r).toMap
+    assert(defSlice.keySet == one.keySet,
+      s"grid default cell keys drifted: ${defSlice.keySet diff one.keySet}")
+    for ((k, a) <- defSlice; b = one(k)) {
+      (3 to 6).foreach(i => assert(a.getLong(i) == b.getLong(i), s"$k col $i"))
+      (7 to 8).foreach { i =>
+        assert(a.isNullAt(i) == b.isNullAt(i), s"$k col $i null drift")
+        if (!a.isNullAt(i)) {
+          val (x, y) = (a.getDouble(i), b.getDouble(i))
+          assert(math.abs(x - y) <= 1e-9 * math.max(1.0, math.abs(y)),
+            s"$k col $i: $x vs $y")
+        }
+      }
+    }
+    // threshold fan-out laws on the SHARED recursion (default vs widethr):
+    // lower levelUp admits more bullish bars; higher levelDown removes
+    // more not_bearish bars; any_regime never reads thresholds
+    def counts(cfg: String): Map[(String, String), Long] =
+      gridRun.filter(col("lag_cfg") === cfg).collect()
+        .map(r => (r.getAs[String]("regime_gate"),
+          r.getAs[String]("barrier_profile")) -> r.getAs[Long]("total_signals"))
+        .toMap
+    val (d, wt, fr) = (counts("default"), counts("widethr"), counts("fastrec"))
+    for (p <- grid.map(_.profile)) {
+      assert(wt.getOrElse(("bullish_only", p), 0L) >=
+        d.getOrElse(("bullish_only", p), 0L), s"lu 0.60 lost bullish bars at $p")
+      assert(wt.getOrElse(("not_bearish", p), 0L) <=
+        d.getOrElse(("not_bearish", p), 0L), s"ld 0.40 kept extra bars at $p")
+      val anyD = d.getOrElse(("any_regime", p), 0L)
+      assert(wt.getOrElse(("any_regime", p), 0L) == anyD &&
+        fr.getOrElse(("any_regime", p), 0L) == anyD,
+        s"any_regime drifted across Laguerre cells at $p")
+    }
+  }
+
   test("q47 regime-gated sweep query: any_regime slice reproduces q43 rows") {
     val q47 = queries.SweepQueries.q47RegimeGatedSweep(spark, sf)
     val anySlice = q47.filter(col("regime_gate") === "any_regime")
