@@ -50,6 +50,12 @@ import org.apache.spark.sql.functions._
   *                                tables + members by routed cid): same
   *                                broadcast footprint, O(√K) assignment
   *                                kernel instead of O(K).
+  *   gateindexrs <src> <dst> [targetCell]
+  *                              — STAGED build of the same routed layout
+  *                                (q125 discipline: no O(K) driver state
+  *                                in the build either) — the 8 g-default
+  *                                path at K where the kernel build needs
+  *                                32 g.
   *   gate <src> <idx> [S] [mod] [union|seq|seqa|stga]
   *                              — the streaming semantic gate (batch twin,
   *                                stream ≡ batch pinned by StreamingSpec)
@@ -303,6 +309,51 @@ object SemScale {
           f""""build_wall_sec":$buildWall%.1f,""" +
           s""""build_peak_heap_mb":${heapPeakMb()},"xmx_mb":${xmxMb()}}""")
 
+      case "gateindexrs" =>
+        // STAGED twin of `gateindexr`: the same routed-index LAYOUT built
+        // through the q125 staging discipline — seeds by banded
+        // distributed sort, O(√K) coarse collect only, fine table and
+        // Lloyd update as frames, assignment via the shuffle-hash +
+        // CellArgmin path. The kernel build's driver state (K-row seed
+        // and Lloyd collects + the K·65-long reference arrays) made IT
+        // the K-axis heap ceiling (29.3 GB at K=250k/2M vectors); this
+        // build is the one that fits the 8 g dev default at the same K.
+        // Geometry is bit-identical (SemDedupStagedSpec pins the tables),
+        // so gate rows against this index must reproduce gateindexr's
+        // flag counts exactly.
+        val src = args(1)
+        val dst = args(2)
+        val tc = args.lift(3).map(_.toInt)
+          .getOrElse(queries.SimilarityQueries.TargetCell)
+        val spark = session()
+        val n = Tables.embeddings(spark, src).count()
+        resetHeapPeaks()
+        dropOtherLayout(dst, routed = true)
+        val (k, buildWall) = time {
+          val (coarse, fineRouted, m) = queries.SimilarityQueries
+            .semanticStreamIndexStaged(spark, src, tc)
+          m.repartitionByRange(32, col("cid")).sortWithinPartitions("cid")
+            .write.mode("overwrite").parquet(s"$dst/members.parquet")
+          val fineOut = fineRouted.select(col("fr").as("ccid"), col("cid"),
+            expr("transform(smud, v -> CAST(v AS BIGINT))").as("cmud"))
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          fineOut.repartition(1).write.mode("overwrite")
+            .parquet(s"$dst/fine.parquet")
+          // O(√K): the non-empty coarse ids — the only collected state
+          val nonEmpty = fineOut.select(col("ccid")).distinct().collect()
+            .map(_.getInt(0)).sorted.toSeq
+          import spark.implicits._
+          nonEmpty.map(cc => (cc, coarse(cc)))
+            .toDF("ccid", "cmud")
+            .repartition(1).write.mode("overwrite").parquet(s"$dst/coarse.parquet")
+          fineOut.count()
+        }
+        println(s"""{"mode":"gateindexrs","src":"$src","dst":"$dst",""" +
+          s""""n_vectors":$n,"k":$k,""" +
+          s""""index_payload_mb":${n * 272 / 1000000},""" +
+          f""""build_wall_sec":$buildWall%.1f,""" +
+          s""""build_peak_heap_mb":${heapPeakMb()},"xmx_mb":${xmxMb()}}""")
+
       case "gate" =>
         // The streaming semantic gate at its design regime: a 2M-vector
         // static reference corpus, whose member index (~272 B/vector raw:
@@ -445,7 +496,7 @@ object SemScale {
 
       case other =>
         System.err.println(s"unknown mode: $other " +
-          "(staged|census|blobfix|dedup|gateindex|gateindexr|gate)")
+          "(staged|census|blobfix|dedup|gateindex|gateindexr|gateindexrs|gate)")
         sys.exit(2)
     }
   }

@@ -833,15 +833,11 @@ object SimilarityQueries {
   // codegen'd kernel; nothing here shuffles the corpus.
   def q126SemanticGateCensus(spark: SparkSession, d: String): DataFrame = {
     val (cents, members) = semanticStreamIndex(spark, d)
-    graft.streaming.StreamingOps.streamingSemanticGateSharded(
-        Tables.embeddings(spark, d).select(col("vec_id"), col("embedding")),
-        cents, members, nShards = 4)
-      .select(col("vec_id"), col("cid"),
-        col("n_cell_members").cast("long").as("n_cell_members"),
-        // + 0.0 normalizes a rounded -0.0 (the compare.py discipline)
-        (col("best_cos") + lit(0.0)).as("best_cos"),
-        col("semantic_near_dup").cast("int").as("semantic_near_dup"))
-      .orderBy(col("vec_id"))
+    // + 0.0 in the shared projection normalizes a rounded -0.0 (the
+    // compare.py discipline)
+    gateCensusProjection(graft.streaming.StreamingOps.streamingSemanticGateSharded(
+      Tables.embeddings(spark, d).select(col("vec_id"), col("embedding")),
+      cents, members, nShards = 4))
   }
 
   /** The gate-census SQL tail over any kmeans CTE block that defines
@@ -884,14 +880,38 @@ object SimilarityQueries {
   // the q126 census tail.
   def q127SemanticGateRoutedCensus(spark: SparkSession, d: String): DataFrame = {
     val (tabs, members) = semanticStreamIndexRouted(spark, d)
-    graft.streaming.StreamingOps.streamingSemanticGateRouted(
-        Tables.embeddings(spark, d).select(col("vec_id"), col("embedding")),
-        tabs, members)
+    gateCensusProjection(graft.streaming.StreamingOps.streamingSemanticGateRouted(
+      Tables.embeddings(spark, d).select(col("vec_id"), col("embedding")),
+      tabs, members))
+  }
+
+  /** Shared census projection of the gate twins (q126/q127/q129). */
+  private def gateCensusProjection(gated: DataFrame): DataFrame =
+    gated
       .select(col("vec_id"), col("cid"),
         col("n_cell_members").cast("long").as("n_cell_members"),
         (col("best_cos") + lit(0.0)).as("best_cos"),
         col("semantic_near_dup").cast("int").as("semantic_near_dup"))
       .orderBy(col("vec_id"))
+
+  // ---------------------------------------------------------------------------
+  // q129 — the STAGED routed gate's batch twin (r13): the q127 census run
+  // through streamingSemanticGateStaged — the assignment head with the
+  // O(K) broadcast routing state replaced by the q125 staging discipline
+  // (O(√K) collected coarse table; the K-row fine table stays a
+  // distributed frame met in a shuffle-hash join). Same cell geometry and
+  // verify tail as q127, so the oracle IS q127's verbatim — the q105/q112
+  // "skew/scale-proof twin shares the oracle" pattern. Measured at
+  // 2M vectors (SCALE.md r13): 18-22 s per 100k-probe batch at
+  // K=125k-250k in 2.9-3.4 GB, vs the broadcast head's 42-57 s one
+  // doubling from OOM — this is the gate head that survives K ≥ 10⁷.
+  def q129SemanticGateStagedCensus(spark: SparkSession, d: String): DataFrame = {
+    val (tabs, members) = semanticStreamIndexRouted(spark, d)
+    val (coarseDf, fineDf) = routedTablesFrames(spark, tabs)
+    val staged = stagedGateTables(coarseDf, fineDf)
+    gateCensusProjection(graft.streaming.StreamingOps.streamingSemanticGateStaged(
+      Tables.embeddings(spark, d).select(col("vec_id"), col("embedding")),
+      staged, members))
   }
 
   // ---------------------------------------------------------------------------
@@ -1167,7 +1187,22 @@ object SimilarityQueries {
   }
 
   private def routedAssignStagedFrom(v: DataFrame,
-      targetCell: Int = TargetCell): DataFrame = {
+      targetCell: Int = TargetCell): DataFrame =
+    routedAssignStagedWithTables(v, targetCell)._3
+
+  /** As [[routedAssignStagedFrom]], also returning the routing tables in
+    * their STAGED (never-collected-beyond-√K) form: the coarse table and
+    * the final fine-centroid FRAME with its coarse route attached
+    * (fr, cid, smud) — everything the staged gate-index writer
+    * ([[SemScale]] `gateindexrs`) persists as coarse/fine parquet. The
+    * geometry is bit-identical to [[routedAssignWithTables]]' (same
+    * banded md5-rank seeds, same kernels and tie rules, same HALF_UP
+    * Lloyd update — SemDedupStagedSpec pins the assignments row-for-row
+    * and the index spec pins the written tables), so a staged-built index
+    * is interchangeable with a kernel-built one. */
+  private[graft] def routedAssignStagedWithTables(v: DataFrame,
+      targetCell: Int = TargetCell)
+      : (Seq[Seq[Long]], DataFrame, DataFrame) = {
     import org.apache.spark.storage.StorageLevel
     val n = v.count()
     val k = math.max(1, math.ceil(n / targetCell.toDouble).toInt)
@@ -1214,8 +1249,36 @@ object SimilarityQueries {
     val fine2 = seeds.join(sums, seeds("cid") === sums("c1"), "left")
       .select(col("cid"), coalesce(col("umud"), col("smud")).as("smud"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    assign(fine2, "cid")(a1)
+    val assigned = assign(fine2, "cid")(a1)
       .persist(StorageLevel.MEMORY_AND_DISK)
+    val fineRouted = fine2
+      .withColumn("fr",
+        graft.functions.GraftFunctions.centroidArgmin(col("smud"), coarse))
+      .select(col("fr"), col("cid"), col("smud"))
+    (coarse, fineRouted, assigned)
+  }
+
+  /** STAGED gate-index build: the gateindexr layout produced with the
+    * q125 staging discipline, so the BUILD carries no O(K) driver state
+    * either — the r13 staged-gate rung moved the K-axis heap ceiling onto
+    * the kernel build (29.3 GB at K = 250k on 2M vectors); this is the
+    * build that fits the 8 g default at the same K. Returns (full coarse
+    * table — O(√K), the routed fine-centroid frame (fr, cid, smud), the
+    * per-cell member frame). Geometry is bit-identical to
+    * [[semanticStreamIndexRouted]]'s (SemDedupStagedSpec pins the written
+    * tables and the member assignment). */
+  private[graft] def semanticStreamIndexStaged(spark: SparkSession, d: String,
+      targetCell: Int = TargetCell): (Seq[Seq[Long]], DataFrame, DataFrame) = {
+    import org.apache.spark.storage.StorageLevel
+    val v = withNorm(spark, d)
+      .withColumn("mud",
+        transform(col("e"), x => round(x * lit(1e6)).cast("long").cast("double")))
+      .repartition(col("vec_id"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val (coarse, fineRouted, a2) = routedAssignStagedWithTables(v, targetCell)
+    val members = a2.groupBy(col("cid"))
+      .agg(collect_list(struct(col("vec_id"), col("e"), col("nrm"))).as("members"))
+    (coarse, fineRouted, members)
   }
 
   /** q125 — exact-first collapse ∘ STAGED routed assignment ∘ census.
@@ -2276,6 +2339,7 @@ object SimilarityQueries {
     "q125_semantic_dedup_staged" -> (q125SemanticDedupStaged _),
     "q126_semantic_gate_census" -> (q126SemanticGateCensus _),
     "q127_semantic_gate_routed" -> (q127SemanticGateRoutedCensus _),
+    "q129_semantic_gate_staged" -> (q129SemanticGateStagedCensus _),
     "q119_semantic_dedup_capped" -> (q119SemanticDedupCapped _),
     "q90_diversity_sample" -> (q90DiversitySample _),
     "q76_ann_sq8" -> (q76AnnSq8 _),
@@ -2294,6 +2358,10 @@ object SimilarityQueries {
     "q125_semantic_dedup_staged" -> q118Sql,
     "q126_semantic_gate_census" -> q126Sql,
     "q127_semantic_gate_routed" -> q127Sql,
+    // q129 shares q127's oracle verbatim: same cell geometry, same census
+    // tail — only the assignment head's physical placement differs (the
+    // q105/q112 twin-shares-the-oracle pattern)
+    "q129_semantic_gate_staged" -> q127Sql,
     "q119_semantic_dedup_capped" -> q119Sql,
     "q90_diversity_sample" -> q90Sql,
     "q76_ann_sq8" -> q76Sql,

@@ -271,4 +271,34 @@ class PlanShapeSpec extends GraftSuite {
         && !p.contains("BroadcastNestedLoopJoin"),
       s"the probe side must never shuffle or cross-join for the gate:\n$p")
   }
+
+  test("q129 staged gate: in-cell assignment is the column-borne cell_argmin " +
+    "behind a SHUFFLE-hash cell join (no K-row broadcast), verify stays the " +
+    "one member broadcast join") {
+    val p = plan(SimilarityQueries.q129SemanticGateStagedCensus(spark, sf))
+    assert(p.contains("cell_argmin"),
+      s"staged in-cell assignment must run the column-borne kernel:\n$p")
+    assert(p.contains("ShuffledHashJoin"),
+      s"the K-row fine-cell table must meet probes in a SHUFFLE join " +
+        s"(a broadcast would re-materialize K on the driver):\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct")
+        && !p.contains("BroadcastNestedLoopJoin"),
+      s"no sort-merge/cartesian anywhere in the staged gate:\n$p")
+    // the HEAD alone (no member-index lineage, whose BUILD legitimately
+    // uses the routed kernel): coarse flat kernel yes, K-row routed
+    // broadcast kernel NO, zero broadcast joins — the fine table never
+    // reaches the driver
+    val (tabs, _) = SimilarityQueries.semanticStreamIndexRouted(spark, sf)
+    val (coarseDf, fineDf) = SimilarityQueries.routedTablesFrames(spark, tabs)
+    val head = plan(graft.streaming.StreamingOps.semanticGateAssignStaged(
+      Tables.embeddings(spark, sf).select("vec_id", "embedding"),
+      SimilarityQueries.stagedGateTables(coarseDf, fineDf)))
+    assert(head.contains("centroid_argmin("),
+      s"coarse routing must run the flat kernel over the √K seeds:\n$head")
+    assert(!head.contains("centroid_argmin_routed"),
+      s"the staged head must NOT rebuild the K-row broadcast kernel:\n$head")
+    assert(!head.contains("BroadcastHashJoin"),
+      s"no broadcast join in the assignment head (the cells join must " +
+        s"shuffle):\n$head")
+  }
 }

@@ -72,4 +72,41 @@ class SemDedupStagedSpec extends GraftSuite {
       s"route ids must lie in [0, $k1)")
     assert(rows.map(_.getAs[Int]("fr")).distinct.length == rows.length)
   }
+
+  test("staged gate-index build writes the SAME tables as the kernel build " +
+    "(coarse, fine, member assignment) — the indexes are interchangeable") {
+    val sf001 = "/root/testdata/sf0.01"
+    val (tabs, membersR) = SimilarityQueries.semanticStreamIndexRouted(spark, sf001)
+    val (coarseDfR, fineDfR) = SimilarityQueries.routedTablesFrames(spark, tabs)
+    val (coarseS, fineS, membersS) =
+      SimilarityQueries.semanticStreamIndexStaged(spark, sf001)
+    // fine tables: same (ccid, cid, centroid) triples
+    def fineKey(rows: Array[org.apache.spark.sql.Row], vecIdx: Int,
+        toLong: Any => Long): Set[(Int, Int, Seq[Long])] =
+      rows.map(r => (r.getInt(0), r.getInt(1),
+        r.getSeq[Any](vecIdx).map(toLong))).toSet
+    val fineKernel = fineKey(fineDfR.collect(), 2, _.asInstanceOf[Long])
+    val fineStaged = fineKey(fineS.collect(), 2,
+      v => v.asInstanceOf[Double].toLong)
+    assert(fineStaged == fineKernel,
+      s"fine tables drifted: ${(fineStaged diff fineKernel).take(2)} / " +
+        s"${(fineKernel diff fineStaged).take(2)}")
+    // coarse tables: the kernel build writes only NON-EMPTY cells; the
+    // staged writer derives the same restriction from the fine routes
+    val nonEmptyS = fineStaged.map(_._1).toSeq.distinct.sorted
+    val kernelCoarse = coarseDfR.collect()
+      .map(r => r.getInt(0) -> r.getSeq[Long](1)).toMap
+    assert(nonEmptyS == kernelCoarse.keySet.toSeq.sorted)
+    nonEmptyS.foreach(cc => assert(coarseS(cc) == kernelCoarse(cc).toSeq,
+      s"coarse vector drifted at ccid $cc"))
+    // member ASSIGNMENT: every vector in the same fine cell in both builds
+    def assignMap(m: org.apache.spark.sql.DataFrame): Map[Long, Int] =
+      m.select(col("cid"), explode(col("members")).as("mm"))
+        .select(col("mm.vec_id"), col("cid")).collect()
+        .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val aR = assignMap(membersR)
+    val aS = assignMap(membersS)
+    assert(aS == aR, s"assignments drifted: ${(aS.toSet diff aR.toSet).take(3)}")
+    assert(aR.nonEmpty)
+  }
 }
