@@ -256,19 +256,11 @@ object SemScale {
         dropOtherLayout(dst, routed = false)
         val (cents, buildWall) = time {
           val (c, m) = queries.SimilarityQueries.semanticStreamIndex(spark, src, tc)
-          // range-partitioned index layout: each cid-range shard's broadcast
-          // build then scans only ITS files/row-groups (the plain groupBy
-          // output scatters cids across every file, and S concurrently-
-          // materializing shard broadcasts each re-read the WHOLE index —
-          // measured: 8 unpruned concurrent 519 MB scans OOM'd an 8g gate
-          // JVM that the pruned layout serves comfortably)
-          m.repartitionByRange(32, col("cid")).sortWithinPartitions("cid")
-            .write.mode("overwrite").parquet(s"$dst/members.parquet")
+          // shared layout writer (range-partitioned members: each cid-range
+          // shard's broadcast build scans only ITS files/row-groups)
+          queries.SimilarityQueries.writeGateIndexFlat(spark, dst, c, m)
           c
         }
-        import spark.implicits._
-        cents.zipWithIndex.map(_.swap).toDF("cid", "cent")
-          .repartition(1).write.mode("overwrite").parquet(s"$dst/cents.parquet")
         println(s"""{"mode":"gateindex","src":"$src","dst":"$dst",""" +
           s""""n_vectors":$n,"k":${cents.length},""" +
           s""""index_payload_mb":${n * 272 / 1000000},""" +
@@ -293,14 +285,7 @@ object SemScale {
         val (k, buildWall) = time {
           val (tabs, m) = queries.SimilarityQueries
             .semanticStreamIndexRouted(spark, src, tc)
-          m.repartitionByRange(32, col("cid")).sortWithinPartitions("cid")
-            .write.mode("overwrite").parquet(s"$dst/members.parquet")
-          val (coarseDf, fineDf) =
-            queries.SimilarityQueries.routedTablesFrames(spark, tabs)
-          coarseDf
-            .repartition(1).write.mode("overwrite").parquet(s"$dst/coarse.parquet")
-          fineDf
-            .repartition(1).write.mode("overwrite").parquet(s"$dst/fine.parquet")
+          queries.SimilarityQueries.writeGateIndexRouted(spark, dst, tabs, m)
           tabs.grouped.map(_.size).sum
         }
         println(s"""{"mode":"gateindexr","src":"$src","dst":"$dst",""" +
@@ -425,32 +410,18 @@ object SemScale {
                 .semanticGateAssignStaged(p, tabs),
               tabs.coarse.map(_.size.toLong * 8 + 4).sum)
           } else if (!routed) {
-            val cents: Seq[Seq[Long]] = spark.read.parquet(s"$idx/cents.parquet")
-              .orderBy(col("cid")).collect().map(_.getSeq[Long](1)).toSeq
+            val cents = queries.SimilarityQueries.readFlatCents(spark, idx)
             (cents.length,
               (p: DataFrame) => graft.streaming.StreamingOps
                 .semanticGateAssign(p, cents),
               cents.map(_.size.toLong * 8).sum)
           } else {
-            val coarseRows = spark.read.parquet(s"$idx/coarse.parquet")
-              .orderBy(col("ccid")).collect()
-            val nonEmpty = coarseRows.map(_.getInt(0)).toSeq
-            val coarse = coarseRows.map(_.getSeq[Long](1).toSeq).toSeq
-            val fineRows = spark.read.parquet(s"$idx/fine.parquet")
-              .orderBy(col("ccid"), col("cid")).collect()
-            val k1 = fineRows.map(_.getInt(0)).max + 1
-            val byCc = fineRows.groupBy(_.getInt(0))
-            val grouped = (0 until k1).map(cc => byCc.getOrElse(cc, Array())
-              .map(_.getSeq[Long](2).toSeq).toSeq)
-            val idsOf = (0 until k1).map(cc => byCc.getOrElse(cc, Array())
-              .map(_.getInt(1)).toSeq)
-            val tabs = queries.SimilarityQueries.RoutedTables(
-              nonEmpty, coarse, grouped, idsOf)
-            (fineRows.length,
+            val tabs = queries.SimilarityQueries.readRoutedTables(spark, idx)
+            (tabs.grouped.map(_.size).sum,
               (p: DataFrame) => graft.streaming.StreamingOps
                 .semanticGateAssignRouted(p, tabs),
-              (coarse.map(_.size.toLong) ++
-                grouped.flatten.map(_.size.toLong)).sum * 8)
+              (tabs.coarse.map(_.size.toLong) ++
+                tabs.grouped.flatten.map(_.size.toLong)).sum * 8)
           }
         val width = math.max(1, math.ceil(k.toDouble / nShards).toInt)
         def verifyShard(assigned: DataFrame, s: Int): DataFrame =

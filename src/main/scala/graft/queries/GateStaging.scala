@@ -1,0 +1,81 @@
+package graft.queries
+
+import org.apache.spark.sql.SparkSession
+
+/** Staged gate indexes (the EvalStaging discipline on the gate axis): the
+  * semantic-gate batch twins consume a WRITTEN index — the production
+  * contract (a streaming gate reads the `gateindex`/`gateindexr` parquet a
+  * one-time build job wrote; it never rebuilds the corpus clustering per
+  * micro-batch; SemScale's `gate` mode measures exactly this read path at
+  * 2M vectors) — built once per (JVM, corpus) and read back by every
+  * consumer. Before r13 each twin rebuilt its index inline per run (the
+  * r12 verdict's INFO #2: 4.4–5.3 s/row of build cost misread as gate
+  * cost); now Bench reports the two builds as their own `q_staging_gate`
+  * row and q126/q127/q129 report gate cost. The layouts are the SemScale
+  * writers' verbatim ([[SimilarityQueries.writeGateIndexFlat]] /
+  * [[SimilarityQueries.writeGateIndexRouted]] — one definition), so the
+  * dev-tool, bench and production lanes can never drift; staging changes
+  * where the tables are read from, never what they are (centroids are
+  * exact longs, member vectors round-trip parquet bit-exactly — the
+  * DuckDB oracles replay the full clustering from the corpus and still
+  * hash-match).
+  */
+private[graft] object GateStaging {
+  private lazy val root = StagingRoots.tempRootWithCleanup("graft_gate_staging")
+  // memoized as futures built outside the map's critical section (the
+  // EvalStaging lesson: computeIfAbsent holds the hash-bin lock for the
+  // whole build)
+  private val done =
+    new java.util.concurrent.ConcurrentHashMap[
+      String, java.util.concurrent.CompletableFuture[String]]()
+
+  private def pathKey(d: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(d.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
+
+  private def staged(kind: String, d: String)(build: String => Unit): String = {
+    val key = s"${kind}_${pathKey(d)}"
+    val fresh = new java.util.concurrent.CompletableFuture[String]()
+    val prior = done.putIfAbsent(key, fresh)
+    val fut = if (prior != null) prior else {
+      try {
+        val path = root.resolve(key).toString
+        val t0 = System.nanoTime()
+        build(path)
+        println(f"[staging_gate] $kind built in ${(System.nanoTime() - t0) / 1e9}%.1f s")
+        fresh.complete(path)
+      } catch { case e: Throwable =>
+        done.remove(key, fresh) // a later retry rebuilds over the Overwrite
+        fresh.completeExceptionally(e)
+      }
+      fresh
+    }
+    try fut.join() catch {
+      case e: java.util.concurrent.CompletionException if e.getCause != null =>
+        throw e.getCause
+    }
+  }
+
+  /** The flat (q113-cell) index dir for `d`, built+written on first use. */
+  def flatDir(spark: SparkSession, d: String): String =
+    staged("flat", d) { path =>
+      val (cents, members) = SimilarityQueries.semanticStreamIndex(spark, d)
+      SimilarityQueries.writeGateIndexFlat(spark, path, cents, members)
+    }
+
+  /** The routed (q116-cell) index dir for `d`, built+written on first use.
+    * Shared by the broadcast-routed (q127) and staged (q129) heads — the
+    * two heads READ the same written tables differently. */
+  def routedDir(spark: SparkSession, d: String): String =
+    staged("routed", d) { path =>
+      val (tabs, members) = SimilarityQueries.semanticStreamIndexRouted(spark, d)
+      SimilarityQueries.writeGateIndexRouted(spark, path, tabs, members)
+    }
+
+  /** Pre-build both indexes (the Bench `q_staging_gate` hook). */
+  def build(spark: SparkSession, d: String): Unit = {
+    flatDir(spark, d)
+    routedDir(spark, d)
+  }
+}

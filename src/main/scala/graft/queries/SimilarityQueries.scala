@@ -832,7 +832,12 @@ object SimilarityQueries {
   // ~256 MB/M-vector single-broadcast bound); assignment is the map-only
   // codegen'd kernel; nothing here shuffles the corpus.
   def q126SemanticGateCensus(spark: SparkSession, d: String): DataFrame = {
-    val (cents, members) = semanticStreamIndex(spark, d)
+    // production read path (r13): the gate consumes the WRITTEN index —
+    // built once per (JVM, corpus) by GateStaging, reported as Bench's
+    // q_staging_gate row — instead of rebuilding the clustering inline
+    val idx = GateStaging.flatDir(spark, d)
+    val cents = readFlatCents(spark, idx)
+    val members = spark.read.parquet(s"$idx/members.parquet")
     // + 0.0 in the shared projection normalizes a rounded -0.0 (the
     // compare.py discipline)
     gateCensusProjection(graft.streaming.StreamingOps.streamingSemanticGateSharded(
@@ -879,7 +884,11 @@ object SimilarityQueries {
   // kmeans CTE (exact integer distances, ties → smaller ccid/cid) under
   // the q126 census tail.
   def q127SemanticGateRoutedCensus(spark: SparkSession, d: String): DataFrame = {
-    val (tabs, members) = semanticStreamIndexRouted(spark, d)
+    // production read path (r13): broadcast-head reconstruction from the
+    // staged written index (GateStaging; build cost = q_staging_gate)
+    val idx = GateStaging.routedDir(spark, d)
+    val tabs = readRoutedTables(spark, idx)
+    val members = spark.read.parquet(s"$idx/members.parquet")
     gateCensusProjection(graft.streaming.StreamingOps.streamingSemanticGateRouted(
       Tables.embeddings(spark, d).select(col("vec_id"), col("embedding")),
       tabs, members))
@@ -906,9 +915,13 @@ object SimilarityQueries {
   // K=125k-250k in 2.9-3.4 GB, vs the broadcast head's 42-57 s one
   // doubling from OOM — this is the gate head that survives K ≥ 10⁷.
   def q129SemanticGateStagedCensus(spark: SparkSession, d: String): DataFrame = {
-    val (tabs, members) = semanticStreamIndexRouted(spark, d)
-    val (coarseDf, fineDf) = routedTablesFrames(spark, tabs)
-    val staged = stagedGateTables(coarseDf, fineDf)
+    // the staged head reads the SAME written index as q127 — only the
+    // read path differs (O(√K) coarse collect + distributed fine table)
+    val idx = GateStaging.routedDir(spark, d)
+    val staged = stagedGateTables(
+      spark.read.parquet(s"$idx/coarse.parquet"),
+      spark.read.parquet(s"$idx/fine.parquet"))
+    val members = spark.read.parquet(s"$idx/members.parquet")
     gateCensusProjection(graft.streaming.StreamingOps.streamingSemanticGateStaged(
       Tables.embeddings(spark, d).select(col("vec_id"), col("embedding")),
       staged, members))
@@ -997,6 +1010,57 @@ object SimilarityQueries {
         t.idsOf(cc).zip(t.grouped(cc)).map { case (cid, cmud) => (cc, cid, cmud) })
       .toDF("ccid", "cid", "cmud")
     (coarse, fine)
+  }
+
+  /** Write the FLAT gate-index layout (cents.parquet + members.parquet) —
+    * shared by SemScale `gateindex` and [[GateStaging]]. Members are
+    * range-partitioned by cid so each cid-range verify shard's broadcast
+    * build scans only ITS files/row-groups (measured r12: 8 unpruned
+    * concurrent 519 MB scans OOM'd an 8 g gate JVM the pruned layout
+    * serves comfortably). */
+  private[graft] def writeGateIndexFlat(spark: SparkSession, dst: String,
+      cents: Seq[Seq[Long]], members: DataFrame): Unit = {
+    import spark.implicits._
+    members.repartitionByRange(32, col("cid")).sortWithinPartitions("cid")
+      .write.mode("overwrite").parquet(s"$dst/members.parquet")
+    cents.zipWithIndex.map(_.swap).toDF("cid", "cent")
+      .repartition(1).write.mode("overwrite").parquet(s"$dst/cents.parquet")
+  }
+
+  /** Write the ROUTED gate-index layout (coarse/fine/members parquet) —
+    * shared by SemScale `gateindexr` and [[GateStaging]]. */
+  private[graft] def writeGateIndexRouted(spark: SparkSession, dst: String,
+      tabs: RoutedTables, members: DataFrame): Unit = {
+    members.repartitionByRange(32, col("cid")).sortWithinPartitions("cid")
+      .write.mode("overwrite").parquet(s"$dst/members.parquet")
+    val (coarseDf, fineDf) = routedTablesFrames(spark, tabs)
+    coarseDf.repartition(1).write.mode("overwrite").parquet(s"$dst/coarse.parquet")
+    fineDf.repartition(1).write.mode("overwrite").parquet(s"$dst/fine.parquet")
+  }
+
+  /** Read the flat layout's centroid table back (cid-ordered). */
+  private[graft] def readFlatCents(spark: SparkSession, idx: String): Seq[Seq[Long]] =
+    spark.read.parquet(s"$idx/cents.parquet")
+      .orderBy(col("cid")).collect().map(_.getSeq[Long](1)).toSeq
+
+  /** Reconstruct [[RoutedTables]] from the written routed layout — the
+    * BROADCAST-head reader (collects the K-row fine table; the staged
+    * reader [[stagedGateTables]] is the O(√K) alternative). Shared by
+    * SemScale's gate mode and [[GateStaging]] consumers. */
+  private[graft] def readRoutedTables(spark: SparkSession, idx: String): RoutedTables = {
+    val coarseRows = spark.read.parquet(s"$idx/coarse.parquet")
+      .orderBy(col("ccid")).collect()
+    val nonEmpty = coarseRows.map(_.getInt(0)).toSeq
+    val coarse = coarseRows.map(_.getSeq[Long](1).toSeq).toSeq
+    val fineRows = spark.read.parquet(s"$idx/fine.parquet")
+      .orderBy(col("ccid"), col("cid")).collect()
+    val k1 = fineRows.map(_.getInt(0)).max + 1
+    val byCc = fineRows.groupBy(_.getInt(0))
+    val grouped = (0 until k1).map(cc => byCc.getOrElse(cc, Array.empty)
+      .map(_.getSeq[Long](2).toSeq).toSeq)
+    val idsOf = (0 until k1).map(cc => byCc.getOrElse(cc, Array.empty)
+      .map(_.getInt(1)).toSeq)
+    RoutedTables(nonEmpty, coarse, grouped, idsOf)
   }
 
   /** STAGED routed-gate tables (the q125 staging discipline on the gate's
