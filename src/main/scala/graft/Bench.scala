@@ -63,15 +63,21 @@ object Bench {
     // the gate indexes (flat + routed) are built+WRITTEN once and read by
     // the q126/q127/q129 batch twins — production consumes a written
     // index, so the twins now report gate cost, not index-build cost
-    val stagingGate: Seq[(String, Double, Option[String])] =
-      if (only.forall(_.exists(Set("q126_semantic_gate_census",
-          "q127_semantic_gate_routed", "q129_semantic_gate_staged")))) {
+    val stagingGate: Seq[(String, Double, Option[String])] = {
+      val needFlat = only.forall(_.contains("q126_semantic_gate_census"))
+      val needRouted = only.forall(_.exists(Set(
+        "q127_semantic_gate_routed", "q129_semantic_gate_staged")))
+      if (needFlat || needRouted) {
         val t0 = System.nanoTime()
         val err =
-          try { graft.queries.GateStaging.build(spark, sfDir); None }
-          catch { case e: Throwable => Some(jsonEscape(e.toString)) }
+          try {
+            graft.queries.GateStaging.build(spark, sfDir,
+              flat = needFlat, routed = needRouted)
+            None
+          } catch { case e: Throwable => Some(jsonEscape(e.toString)) }
         Seq(("q_staging_gate", (System.nanoTime() - t0) / 1e9, err))
       } else Seq.empty
+    }
     def once(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
         : (Double, Option[String]) = {
       // isolate queries: a predecessor's cached frames are not this query's

@@ -405,7 +405,11 @@ object SemScale {
             val tabs = queries.SimilarityQueries.stagedGateTables(
               spark.read.parquet(s"$idx/coarse.parquet"),
               spark.read.parquet(s"$idx/fine.parquet"))
-            (spark.read.parquet(s"$idx/fine.parquet").count().toInt,
+            // k from the PERSISTED cells frame (one scan), not a third
+            // cold read of fine.parquet (r13 review)
+            val kk = tabs.cells.agg(sum(size(col("ids"))))
+              .head().getLong(0).toInt
+            (kk,
               (p: DataFrame) => graft.streaming.StreamingOps
                 .semanticGateAssignStaged(p, tabs),
               tabs.coarse.map(_.size.toLong * 8 + 4).sum)

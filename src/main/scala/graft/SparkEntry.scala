@@ -71,10 +71,17 @@ object SparkEntry {
     * sf0.01). Keys: kind (the compare.py materializer), table (relation
     * name the oracle reads), input_sql (what the materializer consumes),
     * oracle_sql (the alternate oracle). */
-  def oraclePrereq: Map[String, Map[String, String]] = Map(
-    "q47_regime_gated_sweep" -> Map(
-      "kind" -> "laguerre_regime",
-      "table" -> "lag_regime",
-      "input_sql" -> graft.queries.SweepQueries.q47PrereqInputSql,
-      "oracle_sql" -> graft.queries.SweepQueries.q47SqlPrecomputed))
+  def oraclePrereq: Map[String, Map[String, String]] = {
+    // regime thresholds travel WITH the spec so compare.py never carries
+    // its own copy of Laguerre.Config's defaults (a silent drift hazard)
+    val lag = graft.operators.Laguerre.Config()
+    Map(
+      "q47_regime_gated_sweep" -> Map(
+        "kind" -> "laguerre_regime",
+        "table" -> "lag_regime",
+        "level_down" -> lag.levelDown.toString,
+        "level_up" -> lag.levelUp.toString,
+        "input_sql" -> graft.queries.SweepQueries.q47PrereqInputSql,
+        "oracle_sql" -> graft.queries.SweepQueries.q47SqlPrecomputed))
+  }
 }

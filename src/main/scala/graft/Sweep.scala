@@ -123,9 +123,12 @@ object Sweep {
         // the Laguerre-grid fan-out: every (lagCfg × gate) combination as a
         // broadcast table joined AFTER the scan — the scan ran once per
         // (signal × barrier), and only narrow outcome rows multiply by the
-        // Laguerre axis. The gate predicates read `regime`; in grid mode
-        // each row's regime is this config's thresholding of its
-        // recursion's rsi, so the predicate text substitutes the CASE.
+        // Laguerre axis. Each fanned-out row materializes ITS config's
+        // `regime` (the thresholding of its recursion's rsi) as a real
+        // column, so the gate predicates apply UNMODIFIED — never a
+        // textual substitution into caller-supplied SQL, which would
+        // corrupt any predicate where "regime" appears inside another
+        // identifier (r13 review).
         val lagGateDf = (for {
           c <- spec.laguerreGrid; (g, _) <- spec.regimeGates
         } yield (c.name, g, recIdx((c.atrPeriod, c.adaptiveOffset)) + 1,
@@ -134,16 +137,25 @@ object Sweep {
         val caseRegime = "(CASE WHEN element_at(rsis, rec_idx) < ld THEN 0 " +
           "WHEN element_at(rsis, rec_idx) > lu THEN 2 ELSE 1 END)"
         val gateFlag = spec.regimeGates.map { case (n, p) =>
-          s"WHEN regime_gate = '$n' THEN (${p.replace("regime", caseRegime)})"
+          s"WHEN regime_gate = '$n' THEN ($p)"
         }.mkString("CASE ", " ", " ELSE false END")
-        (tagged.crossJoin(broadcast(lagGateDf)).filter(expr(gateFlag)),
+        (tagged.crossJoin(broadcast(lagGateDf))
+          .withColumn("regime", expr(caseRegime))
+          .filter(expr(gateFlag)),
           Seq(col("formation"), col("lag_cfg"), col("regime_gate"),
             col("barrier_profile")))
       }
-    val metrics = Barriers
+    val metricsRaw = Barriers
       .metricsAgg(trades, keyCols ++ Seq(
         col("tp_pct"), col("sl_pct"), col("max_bars")): _*)
       .withColumn("generation", lit(spec.generation))
+    // lag_cfg is ALWAYS present so grid and non-grid generations share one
+    // results schema (a mixed-schema parquet dataset reads differently
+    // depending on which footer Spark samples — r13 review); non-grid
+    // sweeps ran their single `laguerre` config
+    val metrics =
+      if (gridMode) metricsRaw
+      else metricsRaw.withColumn("lag_cfg", lit("single"))
 
     ResultSink.overwritePartitions(metrics, s"$outDir/results",
       Seq("generation", "formation"))

@@ -126,6 +126,17 @@ private[graft] object EvalStaging {
     val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
     val buildSession = spark.newSession()
+    // newSession inherits only BUILDER-time SparkConf entries, not the
+    // caller's runtime conf.set state — carry the confs the staged chains
+    // are documented to need (ensureConfs' UTC/nanosAsLong pins, the
+    // session's parallelism), then re-apply ensureConfs (which also
+    // registers the sliding-quantile strategy) so the clone plans exactly
+    // like a caller-configured session would (r13 review)
+    Seq("spark.sql.session.timeZone", "spark.sql.legacy.parquet.nanosAsLong",
+        "spark.sql.shuffle.partitions").foreach { k =>
+      spark.conf.getOption(k).foreach(buildSession.conf.set(k, _))
+    }
+    graft.SparkEntry.ensureConfs(buildSession)
     buildSession.conf.set("spark.sql.adaptive.enabled", "false")
     try {
       val fs = Seq(

@@ -73,9 +73,12 @@ private[graft] object GateStaging {
       SimilarityQueries.writeGateIndexRouted(spark, path, tabs, members)
     }
 
-  /** Pre-build both indexes (the Bench `q_staging_gate` hook). */
-  def build(spark: SparkSession, d: String): Unit = {
-    flatDir(spark, d)
-    routedDir(spark, d)
+  /** Pre-build the selected layouts (the Bench `q_staging_gate` hook) —
+    * a filtered bench run that selects only q126 stages only the flat
+    * index; q127/q129-only runs stage only the routed one (r13 review). */
+  def build(spark: SparkSession, d: String,
+      flat: Boolean = true, routed: Boolean = true): Unit = {
+    if (flat) flatDir(spark, d)
+    if (routed) routedDir(spark, d)
   }
 }

@@ -49,6 +49,9 @@ def materialize_prereq(con, spec):
     from itertools import groupby
     import pandas as pd
     import laguerre_proto
+    # thresholds come from the spec (SparkEntry's single Scala definition),
+    # never a local copy that could silently drift
+    ld, lu = float(spec["level_down"]), float(spec["level_up"])
     rows = con.execute(spec["input_sql"]).fetchall()
     out = []
     for _, grp in groupby(rows, key=lambda r: r[0]):
@@ -57,7 +60,7 @@ def materialize_prereq(con, spec):
             [r[3] for r in g], [r[4] for r in g], [r[5] for r in g])
         for r, v in zip(g, rs):
             out.append((r[0], r[1], r[2],
-                        0 if v < 0.15 else (2 if v > 0.85 else 1)))
+                        0 if v < ld else (2 if v > lu else 1)))
     df = pd.DataFrame(out, columns=["event_type", "ts_us", "event_id", "regime"])
     con.register(spec["table"], df)
     return lambda: con.unregister(spec["table"])
