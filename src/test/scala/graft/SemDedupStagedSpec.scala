@@ -73,6 +73,79 @@ class SemDedupStagedSpec extends GraftSuite {
     assert(rows.map(_.getAs[Int]("fr")).distinct.length == rows.length)
   }
 
+  test("stagedGateAssignApply == routedAssignApply over random geometries " +
+    "(duplicate seeds -> orphan coarse cells, duplicate fine centroids, " +
+    "exact-tie probes) — property fuzz of the composed pipelines") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260815)
+    val dim = 4
+    def randVec(): Seq[Long] = Seq.fill(dim)((rnd.nextInt(400) - 200).toLong)
+    def routeOf(c: Seq[Long], coarse: IndexedSeq[Seq[Long]]): Int = {
+      var best = -1
+      var bd: BigInt = null
+      coarse.indices.foreach { j =>
+        var d = BigInt(0)
+        c.indices.foreach { i =>
+          val df = BigInt(c(i)) - BigInt(coarse(j)(i)); d += df * df
+        }
+        if (bd == null || d < bd) { bd = d; best = j } // strict <: smaller ccid
+      }
+      best
+    }
+    for (trial <- 0 until 6) {
+      val k1 = 2 + rnd.nextInt(3)
+      val k = k1 + rnd.nextInt(k1 * k1)
+      // fine table: first k1 entries double as the coarse seeds; force a
+      // DUPLICATE seed sometimes (ties route to the smaller ccid, leaving
+      // the larger one a candidate orphan) and duplicate fine centroids
+      val fineCents: IndexedSeq[Seq[Long]] = {
+        val b = scala.collection.mutable.ArrayBuffer[Seq[Long]]()
+        (0 until k).foreach { i =>
+          b += (if (i > 0 && rnd.nextInt(3) == 0) b(rnd.nextInt(i)) else randVec())
+        }
+        b.toIndexedSeq
+      }
+      val coarseSeeds = fineCents.take(k1)
+      val f2c = fineCents.map(routeOf(_, coarseSeeds)).toArray
+      val nonEmpty = f2c.distinct.sorted.toSeq
+      val tabs = graft.queries.SimilarityQueries.RoutedTables(
+        nonEmpty = nonEmpty,
+        coarse = nonEmpty.map(coarseSeeds(_)),
+        grouped = (0 until k1).map(cc =>
+          fineCents.indices.filter(f2c(_) == cc).map(fineCents(_))),
+        idsOf = (0 until k1).map(cc =>
+          fineCents.indices.filter(f2c(_) == cc)))
+      // probes: random + exact centroid copies (tie bait) + duplicates
+      val probes: Seq[(Long, Seq[Double])] = (0 until 40).map { i =>
+        val v =
+          if (i % 5 == 0) fineCents(rnd.nextInt(k))
+          else if (i % 7 == 0) coarseSeeds(rnd.nextInt(k1))
+          else randVec()
+        (i.toLong, v.map(_.toDouble))
+      }
+      val probeDf = probes.toDF("vec_id", "mud")
+      def cids(df: org.apache.spark.sql.DataFrame): Map[Long, Int] =
+        df.select("vec_id", "cid").collect()
+          .map(r => r.getLong(0) -> r.getInt(1)).toMap
+      val viaRouted = cids(graft.queries.SimilarityQueries
+        .routedAssignApply(tabs, "cid")(probeDf))
+      val (coarseDf, fineDf) = graft.queries.SimilarityQueries
+        .routedTablesFrames(spark, tabs)
+      val staged = graft.queries.SimilarityQueries
+        .stagedGateTables(coarseDf, fineDf)
+      val viaStaged = cids(graft.queries.SimilarityQueries
+        .stagedGateAssignApply(staged, "cid")(probeDf))
+      staged.cells.unpersist()
+      assert(viaStaged.keySet == viaRouted.keySet,
+        s"trial $trial: coverage differs (k1=$k1, k=$k)")
+      viaRouted.foreach { case (id, c) =>
+        assert(viaStaged(id) == c,
+          s"trial $trial: probe $id staged=${viaStaged(id)} routed=$c " +
+            s"(k1=$k1, k=$k, nonEmpty=$nonEmpty)")
+      }
+    }
+  }
+
   test("staged gate-index build writes the SAME tables as the kernel build " +
     "(coarse, fine, member assignment) — the indexes are interchangeable") {
     val sf001 = "/root/testdata/sf0.01"
