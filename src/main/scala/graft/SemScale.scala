@@ -66,6 +66,18 @@ import org.apache.spark.sql.functions._
   *                                single-broadcast bound the r11 sharding
   *                                answers; each shard scans only its cid
   *                                range of the index parquet.
+  *   append <src> <idx> [mod]   — incremental index maintenance
+  *                                (semanticIndexAppend): admit a 1-in-<mod>
+  *                                arrival batch (vec_ids shifted so they
+  *                                are NEW) into a written ROUTED index
+  *                                under frozen tables — measures the claim
+  *                                that admission cost is |batch| assignment
+  *                                + one delta write, independent of the
+  *                                index's accumulated size. MUTATES <idx>
+  *                                (adds member delta files): run it on a
+  *                                copy; an appended index must be read via
+  *                                the merging reader, while `gate` mode
+  *                                reads members raw (pristine builds).
   *   dedup <dir>                — q117 then q118 timed with peak heap (the
   *                                1000×+dupvec re-run after the digest-keyed
   *                                exact collapse; r8 measured 180.6/85.2 s
@@ -215,6 +227,23 @@ object SemScale {
         val planted = ranked.filter(col("hk") >= cut).count()
         println(s"""{"mode":"blobfix","src":"$src","dst":"$dst",""" +
           s""""n_vectors":$n,"blob_planted":$planted}""")
+
+      case "append" =>
+        val src = args(1)
+        val idx = args(2)
+        val mod = args.lift(3).map(_.toInt).getOrElse(20)
+        val spark = session()
+        resetHeapPeaks()
+        val arrivals = Tables.embeddings(spark, src)
+          .filter(pmod(col("vec_id"), lit(mod)) === 0)
+          .select((col("vec_id") + lit(1000000000L)).as("vec_id"),
+            col("embedding"))
+        val (n, wall) = time(
+          queries.SimilarityQueries.semanticIndexAppend(spark, idx, arrivals))
+        println(s"""{"mode":"append","src":"$src","idx":"$idx",""" +
+          s""""n_appended":$n,""" +
+          f""""append_wall_sec":$wall%.1f,"append_peak_heap_mb":${heapPeakMb()},""" +
+          s""""xmx_mb":${xmxMb()}}""")
 
       case "dedup" =>
         val d = args(1)
@@ -471,7 +500,7 @@ object SemScale {
 
       case other =>
         System.err.println(s"unknown mode: $other " +
-          "(staged|census|blobfix|dedup|gateindex|gateindexr|gateindexrs|gate)")
+          "(staged|census|blobfix|append|dedup|gateindex|gateindexr|gateindexrs|gate)")
         sys.exit(2)
     }
   }

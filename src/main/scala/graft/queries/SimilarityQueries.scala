@@ -1345,6 +1345,51 @@ object SimilarityQueries {
     (coarse, fineRouted, members)
   }
 
+  /** INCREMENTAL gate-index maintenance — the q88 snapshot-dedup
+    * discipline applied to the semantic index: admit a batch of NEW
+    * vectors into a WRITTEN routed index under FROZEN routing tables.
+    * Assignment runs the staged head (O(√K) collected state), and the
+    * arrivals' per-cell member rows are APPENDED as new parquet files —
+    * cost is |batch| assignment + one append write, independent of the
+    * accumulated corpus size (the existing members are never read, let
+    * alone rewritten). Centroids never move: cell geometry is versioned
+    * with the index BUILD (the SemDeDup incremental contract — a
+    * periodic rebuild re-clusters; between rebuilds the frozen-cell
+    * placement is exactly what the one-shot build would have produced,
+    * SemDedupStagedSpec pins it). An appended index holds MULTIPLE rows
+    * per cid (one per append generation), so it must be read through
+    * [[readCellMembersMerged]]; the pristine-build readers stay scan-only. */
+  private[graft] def semanticIndexAppend(spark: SparkSession, idx: String,
+      vecs: DataFrame): Long = {
+    import org.apache.spark.storage.StorageLevel
+    val staged = stagedGateTables(
+      spark.read.parquet(s"$idx/coarse.parquet"),
+      spark.read.parquet(s"$idx/fine.parquet"))
+    val assigned = graft.streaming.StreamingOps
+      .semanticGateAssignStaged(vecs, staged)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val n = assigned.count()
+    assigned.groupBy(col("cid"))
+      .agg(collect_list(struct(col("vec_id"), col("e"), col("nrm"))).as("members"))
+      .write.mode(org.apache.spark.sql.SaveMode.Append)
+      .parquet(s"$idx/members.parquet")
+    assigned.unpersist()
+    staged.cells.unpersist()
+    n
+  }
+
+  /** Generation-merging member reader for an index that has received
+    * [[semanticIndexAppend]] deltas: per-cid member arrays across append
+    * generations flattened into one row per cid (the verify tail's
+    * one-row-per-cid contract). The merge groupBy runs on the INDEX
+    * slice being read — under cid-range sharding that is 1/S of the
+    * cells, map-side combinable — never on the probe side. */
+  private[graft] def readCellMembersMerged(spark: SparkSession,
+      idx: String): DataFrame =
+    spark.read.parquet(s"$idx/members.parquet")
+      .groupBy(col("cid"))
+      .agg(flatten(collect_list(col("members"))).as("members"))
+
   /** q125 — exact-first collapse ∘ STAGED routed assignment ∘ census.
     * Same algorithm as q118 (only the centroid table's physical placement
     * differs), so the oracle is q118's verbatim. */

@@ -146,6 +146,77 @@ class SemDedupStagedSpec extends GraftSuite {
     }
   }
 
+  test("semanticIndexAppend: arrivals admitted under FROZEN tables == the " +
+    "one-shot build over base+arrivals with the same tables; base files " +
+    "untouched; merged reader restores one-row-per-cid") {
+    import org.apache.spark.sql.functions.{col => c}
+    val sf001 = "/root/testdata/sf0.01"
+    val dir = java.nio.file.Files.createTempDirectory("graft_idx_append").toString
+    val baseDir = java.nio.file.Files.createTempDirectory("graft_idx_base").toString
+    try {
+      // base index: vectors with vec_id % 5 != 0; arrivals: the rest
+      val all = Tables.embeddings(spark, sf001)
+      val base = all.filter(c("vec_id") % 5 =!= 0)
+      val arrivals = all.filter(c("vec_id") % 5 === 0)
+      // build + write the routed index from the BASE corpus only
+      base.select(c("vec_id"), c("embedding")).write.parquet(s"$baseDir/embeddings.parquet")
+      val (tabs, members) = graft.queries.SimilarityQueries
+        .semanticStreamIndexRouted(spark, baseDir)
+      graft.queries.SimilarityQueries.writeGateIndexRouted(spark, dir, tabs, members)
+      val filesBefore = new java.io.File(s"$dir/members.parquet")
+        .listFiles().map(_.getName).toSet
+      val nBase = graft.queries.SimilarityQueries
+        .readCellMembersMerged(spark, dir)
+        .select(explode(c("members"))).count()
+      // admit the arrivals under the frozen tables
+      val nAppended = graft.queries.SimilarityQueries.semanticIndexAppend(
+        spark, dir, arrivals.select(c("vec_id"), c("embedding")))
+      assert(nAppended == arrivals.count())
+      // base files untouched: append only ADDS files (probe-cost
+      // independence — the accumulated corpus is never rewritten)
+      val filesAfter = new java.io.File(s"$dir/members.parquet")
+        .listFiles().map(_.getName).toSet
+      assert(filesBefore.subsetOf(filesAfter) && filesAfter.size > filesBefore.size)
+      // merged reader: one row per cid, total membership = base + arrivals
+      val merged = graft.queries.SimilarityQueries.readCellMembersMerged(spark, dir)
+      val cids = merged.select(c("cid")).collect().map(_.getInt(0))
+      assert(cids.length == cids.distinct.length, "merged reader must emit one row per cid")
+      assert(merged.select(explode(c("members"))).count() == nBase + nAppended)
+      // the incremental contract: frozen-cell placement == what ONE
+      // assignment pass over base+arrivals under the same tables yields
+      def placement(m: org.apache.spark.sql.DataFrame): Map[Long, Int] =
+        m.select(c("cid"), explode(c("members")).as("mm"))
+          .select(c("mm.vec_id"), c("cid")).collect()
+          .map(r => r.getLong(0) -> r.getInt(1)).toMap
+      val oneShot = graft.streaming.StreamingOps.semanticGateAssignStaged(
+          all.select(c("vec_id"), c("embedding")),
+          graft.queries.SimilarityQueries.stagedGateTables(
+            spark.read.parquet(s"$dir/coarse.parquet"),
+            spark.read.parquet(s"$dir/fine.parquet")))
+        .select(c("vec_id"), c("cid")).collect()
+        .map(r => r.getLong(0) -> r.getInt(1)).toMap
+      val incr = placement(merged)
+      assert(incr.keySet == oneShot.keySet)
+      oneShot.foreach { case (id, cid) =>
+        assert(incr(id) == cid, s"vec $id: incremental=${incr(id)} one-shot=$cid")
+      }
+      // and the GATE over the appended index flags an arrival that
+      // duplicates a base vector (the reason the index must grow):
+      // re-probe the arrivals — every arrival now has itself in its cell,
+      // so gate output stays row-per-probe under the merged reader
+      val gated = graft.streaming.StreamingOps.streamingSemanticGateStaged(
+        arrivals.select(c("vec_id"), c("embedding")),
+        graft.queries.SimilarityQueries.stagedGateTables(
+          spark.read.parquet(s"$dir/coarse.parquet"),
+          spark.read.parquet(s"$dir/fine.parquet")),
+        merged)
+      assert(gated.count() == nAppended, "gate must stay one row per probe")
+    } finally {
+      queries.StagingRoots.deleteRecursively(java.nio.file.Paths.get(dir))
+      queries.StagingRoots.deleteRecursively(java.nio.file.Paths.get(baseDir))
+    }
+  }
+
   test("staged gate-index build writes the SAME tables as the kernel build " +
     "(coarse, fine, member assignment) — the indexes are interchangeable") {
     val sf001 = "/root/testdata/sf0.01"
