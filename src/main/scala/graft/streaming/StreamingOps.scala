@@ -535,6 +535,90 @@ object StreamingOps {
     graft.queries.SimilarityQueries.stagedGateAssignApply(tables, "cid")(
       prepGateVecs(vecs))
 
+  /** The ONLINE semantic-dedup ADMIT loop — gate and incremental index
+    * composed into the production `foreachBatch` body: each arriving
+    * batch is assigned under the index's FROZEN routing tables (staged
+    * head, O(√K) state), each vector is flagged iff a ≥ minCos neighbor
+    * is ALREADY ADMITTED — in the accumulated index OR earlier
+    * (smaller vec_id) in this batch's same cell, the q49 greedy-remove
+    * discipline — and the survivors are APPENDED as a member delta
+    * ([[graft.queries.SimilarityQueries.semanticIndexAppend]]'s write
+    * path). First-occurrence-wins is therefore GLOBAL across batches,
+    * and the admitted set is invariant to how the stream is chunked
+    * (StreamingSpec pins chunked ≡ one-shot ≡ a plain-Scala per-cell
+    * greedy replay). Per-cell work is the batch slice × admitted-cell
+    * members (cells bounded by targetCell + admitted dups); cosine uses
+    * the gate's exact rule (left-fold float→double dot, HALF_UP round
+    * to 6). Returns the per-batch flags as a LOCAL frame (micro-batch-
+    * sized by contract — collected so the result survives the index
+    * mutation that immediately follows materialization). */
+  def semanticAdmitBatch(idx: String, batch: DataFrame,
+      minCos: Double = 0.9): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val spark = batch.sparkSession
+    val staged = graft.queries.SimilarityQueries.stagedGateTables(
+      spark.read.parquet(s"$idx/coarse.parquet"),
+      spark.read.parquet(s"$idx/fine.parquet"))
+    val members = graft.queries.SimilarityQueries
+      .readCellMembersMerged(spark, idx)
+    val assigned = semanticGateAssignStaged(batch, staged)
+      .select(col("cid"), col("vec_id"), col("e"), col("nrm"))
+    val joined = assigned.join(broadcast(members), Seq("cid"), "left")
+    val outSchema = StructType(Seq(
+      StructField("vec_id", LongType, nullable = false),
+      StructField("cid", IntegerType, nullable = false),
+      StructField("e", ArrayType(FloatType, containsNull = false)),
+      StructField("nrm", DoubleType, nullable = false),
+      StructField("semantic_near_dup", BooleanType, nullable = false)))
+    def cos6(e: Array[Float], n: Double, e2: Array[Float], n2: Double): Double = {
+      if (n * n2 == 0.0) return -2.0
+      var a = 0.0
+      var i = 0
+      while (i < e.length) { a += e(i).toDouble * e2(i).toDouble; i += 1 }
+      new java.math.BigDecimal(a / (n * n2))
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    }
+    val out = joined
+      .groupByKey((r: Row) => r.getInt(0))(org.apache.spark.sql.Encoders.scalaInt)
+      .flatMapGroups { (cid: Int, it: Iterator[Row]) =>
+        val rows = it.toArray
+        val admitted = scala.collection.mutable.ArrayBuffer[(Array[Float], Double)]()
+        rows.find(!_.isNullAt(4)).foreach { r =>
+          r.getSeq[Row](4).foreach { m =>
+            admitted += ((m.getSeq[Float](1).toArray, m.getDouble(2)))
+          }
+        }
+        rows.sortBy(_.getLong(1)).iterator.map { r =>
+          val e = r.getSeq[Float](2).toArray
+          val nrm = r.getDouble(3)
+          val dup = admitted.exists { case (e2, n2) =>
+            cos6(e, nrm, e2, n2) >= minCos }
+          if (!dup) admitted += ((e, nrm))
+          Row(r.getLong(1), cid, e.toSeq, nrm, dup)
+        }
+      }(org.apache.spark.sql.Encoders.row(outSchema))
+      .toDF()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // materialize flags BEFORE the index mutation below invalidates the
+    // lineage (the merged-members read is part of it)
+    val flags = out.select(col("vec_id"), col("cid"), col("semantic_near_dup"))
+      .collect()
+    out.filter(!col("semantic_near_dup"))
+      .groupBy(col("cid"))
+      .agg(collect_list(struct(col("vec_id"), col("e"), col("nrm"))).as("members"))
+      .write.mode(org.apache.spark.sql.SaveMode.Append)
+      .parquet(s"$idx/members.parquet")
+    out.unpersist()
+    staged.cells.unpersist()
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(flags.toSeq),
+      StructType(Seq(
+        StructField("vec_id", LongType, nullable = false),
+        StructField("cid", IntegerType, nullable = false),
+        StructField("semantic_near_dup", BooleanType, nullable = false))))
+  }
+
   /** Shared e/nrm/mud preparation of an arriving embedding row — the
     * micro-unit quantization rule (round(x·1e6)) is bit-exactness-
     * critical against the DuckDB oracles and the index build, so the

@@ -438,6 +438,89 @@ class StreamingSpec extends GraftSuite {
     }
   }
 
+  test("semanticAdmitBatch: online admit loop — chunked replay == one-shot " +
+    "== plain-Scala per-cell greedy; duplicates flagged, survivors grow " +
+    "the index") {
+    val sf001 = "/root/testdata/sf0.01"
+    def freshIdx(): String = {
+      val dir = java.nio.file.Files.createTempDirectory("graft_admit").toString
+      val (tabs, members) = graft.queries.SimilarityQueries
+        .semanticStreamIndexRouted(spark, sf001)
+      graft.queries.SimilarityQueries.writeGateIndexRouted(spark, dir, tabs, members)
+      // start from an EMPTY membership under the frozen tables: the admit
+      // loop itself populates the index
+      members.limit(0).write.mode("overwrite").parquet(s"$dir/members.parquet")
+      dir
+    }
+    // stream: the corpus + exact duplicates (vec_id % 10 == 0 reappears
+    // with a shifted id — cos 1.0, must be flagged once the original is in)
+    val base = Tables.embeddings(spark, sf001)
+      .select(col("vec_id"), col("embedding"))
+    val stream = base.union(
+        base.filter(col("vec_id") % 10 === 0)
+          .select((col("vec_id") + 100000L).as("vec_id"), col("embedding")))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+      .sortBy(_._1)
+    def admitAll(chunk: Int): Map[Long, Boolean] = {
+      import spark.implicits._
+      val dir = freshIdx()
+      try {
+        stream.grouped(chunk).flatMap { rows =>
+          StreamingOps.semanticAdmitBatch(dir,
+              rows.toSeq.toDF("vec_id", "embedding"))
+            .collect()
+            .map(r => r.getLong(0) -> r.getBoolean(2))
+        }.toMap
+      } finally queries.StagingRoots.deleteRecursively(
+        java.nio.file.Paths.get(dir))
+    }
+    val chunked = admitAll(150)
+    val oneShot = admitAll(stream.length)
+    assert(chunked == oneShot,
+      "admitted set must be invariant to how the stream is chunked")
+    // plain-Scala replay: frozen-cell assignment + per-cell vec_id-greedy
+    val dir2 = freshIdx()
+    val model: Map[Long, Boolean] = try {
+      import spark.implicits._
+      val staged = graft.queries.SimilarityQueries.stagedGateTables(
+        spark.read.parquet(s"$dir2/coarse.parquet"),
+        spark.read.parquet(s"$dir2/fine.parquet"))
+      val cids = StreamingOps.semanticGateAssignStaged(
+          stream.toSeq.toDF("vec_id", "embedding"), staged)
+        .select(col("vec_id"), col("cid")).collect()
+        .map(r => r.getLong(0) -> r.getInt(1)).toMap
+      def cos6(e: Seq[Float], e2: Seq[Float]): Double = {
+        def nrm(v: Seq[Float]) = math.sqrt(
+          v.foldLeft(0.0)((a, x) => a + x.toDouble * x.toDouble))
+        val (n, n2) = (nrm(e), nrm(e2))
+        if (n * n2 == 0.0) return -2.0
+        val dot = e.indices.foldLeft(0.0)((a, i) => a + e(i).toDouble * e2(i).toDouble)
+        new java.math.BigDecimal(dot / (n * n2))
+          .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+      }
+      val flags = scala.collection.mutable.Map[Long, Boolean]()
+      stream.groupBy(v => cids(v._1)).foreach { case (_, cell) =>
+        val admitted = scala.collection.mutable.ArrayBuffer[Seq[Float]]()
+        cell.sortBy(_._1).foreach { case (id, e) =>
+          val dup = admitted.exists(a => cos6(e, a) >= 0.9)
+          if (!dup) admitted += e
+          flags(id) = dup
+        }
+      }
+      flags.toMap
+    } finally queries.StagingRoots.deleteRecursively(
+      java.nio.file.Paths.get(dir2))
+    assert(chunked.keySet == model.keySet)
+    model.foreach { case (id, f) =>
+      assert(chunked(id) == f, s"vec $id: admit=${chunked(id)} model=$f")
+    }
+    // the duplicates must actually have been caught: every shifted copy
+    // whose original sits in the SAME cell flags as a near-dup
+    val nDup = chunked.count(kv => kv._1 >= 100000L && kv._2)
+    assert(nDup > 0, "fixture produced no flagged duplicates — test is vacuous")
+  }
+
   test("streamingCurationGate: stateless quality+decontamination flags match batch") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
