@@ -403,6 +403,13 @@ object SemScale {
           s"index dir $idx contains BOTH layouts (cents.parquet AND " +
             "fine.parquet) — stale mixed build; rebuild it with " +
             "gateindex/gateindexr (which drop the other layout) or delete it")
+        // gate mode reads members.parquet RAW (one row per cid); an index
+        // that has received append generations would silently emit one
+        // verify row per probe per generation — refuse it (r13 review)
+        require(!queries.SimilarityQueries.hasAppendGenerations(idx),
+          s"index dir $idx has append generations (_appended marker): " +
+            "gate mode reads members raw — rebuild the index, or consume " +
+            "it through readCellMembersMerged")
         val members = spark.read.parquet(s"$idx/members.parquet")
         val probe = Tables.embeddings(spark, src)
           .filter(pmod(col("vec_id"), lit(probeMod)) === 0)

@@ -1369,14 +1369,35 @@ object SimilarityQueries {
       .semanticGateAssignStaged(vecs, staged)
       .persist(StorageLevel.MEMORY_AND_DISK)
     val n = assigned.count()
-    assigned.groupBy(col("cid"))
-      .agg(collect_list(struct(col("vec_id"), col("e"), col("nrm"))).as("members"))
-      .write.mode(org.apache.spark.sql.SaveMode.Append)
-      .parquet(s"$idx/members.parquet")
+    writeMemberDelta(assigned.groupBy(col("cid"))
+      .agg(collect_list(struct(col("vec_id"), col("e"), col("nrm"))).as("members")),
+      idx)
     assigned.unpersist()
     staged.cells.unpersist()
     n
   }
+
+  /** ONE delta writer for every append path (the CLI append mode and the
+    * online admit loop — a format change must hit both or neither): the
+    * per-cid delta rows are range-partitioned and cid-sorted like the base
+    * layout, so cid-range verify shards keep pruning delta files too (the
+    * unpruned-scan regime is what OOM'd the r12 gate JVM), and an
+    * `_appended` marker is dropped so RAW one-row-per-cid readers can fail
+    * loudly instead of silently emitting one verify row per generation —
+    * an appended index must be read through [[readCellMembersMerged]]. */
+  private[graft] def writeMemberDelta(delta: DataFrame, idx: String): Unit = {
+    delta.repartitionByRange(4, col("cid")).sortWithinPartitions("cid")
+      .write.mode(org.apache.spark.sql.SaveMode.Append)
+      .parquet(s"$idx/members.parquet")
+    val marker = java.nio.file.Paths.get(idx, "_appended")
+    if (!java.nio.file.Files.exists(marker))
+      java.nio.file.Files.createFile(marker)
+  }
+
+  /** True iff the index has received append generations (members.parquet
+    * holds multiple rows per cid) — raw readers must refuse it. */
+  private[graft] def hasAppendGenerations(idx: String): Boolean =
+    java.nio.file.Files.exists(java.nio.file.Paths.get(idx, "_appended"))
 
   /** Generation-merging member reader for an index that has received
     * [[semanticIndexAppend]] deltas: per-cid member arrays across append

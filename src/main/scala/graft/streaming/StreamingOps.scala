@@ -537,40 +537,62 @@ object StreamingOps {
 
   /** The ONLINE semantic-dedup ADMIT loop — gate and incremental index
     * composed into the production `foreachBatch` body: each arriving
-    * batch is assigned under the index's FROZEN routing tables (staged
-    * head, O(√K) state), each vector is flagged iff a ≥ minCos neighbor
-    * is ALREADY ADMITTED — in the accumulated index OR earlier
-    * (smaller vec_id) in this batch's same cell, the q49 greedy-remove
-    * discipline — and the survivors are APPENDED as a member delta
-    * ([[graft.queries.SimilarityQueries.semanticIndexAppend]]'s write
-    * path). First-occurrence-wins is therefore GLOBAL across batches,
-    * and the admitted set is invariant to how the stream is chunked
-    * (StreamingSpec pins chunked ≡ one-shot ≡ a plain-Scala per-cell
-    * greedy replay). Per-cell work is the batch slice × admitted-cell
-    * members (cells bounded by targetCell + admitted dups); cosine uses
-    * the gate's exact rule (left-fold float→double dot, HALF_UP round
-    * to 6). Returns the per-batch flags as a LOCAL frame (micro-batch-
-    * sized by contract — collected so the result survives the index
-    * mutation that immediately follows materialization). */
-  def semanticAdmitBatch(idx: String, batch: DataFrame,
-      minCos: Double = 0.9): DataFrame = {
+    * batch is assigned under the index's FROZEN routing tables (passed
+    * in, hoisted ONCE outside the stream — they are immutable between
+    * rebuilds by contract, so per-batch reconstruction would be pure
+    * startup waste), each vector is flagged iff a ≥ minCos neighbor
+    * with a DIFFERENT vec_id is already admitted — in the accumulated
+    * index or earlier (smaller vec_id) in this batch's same cell, the
+    * q49 greedy-remove discipline — and the NEW survivors are appended
+    * as a member delta (the shared [[graft.queries.SimilarityQueries
+    * .writeMemberDelta]] path, range-laid-out like the base files).
+    *
+    * Ordering contract, stated honestly: within a batch the greedy runs
+    * in vec_id order (deterministic), across batches arrival order wins
+    * — so the admitted set is chunking-invariant exactly for vec_id-
+    * MONOTONE streams (what StreamingSpec pins: chunked ≡ one-shot ≡ a
+    * plain-Scala per-cell greedy); for out-of-order arrivals the loop is
+    * first-arrival-wins, the standard online-dedup semantics.
+    *
+    * Replay-safe (foreachBatch is at-least-once): a vec_id already
+    * admitted in its cell is neither re-appended nor flagged against
+    * ITSELF (the verify tail's m.vec_id <> vec_id rule), so a re-run of
+    * a committed batch returns the same flags and leaves the index
+    * unchanged (StreamingSpec pins the double-replay).
+    *
+    * Per-batch cost is batch-bounded: the member read is PRUNED to the
+    * batch's assigned cells before the generation merge (never the
+    * whole accumulated index — the r11/r12 whole-index-residency lesson)
+    * and per-cell work is the batch slice × that cell's admitted
+    * members. Cosine uses the gate's exact rule (left-fold float→double
+    * dot, HALF_UP round-6). Returns the per-batch flags as a LOCAL
+    * frame (micro-batch-sized by contract — collected so the result
+    * survives the index mutation that follows materialization). */
+  def semanticAdmitBatch(idx: String,
+      tables: graft.queries.SimilarityQueries.StagedGateTables,
+      batch: DataFrame, minCos: Double = 0.9): DataFrame = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
     val spark = batch.sparkSession
-    val staged = graft.queries.SimilarityQueries.stagedGateTables(
-      spark.read.parquet(s"$idx/coarse.parquet"),
-      spark.read.parquet(s"$idx/fine.parquet"))
-    val members = graft.queries.SimilarityQueries
-      .readCellMembersMerged(spark, idx)
-    val assigned = semanticGateAssignStaged(batch, staged)
+    val assigned = semanticGateAssignStaged(batch, tables)
       .select(col("cid"), col("vec_id"), col("e"), col("nrm"))
-    val joined = assigned.join(broadcast(members), Seq("cid"), "left")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // prune the accumulated members to the cells this batch touches
+    // BEFORE merging generations: per-batch member work is bounded by the
+    // batch's cells, not the index's size
+    val touched = assigned.select(col("cid")).distinct()
+    val members = spark.read.parquet(s"$idx/members.parquet")
+      .join(broadcast(touched), Seq("cid"))
+      .groupBy(col("cid"))
+      .agg(flatten(collect_list(col("members"))).as("members"))
+    val joined = assigned.join(members, Seq("cid"), "left")
     val outSchema = StructType(Seq(
       StructField("vec_id", LongType, nullable = false),
       StructField("cid", IntegerType, nullable = false),
       StructField("e", ArrayType(FloatType, containsNull = false)),
       StructField("nrm", DoubleType, nullable = false),
-      StructField("semantic_near_dup", BooleanType, nullable = false)))
+      StructField("semantic_near_dup", BooleanType, nullable = false),
+      StructField("newly_admitted", BooleanType, nullable = false)))
     def cos6(e: Array[Float], n: Double, e2: Array[Float], n2: Double): Double = {
       if (n * n2 == 0.0) return -2.0
       var a = 0.0
@@ -583,19 +605,24 @@ object StreamingOps {
       .groupByKey((r: Row) => r.getInt(0))(org.apache.spark.sql.Encoders.scalaInt)
       .flatMapGroups { (cid: Int, it: Iterator[Row]) =>
         val rows = it.toArray
-        val admitted = scala.collection.mutable.ArrayBuffer[(Array[Float], Double)]()
+        val admitted =
+          scala.collection.mutable.ArrayBuffer[(Long, Array[Float], Double)]()
         rows.find(!_.isNullAt(4)).foreach { r =>
           r.getSeq[Row](4).foreach { m =>
-            admitted += ((m.getSeq[Float](1).toArray, m.getDouble(2)))
+            admitted += ((m.getLong(0), m.getSeq[Float](1).toArray, m.getDouble(2)))
           }
         }
         rows.sortBy(_.getLong(1)).iterator.map { r =>
+          val id = r.getLong(1)
           val e = r.getSeq[Float](2).toArray
           val nrm = r.getDouble(3)
-          val dup = admitted.exists { case (e2, n2) =>
-            cos6(e, nrm, e2, n2) >= minCos }
-          if (!dup) admitted += ((e, nrm))
-          Row(r.getLong(1), cid, e.toSeq, nrm, dup)
+          // self-id excluded (replay safety): an at-least-once re-run of
+          // a committed batch must not flag an original against itself
+          val dup = admitted.exists { case (id2, e2, n2) =>
+            id2 != id && cos6(e, nrm, e2, n2) >= minCos }
+          val present = admitted.exists(_._1 == id)
+          if (!dup && !present) admitted += ((id, e, nrm))
+          Row(id, cid, e.toSeq, nrm, dup, !dup && !present)
         }
       }(org.apache.spark.sql.Encoders.row(outSchema))
       .toDF()
@@ -604,13 +631,13 @@ object StreamingOps {
     // lineage (the merged-members read is part of it)
     val flags = out.select(col("vec_id"), col("cid"), col("semantic_near_dup"))
       .collect()
-    out.filter(!col("semantic_near_dup"))
-      .groupBy(col("cid"))
-      .agg(collect_list(struct(col("vec_id"), col("e"), col("nrm"))).as("members"))
-      .write.mode(org.apache.spark.sql.SaveMode.Append)
-      .parquet(s"$idx/members.parquet")
+    graft.queries.SimilarityQueries.writeMemberDelta(
+      out.filter(col("newly_admitted"))
+        .groupBy(col("cid"))
+        .agg(collect_list(struct(col("vec_id"), col("e"), col("nrm"))).as("members")),
+      idx)
     out.unpersist()
-    staged.cells.unpersist()
+    assigned.unpersist()
     spark.createDataFrame(
       spark.sparkContext.parallelize(flags.toSeq),
       StructType(Seq(

@@ -188,29 +188,29 @@ class SemDedupStagedSpec extends GraftSuite {
         m.select(c("cid"), explode(c("members")).as("mm"))
           .select(c("mm.vec_id"), c("cid")).collect()
           .map(r => r.getLong(0) -> r.getInt(1)).toMap
-      val oneShot = graft.streaming.StreamingOps.semanticGateAssignStaged(
-          all.select(c("vec_id"), c("embedding")),
-          graft.queries.SimilarityQueries.stagedGateTables(
-            spark.read.parquet(s"$dir/coarse.parquet"),
-            spark.read.parquet(s"$dir/fine.parquet")))
-        .select(c("vec_id"), c("cid")).collect()
-        .map(r => r.getLong(0) -> r.getInt(1)).toMap
-      val incr = placement(merged)
-      assert(incr.keySet == oneShot.keySet)
-      oneShot.foreach { case (id, cid) =>
-        assert(incr(id) == cid, s"vec $id: incremental=${incr(id)} one-shot=$cid")
-      }
-      // and the GATE over the appended index flags an arrival that
-      // duplicates a base vector (the reason the index must grow):
-      // re-probe the arrivals — every arrival now has itself in its cell,
-      // so gate output stays row-per-probe under the merged reader
-      val gated = graft.streaming.StreamingOps.streamingSemanticGateStaged(
-        arrivals.select(c("vec_id"), c("embedding")),
-        graft.queries.SimilarityQueries.stagedGateTables(
-          spark.read.parquet(s"$dir/coarse.parquet"),
-          spark.read.parquet(s"$dir/fine.parquet")),
-        merged)
-      assert(gated.count() == nAppended, "gate must stay one row per probe")
+      val stagedTabs = graft.queries.SimilarityQueries.stagedGateTables(
+        spark.read.parquet(s"$dir/coarse.parquet"),
+        spark.read.parquet(s"$dir/fine.parquet"))
+      try {
+        val oneShot = graft.streaming.StreamingOps.semanticGateAssignStaged(
+            all.select(c("vec_id"), c("embedding")), stagedTabs)
+          .select(c("vec_id"), c("cid")).collect()
+          .map(r => r.getLong(0) -> r.getInt(1)).toMap
+        val incr = placement(merged)
+        assert(incr.keySet == oneShot.keySet)
+        oneShot.foreach { case (id, cid) =>
+          assert(incr(id) == cid, s"vec $id: incremental=${incr(id)} one-shot=$cid")
+        }
+        // and the GATE over the appended index flags an arrival that
+        // duplicates a base vector (the reason the index must grow):
+        // re-probe the arrivals — every arrival now has itself in its cell,
+        // so gate output stays row-per-probe under the merged reader
+        val gated = graft.streaming.StreamingOps.streamingSemanticGateStaged(
+          arrivals.select(c("vec_id"), c("embedding")), stagedTabs, merged)
+        assert(gated.count() == nAppended, "gate must stay one row per probe")
+        // raw readers must refuse the appended index (the _appended marker)
+        assert(graft.queries.SimilarityQueries.hasAppendGenerations(dir))
+      } finally stagedTabs.cells.unpersist()
     } finally {
       queries.StagingRoots.deleteRecursively(java.nio.file.Paths.get(dir))
       queries.StagingRoots.deleteRecursively(java.nio.file.Paths.get(baseDir))

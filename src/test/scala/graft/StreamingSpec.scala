@@ -462,32 +462,38 @@ class StreamingSpec extends GraftSuite {
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1)))
       .sortBy(_._1)
+    def tablesOf(dir: String) = graft.queries.SimilarityQueries.stagedGateTables(
+      spark.read.parquet(s"$dir/coarse.parquet"),
+      spark.read.parquet(s"$dir/fine.parquet"))
     def admitAll(chunk: Int): Map[Long, Boolean] = {
       import spark.implicits._
       val dir = freshIdx()
+      // frozen tables hoisted ONCE outside the loop — the foreachBatch
+      // contract (per-batch reconstruction is pure startup waste)
+      val tabs = tablesOf(dir)
       try {
         stream.grouped(chunk).flatMap { rows =>
-          StreamingOps.semanticAdmitBatch(dir,
+          StreamingOps.semanticAdmitBatch(dir, tabs,
               rows.toSeq.toDF("vec_id", "embedding"))
             .collect()
             .map(r => r.getLong(0) -> r.getBoolean(2))
         }.toMap
-      } finally queries.StagingRoots.deleteRecursively(
-        java.nio.file.Paths.get(dir))
+      } finally {
+        tabs.cells.unpersist()
+        queries.StagingRoots.deleteRecursively(java.nio.file.Paths.get(dir))
+      }
     }
     val chunked = admitAll(150)
     val oneShot = admitAll(stream.length)
     assert(chunked == oneShot,
-      "admitted set must be invariant to how the stream is chunked")
+      "admitted set must be invariant to how a vec_id-monotone stream is chunked")
     // plain-Scala replay: frozen-cell assignment + per-cell vec_id-greedy
     val dir2 = freshIdx()
+    val staged2 = tablesOf(dir2)
     val model: Map[Long, Boolean] = try {
       import spark.implicits._
-      val staged = graft.queries.SimilarityQueries.stagedGateTables(
-        spark.read.parquet(s"$dir2/coarse.parquet"),
-        spark.read.parquet(s"$dir2/fine.parquet"))
       val cids = StreamingOps.semanticGateAssignStaged(
-          stream.toSeq.toDF("vec_id", "embedding"), staged)
+          stream.toSeq.toDF("vec_id", "embedding"), staged2)
         .select(col("vec_id"), col("cid")).collect()
         .map(r => r.getLong(0) -> r.getInt(1)).toMap
       def cos6(e: Seq[Float], e2: Seq[Float]): Double = {
@@ -509,8 +515,10 @@ class StreamingSpec extends GraftSuite {
         }
       }
       flags.toMap
-    } finally queries.StagingRoots.deleteRecursively(
-      java.nio.file.Paths.get(dir2))
+    } finally {
+      staged2.cells.unpersist()
+      queries.StagingRoots.deleteRecursively(java.nio.file.Paths.get(dir2))
+    }
     assert(chunked.keySet == model.keySet)
     model.foreach { case (id, f) =>
       assert(chunked(id) == f, s"vec $id: admit=${chunked(id)} model=$f")
@@ -519,6 +527,45 @@ class StreamingSpec extends GraftSuite {
     // whose original sits in the SAME cell flags as a near-dup
     val nDup = chunked.count(kv => kv._1 >= 100000L && kv._2)
     assert(nDup > 0, "fixture produced no flagged duplicates — test is vacuous")
+  }
+
+  test("semanticAdmitBatch is replay-safe: re-running a committed batch " +
+    "returns the same flags and leaves the index unchanged (foreachBatch " +
+    "at-least-once)") {
+    import spark.implicits._
+    val sf001 = "/root/testdata/sf0.01"
+    val dir = java.nio.file.Files.createTempDirectory("graft_admit_replay").toString
+    val (tabs0, members0) = graft.queries.SimilarityQueries
+      .semanticStreamIndexRouted(spark, sf001)
+    graft.queries.SimilarityQueries.writeGateIndexRouted(spark, dir, tabs0, members0)
+    members0.limit(0).write.mode("overwrite").parquet(s"$dir/members.parquet")
+    val tabs = graft.queries.SimilarityQueries.stagedGateTables(
+      spark.read.parquet(s"$dir/coarse.parquet"),
+      spark.read.parquet(s"$dir/fine.parquet"))
+    try {
+      val batch = Tables.embeddings(spark, sf001)
+        .select(col("vec_id"), col("embedding")).limit(200)
+      def run(): Map[Long, Boolean] =
+        StreamingOps.semanticAdmitBatch(dir, tabs, batch)
+          .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+      val first = run()
+      val membership1 = graft.queries.SimilarityQueries
+        .readCellMembersMerged(spark, dir)
+        .select(explode(col("members.vec_id"))).collect()
+        .map(_.getLong(0)).sorted.toSeq
+      val replay = run()
+      assert(replay == first,
+        "a replayed batch must return the ORIGINAL flags (self-matches excluded)")
+      val membership2 = graft.queries.SimilarityQueries
+        .readCellMembersMerged(spark, dir)
+        .select(explode(col("members.vec_id"))).collect()
+        .map(_.getLong(0)).sorted.toSeq
+      assert(membership2 == membership1,
+        "a replayed batch must not re-append already-admitted vectors")
+    } finally {
+      tabs.cells.unpersist()
+      queries.StagingRoots.deleteRecursively(java.nio.file.Paths.get(dir))
+    }
   }
 
   test("streamingCurationGate: stateless quality+decontamination flags match batch") {
