@@ -1369,9 +1369,11 @@ object SimilarityQueries {
       .semanticGateAssignStaged(vecs, staged)
       .persist(StorageLevel.MEMORY_AND_DISK)
     val n = assigned.count()
-    writeMemberDelta(assigned.groupBy(col("cid"))
-      .agg(collect_list(struct(col("vec_id"), col("e"), col("nrm"))).as("members")),
-      idx)
+    // an empty batch must not mark the index as appended (r13 review)
+    if (n > 0)
+      writeMemberDelta(assigned.groupBy(col("cid"))
+        .agg(collect_list(struct(col("vec_id"), col("e"), col("nrm"))).as("members")),
+        idx)
     assigned.unpersist()
     staged.cells.unpersist()
     n
@@ -1384,18 +1386,26 @@ object SimilarityQueries {
     * unpruned-scan regime is what OOM'd the r12 gate JVM), and an
     * `_appended` marker is dropped so RAW one-row-per-cid readers can fail
     * loudly instead of silently emitting one verify row per generation —
-    * an appended index must be read through [[readCellMembersMerged]]. */
+    * an appended index must be read through [[readCellMembersMerged]].
+    * The marker is written BEFORE the append commits: a crash between the
+    * two fails conservatively (a loud spurious refusal on a still-pristine
+    * index) instead of the inverted direction (silent duplicate verify
+    * rows on an appended one — r13 review). */
   private[graft] def writeMemberDelta(delta: DataFrame, idx: String): Unit = {
-    delta.repartitionByRange(4, col("cid")).sortWithinPartitions("cid")
-      .write.mode(org.apache.spark.sql.SaveMode.Append)
-      .parquet(s"$idx/members.parquet")
     val marker = java.nio.file.Paths.get(idx, "_appended")
     if (!java.nio.file.Files.exists(marker))
       java.nio.file.Files.createFile(marker)
+    delta.repartitionByRange(4, col("cid")).sortWithinPartitions("cid")
+      .write.mode(org.apache.spark.sql.SaveMode.Append)
+      .parquet(s"$idx/members.parquet")
   }
 
-  /** True iff the index has received append generations (members.parquet
-    * holds multiple rows per cid) — raw readers must refuse it. */
+  /** True iff the index is MARKED as having received append generations
+    * (members.parquet holding multiple rows per cid). The check is the
+    * `_appended` marker [[writeMemberDelta]] drops before its first
+    * commit — conservative for every index this code wrote; an index
+    * appended by some other writer without the marker is out of contract
+    * (raw readers would not detect it). */
   private[graft] def hasAppendGenerations(idx: String): Boolean =
     java.nio.file.Files.exists(java.nio.file.Paths.get(idx, "_appended"))
 
@@ -1404,12 +1414,19 @@ object SimilarityQueries {
     * generations flattened into one row per cid (the verify tail's
     * one-row-per-cid contract). The merge groupBy runs on the INDEX
     * slice being read — under cid-range sharding that is 1/S of the
-    * cells, map-side combinable — never on the probe side. */
+    * cells, map-side combinable — never on the probe side. `onlyCids`
+    * prunes the SCAN to the named cells (an isin predicate the cid-sorted
+    * row-group stats of [[writeMemberDelta]]/[[writeGateIndexRouted]]'s
+    * layout can skip on) — the admit loop's per-batch bound: a broadcast
+    * join would filter only after a full O(index) scan (r13 review). */
   private[graft] def readCellMembersMerged(spark: SparkSession,
-      idx: String): DataFrame =
-    spark.read.parquet(s"$idx/members.parquet")
+      idx: String, onlyCids: Option[Seq[Int]] = None): DataFrame = {
+    val base = spark.read.parquet(s"$idx/members.parquet")
+    val pruned = onlyCids.fold(base)(cs => base.filter(col("cid").isin(cs: _*)))
+    pruned
       .groupBy(col("cid"))
       .agg(flatten(collect_list(col("members"))).as("members"))
+  }
 
   /** q125 — exact-first collapse ∘ STAGED routed assignment ∘ census.
     * Same algorithm as q118 (only the centroid table's physical placement

@@ -578,13 +578,14 @@ object StreamingOps {
       .select(col("cid"), col("vec_id"), col("e"), col("nrm"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // prune the accumulated members to the cells this batch touches
-    // BEFORE merging generations: per-batch member work is bounded by the
-    // batch's cells, not the index's size
-    val touched = assigned.select(col("cid")).distinct()
-    val members = spark.read.parquet(s"$idx/members.parquet")
-      .join(broadcast(touched), Seq("cid"))
-      .groupBy(col("cid"))
-      .agg(flatten(collect_list(col("members"))).as("members"))
+    // BEFORE merging generations: the touched-cid list is batch-bounded
+    // (collected under the micro-batch contract) and goes into the SCAN
+    // as an isin predicate the cid-sorted row-group layout skips on — a
+    // join-side filter would only apply after a full O(index) scan
+    val touchedCids = assigned.select(col("cid")).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val members = graft.queries.SimilarityQueries
+      .readCellMembersMerged(spark, idx, Some(touchedCids))
     val joined = assigned.join(members, Seq("cid"), "left")
     val outSchema = StructType(Seq(
       StructField("vec_id", LongType, nullable = false),
@@ -631,11 +632,15 @@ object StreamingOps {
     // lineage (the merged-members read is part of it)
     val flags = out.select(col("vec_id"), col("cid"), col("semantic_near_dup"))
       .collect()
-    graft.queries.SimilarityQueries.writeMemberDelta(
-      out.filter(col("newly_admitted"))
-        .groupBy(col("cid"))
-        .agg(collect_list(struct(col("vec_id"), col("e"), col("nrm"))).as("members")),
-      idx)
+    // only a NON-empty delta touches the index: an all-duplicate (or
+    // fully-replayed) batch must not mark a pristine index as appended,
+    // which would lock raw readers out for nothing (r13 review)
+    if (out.filter(col("newly_admitted")).limit(1).count() > 0)
+      graft.queries.SimilarityQueries.writeMemberDelta(
+        out.filter(col("newly_admitted"))
+          .groupBy(col("cid"))
+          .agg(collect_list(struct(col("vec_id"), col("e"), col("nrm"))).as("members")),
+        idx)
     out.unpersist()
     assigned.unpersist()
     spark.createDataFrame(

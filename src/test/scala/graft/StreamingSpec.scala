@@ -553,6 +553,8 @@ class StreamingSpec extends GraftSuite {
         .readCellMembersMerged(spark, dir)
         .select(explode(col("members.vec_id"))).collect()
         .map(_.getLong(0)).sorted.toSeq
+      val filesAfterFirst = new java.io.File(s"$dir/members.parquet")
+        .listFiles().length
       val replay = run()
       assert(replay == first,
         "a replayed batch must return the ORIGINAL flags (self-matches excluded)")
@@ -562,6 +564,10 @@ class StreamingSpec extends GraftSuite {
         .map(_.getLong(0)).sorted.toSeq
       assert(membership2 == membership1,
         "a replayed batch must not re-append already-admitted vectors")
+      // an all-replayed batch admits nothing NEW: no empty delta job, no
+      // extra files
+      assert(new java.io.File(s"$dir/members.parquet").listFiles().length
+        == filesAfterFirst, "a replayed batch must not write an empty delta")
     } finally {
       tabs.cells.unpersist()
       queries.StagingRoots.deleteRecursively(java.nio.file.Paths.get(dir))
