@@ -78,6 +78,14 @@ import org.apache.spark.sql.functions._
   *                                copy; an appended index must be read via
   *                                the merging reader, while `gate` mode
   *                                reads members raw (pristine builds).
+  *   compact <idx>              — index compaction (semanticIndexCompact):
+  *                                merge all append generations back into
+  *                                the pristine one-row-per-cid range
+  *                                layout and drop the _appended marker,
+  *                                restoring the scan-only raw-reader
+  *                                contract `gate` mode requires. Reports
+  *                                file/row/generation counts before and
+  *                                after. MUTATES <idx>.
   *   dedup <dir>                — q117 then q118 timed with peak heap (the
   *                                1000×+dupvec re-run after the digest-keyed
   *                                exact collapse; r8 measured 180.6/85.2 s
@@ -232,11 +240,15 @@ object SemScale {
         val src = args(1)
         val idx = args(2)
         val mod = args.lift(3).map(_.toInt).getOrElse(20)
+        // optional id shift (default 1e9) so SUCCESSIVE append rows can
+        // carry distinct arrival ids (e.g. 1e9, 2e9, …) — the compact
+        // rung appends several generations before merging them
+        val shift = args.lift(4).map(_.toLong).getOrElse(1000000000L)
         val spark = session()
         resetHeapPeaks()
         val arrivals = Tables.embeddings(spark, src)
           .filter(pmod(col("vec_id"), lit(mod)) === 0)
-          .select((col("vec_id") + lit(1000000000L)).as("vec_id"),
+          .select((col("vec_id") + lit(shift)).as("vec_id"),
             col("embedding"))
         val (n, wall) = time(
           queries.SimilarityQueries.semanticIndexAppend(spark, idx, arrivals))
@@ -408,8 +420,9 @@ object SemScale {
         // verify row per probe per generation — refuse it (r13 review)
         require(!queries.SimilarityQueries.hasAppendGenerations(idx),
           s"index dir $idx has append generations (_appended marker): " +
-            "gate mode reads members raw — rebuild the index, or consume " +
-            "it through readCellMembersMerged")
+            "gate mode reads members raw — compact it first (SemScale " +
+            "compact <idx>), rebuild it, or consume it through " +
+            "readCellMembersMerged")
         val members = spark.read.parquet(s"$idx/members.parquet")
         val probe = Tables.embeddings(spark, src)
           .filter(pmod(col("vec_id"), lit(probeMod)) === 0)
@@ -505,9 +518,32 @@ object SemScale {
           f""""gate_wall_sec":$gateWall%.1f,"gate_peak_heap_mb":${heapPeakMb()},""" +
           s""""xmx_mb":${xmxMb()}}""")
 
+      case "compact" =>
+        val idx = args(1)
+        val spark = session()
+        resetHeapPeaks()
+        def layout(): (Long, Long, Long) = {
+          val files = new java.io.File(s"$idx/members.parquet")
+            .listFiles().count(_.getName.endsWith(".parquet")).toLong
+          val rows = spark.read.parquet(s"$idx/members.parquet")
+          val gens = rows.groupBy(col("cid")).count()
+            .agg(org.apache.spark.sql.functions.max("count")).head.getLong(0)
+          (files, rows.count(), gens)
+        }
+        val (fB, rB, gB) = layout()
+        val (ran, wall) = time(
+          queries.SimilarityQueries.semanticIndexCompact(spark, idx))
+        val (fA, rA, gA) = layout()
+        println(s"""{"mode":"compact","idx":"$idx","ran":$ran,""" +
+          s""""files_before":$fB,"rows_before":$rB,"max_gens_before":$gB,""" +
+          s""""files_after":$fA,"rows_after":$rA,"max_gens_after":$gA,""" +
+          s""""marked_after":${queries.SimilarityQueries.hasAppendGenerations(idx)},""" +
+          f""""compact_wall_sec":$wall%.1f,"compact_peak_heap_mb":${heapPeakMb()},""" +
+          s""""xmx_mb":${xmxMb()}}""")
+
       case other =>
         System.err.println(s"unknown mode: $other " +
-          "(staged|census|blobfix|append|dedup|gateindex|gateindexr|gateindexrs|gate)")
+          "(staged|census|blobfix|append|dedup|gateindex|gateindexr|gateindexrs|gate|compact)")
         sys.exit(2)
     }
   }

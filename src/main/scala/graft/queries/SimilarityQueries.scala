@@ -1409,6 +1409,79 @@ object SimilarityQueries {
   private[graft] def hasAppendGenerations(idx: String): Boolean =
     java.nio.file.Files.exists(java.nio.file.Paths.get(idx, "_appended"))
 
+  /** COMPACT an appended index back to the pristine one-row-per-cid
+    * layout — the maintenance step that closes the append lifecycle
+    * (build → serve → [[semanticIndexAppend]]* → compact): run the
+    * generation merge ONCE, rewrite `members.parquet` in the base
+    * build's range-partitioned cid-sorted layout, and drop the
+    * `_appended` marker so the scan-only raw readers (gate mode, the
+    * verify shards' pruned broadcast builds) apply again. Until
+    * compaction every read pays the merge groupBy and the per-append
+    * small files; after it the index is byte-contract identical to a
+    * pristine build's (same reader, same layout, same pruning story).
+    * Cost is one O(index) read+write — amortized across the appends it
+    * absorbs, and shardable by cid range at cluster scale exactly like
+    * the verify tail (each range compacts its own files independently).
+    *
+    * Crash ordering is conservative at every window: the compacted
+    * table is written to a sibling tmp dir first; the live dir is
+    * renamed aside, the tmp renamed in (both single atomic renames);
+    * the `_appended` marker is removed LAST. A crash before the marker
+    * removal leaves an index the merged reader still serves correctly
+    * (merging one-row-per-cid data is the identity) while raw readers
+    * keep refusing — never the inverted failure (raw readers accepting
+    * multi-generation rows). [[healInterruptedCompact]] finishes or
+    * rolls back any interrupted window on the next call.
+    *
+    * Returns true iff a compaction ran (false = the index was already
+    * pristine; its files are left byte-untouched). */
+  private[graft] def semanticIndexCompact(spark: SparkSession, idx: String): Boolean = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    healInterruptedCompact(idx)
+    if (!hasAppendGenerations(idx)) return false
+    val live = Paths.get(idx, "members.parquet")
+    val tmp = Paths.get(idx, "members.compacting.parquet")
+    val pre = Paths.get(idx, "members.precompact.parquet")
+    readCellMembersMerged(spark, idx)
+      .repartitionByRange(32, col("cid")).sortWithinPartitions("cid")
+      .write.mode("overwrite").parquet(tmp.toString)
+    Files.move(live, pre, StandardCopyOption.ATOMIC_MOVE)
+    Files.move(tmp, live, StandardCopyOption.ATOMIC_MOVE)
+    Files.delete(Paths.get(idx, "_appended"))
+    StagingRoots.deleteRecursively(pre)
+    true
+  }
+
+  /** Finish or roll back a compaction interrupted mid-window, keyed off
+    * which directories survived (states ordered by the swap sequence in
+    * [[semanticIndexCompact]]):
+    *  - live dir MISSING + precompact present → crashed between the two
+    *    renames: restore the precompact dir (the index is whole again,
+    *    still marked appended — the interrupted compaction re-runs).
+    *  - live dir present + precompact present → crashed after the swap:
+    *    the live table is already merged; drop only the precompact dir.
+    *    The `_appended` marker is NEVER touched here — a crash after the
+    *    swap but before the marker removal re-runs the (idempotent)
+    *    merge+rewrite and removes the marker at its proper LAST step.
+    *    Healing the marker itself would race a concurrent append that
+    *    re-marked the index between the crash and the heal, silently
+    *    unmarking fresh deltas — the one failure direction this lane
+    *    must never take.
+    *  - a leftover tmp dir is deleted in every state (it is regenerated
+    *    wholesale; a half-written tmp must never be renamed in). */
+  private[graft] def healInterruptedCompact(idx: String): Unit = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val live = Paths.get(idx, "members.parquet")
+    val tmp = Paths.get(idx, "members.compacting.parquet")
+    val pre = Paths.get(idx, "members.precompact.parquet")
+    if (Files.exists(pre)) {
+      if (!Files.exists(live))
+        Files.move(pre, live, StandardCopyOption.ATOMIC_MOVE)
+      else StagingRoots.deleteRecursively(pre)
+    }
+    if (Files.exists(tmp)) StagingRoots.deleteRecursively(tmp)
+  }
+
   /** Generation-merging member reader for an index that has received
     * [[semanticIndexAppend]] deltas: per-cid member arrays across append
     * generations flattened into one row per cid (the verify tail's

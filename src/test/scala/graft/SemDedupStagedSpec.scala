@@ -217,6 +217,143 @@ class SemDedupStagedSpec extends GraftSuite {
     }
   }
 
+  test("semanticIndexCompact: merges append generations back to the pristine " +
+    "one-row-per-cid layout, drops the marker, preserves placement and gate " +
+    "output, and is a byte-no-op on a pristine index") {
+    import org.apache.spark.sql.functions.{col => c}
+    val sf001 = "/root/testdata/sf0.01"
+    val dir = java.nio.file.Files.createTempDirectory("graft_idx_compact").toString
+    val baseDir = java.nio.file.Files.createTempDirectory("graft_idx_cbase").toString
+    try {
+      val all = Tables.embeddings(spark, sf001)
+      val base = all.filter(c("vec_id") % 5 =!= 0)
+      base.select(c("vec_id"), c("embedding"))
+        .write.parquet(s"$baseDir/embeddings.parquet")
+      val (tabs, members) = SimilarityQueries.semanticStreamIndexRouted(spark, baseDir)
+      SimilarityQueries.writeGateIndexRouted(spark, dir, tabs, members)
+      def memberFiles(): Map[String, Long] =
+        new java.io.File(s"$dir/members.parquet").listFiles()
+          .filter(_.getName.endsWith(".parquet"))
+          .map(f => f.getName -> f.length()).toMap
+      // pristine index: compact must be a byte-no-op returning false
+      val pristineFiles = memberFiles()
+      assert(!SimilarityQueries.semanticIndexCompact(spark, dir))
+      assert(memberFiles() == pristineFiles)
+      // TWO append generations (so the merge is over >2 rows in some cid)
+      val arr = all.filter(c("vec_id") % 5 === 0).select(c("vec_id"), c("embedding"))
+      val n1 = SimilarityQueries.semanticIndexAppend(spark, dir,
+        arr.filter(c("vec_id") % 2 === 0))
+      val n2 = SimilarityQueries.semanticIndexAppend(spark, dir,
+        arr.filter(c("vec_id") % 2 =!= 0))
+      assert(n1 > 0 && n2 > 0)
+      def placement(m: org.apache.spark.sql.DataFrame): Map[Long, Int] =
+        m.select(c("cid"), explode(c("members")).as("mm"))
+          .select(c("mm.vec_id"), c("cid")).collect()
+          .map(r => r.getLong(0) -> r.getInt(1)).toMap
+      val mergedPre = SimilarityQueries.readCellMembersMerged(spark, dir)
+      val placePre = placement(mergedPre)
+      val stagedTabs = SimilarityQueries.stagedGateTables(
+        spark.read.parquet(s"$dir/coarse.parquet"),
+        spark.read.parquet(s"$dir/fine.parquet"))
+      try {
+        val probes = all.select(c("vec_id"), c("embedding"))
+        def gateFlags(m: org.apache.spark.sql.DataFrame): Map[Long, Boolean] =
+          graft.streaming.StreamingOps
+            .streamingSemanticGateStaged(probes, stagedTabs, m)
+            .select(c("vec_id"), c("semantic_near_dup")).collect()
+            .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+        val flagsPre = gateFlags(mergedPre)
+        // compact: marker gone, raw layout one row per cid again
+        assert(SimilarityQueries.semanticIndexCompact(spark, dir))
+        assert(!SimilarityQueries.hasAppendGenerations(dir))
+        assert(!java.nio.file.Files.exists(
+          java.nio.file.Paths.get(dir, "members.precompact.parquet")))
+        assert(!java.nio.file.Files.exists(
+          java.nio.file.Paths.get(dir, "members.compacting.parquet")))
+        val raw = spark.read.parquet(s"$dir/members.parquet")
+        val cids = raw.select(c("cid")).collect().map(_.getInt(0))
+        assert(cids.length == cids.distinct.length,
+          "compacted members must hold ONE row per cid (raw-reader contract)")
+        // placement and gate output identical through the RAW read path
+        assert(placement(raw) == placePre)
+        assert(gateFlags(raw) == flagsPre)
+        // a second compact is a no-op that leaves the files byte-untouched
+        val afterFiles = memberFiles()
+        assert(!SimilarityQueries.semanticIndexCompact(spark, dir))
+        assert(memberFiles() == afterFiles)
+        // the lifecycle continues: append AFTER compact re-marks the index
+        // and the merged reader sees the new generation
+        val extra = arr.select((c("vec_id") + lit(2000000000L)).as("vec_id"),
+          c("embedding"))
+        val n3 = SimilarityQueries.semanticIndexAppend(spark, dir, extra)
+        assert(n3 > 0 && SimilarityQueries.hasAppendGenerations(dir))
+        val placePost = placement(SimilarityQueries.readCellMembersMerged(spark, dir))
+        assert(placePost.size == placePre.size + n3)
+      } finally stagedTabs.cells.unpersist()
+    } finally {
+      queries.StagingRoots.deleteRecursively(java.nio.file.Paths.get(dir))
+      queries.StagingRoots.deleteRecursively(java.nio.file.Paths.get(baseDir))
+    }
+  }
+
+  test("healInterruptedCompact: every crash window restores a servable " +
+    "index without ever unmarking fresh deltas") {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import org.apache.spark.sql.functions.{col => c}
+    val sf001 = "/root/testdata/sf0.01"
+    val dir = java.nio.file.Files.createTempDirectory("graft_idx_heal").toString
+    try {
+      val vecs = Tables.embeddings(spark, sf001)
+        .select(c("vec_id"), c("embedding"))
+      val (tabs, members) = SimilarityQueries.semanticStreamIndexRouted(spark, sf001)
+      SimilarityQueries.writeGateIndexRouted(spark, dir, tabs, members)
+      assert(SimilarityQueries.semanticIndexAppend(spark, dir,
+        vecs.filter(c("vec_id") % 7 === 0)
+          .select((c("vec_id") + lit(1000000000L)).as("vec_id"), c("embedding"))) > 0)
+      val live = Paths.get(dir, "members.parquet")
+      val tmp = Paths.get(dir, "members.compacting.parquet")
+      val pre = Paths.get(dir, "members.precompact.parquet")
+      val placePre = SimilarityQueries.readCellMembersMerged(spark, dir)
+        .select(c("cid"), explode(c("members")).as("mm"))
+        .select(c("mm.vec_id"), c("cid")).collect()
+        .map(r => r.getLong(0) -> r.getInt(1)).toMap
+      // window 1: crash between the two renames (live missing, pre + a
+      // half-written tmp present) → heal restores the live dir, drops tmp
+      Files.move(live, pre, StandardCopyOption.ATOMIC_MOVE)
+      Files.createDirectory(tmp)
+      Files.createFile(tmp.resolve("part-half.parquet"))
+      SimilarityQueries.healInterruptedCompact(dir)
+      assert(Files.exists(live) && !Files.exists(pre) && !Files.exists(tmp))
+      assert(SimilarityQueries.hasAppendGenerations(dir))
+      // the restored index re-compacts cleanly
+      assert(SimilarityQueries.semanticIndexCompact(spark, dir))
+      // window 2: crash after the swap but before marker removal, then a
+      // NEW append re-marks the index — heal must drop the stray pre dir
+      // but NEVER the marker (the fresh delta would be silently unmarked)
+      Files.createDirectory(pre)
+      Files.createFile(pre.resolve("part-stale.parquet"))
+      assert(SimilarityQueries.semanticIndexAppend(spark, dir,
+        vecs.filter(c("vec_id") % 11 === 0)
+          .select((c("vec_id") + lit(3000000000L)).as("vec_id"), c("embedding"))) > 0)
+      SimilarityQueries.healInterruptedCompact(dir)
+      assert(!Files.exists(pre))
+      assert(SimilarityQueries.hasAppendGenerations(dir),
+        "heal must not unmark an index carrying fresh deltas")
+      // and the final compact converges the whole history to pristine
+      assert(SimilarityQueries.semanticIndexCompact(spark, dir))
+      val raw = spark.read.parquet(s"$dir/members.parquet")
+      val cids = raw.select(c("cid")).collect().map(_.getInt(0))
+      assert(cids.length == cids.distinct.length)
+      val placePost = raw
+        .select(c("cid"), explode(c("members")).as("mm"))
+        .select(c("mm.vec_id"), c("cid")).collect()
+        .map(r => r.getLong(0) -> r.getInt(1)).toMap
+      placePre.foreach { case (id, cid) => assert(placePost(id) == cid) }
+    } finally {
+      queries.StagingRoots.deleteRecursively(java.nio.file.Paths.get(dir))
+    }
+  }
+
   test("staged gate-index build writes the SAME tables as the kernel build " +
     "(coarse, fine, member assignment) — the indexes are interchangeable") {
     val sf001 = "/root/testdata/sf0.01"
