@@ -1392,9 +1392,15 @@ object SimilarityQueries {
     * index) instead of the inverted direction (silent duplicate verify
     * rows on an appended one — r13 review). */
   private[graft] def writeMemberDelta(delta: DataFrame, idx: String): Unit = {
-    val marker = java.nio.file.Paths.get(idx, "_appended")
-    if (!java.nio.file.Files.exists(marker))
-      java.nio.file.Files.createFile(marker)
+    import java.nio.file.{Files, Paths, StandardOpenOption}
+    // the marker doubles as a GENERATION LEDGER: one byte appended per
+    // delta commit (still marker-FIRST — the byte lands before the
+    // parquet append, so a crash between the two over-counts, never
+    // under-counts), giving [[appendGenerationCount]] an O(1) read the
+    // compaction policy ([[maintainIndex]]) can poll per micro-batch
+    // without scanning the index
+    Files.write(Paths.get(idx, "_appended"), Array('+'.toByte),
+      StandardOpenOption.CREATE, StandardOpenOption.APPEND)
     delta.repartitionByRange(4, col("cid")).sortWithinPartitions("cid")
       .write.mode(org.apache.spark.sql.SaveMode.Append)
       .parquet(s"$idx/members.parquet")
@@ -1408,6 +1414,34 @@ object SimilarityQueries {
     * (raw readers would not detect it). */
   private[graft] def hasAppendGenerations(idx: String): Boolean =
     java.nio.file.Files.exists(java.nio.file.Paths.get(idx, "_appended"))
+
+  /** Number of append generations committed since the last compaction —
+    * the `_appended` ledger's byte count (one byte per delta commit;
+    * marker-first ordering means a crash mid-append over-counts by one,
+    * the conservative direction for a compact-when-due policy). O(1):
+    * no index scan. 0 = pristine. */
+  private[graft] def appendGenerationCount(idx: String): Int = {
+    val marker = java.nio.file.Paths.get(idx, "_appended")
+    if (java.nio.file.Files.exists(marker))
+      java.nio.file.Files.size(marker).toInt
+    else 0
+  }
+
+  /** The admit loop's MAINTENANCE policy: compact when the generation
+    * ledger reaches `maxGens`. Called once per micro-batch after
+    * [[graft.streaming.StreamingOps.semanticAdmitBatch]] (the check is
+    * one file-size stat — free at stream cadence), it bounds BOTH
+    * accumulation costs a long-running admit stream otherwise grows
+    * without limit: file count (≤4 delta files per generation) and the
+    * generation-merge work every read re-pays. Amortized cost per
+    * admitted batch is O(index)/maxGens — the knob trades read
+    * amplification (high maxGens) against rewrite frequency (low).
+    * Returns true iff a compaction ran. */
+  private[graft] def maintainIndex(spark: SparkSession, idx: String,
+      maxGens: Int = 16): Boolean = {
+    require(maxGens >= 1, s"maxGens=$maxGens (must be >= 1)")
+    appendGenerationCount(idx) >= maxGens && semanticIndexCompact(spark, idx)
+  }
 
   /** COMPACT an appended index back to the pristine one-row-per-cid
     * layout — the maintenance step that closes the append lifecycle

@@ -564,7 +564,10 @@ object StreamingOps {
     * batch's assigned cells before the generation merge (never the
     * whole accumulated index — the r11/r12 whole-index-residency lesson)
     * and per-cell work is the batch slice × that cell's admitted
-    * members. Cosine uses the gate's exact rule (left-fold float→double
+    * members. Long-running loops bound generation accumulation by
+    * calling [[graft.queries.SimilarityQueries.maintainIndex]] after
+    * each admit (one file-size stat; compacts when the delta-commit
+    * ledger reaches maxGens). Cosine uses the gate's exact rule (left-fold float→double
     * dot, HALF_UP round-6). Returns the per-batch flags as a LOCAL
     * frame (micro-batch-sized by contract — collected so the result
     * survives the index mutation that follows materialization). */

@@ -296,6 +296,43 @@ class SemDedupStagedSpec extends GraftSuite {
     }
   }
 
+  test("maintainIndex: the generation ledger counts delta commits and the " +
+    "compact-when-due policy fires exactly at the threshold") {
+    import org.apache.spark.sql.functions.{col => c}
+    val sf001 = "/root/testdata/sf0.01"
+    val dir = java.nio.file.Files.createTempDirectory("graft_idx_maint").toString
+    try {
+      val vecs = Tables.embeddings(spark, sf001)
+        .select(c("vec_id"), c("embedding"))
+      val (tabs, members) = SimilarityQueries.semanticStreamIndexRouted(spark, sf001)
+      SimilarityQueries.writeGateIndexRouted(spark, dir, tabs, members)
+      assert(SimilarityQueries.appendGenerationCount(dir) == 0)
+      // a pristine index is never compacted by the policy
+      assert(!SimilarityQueries.maintainIndex(spark, dir, maxGens = 1))
+      for (g <- 1 to 3) {
+        assert(SimilarityQueries.semanticIndexAppend(spark, dir,
+          vecs.filter(c("vec_id") % 7 === g)
+            .select((c("vec_id") + lit(g * 1000000000L)).as("vec_id"),
+              c("embedding"))) > 0)
+        assert(SimilarityQueries.appendGenerationCount(dir) == g,
+          s"ledger must count $g delta commits")
+      }
+      val nMerged = SimilarityQueries.readCellMembersMerged(spark, dir)
+        .select(explode(c("members"))).count()
+      // below threshold: no-op, ledger untouched
+      assert(!SimilarityQueries.maintainIndex(spark, dir, maxGens = 5))
+      assert(SimilarityQueries.appendGenerationCount(dir) == 3)
+      // at threshold: compacts, ledger resets, membership preserved
+      assert(SimilarityQueries.maintainIndex(spark, dir, maxGens = 3))
+      assert(SimilarityQueries.appendGenerationCount(dir) == 0)
+      assert(!SimilarityQueries.hasAppendGenerations(dir))
+      val raw = spark.read.parquet(s"$dir/members.parquet")
+      assert(raw.select(explode(c("members"))).count() == nMerged)
+    } finally {
+      queries.StagingRoots.deleteRecursively(java.nio.file.Paths.get(dir))
+    }
+  }
+
   test("healInterruptedCompact: every crash window restores a servable " +
     "index without ever unmarking fresh deltas") {
     import java.nio.file.{Files, Paths, StandardCopyOption}
