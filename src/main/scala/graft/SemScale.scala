@@ -78,6 +78,14 @@ import org.apache.spark.sql.functions._
   *                                copy; an appended index must be read via
   *                                the merging reader, while `gate` mode
   *                                reads members raw (pristine builds).
+  *   admitloop <src> <idx> [nBatches] [mod] [maxGens]
+  *                              — the ONLINE admit loop at design regime:
+  *                                semanticAdmitBatch over nBatches
+  *                                sequential arrival chunks with
+  *                                maintainIndex (compact-when-due) in the
+  *                                batch body — the production foreachBatch
+  *                                shape. Reports per-batch admit walls and
+  *                                compaction counts. MUTATES <idx>.
   *   compact <idx>              — index compaction (semanticIndexCompact):
   *                                merge all append generations back into
   *                                the pristine one-row-per-cid range
@@ -517,6 +525,83 @@ object SemScale {
           s""""max_cell":${res._3},""" +
           f""""gate_wall_sec":$gateWall%.1f,"gate_peak_heap_mb":${heapPeakMb()},""" +
           s""""xmx_mb":${xmxMb()}}""")
+
+      case "subset" =>
+        // Write a HOLD-OUT base fixture: embeddings with vec_id%mod != 0
+        // (the admitloop rung builds its index over this base, then
+        // admits the held-out 1-in-mod residue class as genuinely NEW
+        // arrivals — an index built over the full corpus would flag
+        // every arrival as an exact duplicate of its own base copy)
+        val src = args(1)
+        val dst = args(2)
+        val mod = args.lift(3).map(_.toInt).getOrElse(20)
+        val spark = session()
+        val kept = Tables.embeddings(spark, src)
+          .filter(pmod(col("vec_id"), lit(mod)) =!= 0)
+        kept.coalesce(8).write.mode("overwrite")
+          .parquet(s"$dst/embeddings.parquet")
+        println(s"""{"mode":"subset","src":"$src","dst":"$dst","mod":$mod,""" +
+          s""""n_kept":${spark.read.parquet(s"$dst/embeddings.parquet").count()}}""")
+
+      case "admitloop" =>
+        // The ONLINE admit loop at its design regime: drive
+        // semanticAdmitBatch over nBatches sequential arrival chunks
+        // against a WRITTEN routed index, with maintainIndex (the
+        // compact-when-due policy) in the batch body — exactly the
+        // production foreachBatch shape. Measures the two claims the
+        // sf0.01 specs pin but never weigh: per-batch cost is
+        // batch-bounded (the member read prunes to the batch's cells
+        // BEFORE the generation merge), and the policy bounds
+        // generation accumulation while the loop runs. MUTATES <idx>.
+        val src = args(1)
+        val idx = args(2)
+        val nBatches = args.lift(3).map(_.toInt).getOrElse(8)
+        val mod = args.lift(4).map(_.toInt).getOrElse(20)
+        val maxGens = args.lift(5).map(_.toInt).getOrElse(4)
+        val spark = session()
+        resetHeapPeaks()
+        val staged = queries.SimilarityQueries.stagedGateTables(
+          spark.read.parquet(s"$idx/coarse.parquet"),
+          spark.read.parquet(s"$idx/fine.parquet"))
+        val arrivals = Tables.embeddings(spark, src)
+          .filter(pmod(col("vec_id"), lit(mod)) === 0)
+          .select((col("vec_id") + lit(1000000000L)).as("vec_id"),
+            col("embedding"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        arrivals.count()
+        val walls = (0 until nBatches).map { b =>
+          // chunk on vec_id/mod, not vec_id: arrival ids share the
+          // residue 0 mod `mod`, so chunking on the raw id would land
+          // them all in the residues gcd(mod, nBatches) divides
+          val chunk = arrivals.filter(
+            pmod(floor(col("vec_id") / lit(mod)), lit(nBatches)) === b)
+          val ((nDup, nNew), admitWall) = time {
+            val flags = graft.streaming.StreamingOps
+              .semanticAdmitBatch(idx, staged, chunk)
+            val d = flags.filter(col("semantic_near_dup")).count()
+            (d, flags.count() - d)
+          }
+          val (compacted, maintWall) = time(
+            queries.SimilarityQueries.maintainIndex(spark, idx, maxGens))
+          val gens = queries.SimilarityQueries.appendGenerationCount(idx)
+          System.err.println(f"[admitloop] batch $b: admit $admitWall%.1f s " +
+            f"($nNew admitted, $nDup flagged), maintain $maintWall%.1f s " +
+            s"(compacted=$compacted, gens now $gens)")
+          (admitWall, maintWall, compacted)
+        }
+        arrivals.unpersist()
+        staged.cells.unpersist()
+        val admits = walls.map(_._1)
+        val nCompactions = walls.count(_._3)
+        println(s"""{"mode":"admitloop","src":"$src","idx":"$idx",""" +
+          s""""n_batches":$nBatches,"max_gens":$maxGens,""" +
+          f""""admit_first_sec":${admits.head}%.1f,""" +
+          f""""admit_median_sec":${admits.sorted.apply(admits.size / 2)}%.1f,""" +
+          f""""admit_max_sec":${admits.max}%.1f,""" +
+          f""""maintain_total_sec":${walls.map(_._2).sum}%.1f,""" +
+          s""""n_compactions":$nCompactions,""" +
+          s""""gens_final":${queries.SimilarityQueries.appendGenerationCount(idx)},""" +
+          f""""peak_heap_mb":${heapPeakMb()},"xmx_mb":${xmxMb()}}""")
 
       case "compact" =>
         val idx = args(1)
