@@ -543,6 +543,24 @@ object SemScale {
         println(s"""{"mode":"subset","src":"$src","dst":"$dst","mod":$mod,""" +
           s""""n_kept":${spark.read.parquet(s"$dst/embeddings.parquet").count()}}""")
 
+      case "dumpmembers" =>
+        // Extract an index's member vectors back out as an embeddings
+        // corpus (merged across append generations if any) — the input
+        // to a REBUILD: gateindexrs over the dump re-clusters the same
+        // vector set under fresh tables, which is what quantifies the
+        // frozen-tables drift the incremental-append contract accepts
+        // between rebuilds.
+        val idx = args(1)
+        val dst = args(2)
+        val spark = session()
+        queries.SimilarityQueries.readCellMembersMerged(spark, idx)
+          .select(explode(col("members")).as("m"))
+          .select(col("m.vec_id"), col("m.e").as("embedding"))
+          .coalesce(8).write.mode("overwrite")
+          .parquet(s"$dst/embeddings.parquet")
+        println(s"""{"mode":"dumpmembers","idx":"$idx","dst":"$dst",""" +
+          s""""n_members":${spark.read.parquet(s"$dst/embeddings.parquet").count()}}""")
+
       case "admitloop" =>
         // The ONLINE admit loop at its design regime: drive
         // semanticAdmitBatch over nBatches sequential arrival chunks
