@@ -646,7 +646,8 @@ object SemScale {
 
       case other =>
         System.err.println(s"unknown mode: $other " +
-          "(staged|census|blobfix|append|dedup|gateindex|gateindexr|gateindexrs|gate|compact)")
+          "(staged|census|blobfix|append|dedup|gateindex|gateindexr|" +
+          "gateindexrs|gate|subset|admitloop|compact|dumpmembers)")
         sys.exit(2)
     }
   }

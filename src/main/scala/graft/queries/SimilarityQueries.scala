@@ -1362,6 +1362,12 @@ object SimilarityQueries {
   private[graft] def semanticIndexAppend(spark: SparkSession, idx: String,
       vecs: DataFrame): Long = {
     import org.apache.spark.storage.StorageLevel
+    // heal FIRST: after a compact crashed between its two renames the
+    // live members dir is missing (held in members.precompact.parquet),
+    // and SaveMode.Append would CREATE a fresh members.parquet holding
+    // only this delta — a later heal would then see live+pre and delete
+    // the pre dir carrying the entire base index (r13 review)
+    withIndexLock(idx)(healInterruptedCompact(idx))
     val staged = stagedGateTables(
       spark.read.parquet(s"$idx/coarse.parquet"),
       spark.read.parquet(s"$idx/fine.parquet"))
@@ -1391,19 +1397,49 @@ object SimilarityQueries {
     * two fails conservatively (a loud spurious refusal on a still-pristine
     * index) instead of the inverted direction (silent duplicate verify
     * rows on an appended one — r13 review). */
-  private[graft] def writeMemberDelta(delta: DataFrame, idx: String): Unit = {
-    import java.nio.file.{Files, Paths, StandardOpenOption}
-    // the marker doubles as a GENERATION LEDGER: one byte appended per
-    // delta commit (still marker-FIRST — the byte lands before the
-    // parquet append, so a crash between the two over-counts, never
-    // under-counts), giving [[appendGenerationCount]] an O(1) read the
-    // compaction policy ([[maintainIndex]]) can poll per micro-batch
-    // without scanning the index
-    Files.write(Paths.get(idx, "_appended"), Array('+'.toByte),
-      StandardOpenOption.CREATE, StandardOpenOption.APPEND)
-    delta.repartitionByRange(4, col("cid")).sortWithinPartitions("cid")
-      .write.mode(org.apache.spark.sql.SaveMode.Append)
-      .parquet(s"$idx/members.parquet")
+  private[graft] def writeMemberDelta(delta: DataFrame, idx: String): Unit =
+    withIndexLock(idx) {
+      import java.nio.file.{Files, Paths, StandardOpenOption}
+      // the marker doubles as a GENERATION LEDGER: one byte appended per
+      // delta commit (still marker-FIRST — the byte lands before the
+      // parquet append, so a crash between the two over-counts, never
+      // under-counts), giving [[appendGenerationCount]] an O(1) read the
+      // compaction policy ([[maintainIndex]]) can poll per micro-batch
+      // without scanning the index
+      Files.write(Paths.get(idx, "_appended"), Array('+'.toByte),
+        StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+      delta.repartitionByRange(4, col("cid")).sortWithinPartitions("cid")
+        .write.mode(org.apache.spark.sql.SaveMode.Append)
+        .parquet(s"$idx/members.parquet")
+    }
+
+  /** Serialize every MUTATION of an index dir (delta commits and the
+    * compaction swap) across threads AND processes: a per-path JVM
+    * monitor (java.nio FileLock throws on same-JVM overlap rather than
+    * queueing) wrapping an OS advisory lock on `<idx>/_lock`
+    * (`FileChannel.lock` blocks across processes and is released by the
+    * OS on ANY process exit — no stale-lock state to heal). Without
+    * this, a compact racing a concurrent append could sweep the
+    * append's just-committed delta files aside with the pre-compact dir
+    * and delete them — the silent-unmark failure the heal doc forbids
+    * (r13 review). Readers stay lock-free: the swap is two atomic
+    * renames and the marker ordering keeps every crash/read window
+    * conservative; the lock only mutually excludes WRITERS. */
+  private val indexLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private[graft] def withIndexLock[A](idx: String)(body: => A): A = {
+    import java.nio.file.{Paths, StandardOpenOption}
+    val canon = Paths.get(idx).toAbsolutePath.normalize.toString
+    val monitor = indexLocks.computeIfAbsent(canon, _ => new Object)
+    monitor.synchronized {
+      val ch = java.nio.channels.FileChannel.open(
+        Paths.get(canon, "_lock"),
+        StandardOpenOption.CREATE, StandardOpenOption.WRITE)
+      try {
+        val fl = ch.lock()
+        try body finally fl.release()
+      } finally ch.close()
+    }
   }
 
   /** True iff the index is MARKED as having received append generations
@@ -1423,7 +1459,11 @@ object SimilarityQueries {
   private[graft] def appendGenerationCount(idx: String): Int = {
     val marker = java.nio.file.Paths.get(idx, "_appended")
     if (java.nio.file.Files.exists(marker))
-      java.nio.file.Files.size(marker).toInt
+      // floor at 1: a zero-byte marker (created by the pre-ledger delta
+      // writer) still means "appended at least once" — counting it as 0
+      // would let maintainIndex under-count forever on a legacy index
+      // (r13 review)
+      math.max(1L, java.nio.file.Files.size(marker)).toInt
     else 0
   }
 
@@ -1440,6 +1480,10 @@ object SimilarityQueries {
   private[graft] def maintainIndex(spark: SparkSession, idx: String,
       maxGens: Int = 16): Boolean = {
     require(maxGens >= 1, s"maxGens=$maxGens (must be >= 1)")
+    // heal even below threshold: an interrupted compact from a PREVIOUS
+    // process must be repaired on the next maintenance tick, not only
+    // once the ledger happens to reach maxGens (r13 review)
+    withIndexLock(idx)(healInterruptedCompact(idx))
     appendGenerationCount(idx) >= maxGens && semanticIndexCompact(spark, idx)
   }
 
@@ -1469,22 +1513,31 @@ object SimilarityQueries {
     *
     * Returns true iff a compaction ran (false = the index was already
     * pristine; its files are left byte-untouched). */
-  private[graft] def semanticIndexCompact(spark: SparkSession, idx: String): Boolean = {
-    import java.nio.file.{Files, Paths, StandardCopyOption}
-    healInterruptedCompact(idx)
-    if (!hasAppendGenerations(idx)) return false
-    val live = Paths.get(idx, "members.parquet")
-    val tmp = Paths.get(idx, "members.compacting.parquet")
-    val pre = Paths.get(idx, "members.precompact.parquet")
-    readCellMembersMerged(spark, idx)
-      .repartitionByRange(32, col("cid")).sortWithinPartitions("cid")
-      .write.mode("overwrite").parquet(tmp.toString)
-    Files.move(live, pre, StandardCopyOption.ATOMIC_MOVE)
-    Files.move(tmp, live, StandardCopyOption.ATOMIC_MOVE)
-    Files.delete(Paths.get(idx, "_appended"))
-    StagingRoots.deleteRecursively(pre)
-    true
-  }
+  private[graft] def semanticIndexCompact(spark: SparkSession, idx: String): Boolean =
+    // the WHOLE compaction holds the index mutation lock — including the
+    // merge materialization into tmp: a delta committed between the merge
+    // snapshot and the live→pre rename would otherwise be swept aside
+    // with the pre-compact dir and deleted, silently losing admitted
+    // members AND their ledger bytes (r13 review). Appends block for the
+    // duration (~one O(index) rewrite); readers are never blocked.
+    withIndexLock(idx) {
+      import java.nio.file.{Files, Paths, StandardCopyOption}
+      healInterruptedCompact(idx)
+      if (!hasAppendGenerations(idx)) false
+      else {
+        val live = Paths.get(idx, "members.parquet")
+        val tmp = Paths.get(idx, "members.compacting.parquet")
+        val pre = Paths.get(idx, "members.precompact.parquet")
+        readCellMembersMerged(spark, idx)
+          .repartitionByRange(32, col("cid")).sortWithinPartitions("cid")
+          .write.mode("overwrite").parquet(tmp.toString)
+        Files.move(live, pre, StandardCopyOption.ATOMIC_MOVE)
+        Files.move(tmp, live, StandardCopyOption.ATOMIC_MOVE)
+        Files.delete(Paths.get(idx, "_appended"))
+        StagingRoots.deleteRecursively(pre)
+        true
+      }
+    }
 
   /** Finish or roll back a compaction interrupted mid-window, keyed off
     * which directories survived (states ordered by the swap sequence in

@@ -577,6 +577,11 @@ object StreamingOps {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
     val spark = batch.sparkSession
+    // repair any compact interrupted by a previous process BEFORE the
+    // member read — below the maintenance threshold maintainIndex runs
+    // after this batch, too late for a missing live members dir
+    graft.queries.SimilarityQueries.withIndexLock(idx)(
+      graft.queries.SimilarityQueries.healInterruptedCompact(idx))
     val assigned = semanticGateAssignStaged(batch, tables)
       .select(col("cid"), col("vec_id"), col("e"), col("nrm"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

@@ -328,6 +328,38 @@ class SemDedupStagedSpec extends GraftSuite {
       assert(!SimilarityQueries.hasAppendGenerations(dir))
       val raw = spark.read.parquet(s"$dir/members.parquet")
       assert(raw.select(explode(c("members"))).count() == nMerged)
+      // a LEGACY zero-byte marker (pre-ledger delta writer) still means
+      // "appended at least once": the count floors at 1 so the policy
+      // cannot under-count forever on an upgraded index
+      java.nio.file.Files.createFile(java.nio.file.Paths.get(dir, "_appended"))
+      assert(SimilarityQueries.appendGenerationCount(dir) == 1)
+      assert(SimilarityQueries.maintainIndex(spark, dir, maxGens = 1))
+      assert(!SimilarityQueries.hasAppendGenerations(dir))
+      assert(spark.read.parquet(s"$dir/members.parquet")
+        .select(explode(c("members"))).count() == nMerged)
+    } finally {
+      queries.StagingRoots.deleteRecursively(java.nio.file.Paths.get(dir))
+    }
+  }
+
+  test("withIndexLock serializes same-JVM index mutators (cross-process " +
+    "exclusion rides the same OS advisory lock)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_idx_lock").toString
+    try {
+      val order = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+      val inLock = new java.util.concurrent.CountDownLatch(1)
+      val t = new Thread(() =>
+        SimilarityQueries.withIndexLock(dir) {
+          order.add("a-enter"); inLock.countDown()
+          Thread.sleep(250)
+          order.add("a-exit")
+        })
+      t.start()
+      inLock.await()
+      SimilarityQueries.withIndexLock(dir) { order.add("b-enter") }
+      t.join()
+      assert(order.toArray.toSeq == Seq("a-enter", "a-exit", "b-enter"),
+        s"second mutator must wait for the first: ${order.toArray.toSeq}")
     } finally {
       queries.StagingRoots.deleteRecursively(java.nio.file.Paths.get(dir))
     }
@@ -386,6 +418,19 @@ class SemDedupStagedSpec extends GraftSuite {
         .select(c("mm.vec_id"), c("cid")).collect()
         .map(r => r.getLong(0) -> r.getInt(1)).toMap
       placePre.foreach { case (id, cid) => assert(placePost(id) == cid) }
+      // window 3: append ARRIVES at a window-1 crash state — without the
+      // entry heal, SaveMode.Append would CREATE a fresh live dir holding
+      // only the delta (and a later heal would then delete the pre dir
+      // carrying the whole base index); the entry heal restores first
+      val nBase = raw.select(explode(c("members"))).count()
+      Files.move(live, pre, StandardCopyOption.ATOMIC_MOVE)
+      val nW3 = SimilarityQueries.semanticIndexAppend(spark, dir,
+        vecs.filter(c("vec_id") % 13 === 0)
+          .select((c("vec_id") + lit(5000000000L)).as("vec_id"), c("embedding")))
+      assert(nW3 > 0 && !Files.exists(pre))
+      assert(SimilarityQueries.readCellMembersMerged(spark, dir)
+        .select(explode(c("members"))).count() == nBase + nW3,
+        "the base index must survive an append landing on a window-1 crash")
     } finally {
       queries.StagingRoots.deleteRecursively(java.nio.file.Paths.get(dir))
     }
