@@ -1427,18 +1427,30 @@ object SimilarityQueries {
     * conservative; the lock only mutually excludes WRITERS. */
   private val indexLocks =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  // REENTRANT per thread: semanticAdmitBatch holds the lock across its
+  // whole read→decide→append transaction while writeMemberDelta (the
+  // append step) locks on its own behalf for non-transactional callers —
+  // without re-entry the inner FileChannel.lock of the SAME JVM throws
+  // OverlappingFileLockException
+  private val heldLocks = new ThreadLocal[scala.collection.mutable.Set[String]] {
+    override def initialValue() = scala.collection.mutable.Set.empty[String]
+  }
   private[graft] def withIndexLock[A](idx: String)(body: => A): A = {
     import java.nio.file.{Paths, StandardOpenOption}
     val canon = Paths.get(idx).toAbsolutePath.normalize.toString
-    val monitor = indexLocks.computeIfAbsent(canon, _ => new Object)
-    monitor.synchronized {
-      val ch = java.nio.channels.FileChannel.open(
-        Paths.get(canon, "_lock"),
-        StandardOpenOption.CREATE, StandardOpenOption.WRITE)
-      try {
-        val fl = ch.lock()
-        try body finally fl.release()
-      } finally ch.close()
+    if (heldLocks.get.contains(canon)) body
+    else {
+      val monitor = indexLocks.computeIfAbsent(canon, _ => new Object)
+      monitor.synchronized {
+        val ch = java.nio.channels.FileChannel.open(
+          Paths.get(canon, "_lock"),
+          StandardOpenOption.CREATE, StandardOpenOption.WRITE)
+        try {
+          val fl = ch.lock()
+          heldLocks.get += canon
+          try body finally { heldLocks.get -= canon; fl.release() }
+        } finally ch.close()
+      }
     }
   }
 

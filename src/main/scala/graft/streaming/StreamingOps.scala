@@ -32,7 +32,7 @@ object StreamingOps {
       p95Prior: Option[Double])
 
   final case class RunState(n: Long, sum: Double, min: Double, max: Double,
-      buf: Vector[Double])
+      buf: Vector[Double], slots: Vector[Double])
 
   /** Exact exclusive quantile (PERCENTILE.EXC) over the state buffer —
     * identical semantics to the batch QuantileExactExclusive expression. */
@@ -64,7 +64,8 @@ object StreamingOps {
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         case (series, rows, state: GroupState[RunState]) =>
           var st = state.getOption.getOrElse(
-            RunState(0L, 0.0, Double.PositiveInfinity, Double.NegativeInfinity, Vector.empty))
+            RunState(0L, 0.0, Double.PositiveInfinity, Double.NegativeInfinity,
+              Vector.empty, Vector.empty))
           val out = rows.toSeq.sortBy(b => (b.tsUs, b.value)).map { b =>
             val priorP95 = exclusiveQuantile(st.buf, 0.95)
             val o = RunningOut(series, b.tsUs, b.value,
@@ -72,10 +73,32 @@ object StreamingOps {
               (st.sum + b.value) / (st.n + 1),
               math.min(st.min, b.value), math.max(st.max, b.value),
               priorP95)
-            val nextBuf0 = insertSorted(st.buf, b.value)
-            val nextBuf = if (nextBuf0.length > maxBuffer) nextBuf0.tail else nextBuf0
-            st = RunState(st.n + 1, st.sum + b.value,
-              math.min(st.min, b.value), math.max(st.max, b.value), nextBuf)
+            // bounded state, EXPANDING semantics: past maxBuffer the
+            // buffer is a deterministic uniform RESERVOIR sample of all
+            // prior values (Vitter's algorithm R with byteswap64(n) as
+            // the deterministic coin) — an unbiased estimate of the
+            // expanding quantile. The previous cap dropped the head of
+            // the value-SORTED vector, evicting the all-time minimum
+            // each row: past the cap the buffer degenerated to the
+            // top-maxBuffer values ever seen and priorP95 drifted
+            // toward the all-time max (r13 review). `slots` carries the
+            // sample in slot order; `buf` is the same multiset sorted
+            // for the quantile read.
+            val n1 = st.n + 1
+            val (nextBuf, nextSlots) =
+              if (st.slots.length < maxBuffer)
+                (insertSorted(st.buf, b.value), st.slots :+ b.value)
+              else {
+                val j = (scala.util.hashing.byteswap64(n1) & Long.MaxValue) % n1
+                if (j < maxBuffer) {
+                  val evicted = st.slots(j.toInt)
+                  (insertSorted(removeSorted(st.buf, evicted), b.value),
+                    st.slots.updated(j.toInt, b.value))
+                } else (st.buf, st.slots)
+              }
+            st = RunState(n1, st.sum + b.value,
+              math.min(st.min, b.value), math.max(st.max, b.value),
+              nextBuf, nextSlots)
             o
           }
           state.update(st)
@@ -90,6 +113,18 @@ object StreamingOps {
       if (v(mid) < x) lo = mid + 1 else hi = mid
     }
     (v.take(lo) :+ x) ++ v.drop(lo)
+  }
+
+  /** Remove ONE occurrence of x from a sorted vector (binary search to
+    * the first occurrence). x is always present by construction — it
+    * came out of the reservoir slot being replaced. */
+  private def removeSorted(v: Vector[Double], x: Double): Vector[Double] = {
+    var lo = 0; var hi = v.length
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (v(mid) < x) lo = mid + 1 else hi = mid
+    }
+    v.take(lo) ++ v.drop(lo + 1)
   }
 
   /** Tumbling event-time windows with a watermark: per (window, series)
@@ -270,12 +305,24 @@ object StreamingOps {
       .dropDuplicatesWithinWatermark("text_hash")
 
   // ---------------------------------------------------------------------------
-  // Streaming sessionization — q81 online. The canonical stateful pattern:
-  // per-user open-session state with an EVENT-TIME timeout; a session is
-  // emitted when a gap > gapUs arrives on the same key, or when the
-  // watermark passes the open session's last event + gap (timeout path),
-  // so quiet users still flush. State is one (start, last, count) triple
-  // per user — bounded by active users, not stream length.
+  // Streaming sessionization — q81 online, as INTERVAL-MERGE state: per
+  // user the state holds the SET of open sessions (start-sorted, pairwise
+  // separated by > gapUs), not a single open session. An arriving event
+  // merges every open session within gapUs of it — zero (new session),
+  // one (extend, either side), or two (the event BRIDGES its neighbors).
+  // This is what makes stream ≡ batch hold under event-time disorder up
+  // to the watermark: with a single open session, a late event preceding
+  // the open session's start by MORE than the gap has nowhere to go and
+  // either fuses sessions batch q81 splits (if merged) or corrupts the
+  // open one (r13 review); here it simply opens an earlier parallel
+  // session. Sessions flush when the watermark passes last + gap (no
+  // arrival ≥ watermark can be within gap of them anymore) — on the
+  // data path opportunistically and on the event-time timeout for quiet
+  // users. State is O(open sessions per user), bounded by the watermark
+  // delay / gap ratio per active user, not stream length. Events older
+  // than the watermark (which Spark may still deliver to the operator)
+  // keep first-arrival semantics: their session was already emitted, so
+  // they open a fresh one — the documented straggler contract.
 
   final case class SessionEvent(userId: Long, tsUs: Long)
 
@@ -283,6 +330,8 @@ object StreamingOps {
       nEvents: Long, durUs: Long)
 
   final case class SessionState(startTsUs: Long, lastTsUs: Long, n: Long)
+
+  final case class SessionsState(open: List[SessionState])
 
   def streamingSessionize(events: Dataset[SessionEvent],
       gapUs: Long = 30L * 60 * 1000 * 1000,
@@ -294,40 +343,38 @@ object StreamingOps {
       .withWatermark("event_time", watermark)
       .as[(Long, Long, java.sql.Timestamp)]
       .groupByKey(_._1)
-      .flatMapGroupsWithState[SessionState, SessionOut](
+      .flatMapGroupsWithState[SessionsState, SessionOut](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
-        case (user, rows, state: GroupState[SessionState]) =>
-          if (rows.isEmpty && state.hasTimedOut) {
-            // watermark passed last+gap: flush the open session
-            val st = state.get
-            state.remove()
-            Iterator.single(
-              SessionOut(user, st.startTsUs, st.lastTsUs, st.n, st.lastTsUs - st.startTsUs))
-          } else {
-            val ts = rows.map(_._2).toSeq.sorted
-            var out = List.empty[SessionOut]
-            var st = state.getOption.orNull
-            ts.foreach { t =>
-              st match {
-                case null => st = SessionState(t, t, 1)
-                case s if t - s.lastTsUs > gapUs =>
-                  out ::= SessionOut(user, s.startTsUs, s.lastTsUs, s.n,
-                    s.lastTsUs - s.startTsUs)
-                  st = SessionState(t, t, 1)
-                case s =>
-                  // min() on start too: a late-but-within-watermark event can
-                  // PRECEDE the open session's first-seen event (cross-batch
-                  // disorder); batch q81 uses true min/max per session
-                  st = SessionState(math.min(s.startTsUs, t),
-                    math.max(s.lastTsUs, t), s.n + 1)
-              }
-            }
-            state.update(st)
-            // flush when the watermark already guarantees no earlier event
-            // can extend this session; otherwise arm the event-time timeout
-            state.setTimeoutTimestamp((st.lastTsUs + gapUs) / 1000)
-            out.reverseIterator
+        case (user, rows, state: GroupState[SessionsState]) =>
+          var open = state.getOption.map(_.open).getOrElse(Nil)
+          rows.map(_._2).toSeq.sorted.foreach { t =>
+            val (touch, rest) = open.partition(s =>
+              t >= s.startTsUs - gapUs && t <= s.lastTsUs + gapUs)
+            val merged = SessionState(
+              (t :: touch.map(_.startTsUs)).min,
+              (t :: touch.map(_.lastTsUs)).max,
+              touch.map(_.n).sum + 1)
+            open = (merged :: rest).sortBy(_.startTsUs)
           }
+          // flush every session the watermark has settled: no event that
+          // can still arrive (≥ watermark) is within gap of it
+          val wmUs = state.getCurrentWatermarkMs() * 1000
+          val (settled, stillOpen) = open.partition(_.lastTsUs + gapUs < wmUs)
+          if (stillOpen.isEmpty) state.remove()
+          else {
+            state.update(SessionsState(stillOpen))
+            // re-arm on the EARLIEST still-open session's deadline; the
+            // ms floor can land ON the current watermark (Spark requires
+            // strictly-greater), so clamp — the clamped timeout fires at
+            // the next watermark advance and the µs-precise partition
+            // above decides settlement either way
+            state.setTimeoutTimestamp(math.max(
+              stillOpen.map(_.lastTsUs + gapUs).min / 1000,
+              state.getCurrentWatermarkMs() + 1))
+          }
+          settled.sortBy(_.startTsUs).iterator.map(s =>
+            SessionOut(user, s.startTsUs, s.lastTsUs, s.n,
+              s.lastTsUs - s.startTsUs))
       }
   }
 
@@ -353,6 +400,15 @@ object StreamingOps {
       array_min(transform(shset,
         h => (h * lit(2L * j + 1) + lit(j * 104729L)) % lit(MinhashP)))
     }
+    // shset is NEVER empty: HashedWordNgrams' tail-slice contract emits
+    // max(len−n+1, 1) grams, so even a token-less doc carries the
+    // empty-gram hash as its one shingle — array_min is never null and
+    // the 8 keys are always well-defined. The batch path explodes the
+    // same non-empty set, so degenerate docs behave identically on both
+    // sides: two empty docs ARE an LSH candidate pair there and here
+    // (StreamingSpec pins this parity; an r13 review hypothesis that
+    // empty sets produced null-collapsed keys was checked and refuted —
+    // the empty set cannot occur).
     array((0 until 8).map { b =>
       graft.queries.TextOps.md5Int(
         concat_ws("_", lit(b), lanes(2 * b), lanes(2 * b + 1)))
@@ -570,93 +626,119 @@ object StreamingOps {
     * ledger reaches maxGens). Cosine uses the gate's exact rule (left-fold float→double
     * dot, HALF_UP round-6). Returns the per-batch flags as a LOCAL
     * frame (micro-batch-sized by contract — collected so the result
-    * survives the index mutation that follows materialization). */
+    * survives the index mutation that follows materialization).
+    *
+    * The read→decide→append sequence is one TRANSACTION under the
+    * index's cross-process file lock, so concurrent admit loops (or an
+    * admit loop racing a CLI append/compact) serialize — neither can
+    * read members the other is mid-way through extending. */
   def semanticAdmitBatch(idx: String,
       tables: graft.queries.SimilarityQueries.StagedGateTables,
       batch: DataFrame, minCos: Double = 0.9): DataFrame = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
     val spark = batch.sparkSession
-    // repair any compact interrupted by a previous process BEFORE the
-    // member read — below the maintenance threshold maintainIndex runs
-    // after this batch, too late for a missing live members dir
-    graft.queries.SimilarityQueries.withIndexLock(idx)(
-      graft.queries.SimilarityQueries.healInterruptedCompact(idx))
-    val assigned = semanticGateAssignStaged(batch, tables)
-      .select(col("cid"), col("vec_id"), col("e"), col("nrm"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // prune the accumulated members to the cells this batch touches
-    // BEFORE merging generations: the touched-cid list is batch-bounded
-    // (collected under the micro-batch contract) and goes into the SCAN
-    // as an isin predicate the cid-sorted row-group layout skips on — a
-    // join-side filter would only apply after a full O(index) scan
-    val touchedCids = assigned.select(col("cid")).distinct()
-      .collect().map(_.getInt(0)).toSeq
-    val members = graft.queries.SimilarityQueries
-      .readCellMembersMerged(spark, idx, Some(touchedCids))
-    val joined = assigned.join(members, Seq("cid"), "left")
-    val outSchema = StructType(Seq(
-      StructField("vec_id", LongType, nullable = false),
-      StructField("cid", IntegerType, nullable = false),
-      StructField("e", ArrayType(FloatType, containsNull = false)),
-      StructField("nrm", DoubleType, nullable = false),
-      StructField("semantic_near_dup", BooleanType, nullable = false),
-      StructField("newly_admitted", BooleanType, nullable = false)))
-    def cos6(e: Array[Float], n: Double, e2: Array[Float], n2: Double): Double = {
-      if (n * n2 == 0.0) return -2.0
-      var a = 0.0
-      var i = 0
-      while (i < e.length) { a += e(i).toDouble * e2(i).toDouble; i += 1 }
-      new java.math.BigDecimal(a / (n * n2))
-        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    // the WHOLE read→decide→append transaction runs under the index
+    // lock (withIndexLock is thread-reentrant, so the heal and
+    // writeMemberDelta below re-enter rather than deadlock): without
+    // the outer scope two concurrent admit processes on one index both
+    // read members before either commits its delta, both compute
+    // dup=false for mutual ≥minCos neighbors, and both append — the
+    // index permanently violates the greedy-remove discipline and no
+    // later read repairs it (r13 review)
+    graft.queries.SimilarityQueries.withIndexLock(idx) {
+      // repair any compact interrupted by a previous process BEFORE the
+      // member read — below the maintenance threshold maintainIndex runs
+      // after this batch, too late for a missing live members dir
+      graft.queries.SimilarityQueries.healInterruptedCompact(idx)
+      val assigned = semanticGateAssignStaged(batch, tables)
+        .select(col("cid"), col("vec_id"), col("e"), col("nrm"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        // prune the accumulated members to the cells this batch touches
+        // BEFORE merging generations: the touched-cid list is batch-bounded
+        // (collected under the micro-batch contract) and goes into the SCAN
+        // as an isin predicate the cid-sorted row-group layout skips on — a
+        // join-side filter would only apply after a full O(index) scan
+        val touchedCids = assigned.select(col("cid")).distinct()
+          .collect().map(_.getInt(0)).toSeq
+        val members = graft.queries.SimilarityQueries
+          .readCellMembersMerged(spark, idx, Some(touchedCids))
+        val outSchema = StructType(Seq(
+          StructField("vec_id", LongType, nullable = false),
+          StructField("cid", IntegerType, nullable = false),
+          StructField("e", ArrayType(FloatType, containsNull = false)),
+          StructField("nrm", DoubleType, nullable = false),
+          StructField("semantic_near_dup", BooleanType, nullable = false),
+          StructField("newly_admitted", BooleanType, nullable = false)))
+        def cos6(e: Array[Float], n: Double, e2: Array[Float], n2: Double): Double = {
+          if (n * n2 == 0.0) return -2.0
+          var a = 0.0
+          var i = 0
+          while (i < e.length) { a += e(i).toDouble * e2(i).toDouble; i += 1 }
+          new java.math.BigDecimal(a / (n * n2))
+            .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+        }
+        // COGROUP the batch slice with the cell's members: each cell's
+        // admitted-member payload ships across the shuffle ONCE, keyed by
+        // cid — the previous probe-side join attached the full member
+        // array to EVERY probe row, so a P-probe cell buffered P copies
+        // of an M-member payload in the group iterator (r13 review)
+        val probesKV = assigned
+          .groupByKey((r: Row) => r.getInt(0))(org.apache.spark.sql.Encoders.scalaInt)
+        val membersKV = members
+          .groupByKey((r: Row) => r.getInt(0))(org.apache.spark.sql.Encoders.scalaInt)
+        val out = probesKV
+          .cogroup(membersKV) { (cid: Int, probes: Iterator[Row], mems: Iterator[Row]) =>
+            val admitted =
+              scala.collection.mutable.ArrayBuffer[(Long, Array[Float], Double)]()
+            mems.foreach { m =>
+              m.getSeq[Row](1).foreach { mm =>
+                admitted += ((mm.getLong(0), mm.getSeq[Float](1).toArray, mm.getDouble(2)))
+              }
+            }
+            probes.toArray.sortBy(_.getLong(1)).iterator.map { r =>
+              val id = r.getLong(1)
+              val e = r.getSeq[Float](2).toArray
+              val nrm = r.getDouble(3)
+              // self-id excluded (replay safety): an at-least-once re-run of
+              // a committed batch must not flag an original against itself
+              val dup = admitted.exists { case (id2, e2, n2) =>
+                id2 != id && cos6(e, nrm, e2, n2) >= minCos }
+              val present = admitted.exists(_._1 == id)
+              if (!dup && !present) admitted += ((id, e, nrm))
+              Row(id, cid, e.toSeq, nrm, dup, !dup && !present)
+            }
+          }(org.apache.spark.sql.Encoders.row(outSchema))
+          .toDF()
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          // ONE collect materializes the flags (BEFORE the index mutation
+          // below invalidates the lineage — the merged-members read is part
+          // of it) AND carries the delta decision: only a NON-empty delta
+          // may touch the index — an all-duplicate (or fully-replayed)
+          // batch must not mark a pristine index as appended, which would
+          // lock raw readers out for nothing — and the old limit(1).count
+          // probe paid a whole extra job per micro-batch for a fact this
+          // batch-sized array already knows (r13 review)
+          val flagRows = out.select(col("vec_id"), col("cid"),
+            col("semantic_near_dup"), col("newly_admitted")).collect()
+          if (flagRows.exists(_.getBoolean(3)))
+            graft.queries.SimilarityQueries.writeMemberDelta(
+              out.filter(col("newly_admitted"))
+                .groupBy(col("cid"))
+                .agg(collect_list(struct(col("vec_id"), col("e"), col("nrm"))).as("members")),
+              idx)
+          spark.createDataFrame(
+            spark.sparkContext.parallelize(flagRows.toSeq.map(r =>
+              Row(r.getLong(0), r.getInt(1), r.getBoolean(2)))),
+            StructType(Seq(
+              StructField("vec_id", LongType, nullable = false),
+              StructField("cid", IntegerType, nullable = false),
+              StructField("semantic_near_dup", BooleanType, nullable = false))))
+        } finally out.unpersist()
+      } finally assigned.unpersist()
     }
-    val out = joined
-      .groupByKey((r: Row) => r.getInt(0))(org.apache.spark.sql.Encoders.scalaInt)
-      .flatMapGroups { (cid: Int, it: Iterator[Row]) =>
-        val rows = it.toArray
-        val admitted =
-          scala.collection.mutable.ArrayBuffer[(Long, Array[Float], Double)]()
-        rows.find(!_.isNullAt(4)).foreach { r =>
-          r.getSeq[Row](4).foreach { m =>
-            admitted += ((m.getLong(0), m.getSeq[Float](1).toArray, m.getDouble(2)))
-          }
-        }
-        rows.sortBy(_.getLong(1)).iterator.map { r =>
-          val id = r.getLong(1)
-          val e = r.getSeq[Float](2).toArray
-          val nrm = r.getDouble(3)
-          // self-id excluded (replay safety): an at-least-once re-run of
-          // a committed batch must not flag an original against itself
-          val dup = admitted.exists { case (id2, e2, n2) =>
-            id2 != id && cos6(e, nrm, e2, n2) >= minCos }
-          val present = admitted.exists(_._1 == id)
-          if (!dup && !present) admitted += ((id, e, nrm))
-          Row(id, cid, e.toSeq, nrm, dup, !dup && !present)
-        }
-      }(org.apache.spark.sql.Encoders.row(outSchema))
-      .toDF()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // materialize flags BEFORE the index mutation below invalidates the
-    // lineage (the merged-members read is part of it)
-    val flags = out.select(col("vec_id"), col("cid"), col("semantic_near_dup"))
-      .collect()
-    // only a NON-empty delta touches the index: an all-duplicate (or
-    // fully-replayed) batch must not mark a pristine index as appended,
-    // which would lock raw readers out for nothing (r13 review)
-    if (out.filter(col("newly_admitted")).limit(1).count() > 0)
-      graft.queries.SimilarityQueries.writeMemberDelta(
-        out.filter(col("newly_admitted"))
-          .groupBy(col("cid"))
-          .agg(collect_list(struct(col("vec_id"), col("e"), col("nrm"))).as("members")),
-        idx)
-    out.unpersist()
-    assigned.unpersist()
-    spark.createDataFrame(
-      spark.sparkContext.parallelize(flags.toSeq),
-      StructType(Seq(
-        StructField("vec_id", LongType, nullable = false),
-        StructField("cid", IntegerType, nullable = false),
-        StructField("semantic_near_dup", BooleanType, nullable = false))))
   }
 
   /** Shared e/nrm/mud preparation of an arriving embedding row — the

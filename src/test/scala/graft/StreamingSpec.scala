@@ -86,6 +86,37 @@ class StreamingSpec extends GraftSuite {
     } finally query.stop()
   }
 
+  test("runningStats: past maxBuffer the prior-p95 stays an unbiased expanding " +
+    "estimate (reservoir), not the top-maxBuffer degenerate") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // pseudo-uniform [0,1) stream, 2000 rows, buffer capped at 32: the
+    // pre-fix eviction dropped the HEAD of the value-sorted buffer (the
+    // running minimum), so the buffer converged to the top-32 values ever
+    // seen and p95Prior drifted to ~max (≈0.999 here); the reservoir keeps
+    // it an estimate of the true expanding p95 (≈0.95)
+    val vals = (0 until 2000).map(i => ((i * 2654435761L) % 100000) / 100000.0)
+    val mem = MemoryStream[Bar]
+    val query = StreamingOps.runningStats(mem.toDS(), maxBuffer = 32)
+      .writeStream.format("memory").queryName("running_res")
+      .outputMode("append").start()
+    try {
+      mem.addData(vals.zipWithIndex.map { case (v, i) => Bar("R", i.toLong, v) })
+      query.processAllAvailable()
+      val rows = spark.table("running_res").orderBy("tsUs").collect()
+      assert(rows.length == 2000)
+      val last = rows.last
+      // exact stats are buffer-independent
+      assert(last.getAs[Long]("n") == 2000L)
+      assert(math.abs(last.getAs[Double]("runMean") - vals.sum / 2000) < 1e-9)
+      assert(last.getAs[Double]("runMin") == vals.min)
+      assert(last.getAs[Double]("runMax") == vals.max)
+      val p95 = last.getAs[Double]("p95Prior")
+      assert(p95 > 0.85 && p95 < 0.99,
+        s"p95Prior=$p95 — degenerate top-k drift would sit at ~0.999")
+    } finally query.stop()
+  }
+
   test("windowedBarStats: watermarked tumbling windows match batch aggregation") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
@@ -167,6 +198,48 @@ class StreamingSpec extends GraftSuite {
       assert(rows(1L) == ((8, true)), s"exact copy: ${rows(1L)}")
       assert(rows(2L)._2, s"near copy should share a band: ${rows(2L)}")
       assert(rows(3L) == ((0, false)), s"fresh doc: ${rows(3L)}")
+    } finally query.stop()
+  }
+
+  test("streamingNearDupGate: degenerate docs (empty / whitespace / 1-word) " +
+    "carry the batch path's real signatures — stream band keys equal the " +
+    "batch explode's keys doc-for-doc, never null-collapsed") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // HashedWordNgrams' tail-slice contract emits max(len−n+1, 1) grams,
+    // so NO doc has an empty shingle set: a token-less doc's one shingle
+    // is the empty-gram hash, a 1-word doc's is the word itself. The
+    // batch explode therefore gives every doc real bands, and the stream
+    // side must agree — empty matches indexed-empty (as batch q26/q49
+    // would candidate-pair them), short docs with distinct content match
+    // nothing. An r13 review hypothesis (empty set → array_min null →
+    // all short docs collapse to 8 shared degenerate keys) was refuted:
+    // the empty set cannot occur; this pins the actual contract.
+    val corpus = Seq((99L, ""), (100L, "hello"),
+      (101L, "the quick brown fox jumps over the lazy dog")).toDF("doc_id", "text")
+    val index = StreamingOps.nearDupBandIndex(corpus)
+    val mem = MemoryStream[(Long, String)]
+    val docs = mem.toDS().toDF("doc_id", "text")
+    val query = StreamingOps.streamingNearDupGate(docs, index)
+      .writeStream.format("memory").queryName("neardup_short_out")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        (1L, "x"), // 1-word: one real gram, matches nothing indexed
+        (2L, ""), // token-less: the empty-gram signature — matches the
+        // indexed "" doc on all 8 bands, exactly like batch
+        (3L, "   "), // whitespace-only trims to the same signature as ""
+        (4L, "hello"), // exact copy of an indexed 1-word doc
+        (5L, "the quick brown fox jumps over the lazy dog"))
+      query.processAllAvailable()
+      val rows = spark.table("neardup_short_out").collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          (r.getAs[Int]("n_shared_bands"), r.getAs[Boolean]("near_dup_candidate"))).toMap
+      assert(rows(1L) == ((0, false)), s"unmatched 1-word doc: ${rows(1L)}")
+      assert(rows(2L) == ((8, true)), s"empty doc vs indexed empty: ${rows(2L)}")
+      assert(rows(3L) == ((8, true)), s"whitespace doc: ${rows(3L)}")
+      assert(rows(4L) == ((8, true)), s"1-word exact copy: ${rows(4L)}")
+      assert(rows(5L) == ((8, true)), s"real exact copy: ${rows(5L)}")
     } finally query.stop()
   }
 
@@ -681,6 +754,53 @@ class StreamingSpec extends GraftSuite {
       assert(s.getAs[Long]("endTsUs") == b + 10 * min, s.toString)
       assert(s.getAs[Long]("nEvents") == 2 && s.getAs[Long]("durUs") == 5 * min,
         s.toString)
+    } finally query.stop()
+  }
+
+  test("streamingSessionize: interval-merge state — a late event beyond the gap " +
+    "opens a parallel session (split) and a late event between two open " +
+    "sessions fuses them (bridge), matching batch q81") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.StreamingOps.SessionEvent
+    val min = 60L * 1000 * 1000
+    val mem = MemoryStream[SessionEvent]
+    // gap 15 min, watermark 60 min: disorder window is wider than the
+    // gap, so batch q81 can place a late event in its OWN earlier session
+    // — the single-open-session state had nowhere to put it (pre-fix it
+    // fused [70,100] for user A, which batch q81 splits)
+    val query = StreamingOps.streamingSessionize(mem.toDS(), gapUs = 15 * min,
+        watermark = "60 minutes")
+      .writeStream.format("memory").queryName("sess_merge_out")
+      .outputMode("append").start()
+    try {
+      val b = 1000 * min
+      // batch 1 — user A: one event; user B: two events 25 min apart
+      // (> gap, so two open sessions). Watermark after this batch:
+      // b+125min − 60min = b+65min.
+      mem.addData(SessionEvent(11L, b + 100 * min),
+        SessionEvent(22L, b + 100 * min), SessionEvent(22L, b + 125 * min))
+      query.processAllAvailable()
+      // batch 2 — user A: late event at b+70min (above the b+65min
+      // watermark, 30min before the open session: > gap → SPLIT); user B:
+      // late event at b+112min, within gap of BOTH open sessions → BRIDGE
+      mem.addData(SessionEvent(11L, b + 70 * min), SessionEvent(22L, b + 112 * min))
+      query.processAllAvailable()
+      // watermark pushers flush everything via the timeout path
+      mem.addData(SessionEvent(99L, b + 2000 * min))
+      query.processAllAvailable()
+      mem.addData(SessionEvent(98L, b + 4000 * min))
+      query.processAllAvailable()
+      val rows = spark.table("sess_merge_out").collect()
+        .map(r => (r.getAs[Long]("userId"), r.getAs[Long]("startTsUs")) ->
+          (r.getAs[Long]("endTsUs"), r.getAs[Long]("nEvents"))).toMap
+      // user A: TWO sessions, exactly what batch q81 computes with gap 15
+      assert(rows((11L, b + 70 * min)) == ((b + 70 * min, 1L)), rows.toString)
+      assert(rows((11L, b + 100 * min)) == ((b + 100 * min, 1L)), rows.toString)
+      // user B: ONE fused session spanning both pre-bridge sessions
+      assert(rows((22L, b + 100 * min)) == ((b + 125 * min, 3L)), rows.toString)
+      assert(!rows.contains((22L, b + 112 * min)) &&
+        !rows.contains((22L, b + 125 * min)), rows.toString)
     } finally query.stop()
   }
 
