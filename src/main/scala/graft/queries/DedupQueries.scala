@@ -339,24 +339,20 @@ object DedupQueries {
     * into the parquet scan. A fresh per-process tmpdir keys the staging to
     * this JVM — no cross-run staleness; StagingSpec pins staging == inline.
     */
-  /** Collision-resistant directory key for per-corpus persisted state:
-    * String.hashCode is 32-bit and trivially collides, which would make
-    * two distinct corpus dirs append into the SAME staging/index
-    * directories in one JVM, silently mixing their rows. */
-  private def pathKey(d: String): String =
-    java.security.MessageDigest.getInstance("MD5")
-      .digest(d.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      .map("%02x".format(_)).mkString
+  // directory keys come from StagingRoots.pathKey (MD5 of the corpus
+  // path): String.hashCode is 32-bit and trivially collides, which would
+  // make two distinct corpus dirs append into the SAME staging/index
+  // directories in one JVM, silently mixing their rows
 
   private[graft] object Staging {
     private lazy val root =
       StagingRoots.tempRootWithCleanup("graft_dedup_staging")
-    private val done = new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+    private val done = StagingRoots.memo[(String, String)]()
 
     def scoredAndCounts(spark: SparkSession, d: String): (DataFrame, DataFrame) = {
-      val (sp, cp) = done.computeIfAbsent(d, _ => {
+      val (sp, cp) = StagingRoots.memoizedBuild(done, d) {
         val (docs, reps, scored) = scoredCandidatePairs(spark, d)
-        val dirKey = pathKey(d)
+        val dirKey = StagingRoots.pathKey(d)
         val sPath = root.resolve(s"scored_$dirKey").toString
         val cPath = root.resolve(s"counts_$dirKey").toString
         // Overwrite, not Append: a failed build is not memoized, and a
@@ -367,7 +363,7 @@ object DedupQueries {
           .crossJoin(reps.agg(count(lit(1)).as("n_after_exact")))
           .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(cPath)
         (sPath, cPath)
-      })
+      }
       (graft.sources.ResultSink.read(spark, sp),
         graft.sources.ResultSink.read(spark, cp))
     }
@@ -583,14 +579,13 @@ object DedupQueries {
   private[graft] object IncrementalIndex {
     private lazy val root =
       StagingRoots.tempRootWithCleanup("graft_incr_index")
-    private val done =
-      new java.util.concurrent.ConcurrentHashMap[String, (String, String, String)]()
+    private val done = StagingRoots.memo[(String, String, String)]()
 
     /** (digests (th), bands (doc_id, band, band_key), sketches
       * (doc_id, shset)) of the EXISTING-corpus exact reps, from the
       * written index. */
     def of(spark: SparkSession, d: String): (DataFrame, DataFrame, DataFrame) = {
-      val (dp, bp, sp) = done.computeIfAbsent(d, _ => {
+      val (dp, bp, sp) = StagingRoots.memoizedBuild(done, d) {
         val docs = Tables.documents(spark, d)
         val existing = docs
           .filter(md5Int(col("doc_id").cast("string")) % 5 =!= 0)
@@ -601,7 +596,7 @@ object DedupQueries {
             graft.functions.GraftFunctions.hashedWordBigrams(col("text")).as("shset"))
           .persist()
         val bands = minhashBands(sketches, nLanes = 16, perBand = 2)
-        val dirKey = pathKey(d)
+        val dirKey = StagingRoots.pathKey(d)
         val dPath = root.resolve(s"digests_$dirKey").toString
         val bPath = root.resolve(s"bands_$dirKey").toString
         val sPath = root.resolve(s"sketches_$dirKey").toString
@@ -611,7 +606,7 @@ object DedupQueries {
         sketches.write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(sPath)
         sketches.unpersist()
         (dPath, bPath, sPath)
-      })
+      }
       (graft.sources.ResultSink.read(spark, dp),
         graft.sources.ResultSink.read(spark, bp),
         graft.sources.ResultSink.read(spark, sp))

@@ -25,6 +25,47 @@ private[graft] object StagingRoots {
       finally walk.close()
     }
   }
+
+  /** Collision-free filename stem for a corpus dir path. */
+  def pathKey(d: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(d.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
+
+  type Memo[A] =
+    java.util.concurrent.ConcurrentHashMap[
+      String, java.util.concurrent.CompletableFuture[A]]
+  def memo[A](): Memo[A] = new Memo[A]()
+
+  /** ONE definition of the per-JVM memoized staging build (three staging
+    * caches share it — eval, dedup, gate — after the r13 review caught
+    * the scaffolding triplicating): the first caller of `key` runs
+    * `build` OUTSIDE the map's critical section (computeIfAbsent holds
+    * the hash-bin lock for the whole build, serializing unrelated keys
+    * that share a bin — measured on the eval lane: the "concurrent"
+    * regularity and tamrs builds ran back-to-back until this), later
+    * callers join the same future; a FAILED build removes the key so a
+    * retry rebuilds (each writer uses SaveMode.Overwrite, so the retry
+    * starts clean over the debris), and the failure rethrows its RAW
+    * cause, not the CompletionException join() wraps it in — consumers
+    * (and Bench's error column) see the same exception type the unstaged
+    * chain threw. */
+  def memoizedBuild[A](done: Memo[A], key: String)(build: => A): A = {
+    val fresh = new java.util.concurrent.CompletableFuture[A]()
+    val prior = done.putIfAbsent(key, fresh)
+    val fut = if (prior != null) prior else {
+      try fresh.complete(build)
+      catch { case e: Throwable =>
+        done.remove(key, fresh)
+        fresh.completeExceptionally(e)
+      }
+      fresh
+    }
+    try fut.join() catch {
+      case e: java.util.concurrent.CompletionException if e.getCause != null =>
+        throw e.getCause
+    }
+  }
 }
 
 /** Staged shared eval frames (the DedupQueries.Staging discipline on the
@@ -45,46 +86,20 @@ private[graft] object StagingRoots {
   * — staging changes where the rows are read from, never what they are. */
 private[graft] object EvalStaging {
   private lazy val root = StagingRoots.tempRootWithCleanup("graft_eval_staging")
-  // memoized as futures, built OUTSIDE the map's critical section:
-  // computeIfAbsent holds the hash-bin lock for the whole build, and two
-  // keys in one bin then serialize — measured: the "concurrent" regularity
-  // and tamrs builds ran back-to-back (7.2 s + 7.1 s wall) until this
-  private val done =
-    new java.util.concurrent.ConcurrentHashMap[
-      String, java.util.concurrent.CompletableFuture[String]]()
-
-  private def pathKey(d: String): String =
-    java.security.MessageDigest.getInstance("MD5")
-      .digest(d.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      .map("%02x".format(_)).mkString
+  private val done = StagingRoots.memo[String]()
 
   private def staged(kind: String, d: String)(build: => DataFrame)
       (spark: SparkSession): DataFrame = {
-    val key = s"${kind}_${pathKey(d)}"
-    val fresh = new java.util.concurrent.CompletableFuture[String]()
-    val prior = done.putIfAbsent(key, fresh)
-    val fut = if (prior != null) prior else {
-      try {
-        val path = root.resolve(key).toString
-        val t0 = System.nanoTime()
-        // Overwrite, not Append: a failed build leaves committed part-files
-        // but no memoized key, and a retry must start from a clean directory
-        // rather than append duplicates onto the debris (r11 ADVICE)
-        build.write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(path)
-        println(f"[staging_eval] $kind built in ${(System.nanoTime() - t0) / 1e9}%.1f s")
-        fresh.complete(path)
-      } catch { case e: Throwable =>
-        done.remove(key, fresh) // a later retry rebuilds (over a clean dir)
-        fresh.completeExceptionally(e)
-      }
-      fresh
-    }
-    // join() wraps a build failure in CompletionException — rethrow the
-    // raw cause so consumers (and Bench's error column) see the same
-    // exception type the unstaged chain threw
-    val path = try fut.join() catch {
-      case e: java.util.concurrent.CompletionException if e.getCause != null =>
-        throw e.getCause
+    val key = s"${kind}_${StagingRoots.pathKey(d)}"
+    val path = StagingRoots.memoizedBuild(done, key) {
+      val p = root.resolve(key).toString
+      val t0 = System.nanoTime()
+      // Overwrite, not Append: a failed build leaves committed part-files
+      // but no memoized key, and a retry must start from a clean directory
+      // rather than append duplicates onto the debris (r11 ADVICE)
+      build.write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(p)
+      println(f"[staging_eval] $kind built in ${(System.nanoTime() - t0) / 1e9}%.1f s")
+      p
     }
     graft.sources.ResultSink.read(spark, path)
   }

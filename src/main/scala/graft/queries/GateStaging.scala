@@ -22,38 +22,16 @@ import org.apache.spark.sql.SparkSession
   */
 private[graft] object GateStaging {
   private lazy val root = StagingRoots.tempRootWithCleanup("graft_gate_staging")
-  // memoized as futures built outside the map's critical section (the
-  // EvalStaging lesson: computeIfAbsent holds the hash-bin lock for the
-  // whole build)
-  private val done =
-    new java.util.concurrent.ConcurrentHashMap[
-      String, java.util.concurrent.CompletableFuture[String]]()
-
-  private def pathKey(d: String): String =
-    java.security.MessageDigest.getInstance("MD5")
-      .digest(d.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      .map("%02x".format(_)).mkString
+  private val done = StagingRoots.memo[String]()
 
   private def staged(kind: String, d: String)(build: String => Unit): String = {
-    val key = s"${kind}_${pathKey(d)}"
-    val fresh = new java.util.concurrent.CompletableFuture[String]()
-    val prior = done.putIfAbsent(key, fresh)
-    val fut = if (prior != null) prior else {
-      try {
-        val path = root.resolve(key).toString
-        val t0 = System.nanoTime()
-        build(path)
-        println(f"[staging_gate] $kind built in ${(System.nanoTime() - t0) / 1e9}%.1f s")
-        fresh.complete(path)
-      } catch { case e: Throwable =>
-        done.remove(key, fresh) // a later retry rebuilds over the Overwrite
-        fresh.completeExceptionally(e)
-      }
-      fresh
-    }
-    try fut.join() catch {
-      case e: java.util.concurrent.CompletionException if e.getCause != null =>
-        throw e.getCause
+    val key = s"${kind}_${StagingRoots.pathKey(d)}"
+    StagingRoots.memoizedBuild(done, key) {
+      val path = root.resolve(key).toString
+      val t0 = System.nanoTime()
+      build(path)
+      println(f"[staging_gate] $kind built in ${(System.nanoTime() - t0) / 1e9}%.1f s")
+      path
     }
   }
 
