@@ -647,6 +647,86 @@ class StreamingSpec extends GraftSuite {
     }
   }
 
+  test("semanticAdmitBatch runs as an actual foreachBatch body: a live " +
+    "streaming query admits the same set as the direct chunked replay") {
+    // the docs call semanticAdmitBatch "the production foreachBatch body";
+    // every other pin drives it as a direct call on the test thread. This
+    // runs it under the real streaming engine — micro-batch triggers, the
+    // stream-execution thread (a DIFFERENT thread than the builder's, so
+    // the index lock's thread-reentrancy is exercised off the main
+    // thread), and the engine-provided batch frames — and checks flag
+    // parity with the direct-call form on an identical fresh index.
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val sf001 = "/root/testdata/sf0.01"
+    def freshIdx(): String = {
+      val dir = java.nio.file.Files.createTempDirectory("graft_admit_fb").toString
+      val (tabs, members) = graft.queries.SimilarityQueries
+        .semanticStreamIndexRouted(spark, sf001)
+      graft.queries.SimilarityQueries.writeGateIndexRouted(spark, dir, tabs, members)
+      members.limit(0).write.mode("overwrite").parquet(s"$dir/members.parquet")
+      dir
+    }
+    def tablesOf(dir: String) = graft.queries.SimilarityQueries.stagedGateTables(
+      spark.read.parquet(s"$dir/coarse.parquet"),
+      spark.read.parquet(s"$dir/fine.parquet"))
+    val base = Tables.embeddings(spark, sf001)
+      .select(col("vec_id"), col("embedding")).limit(400)
+    val stream = base.union(
+        base.filter(col("vec_id") % 5 === 0)
+          .select((col("vec_id") + 100000L).as("vec_id"), col("embedding")))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+      .sortBy(_._1)
+    // live streaming query: three addData rounds → three micro-batches
+    val dirS = freshIdx()
+    val tabsS = tablesOf(dirS)
+    val got = new java.util.concurrent.ConcurrentHashMap[Long, Boolean]()
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val query = mem.toDS().toDF("vec_id", "embedding")
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        StreamingOps.semanticAdmitBatch(dirS, tabsS, df)
+          .collect().foreach(r => got.put(r.getLong(0), r.getBoolean(2)))
+      }
+      .start()
+    try {
+      stream.grouped((stream.length + 2) / 3).foreach { chunk =>
+        mem.addData(chunk.toSeq)
+        query.processAllAvailable()
+      }
+    } finally {
+      query.stop()
+      tabsS.cells.unpersist()
+    }
+    // direct-call twin on its own fresh index, same chunking
+    val dirD = freshIdx()
+    val tabsD = tablesOf(dirD)
+    val want: Map[Long, Boolean] = try {
+      stream.grouped((stream.length + 2) / 3).flatMap { rows =>
+        StreamingOps.semanticAdmitBatch(dirD, tabsD, rows.toSeq.toDF("vec_id", "embedding"))
+          .collect().map(r => r.getLong(0) -> r.getBoolean(2))
+      }.toMap
+    } finally tabsD.cells.unpersist()
+    try {
+      assert(got.size == want.size && stream.length == got.size)
+      want.foreach { case (id, f) =>
+        assert(got.get(id) == f, s"vec $id: stream=${got.get(id)} direct=$f")
+      }
+      assert(want.exists(_._2), "fixture produced no flagged duplicates — vacuous")
+      // both loops grew IDENTICAL index membership
+      def membership(dir: String) = graft.queries.SimilarityQueries
+        .readCellMembersMerged(spark, dir)
+        .select(explode(col("members.vec_id"))).collect()
+        .map(_.getLong(0)).sorted.toSeq
+      assert(membership(dirS) == membership(dirD),
+        "streaming and direct admit loops must admit the same members")
+    } finally {
+      queries.StagingRoots.deleteRecursively(java.nio.file.Paths.get(dirS))
+      queries.StagingRoots.deleteRecursively(java.nio.file.Paths.get(dirD))
+    }
+  }
+
   test("streamingCurationGate: stateless quality+decontamination flags match batch") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
