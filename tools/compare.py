@@ -10,8 +10,10 @@ a subset.
 Runs each oracle SQL from <verifyOutDir>/oracle_sql.json in DuckDB with the
 sfDir parquet tables registered as views, loads the Spark result parquet from
 <verifyOutDir>/<name>/, sorts columns by name and rows by all values, and
-compares cell-by-cell (exact for non-floats; exact-then-1e-9-relative report
-for floats so we can see how close a mismatch is).
+compares cell-by-cell EXACTLY — floats included (both engines are expressed
+to run bit-identical arithmetic; rounding in the queries themselves is the
+only tolerance). On mismatch the first differing sorted row pair is printed
+so the magnitude of a drift is visible.
 
 When <verifyOutDir>/oracle_prereq.json names a query, its alternate
 TERMINATING oracle form is used instead: the prerequisite relation is
