@@ -1,12 +1,29 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.graftbridge.GraftBridge
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
+
+/** Analysis-time input-type guards shared by the custom kernels below.
+  * The kernels read ArrayData slots at fixed widths (getDouble/getLong/
+  * getUTF8String), so a mistyped input would not fail — it would read
+  * misaligned bytes and return GARBAGE (r13 review). Every expression
+  * whose eval dispatches on a child's type checks it here and fails
+  * ANALYSIS with a readable message instead. */
+private[functions] object InputChecks {
+  def floatOrDoubleArray(name: String, e: Expression): TypeCheckResult =
+    e.dataType match {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+        TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"$name expects array<float> or array<double>, got ${t.simpleString}")
+    }
+}
 
 /** Gauss error function, double precision (fractional-expansion algorithm
   * of commons-math3's Erf). Used by the statistical layer (z→p conversion,
@@ -210,6 +227,12 @@ case class DotFold(left: Expression, right: Expression)
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
 
+  override def checkInputDataTypes(): TypeCheckResult =
+    Seq(InputChecks.floatOrDoubleArray("dot_fold left", left),
+      InputChecks.floatOrDoubleArray("dot_fold right", right))
+      .find(_ != TypeCheckResult.TypeCheckSuccess)
+      .getOrElse(TypeCheckResult.TypeCheckSuccess)
+
   private def isFloat(e: Expression): Boolean = e.dataType match {
     case ArrayType(FloatType, _) => true
     case _ => false
@@ -278,8 +301,16 @@ object DotFold {
   */
 case class SrpBucket(child: Expression, planes: Array[Array[Double]])
     extends UnaryExpression {
+  // the bucket is a 32-bit plane mask; 1 << j wraps mod 32 in Java, so a
+  // 33rd plane would silently ALIAS plane 0's bit and merge buckets with
+  // no error (r13 review)
+  require(planes.nonEmpty && planes.length <= 32,
+    s"srp_bucket supports 1..32 hyperplanes, got ${planes.length}")
   override def dataType: DataType = IntegerType
   override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    InputChecks.floatOrDoubleArray("srp_bucket", child)
 
   private def isFloat: Boolean = child.dataType match {
     case ArrayType(FloatType, _) => true
@@ -345,6 +376,19 @@ case class SortedIntersectCount(left: Expression, right: Expression)
     extends BinaryExpression {
   override def dataType: DataType = IntegerType
   override def nullable: Boolean = true
+
+  // the merge dispatches on the LEFT element type; both sides must agree
+  // and be one of the two supported element types, or the typed getters
+  // would read garbage from the other encoding (r13 review)
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(StringType, _), ArrayType(StringType, _)) |
+           (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        "sorted_intersect_count expects two array<string> or two " +
+          s"array<long>, got ${l.simpleString} and ${r.simpleString}")
+    }
 
   // dispatch once at plan time: string-element merge (q25's exact shingle
   // sets) vs long-element merge (the hashed corpus-pipeline sets)
@@ -462,24 +506,30 @@ object Md5PrefixInt {
 
 /** Membership probe against a pre-built Bloom filter over LONG keys
   * (`org.apache.spark.util.sketch.BloomFilter`, the same sketch Spark's
-  * own runtime bloom joins use). The serialized filter travels with the
-  * expression to every task (like [[SrpBucket]]'s plane array) and is
-  * deserialized once per executor; eval is two hash probes, codegen'd via
-  * a static call so the surrounding projection stays in whole-stage
-  * codegen. False POSITIVES only — a `true` must be confirmed by an exact
-  * join, a `false` is definitive — which is exactly the prefilter
-  * contract q92 builds on.
+  * own runtime bloom joins use). The serialized filter rides a BROADCAST
+  * handle, not the expression tree: the expression (hence every task
+  * binary and the driver's plan string) carries only the ~handle-sized
+  * reference, the bytes ship once per executor over the broadcast
+  * mechanism, and the deserialized filter is per-task-instance lazy —
+  * at a 100-TB decontamination filter (~100M keys ≈ 170 MB serialized)
+  * tree-embedding would have re-shipped it inside every task (r13
+  * review). Eval is two hash probes, codegen'd via a static call so the
+  * surrounding projection stays in whole-stage codegen. False POSITIVES
+  * only — a `true` must be confirmed by an exact join, a `false` is
+  * definitive — which is exactly the prefilter contract q92 builds on.
   */
-case class BloomMightContain(child: Expression, bloomBytes: Array[Byte])
+case class BloomMightContain(child: Expression,
+    bloom: org.apache.spark.broadcast.Broadcast[Array[Byte]])
     extends UnaryExpression {
   override def dataType: DataType = BooleanType
 
-  // deserialized once per (de)serialized expression instance — i.e. once
-  // per task that evaluates it — and dropped with the plan: no static
-  // cache, nothing to leak across the many q92 runs of a long-lived JVM
+  // deserialized lazily per expression instance and dropped with the
+  // plan: no static cache, nothing to leak across the many q92 runs of a
+  // long-lived JVM; the BYTES live once per executor in the broadcast
+  // block store either way
   @transient private lazy val filter: org.apache.spark.util.sketch.BloomFilter =
     org.apache.spark.util.sketch.BloomFilter.readFrom(
-      new java.io.ByteArrayInputStream(bloomBytes))
+      new java.io.ByteArrayInputStream(bloom.value))
 
   def probe(v: Long): Boolean = filter.mightContainLong(v)
 
@@ -758,7 +808,9 @@ object HashedWordNgrams {
   * but a single O(n) scan instead of the O(n²) per-trade slice+max chain —
   * at the reference's 200-bar forward windows that is 40,000 → 200 ops per
   * trade. Max is associative and commutative over doubles, so the scan's
-  * values are bit-identical to the slice form. NULL elements poison the
+  * values are bit-identical to the slice form — including NaN, which is
+  * the LARGEST value under Spark's double ordering and therefore poisons
+  * the running max from its position on in both forms. NULL elements poison the
   * prefix from their position on, exactly like array_max over a slice
   * containing NULL... which never occurs here (forward arrays are built
   * from non-null OHLC); inputs with NULLs return NULL for safety.
@@ -802,7 +854,14 @@ object RunningMaxSeeded {
     while (i < n) {
       if (ad.isNullAt(i)) return null
       val v = ad.getDouble(i)
-      if (v > m) m = v
+      // Spark's double ordering (SQLOrderingUtil: primitive == first,
+      // then Double.compare), not primitive '>': greatest/array_max —
+      // the forms the doc claims bit-identity with — treat NaN as the
+      // LARGEST value, and ±0.0 as EQUAL with the incumbent kept.
+      // Primitive '>' would DROP NaN (v > m is false; pinned by spec);
+      // bare Double.compare would replace -0.0 with 0.0 where the
+      // composed form keeps the first-seen zero
+      if (v != m && java.lang.Double.compare(v, m) > 0) m = v
       out(i) = m
       i += 1
     }
@@ -877,8 +936,10 @@ object GraftFunctions {
 
   /** Bloom-filter membership probe over a long key (see
     * [[BloomMightContain]]); false positives only, so pair it with an
-    * exact confirm join. */
-  def bloomMightContain(c: Column, bytes: Array[Byte]): Column =
+    * exact confirm join. Takes the serialized filter as a BROADCAST so
+    * large filters ship once per executor, never per task. */
+  def bloomMightContain(c: Column,
+      bytes: org.apache.spark.broadcast.Broadcast[Array[Byte]]): Column =
     GraftBridge.toColumn(BloomMightContain(GraftBridge.toExpr(c), bytes))
 
   /** PQ code vector vs a flat (s·k + j) codebook (see [[PqEncode]]). */

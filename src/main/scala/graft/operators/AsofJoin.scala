@@ -57,13 +57,24 @@ object AsofJoin {
       "__carry_rp", "__last", "__carry")
 
   private def requireCleanInputs(
-      left: DataFrame, right: DataFrame, keys: Seq[String], rightTime: String): Unit = {
+      left: DataFrame, right: DataFrame, keys: Seq[String], rightTime: String,
+      prefix: String): Unit = {
     require(keys.nonEmpty, "as-of join requires at least one equi-key")
     require(right.columns.filterNot(keys.contains).contains(rightTime),
       s"rightTime $rightTime must be a non-key right column")
     val clash = (left.columns ++ right.columns).filter(InternalCols.contains)
     require(clash.isEmpty,
       s"inputs must not carry the internal columns ${clash.distinct.mkString(", ")}")
+    // the output schema is left.columns ++ prefixed right payload; a left
+    // column named like a prefixed right column would emit a duplicate
+    // name that only explodes downstream (AMBIGUOUS_REFERENCE far from
+    // the join call) — refuse with a diagnostic here instead
+    val out = left.columns ++
+      right.columns.filterNot(keys.contains).map(prefix + _)
+    val dup = out.diff(out.distinct).distinct
+    require(dup.isEmpty,
+      s"output name collision ${dup.mkString(", ")}: left columns clash " +
+        s"with prefixed right payload columns — pick a different prefix")
   }
 
   def join(
@@ -75,7 +86,7 @@ object AsofJoin {
       direction: Direction = Backward,
       tolerance: Option[Long] = None,
       prefix: String = "asof_"): DataFrame = {
-    requireCleanInputs(left, right, keys, rightTime)
+    requireCleanInputs(left, right, keys, rightTime, prefix)
     val rPayload = right.columns.filterNot(keys.contains)
 
     // both sides projected to (keys…, __t, __side, __rp, __lp); the null
@@ -99,10 +110,15 @@ object AsofJoin {
           lit(null).cast(rpType).as("__rp") :+ col("__lp"): _*))
 
     // right-before-left at equal times makes ≤/≥ inclusive; Forward is the
-    // same merge on the reversed time axis
+    // same merge on the reversed time axis. NULL-timed LEFT rows must sort
+    // FIRST in both directions so their running frame holds no right rows
+    // (→ no match, mirroring the null-right-time filter above): asc's
+    // default is already NULLS FIRST, but desc's is NULLS LAST — which
+    // would hand a null-timed left row a frame containing EVERY right row
+    // and silently match it to the earliest one (r13 review)
     val timeOrd = direction match {
       case Backward => col("__t").asc
-      case Forward => col("__t").desc
+      case Forward => col("__t").desc_nulls_first
     }
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(timeOrd, col("__side").asc)
@@ -153,8 +169,29 @@ object AsofJoin {
       tolerance: Option[Long] = None,
       prefix: String = "asof_",
       bucketUs: Long = 6L * 3600 * 1000 * 1000): DataFrame = {
-    requireCleanInputs(left, right, keys, rightTime)
+    requireCleanInputs(left, right, keys, rightTime, prefix)
+    require(bucketUs > 0, s"bucketUs=$bucketUs (must be positive)")
+    // this form's physical plan needs two things [[join]] does not: the
+    // time axis folds by MULTIPLICATION (numeric times only — a
+    // timestamp column works in join() but not here) and phase 2 takes
+    // max(struct(__t, __rp)) (the payload must be ORDERABLE — no map
+    // columns). Refuse with a diagnostic instead of an AnalysisException
+    // deep inside the plan (r13 review).
+    Seq(leftTime -> left, rightTime -> right).foreach { case (c, df) =>
+      require(df.schema(c).dataType.isInstanceOf[
+          org.apache.spark.sql.types.NumericType],
+        s"joinTwoPhase needs a numeric time column; $c is " +
+          s"${df.schema(c).dataType.simpleString} — use join(), or cast " +
+          "timestamps to epoch numerics first")
+    }
     val rPayload = right.columns.filterNot(keys.contains)
+    rPayload.foreach { c =>
+      require(org.apache.spark.sql.catalyst.expressions.RowOrdering
+          .isOrderable(right.schema(c).dataType),
+        s"joinTwoPhase's bucket aggregate orders the right payload; " +
+          s"column $c (${right.schema(c).dataType.simpleString}) is not " +
+          "orderable — drop it from right or use join()")
+    }
 
     // direction folds into a sign flip of the time axis: backward as-of on
     // -t IS forward as-of on t (same inclusive tie rule)

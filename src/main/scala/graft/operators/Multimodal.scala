@@ -78,7 +78,11 @@ object Multimodal {
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
     media.mapPartitions { rows =>
       rows.map { r =>
-        val payload = r.getAs[Array[Byte]]("content")
+        // NULL payload == empty payload (a NULL-text document encodes to
+        // NULL): fakeDecode would NPE, and killing the stage over one
+        // absent blob is the wrong failure mode for a curation pipeline
+        val raw = r.getAs[Array[Byte]]("content")
+        val payload = if (raw == null) Array.emptyByteArray else raw
         val plane = fakeDecode(payload, 0)
         val hist = new Array[Double](16)
         plane.foreach { b => hist((b & 0xFF) / 16) += 1.0 }
@@ -97,6 +101,12 @@ object Multimodal {
     media.filter(col("modality") === "video")
       .withColumn("n_frames_total",
         ceil(length(col("content")).cast("double") / frameBytes).cast("int"))
+      // a zero-byte payload has NO frames — without this filter
+      // sequence(0, -1) yields [0, -1] (Spark defaults the step to -1
+      // when start > stop) and an empty video would emit phantom frame
+      // rows, one with frame_idx = -1 at stride 1 (r13 review); NULL
+      // payloads drop here too (NULL > 0 is not true)
+      .filter(col("n_frames_total") > 0)
       .withColumn("frame_idx",
         explode(expr(s"filter(sequence(0, n_frames_total - 1), i -> i % $stride = 0)")))
       .withColumn("frame",

@@ -44,17 +44,33 @@ object RangeJoin {
       startCol: String,
       endCol: String,
       bucketUs: Long,
-      prefix: String = "iv_"): DataFrame = {
+      prefix: String = "iv_",
+      maxBucketsPerInterval: Long = 1L << 20): DataFrame = {
     require(keys.nonEmpty, "range join requires at least one equi-key")
+    require(bucketUs > 0, s"bucketUs=$bucketUs (must be positive)")
     require(!points.columns.contains("__b"),
       "points must not carry the internal __b column")
     val ivPayload = intervals.columns.filterNot(keys.contains)
+    val startB = floorDiv(col("__ivp").getField(startCol), bucketUs)
+    val endB = floorDiv(col("__ivp").getField(endCol), bucketUs)
+    // fail FAST on an absurd span instead of letting one row allocate a
+    // multi-GB sequence array and OOM the executor: an open-ended
+    // sentinel end (Long.MaxValue "still open") at a 6h bucket would
+    // otherwise try to build a ~4×10⁸-element array for that single row
+    // (r13 review). The guard rides the sequence bound itself so column
+    // pruning cannot drop it; the multiplier contract is ⌈len/B⌉+1 ≈
+    // small — a span over the cap means a sentinel leaked in or bucketUs
+    // is mis-chosen, both caller bugs worth a diagnostic.
+    val endBGuarded = when(endB - startB < lit(maxBucketsPerInterval), endB)
+      .otherwise(raise_error(concat(
+        lit(s"range-join interval spans more than $maxBucketsPerInterval " +
+          s"buckets of $bucketUs µs (span "),
+        (endB - startB + 1).cast("string"),
+        lit("): clamp open-ended sentinel ends or raise bucketUs"))))
     val iv = intervals.select(
       keys.map(c => col(c).as(s"__k_$c")) :+
         struct(ivPayload.map(col): _*).as("__ivp"): _*)
-      .withColumn("__b", explode(sequence(
-        floorDiv(col("__ivp").getField(startCol), bucketUs),
-        floorDiv(col("__ivp").getField(endCol), bucketUs))))
+      .withColumn("__b", explode(sequence(startB, endBGuarded)))
     val pts = points.withColumn("__b", floorDiv(col(pointCol), bucketUs))
     val joinCond = keys.map(c => pts(c) === iv(s"__k_$c")).reduce(_ && _) &&
       pts("__b") === iv("__b") &&

@@ -26,8 +26,8 @@ object CorpusOpsQueries {
   // docs sharing any word 5-gram with the benchmark slice) through the plan
   // you run when the benchmark n-gram set is too big to broadcast exactly:
   // build a Bloom filter over the benchmark grams (~1.2 bytes/gram at 1%
-  // fpp vs 8 for the exact set), ship it to every task inside the scan
-  // projection (BloomMightContain, codegen'd), and let only the ~fpp
+  // fpp vs 8 for the exact set), broadcast it once per executor into the
+  // scan projection (BloomMightContain, codegen'd), and let only the ~fpp
   // fraction of non-matching grams plus the true matches reach the exact
   // confirm join — which is a SHUFFLE hash join by intent (the exact set
   // at real scale lives on the cluster, not the driver). Bloom errors are
@@ -45,7 +45,10 @@ object CorpusOpsQueries {
     // corpus-independent) gram set — the driver holds only the sketch
     val nBench = benchGrams.count()
     val bloom = benchGrams.stat.bloomFilter("g", math.max(nBench, 64L), 0.01)
-    val bloomBytes = {
+    // broadcast, not tree-embedded: the serialized filter ships once per
+    // executor; the expression (and every task binary) carries only the
+    // broadcast handle
+    val bloomBytes = spark.sparkContext.broadcast {
       val bos = new java.io.ByteArrayOutputStream()
       bloom.writeTo(bos)
       bos.toByteArray

@@ -144,4 +144,61 @@ class AsofJoinSpec extends GraftSuite {
       assert(got == want, s"direction $d form $form: $got vs $want")
     }
   }
+
+  test("NULL LEFT times never match either — in both directions and forms") {
+    import spark.implicits._
+    // pre-fix, Forward's plain .desc ordering put the null-timed left row
+    // LAST (desc default is NULLS LAST): its running frame then held every
+    // right row and it silently matched the earliest one, while Backward
+    // and the two-phase form returned NULL for the same row — direction-
+    // and plan-dependent wrong data (r13 review)
+    val l = Seq(("a", Some(100L), 1L), ("a", Option.empty[Long], 2L))
+      .toDF("k", "t", "lid")
+    val r = Seq(("a", 50L, 7), ("a", 150L, 8)).toDF("k", "rt", "rv")
+    for (d <- Seq(AsofJoin.Backward, AsofJoin.Forward);
+         form <- Seq("merge", "twoPhase")) {
+      val res = form match {
+        case "merge" => AsofJoin.join(l, r, Seq("k"), "t", "rt", d)
+        case _ => AsofJoin.joinTwoPhase(l, r, Seq("k"), "t", "rt", d, bucketUs = 70L)
+      }
+      val byLid = res.collect().map(row => row.getLong(2) -> row.isNullAt(3)).toMap
+      assert(!byLid(1L), s"direction $d form $form: the timed row must match")
+      assert(byLid(2L),
+        s"direction $d form $form: a NULL-timed left row must never match")
+    }
+  }
+
+  test("output-name collisions between left columns and prefixed right " +
+    "payload are refused with a diagnostic") {
+    import spark.implicits._
+    val l = Seq(("a", 100L, 5)).toDF("k", "t", "asof_rv")
+    val r = Seq(("a", 50L, 7)).toDF("k", "rt", "rv")
+    Seq[(String, () => org.apache.spark.sql.DataFrame)](
+      "merge" -> (() => AsofJoin.join(l, r, Seq("k"), "t", "rt")),
+      "twoPhase" -> (() => AsofJoin.joinTwoPhase(l, r, Seq("k"), "t", "rt"))
+    ).foreach { case (form, f) =>
+      val e = intercept[IllegalArgumentException](f())
+      assert(e.getMessage.contains("asof_rv"), s"$form: ${e.getMessage}")
+    }
+  }
+
+  test("joinTwoPhase refuses non-numeric time columns and unorderable " +
+    "payloads with a diagnostic (join() handles both)") {
+    import spark.implicits._
+    val lTs = Seq(("a", java.sql.Timestamp.valueOf("2026-01-01 00:00:00"), 1L))
+      .toDF("k", "t", "lid")
+    val rTs = Seq(("a", java.sql.Timestamp.valueOf("2026-01-01 00:00:00"), 7))
+      .toDF("k", "rt", "rv")
+    val eTs = intercept[IllegalArgumentException](
+      AsofJoin.joinTwoPhase(lTs, rTs, Seq("k"), "t", "rt"))
+    assert(eTs.getMessage.contains("numeric time column"), eTs.getMessage)
+    val lN = Seq(("a", 100L, 1L)).toDF("k", "t", "lid")
+    val rMap = Seq(("a", 50L, Map("x" -> 1))).toDF("k", "rt", "rv")
+    val eMap = intercept[IllegalArgumentException](
+      AsofJoin.joinTwoPhase(lN, rMap, Seq("k"), "t", "rt"))
+    assert(eMap.getMessage.contains("not orderable"), eMap.getMessage)
+    // join() supports both shapes the two-phase form refuses
+    assert(AsofJoin.join(lTs, rTs, Seq("k"), "t", "rt").collect().length == 1)
+    assert(AsofJoin.join(lN, rMap, Seq("k"), "t", "rt").collect().length == 1)
+  }
 }

@@ -15,7 +15,7 @@ class CorpusOpsSpec extends GraftSuite {
     val members = (0L until 2000L).map(_ * 7919L + 13L)
     val df = members.toDF("g")
     val bloom = df.stat.bloomFilter("g", 2000L, 0.01)
-    val bytes = {
+    val bytes = spark.sparkContext.broadcast {
       val bos = new java.io.ByteArrayOutputStream()
       bloom.writeTo(bos)
       bos.toByteArray

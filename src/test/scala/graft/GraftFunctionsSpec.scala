@@ -204,6 +204,71 @@ class GraftFunctionsSpec extends GraftSuite {
     assert(both.filter(col("fast") =!= col("slow")).count() === 0)
   }
 
+  test("running_max_seeded follows Spark's double ordering at the edges: " +
+    "NaN poisons the suffix (largest value), ±0.0 equal with first-seen kept") {
+    // pre-fix the kernel used primitive '>', which DROPS NaN (v > m is
+    // false) where the composed greatest/array_max form carries it as
+    // the largest double — the bit-identity claim broke on any NaN
+    // (e.g. a 0/0 upstream). The sign of zero goes the OTHER way: Spark
+    // compares doubles with primitive == first, so -0.0 and 0.0 are
+    // EQUAL and max keeps the incumbent — the composed form returns
+    // -0.0 if it arrived first (r13 review + this spec's own probe)
+    val d = Seq(
+      (Seq(1.0, Double.NaN, 2.0), 0.0),
+      (Seq(-1.0, -0.0, 0.0, -2.0), -3.0),
+      (Seq(Double.NaN), 5.0)
+    ).toDF("a", "seed")
+    val both = d.select(
+      GraftFunctions.runningMaxSeeded(col("a"), col("seed")).as("fast"),
+      expr("transform(sequence(1, size(a)), i -> greatest(seed, array_max(slice(a, 1, i))))").as("slow"))
+      .collect()
+    both.foreach { r =>
+      val (f, s) = (r.getSeq[Double](0), r.getSeq[Double](1))
+      assert(f.length == s.length)
+      f.zip(s).foreach { case (x, y) =>
+        assert(java.lang.Double.compare(x, y) == 0, s"$f vs $s")
+      }
+    }
+    // the NaN row's suffix must BE NaN in both forms
+    assert(both.head.getSeq[Double](0).drop(1).forall(_.isNaN))
+  }
+
+  test("custom kernels fail ANALYSIS on mistyped inputs instead of reading " +
+    "garbage at fixed widths") {
+    import org.apache.spark.sql.AnalysisException
+    val d = Seq((Seq(1, 2, 3), Seq("b", "c"), Seq(1L, 2L), Seq(1.0f, 2.0f)))
+      .toDF("ints", "strs", "longs", "floats")
+    // dot_fold over array<int>: getDouble on 4-byte slots would return
+    // misaligned garbage, not an error
+    intercept[AnalysisException](
+      d.select(GraftFunctions.dotFold(col("ints"), col("ints"))).collect())
+    // sorted_intersect_count dispatches on the LEFT type only: a
+    // string/long mismatch would getLong on string-encoded ArrayData
+    intercept[AnalysisException](
+      d.select(GraftFunctions.sortedIntersectCount(col("strs"), col("longs"))).collect())
+    intercept[AnalysisException](
+      d.select(GraftFunctions.sortedIntersectCount(col("longs"), col("strs"))).collect())
+    intercept[AnalysisException](
+      d.select(GraftFunctions.sortedIntersectCount(col("ints"), col("ints"))).collect())
+    // srp over a non-numeric array
+    intercept[AnalysisException](
+      d.select(GraftFunctions.srpBucket(col("strs"), Seq(Seq(1.0)))).collect())
+    // the valid shapes still pass analysis
+    assert(d.select(
+      GraftFunctions.dotFold(col("floats"), col("floats")),
+      GraftFunctions.sortedIntersectCount(col("longs"), col("longs")),
+      GraftFunctions.srpBucket(col("floats"), Seq(Seq(1.0, -1.0)))
+    ).collect().length == 1)
+  }
+
+  test("srp_bucket refuses more than 32 hyperplanes (bit mask wraps mod 32)") {
+    val planes33 = Seq.fill(33)(Seq(1.0))
+    val e = intercept[IllegalArgumentException](
+      Seq(Seq(1.0f)).toDF("e")
+        .select(GraftFunctions.srpBucket(col("e"), planes33)).collect())
+    assert(e.getMessage.contains("1..32"), e.getMessage)
+  }
+
   test("erf matches known table values to 1e-12") {
     val got = Seq(0.0, 0.5, 1.0, 2.0, -1.0).toDF("x")
       .select(GraftFunctions.erf(col("x")).as("e")).collect().map(_.getDouble(0))

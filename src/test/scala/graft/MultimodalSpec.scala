@@ -123,4 +123,34 @@ class MultimodalSpec extends GraftSuite {
     val (dw, dh, dec) = Multimodal.decodeGray(split(1))
     assert(dw == w && dh == h && dec.length == w * h)
   }
+
+  test("degenerate payloads: NULL content gets empty-payload features (no " +
+    "NPE), zero-byte videos emit NO frame rows (no phantom sequence(0,-1))") {
+    import spark.implicits._
+    val media = Seq(
+      (1L, "video", Some("some actual payload bytes here")),
+      (2L, "video", Some("")), // zero-byte payload: ceil(0/64) = 0 frames
+      (3L, "video", Option.empty[String]), // NULL payload
+      (4L, "image", Some("img"))
+    ).toDF("media_id", "modality", "text")
+      .select(col("media_id"), col("modality"),
+        encode(col("text"), "UTF-8").as("content"),
+        struct(lit("src").as("source")).as("meta"))
+    // pre-fix: row 3 NPE'd in fakeDecode; now it degrades to the
+    // empty-payload feature vector (all-zero plane → all mass in bin 0)
+    val feats = Multimodal.withFeatures(media)
+      .select("media_id", "features").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(feats.size == 4)
+    assert(feats(3L) == feats(2L),
+      "NULL payload must produce the same features as an empty payload")
+    assert(feats(3L).head == 1.0, "empty plane mass sits in bin 0")
+    // pre-fix: rows 2/3 produced phantom frames via sequence(0, -1) =
+    // [0, -1]; now only the real payload emits frames
+    val frames = Multimodal.sampleFrames(media, frameBytes = 8, stride = 1)
+      .select("media_id", "frame_idx").collect()
+    assert(frames.nonEmpty && frames.forall(_.getLong(0) == 1L),
+      s"only media 1 has frames: ${frames.map(_.getLong(0)).toSet}")
+    assert(frames.forall(_.getInt(1) >= 0), "no negative frame_idx")
+  }
 }

@@ -45,4 +45,27 @@ class RangeJoinSpec extends GraftSuite {
       !plan.contains("BroadcastNestedLoopJoin"),
       s"range join must stay equi-keyed:\n$plan")
   }
+
+  test("an open-ended sentinel interval fails fast with a diagnostic " +
+    "instead of allocating a multi-GB bucket sequence") {
+    import spark.implicits._
+    // one 'still open' interval with end = Long.MaxValue: pre-guard this
+    // tried to explode ~4×10⁸ bucket rows for the single row (an OOM or
+    // a deep kernel error, either way executor-killing); now the bound
+    // itself raises with the span and the fix in the message
+    val pdf = Seq(("a", 100L, 1L)).toDF("k", "t", "pid")
+    val ivdf = Seq(("a", 0L, Long.MaxValue, 1L)).toDF("k", "s", "e", "ivid")
+    val e = intercept[Exception](
+      RangeJoin.pointInInterval(pdf, ivdf, Seq("k"), "t", "s", "e",
+        bucketUs = 6L * 3600 * 1000 * 1000).collect())
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("range-join interval spans")),
+      messages(e).mkString(" | "))
+    // sane intervals on the same call path still join
+    val ok = RangeJoin.pointInInterval(pdf,
+      Seq(("a", 0L, 200L, 1L)).toDF("k", "s", "e", "ivid"),
+      Seq("k"), "t", "s", "e", bucketUs = 64L).collect()
+    assert(ok.length == 1)
+  }
 }
