@@ -12,11 +12,16 @@ object Folds {
   type Fold = (Array[Int], Array[Int]) // (train indices, test indices)
 
   /** Sequential walk-forward folds (eval/walk_forward.py:45-102):
-    * data-driven test size (~200 signals per fold, ≥5 folds), rolling
-    * train window capped at maxTrainSplits test-sizes, purge gap between
-    * train end and test start, folds kept only with enough train data.
+    * data-driven test size (~200 signals per test fold; nSplits sizes the
+    * test window, not the fold count), rolling train window capped at
+    * maxTrainSplits test-sizes, purge gap between train end and test
+    * start, folds kept only with enough train data. Defaults mirror the
+    * reference's config (config.py:103-104: WF_MIN_TRAIN_SPLITS=3,
+    * WF_MAX_TRAIN_SPLITS=5) — minTrainSplits was 2 here through r13, a
+    * silent parity break for nSignals < ~500 where the train-length
+    * filter binds (r13 review).
     */
-  def buildWfoFolds(nSignals: Int, minTrainSplits: Int = 2,
+  def buildWfoFolds(nSignals: Int, minTrainSplits: Int = 3,
       maxTrainSplits: Int = 5, purgeBars: Int = 100): Seq[Fold] = {
     val nSplits = math.max(5, nSignals / 200)
     val testSize = math.max(1, nSignals / nSplits)

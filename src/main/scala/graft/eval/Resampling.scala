@@ -77,7 +77,13 @@ object Resampling {
       val n = agg.n.toDouble
       val mean = agg.sum / n
       val v = (agg.sumSq - n * mean * mean) / (n - 1)
-      if (v <= 0 || v.isNaN) 0.0 else mean / math.sqrt(v)
+      // cancellation clamp: Σr² − n·mean² of a NEAR-CONSTANT pool rounds
+      // to ± a few ulps of Σr² rather than 0, and a +1e-18 ghost variance
+      // would make the degenerate config's Sharpe astronomical where the
+      // array-based cscv() (two-pass variance) scores it 0 — treat any
+      // variance below 1e-12 of the mean square as the zero it
+      // mathematically is (r13 review)
+      if (v.isNaN || v <= 1e-12 * (agg.sumSq / n)) 0.0 else mean / math.sqrt(v)
     }
     val splits = (0 until nBlocks).combinations(nBlocks / 2).toArray
     val oosRanks = new Array[Double](splits.length)
@@ -135,6 +141,11 @@ object Resampling {
   def bootstrapCi(returns: Array[Double], metric: Array[Double] => Double,
       nResamples: Int = 1000, alpha: Double = 0.05, blockSize: Int = 20,
       seed: Long = 42L, useBca: Boolean = true): BootstrapCi = {
+    // a non-positive block size is a caller bug, and the MBB loop would
+    // spin forever on it (take = min(blockSize, n-filled) never advances
+    // filled) — the large-block iid fallback below only catches the
+    // OTHER end of the range (r13 review)
+    require(blockSize > 0, s"blockSize=$blockSize (must be positive)")
     val n = returns.length
     val pe = metric(returns)
     if (n < 10) return BootstrapCi(pe, pe, pe, 0.0, n, "degenerate")
@@ -226,10 +237,15 @@ object Resampling {
   }
 
   // -------------------------------------------------------------------------
-  // E11 — Romano–Wolf step-down (eval/synthesis.py:61-115): observed
-  // t = mean/se per config; bootstrap the max-t distribution from CENTERED
-  // returns; critical value = 95th percentile of max-t; reject configs
-  // with observed t above it.
+  // E11 — Romano–Wolf (eval/synthesis.py:61-115): observed t = mean/se per
+  // config; bootstrap the max-t distribution from CENTERED returns;
+  // critical value = 95th percentile of max-t; reject configs with
+  // observed t above it. Honesty note: the reference's function is NAMED
+  // romano_wolf_stepdown but performs the SINGLE-STEP max-t test — one
+  // critical value, no iterative re-computation over the unrejected
+  // remainder — and this mirrors the reference, not the published
+  // step-down (which would reject a superset; the single-step form is
+  // strictly conservative).
 
   final case class RomanoWolf(criticalValue: Double, rejected: Array[Int],
       observedT: Array[Double])

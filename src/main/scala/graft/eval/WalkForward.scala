@@ -37,7 +37,14 @@ object WalkForward {
 
   final case class Stage4Report(foldRows: Seq[FoldRow],
       vorob: Option[VorobStability], vorobSkipReason: Option[String],
-      topBarriers: Seq[BarrierReport], finalBarrierIds: Seq[String])
+      topBarriers: Seq[BarrierReport], finalBarrierIds: Seq[String],
+      // Some(reason) when stage 2 never ran (too few screened barriers /
+      // signals): every barrier then fails the PBO gate BY CONSTRUCTION,
+      // which is the reference's own behavior (empty pbo_scores → no
+      // survivors) but was indistinguishable from "all barriers measured
+      // overfit" in the report (r13 review) — the same diagnosability
+      // contract vorobSkipReason already provides
+      pboSkipReason: Option[String] = None)
 
   /** Full stage 1–4 run.
     *
@@ -110,8 +117,12 @@ object WalkForward {
 
     // --- Stage 2: CPCV + nested selection + PBO over the screened set
     // (cpcv_n_folds = max(6, min(12, n/200)), walk_forward_barriers.py:301)
+    val pboSkip: Option[String] =
+      if (topBids.length < 3) Some("too_few_screened_barriers")
+      else if (nSignals < 100) Some("too_few_signals")
+      else None
     val pboScores: Map[String, Double] =
-      if (topBids.length >= 3 && nSignals >= 100) {
+      if (pboSkip.isEmpty) {
         val cpcvNFolds = math.max(6, math.min(12, nSignals / 200))
         // per-barrier dense vectors for the screened set only — bounded
         // collect, O(topK × nSignals)
@@ -196,7 +207,7 @@ object WalkForward {
         gtComposite = gtScores.get(bid))
     }.sortBy(r => (-r.gtComposite.getOrElse(-1.0), r.barrierId))
 
-    Stage4Report(foldRows, vorob, vorobSkip, reports, finalBids)
+    Stage4Report(foldRows, vorob, vorobSkip, reports, finalBids, pboSkip)
   }
 
   /** Population (biased) skewness — scipy.stats.skew default. */

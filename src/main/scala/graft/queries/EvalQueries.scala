@@ -483,7 +483,7 @@ object EvalQueries {
       .withColumn("fold", expr("(idx - train_size - 100) div test_size"))
       .withColumn("fold_start", col("train_size") + 100 + col("fold") * col("test_size"))
       .filter(col("fold_start") + col("test_size") <= col("n") &&
-        least(col("fold_start") - 100, col("train_size")) >= col("test_size") * 2)
+        least(col("fold_start") - 100, col("train_size")) >= col("test_size") * 3)
       .groupBy(col("event_type"), col("fold"))
       .agg(
         count(lit(1)).as("n_test"),
@@ -516,7 +516,7 @@ object EvalQueries {
        |kept AS (
        |  SELECT * FROM f
        |  WHERE fold_start + test_size <= n
-       |    AND least(fold_start - 100, train_size) >= test_size * 2)
+       |    AND least(fold_start - 100, train_size) >= test_size * 3)
        |SELECT event_type, fold, count(*) AS n_test,
        |  round(count(*) FILTER (WHERE r > 0) / count(*)::DOUBLE, 4) AS win_rate,
        |  round(CASE WHEN sum(greatest(-r, 0.0)) = 0.0

@@ -132,6 +132,59 @@ class EvalStackSpec extends AnyFunSuite {
     assert(res.oosRanks.forall(_ == 1.0))
   }
 
+  test("CSCV from block moments: degenerate constant-return config scores " +
+    "Sharpe 0, matching the array-based cscv (cancellation clamp)") {
+    // a config whose pooled trades are all exactly 0.05: the sufficient-
+    // stats variance Σr² − n·mean² rounds to ± a few ulps instead of 0,
+    // and pre-clamp a +1e-18 ghost variance gave it an astronomical
+    // Sharpe that won every IS split (r13 review). It must score 0 and
+    // lose to the genuinely-varying profitable config in both forms.
+    val blocks = 6
+    def moments(rets: Array[Double]) =
+      Resampling.BlockMoments(rets.length, rets.sum, rets.map(x => x * x).sum)
+    val constant = Array.tabulate(blocks)(_ => Array.fill(10)(0.05))
+    val real = Array.tabulate(blocks)(b =>
+      Array.tabulate(10)(i => 0.10 + 0.001 * ((i + b) % 5)))
+    val arrays = Array(constant, real)
+    def sharpe(rets: Array[Double]): Double = {
+      if (rets.length < 2) return 0.0
+      // the same relative clamp as the moments form: even a two-pass
+      // variance picks up ~1e-18 ghost variance on identical doubles
+      // (mean of n copies of 0.05 is not bit-equal to 0.05)
+      val sd = Stats.stdSamp(rets)
+      val msq = Stats.mean(rets.map(x => x * x))
+      if (sd * sd > 1e-12 * msq) Stats.mean(rets) / sd else 0.0
+    }
+    val fromArrays = Resampling.cscv(arrays,
+      rets => if (rets.isEmpty) 0.0 else sharpe(rets))
+    val fromMoments = Resampling.cscvFromBlockMoments(
+      arrays.map(_.map(moments)))
+    assert(fromMoments.isWinnerPerSplit.toSeq == fromArrays.isWinnerPerSplit.toSeq)
+    assert(fromMoments.oosRanks.toSeq == fromArrays.oosRanks.toSeq)
+    assert(fromMoments.isWinnerPerSplit.forall(_ == 1),
+      "the varying profitable config must win every split — a ghost-variance " +
+        "Sharpe on the constant config would steal it")
+  }
+
+  test("bootstrapCi refuses a non-positive block size (pre-guard: infinite loop)") {
+    val rets = Array.fill(50)(0.01)
+    val e = intercept[IllegalArgumentException](
+      Resampling.bootstrapCi(rets, Stats.mean, blockSize = 0))
+    assert(e.getMessage.contains("blockSize"), e.getMessage)
+  }
+
+  test("WFO folds: minTrainSplits matches the reference's config default (3) " +
+    "— the train-length filter empties small-n fold lists") {
+    // n=400: test=80, rolling train=min(400, 220)=220 < 3*80 → every fold
+    // filtered (the pre-fix default of 2 kept them: 220 >= 160)
+    assert(Folds.buildWfoFolds(400).isEmpty,
+      "n=400 must produce no folds under minTrainSplits=3")
+    // n=600: train=min(600, 380)=380 >= 3*120 → folds survive
+    assert(Folds.buildWfoFolds(600).nonEmpty)
+    // explicit override reproduces the old behavior
+    assert(Folds.buildWfoFolds(400, minTrainSplits = 2).nonEmpty)
+  }
+
   test("CSCV block assignment bins by timestamp") {
     val rets = Array(1.0, 2.0, 3.0, 4.0)
     val ts = Array(0L, 25L, 50L, 100L)

@@ -188,4 +188,23 @@ class WalkForwardSpec extends GraftSuite {
       assert(math.abs(got - want) < 1e-12, s"$bid: $got vs $want")
     }
   }
+
+  test("a skipped stage-2 PBO is reported as pboSkipReason, not as " +
+    "'every barrier measured overfit'") {
+    import spark.implicits._
+    // two barriers only → stage 2 cannot run (needs ≥3 screened); the
+    // reference's empty pbo_scores reject everything, which is correct,
+    // but the report must say WHY (r13 review — the vorobSkipReason
+    // contract applied to the PBO gate)
+    val rnd = new scala.util.Random(3)
+    val small = Seq("a", "b").flatMap { bid =>
+      (0 until 1200).map(i => (bid, i, 0.001 + rnd.nextGaussian() * 0.01))
+    }.toDF("barrier_id", "signal_idx", "return_pct")
+    val rep = WalkForward.run(small, nSignals = 1200, screenTopK = 3)
+    assert(rep.pboSkipReason.contains("too_few_screened_barriers"), rep.pboSkipReason)
+    assert(rep.finalBarrierIds.isEmpty)
+    assert(rep.topBarriers.forall(_.pbo == -1.0))
+    // the full fixture (3+ barriers) runs stage 2 and reports no skip
+    assert(report.pboSkipReason.isEmpty)
+  }
 }
