@@ -26,7 +26,7 @@ object SparkEntry {
     spark
   }
 
-  private def packs: Seq[(Map[String, (SparkSession, String) => DataFrame], Map[String, String])] =
+  private lazy val packs: Seq[(Map[String, (SparkSession, String) => DataFrame], Map[String, String])] =
     Seq(
       (graft.queries.CoreQueries.all, graft.queries.CoreQueries.oracles),
       (graft.queries.QuantQueries.all, graft.queries.QuantQueries.oracles),
@@ -52,15 +52,27 @@ object SparkEntry {
     queries("q40_champion")(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] =
+  lazy val queries: Map[String, (SparkSession, String) => DataFrame] = {
+    // duplicate keys across packs would SILENTLY shadow an earlier
+    // pack's query under ++ — and queries/oracleSql could even disagree
+    // about which pack won, pairing query A with oracle B without any
+    // error (r13 review): refuse at first access instead
+    val keys = packs.flatMap(_._1.keys)
+    val dup = keys.diff(keys.distinct).distinct
+    require(dup.isEmpty, s"duplicate query keys across packs: ${dup.mkString(", ")}")
     packs.map(_._1).reduce(_ ++ _).map { case (k, f) =>
       k -> ((s: SparkSession, d: String) => f(ensureConfs(s), d))
     }
+  }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] =
+  lazy val oracleSql: Map[String, String] = {
+    val keys = packs.flatMap(_._2.keys)
+    val dup = keys.diff(keys.distinct).distinct
+    require(dup.isEmpty, s"duplicate oracle keys across packs: ${dup.mkString(", ")}")
     packs.map(_._2).reduce(_ ++ _)
+  }
 
   /** Alternate TERMINATING oracle forms for queries whose self-contained
     * oracleSql does not finish in practical time at large SF, plus the

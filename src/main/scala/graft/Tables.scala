@@ -24,7 +24,11 @@ object Tables {
   def tsUs(ev: DataFrame): org.apache.spark.sql.Column =
     ev.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
-        org.apache.spark.sql.functions.expr("ts div 1000")
+        // FLOOR division, not `div` (which truncates toward zero): a
+        // pre-epoch nanosecond timestamp like -1500 ns must map to -2 µs
+        // — DuckDB's epoch_us floors — where `-1500 div 1000` gives -1
+        // (r13 review; post-1970 fixtures never exercise it)
+        org.apache.spark.sql.functions.expr("(ts - pmod(ts, 1000)) div 1000")
       case _ =>
         org.apache.spark.sql.functions.unix_micros(
           org.apache.spark.sql.functions.col("ts").cast("timestamp"))
@@ -51,6 +55,13 @@ object Tables {
     * no DSL at all. Views are lazy plans: filters/projections in the SQL
     * still push down to the parquet scans. */
   def registerViews(spark: SparkSession, sfDir: String): Unit = {
+    // pin the session confs FIRST: reading a pre-r5 TIMESTAMP(NANOS)
+    // fixture throws without nanosAsLong, and an r5 TIMESTAMP_NTZ
+    // fixture read under a non-UTC machine timezone would silently
+    // offset every ts_us in the bars view vs the oracle's epoch_us
+    // (r13 review — this is the documented one-call entry point, so it
+    // cannot assume the caller went through SparkEntry first)
+    graft.SparkEntry.ensureConfs(spark)
     names.foreach(n => table(spark, sfDir, n).createOrReplaceTempView(n))
     graft.queries.EventBars.bars(spark, sfDir).createOrReplaceTempView("bars")
   }

@@ -22,7 +22,13 @@ final class SortedBuf(var arr: Array[Double], var size: Int) {
     var lo = 0; var hi = size
     while (lo < hi) {
       val mid = (lo + hi) >>> 1
-      if (arr(mid) < v) lo = mid + 1 else hi = mid
+      // total order (Double.compare), matching Arrays.sort: a primitive
+      // '<' is always false against NaN, which inserted NaN at the FRONT
+      // and let later values land before it — the buffer silently lost
+      // sortedness and the interpolated order statistics diverged from
+      // the Arrays.sort-based paths (SlidingQuantileWindowExec,
+      // QuantileExactExclusive) on NaN-bearing input (r13 review)
+      if (java.lang.Double.compare(arr(mid), v) < 0) lo = mid + 1 else hi = mid
     }
     System.arraycopy(arr, lo, arr, lo + 1, size - lo)
     arr(lo) = v
@@ -74,8 +80,14 @@ case class ExclusiveQuantileAgg(
     val out = new Array[Double](buf.size + other.size)
     var i = 0; var j = 0; var k = 0
     while (i < buf.size && j < other.size) {
-      if (buf.arr(i) <= other.arr(j)) { out(k) = buf.arr(i); i += 1 }
-      else { out(k) = other.arr(j); j += 1 }
+      // total order here too: primitive '<=' is false whenever EITHER
+      // operand is NaN, so a NaN at the head of `other` (e.g. a partial
+      // buffer holding only NaN) would jump the queue ahead of smaller
+      // values and unsort the merged buffer (r13 review, same hole as
+      // insert's)
+      if (java.lang.Double.compare(buf.arr(i), other.arr(j)) <= 0) {
+        out(k) = buf.arr(i); i += 1
+      } else { out(k) = other.arr(j); j += 1 }
       k += 1
     }
     while (i < buf.size) { out(k) = buf.arr(i); i += 1; k += 1 }

@@ -150,13 +150,20 @@ object SlidingQuantileWindowExec {
 object SlidingQuantileStrategy extends SparkStrategy {
 
   /** Idempotent session registration — the single shared entry point for
-    * SparkEntry.ensureConfs and GraftSqlFunctions.registerAll. */
-  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
-    val exp = spark.experimental
-    if (!exp.extraStrategies.contains(this)) {
-      exp.extraStrategies = exp.extraStrategies :+ this
+    * SparkEntry.ensureConfs and GraftSqlFunctions.registerAll.
+    * Synchronized: extraStrategies is a plain mutable var and ensureConfs
+    * wraps EVERY registry query, so two threads launching queries on a
+    * fresh session would check-then-act concurrently — double-registering
+    * this strategy or losing a concurrent writer's registration entirely
+    * (r13 review). The lock is per-session, so registration on one
+    * session never blocks another. */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.experimental.synchronized {
+      val exp = spark.experimental
+      if (!exp.extraStrategies.contains(this)) {
+        exp.extraStrategies = exp.extraStrategies :+ this
+      }
     }
-  }
 
   // strict Literal match: special boundaries (UnboundedPreceding/CurrentRow)
   // are foldable-but-unevaluable leaves, so a foldable-eval probe would

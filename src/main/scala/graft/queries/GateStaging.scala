@@ -35,11 +35,31 @@ private[graft] object GateStaging {
     }
   }
 
+  /** Release caches the index BUILDERS created once the index is written:
+    * semanticStreamIndex/Routed persist the full normalized corpus
+    * (MEMORY_AND_DISK) for their multi-job seeding passes, and the
+    * memoized staging path never touches those RDDs again — un-released
+    * they pin a multi-GB corpus copy per layout for the JVM's lifetime,
+    * stealing storage/execution memory from every query that follows
+    * (r13 review). Diff-of-persistent-RDDs scoping, valid under the same
+    * single-driver assumption the staging lanes already document (the
+    * builds are serialized rows in Bench/Verify; a concurrent persist by
+    * ANOTHER thread during the build would be swept too). */
+  private def unpersistBuildCaches[A](spark: SparkSession)(body: => A): A = {
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    try body
+    finally spark.sparkContext.getPersistentRDDs
+      .filter { case (id, _) => !before.contains(id) }
+      .values.foreach(_.unpersist(blocking = false))
+  }
+
   /** The flat (q113-cell) index dir for `d`, built+written on first use. */
   def flatDir(spark: SparkSession, d: String): String =
     staged("flat", d) { path =>
-      val (cents, members) = SimilarityQueries.semanticStreamIndex(spark, d)
-      SimilarityQueries.writeGateIndexFlat(spark, path, cents, members)
+      unpersistBuildCaches(spark) {
+        val (cents, members) = SimilarityQueries.semanticStreamIndex(spark, d)
+        SimilarityQueries.writeGateIndexFlat(spark, path, cents, members)
+      }
     }
 
   /** The routed (q116-cell) index dir for `d`, built+written on first use.
@@ -47,8 +67,10 @@ private[graft] object GateStaging {
     * two heads READ the same written tables differently. */
   def routedDir(spark: SparkSession, d: String): String =
     staged("routed", d) { path =>
-      val (tabs, members) = SimilarityQueries.semanticStreamIndexRouted(spark, d)
-      SimilarityQueries.writeGateIndexRouted(spark, path, tabs, members)
+      unpersistBuildCaches(spark) {
+        val (tabs, members) = SimilarityQueries.semanticStreamIndexRouted(spark, d)
+        SimilarityQueries.writeGateIndexRouted(spark, path, tabs, members)
+      }
     }
 
   /** Pre-build the selected layouts (the Bench `q_staging_gate` hook) —

@@ -43,16 +43,28 @@ object ResultSink {
     df.write.mode(SaveMode.Overwrite)
       .option("sep", "\t").option("header", "true").csv(path)
 
+  /** multiLine so quoted embedded newlines (which writeTsv emits for
+    * multi-line string values) parse back as ONE record — the default
+    * line-oriented reader split such records mid-field into corrupt rows
+    * (r13 review). Costs file-granular instead of line-granular read
+    * parallelism, the correct trade for an artifact readback path. */
   def readTsv(spark: SparkSession, path: String): DataFrame =
     spark.read.option("sep", "\t").option("header", "true")
+      .option("multiLine", "true")
       .option("inferSchema", "true").csv(path)
 
-  /** S6/S9: JSON-lines telemetry/artifacts. */
+  /** S6/S9: JSON-lines telemetry/artifacts. ignoreNullFields=false: the
+    * default DROPS null-valued keys per row, giving shards an unstable
+    * key set — external JSONL consumers break on missing keys and a
+    * shard whose rows are all-null for a column loses the column from
+    * readJsonl's inferred schema entirely (r13 review). */
   def writeJsonl(df: DataFrame, path: String): Unit =
-    df.write.mode(SaveMode.Overwrite).json(path)
+    df.write.mode(SaveMode.Overwrite)
+      .option("ignoreNullFields", "false").json(path)
 
   def appendJsonl(df: DataFrame, path: String): Unit =
-    df.write.mode(SaveMode.Append).json(path)
+    df.write.mode(SaveMode.Append)
+      .option("ignoreNullFields", "false").json(path)
 
   def readJsonl(spark: SparkSession, path: String): DataFrame =
     spark.read.json(path)
@@ -67,7 +79,9 @@ object ResultSink {
     * itself requires the absent org.brotli:dec jar — there is no codec to
     * vendor without egress, so gzip remains the documented stand-in. */
   def writeJsonlGz(df: DataFrame, path: String): Unit =
-    df.write.mode(SaveMode.Overwrite).option("compression", "gzip").json(path)
+    df.write.mode(SaveMode.Overwrite)
+      .option("ignoreNullFields", "false")
+      .option("compression", "gzip").json(path)
 
   /** S7: Arrow IPC stream export (ref exports Arrow for the Python eval
     * layer; here each task writes one `part-N.arrows` IPC-stream shard —
@@ -79,13 +93,34 @@ object ResultSink {
   def writeArrow(df: DataFrame, dir: String, batchRows: Int = 4096): Unit = {
     import org.apache.spark.sql.graftbridge.ArrowBridge
     val schema = df.schema
-    new java.io.File(dir).mkdirs()
+    // OVERWRITE semantics + attempt isolation (the other sinks get both
+    // from Spark's commit protocol; this direct writer must provide its
+    // own — r13 review): stale part-*.arrows from a previous export with
+    // MORE partitions would otherwise survive next to the new shards and
+    // be read as mixed old/new data, and a speculative duplicate attempt
+    // writing the final name directly would interleave IPC bytes. Each
+    // attempt writes a task-attempt-unique temp file and atomically
+    // renames into place — attempts of one partition produce identical
+    // bytes, so either rename winning is correct.
+    val d = new java.io.File(dir)
+    d.mkdirs()
+    Option(d.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.getName.startsWith("part-") &&
+        (f.getName.endsWith(".arrows") || f.getName.contains(".arrows.tmp-")))
+      .foreach(_.delete())
     ArrowBridge.toRdd(df).foreachPartition { it =>
       if (it.hasNext) {
-        val pid = org.apache.spark.TaskContext.getPartitionId()
-        val ch = new java.io.FileOutputStream(s"$dir/part-$pid.arrows").getChannel
+        val tc = org.apache.spark.TaskContext.get()
+        val pid = tc.partitionId()
+        val tmp = new java.io.File(
+          s"$dir/part-$pid.arrows.tmp-${tc.taskAttemptId()}")
+        val ch = new java.io.FileOutputStream(tmp).getChannel
         try ArrowBridge.writeIpcStream(it, schema, "UTC", batchRows, ch)
         finally ch.close()
+        java.nio.file.Files.move(tmp.toPath,
+          new java.io.File(s"$dir/part-$pid.arrows").toPath,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
       }
     }
   }

@@ -261,6 +261,31 @@ class GraftFunctionsSpec extends GraftSuite {
     ).collect().length == 1)
   }
 
+  test("exclusive_quantile_agg total-orders NaN like the array expression " +
+    "(sorted buffer stays sorted)") {
+    // pre-fix the agg buffer's primitive '<' insert put NaN at the FRONT
+    // and later values landed before it — an unsorted buffer whose order
+    // statistics diverged from the Arrays.sort-based array expression on
+    // the same values (r13 review)
+    val vals = Seq(3.0, Double.NaN, 1.0, 2.0, 4.0)
+    for (q <- Seq(0.25, 0.5, 0.75)) {
+      val agg = vals.toDF("x")
+        .agg(GraftFunctions.exclusiveQuantileAgg(col("x"), q)).first()
+      val arr = Seq(1).toDF("i").select(
+        GraftFunctions.quantileExactExclusive(array(vals.map(lit): _*), q)).first()
+      assert(java.lang.Double.compare(agg.getDouble(0), arr.getDouble(0)) == 0,
+        s"q=$q: agg=${agg.getDouble(0)} array=${arr.getDouble(0)}")
+    }
+  }
+
+  test("Tables.tsUs floors negative (pre-epoch) nanosecond timestamps " +
+    "like the oracle's epoch_us") {
+    // `div` truncates toward zero: -1500 ns must map to -2 µs, not -1
+    val df = Seq(-1500L, -1000L, -1L, 0L, 999L, 1000L, 1500L).toDF("ts")
+    val got = df.select(graft.Tables.tsUs(df).as("us")).collect().map(_.getLong(0))
+    assert(got.toSeq == Seq(-2L, -1L, -1L, 0L, 0L, 1L, 1L), got.mkString(","))
+  }
+
   test("srp_bucket refuses more than 32 hyperplanes (bit mask wraps mod 32)") {
     val planes33 = Seq.fill(33)(Seq(1.0))
     val e = intercept[IllegalArgumentException](

@@ -53,6 +53,52 @@ class ResultSinkSpec extends GraftSuite {
     assert(back(0).getString(0) == "x" && back(0).getInt(1) == 1 && back(0).getDouble(2) == 1.5)
   }
 
+  test("TSV round-trips embedded newlines and tabs (quoted multi-line fields)") {
+    import spark.implicits._
+    // pre-fix the reader was line-oriented: the quoted two-line field
+    // split into two corrupt rows (r13 review)
+    val p = tmp()
+    val df = Seq(("a", "line1\nline2"), ("b", "tab\there"), ("c", "plain"))
+      .toDF("k", "v")
+    ResultSink.writeTsv(df, p)
+    val back = ResultSink.readTsv(spark, p).orderBy("k").collect()
+    assert(back.length == 3, back.mkString(";"))
+    assert(back(0).getString(1) == "line1\nline2")
+    assert(back(1).getString(1) == "tab\there")
+  }
+
+  test("JSONL keeps null-valued keys (stable key set per row)") {
+    import spark.implicits._
+    // pre-fix ignoreNullFields dropped the key, so an all-null column
+    // vanished from the inferred read schema entirely (r13 review)
+    val p = tmp()
+    ResultSink.writeJsonl(
+      Seq((1L, Option.empty[String]), (2L, Option.empty[String]))
+        .toDF("config_id", "status"), p)
+    val part = new java.io.File(p).listFiles()
+      .filter(_.getName.endsWith(".json")).head
+    val lines = scala.io.Source.fromFile(part).getLines().toList
+    assert(lines.forall(_.contains("\"status\":null")), lines.mkString("|"))
+    val back = ResultSink.readJsonl(spark, p)
+    assert(back.columns.contains("status"),
+      s"all-null column lost from schema: ${back.columns.mkString(",")}")
+  }
+
+  test("Arrow re-export overwrites stale shards from a wider previous run") {
+    // pre-fix a re-export with fewer partitions left the old tail shards
+    // in place and the shard-parallel reader consumed mixed data
+    val p = tmp()
+    val wide = spark.range(100).repartition(8).toDF("id")
+    ResultSink.writeArrow(wide, p)
+    assert(new java.io.File(p).listFiles().count(_.getName.endsWith(".arrows")) > 4)
+    val narrow = spark.range(10).repartition(2).toDF("id")
+    ResultSink.writeArrow(narrow, p)
+    val shards = new java.io.File(p).listFiles().filter(_.getName.endsWith(".arrows"))
+    assert(shards.length <= 2, s"stale shards survived: ${shards.map(_.getName).mkString(",")}")
+    assert(!new java.io.File(p).listFiles().exists(_.getName.contains(".tmp-")),
+      "temp files must not survive the export")
+  }
+
   test("JSONL round trip + append (S6/S9 telemetry)") {
     import spark.implicits._
     val p = tmp()
