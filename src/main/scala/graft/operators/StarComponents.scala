@@ -46,6 +46,14 @@ object StarComponents {
     */
   def labels(edges: DataFrame, maxRounds: Int = 50): DataFrame = {
     val Seq(cu, cv) = edges.columns.toSeq.map(col)
+    // nodes appearing ONLY in self-loop edges never enter the contracted
+    // edge frame (the cu =!= cv filter discards their every edge) — they
+    // are singleton components and must still be labeled, or the
+    // "every node appearing in edges" contract silently drops them
+    // (r13 review; dedup callers always pass d1 < d2, so no fixture
+    // exercised it)
+    val allNodes = edges.select(cu.as("node"))
+      .union(edges.select(cv.as("node"))).distinct()
     var cur = edges
       .filter(cu =!= cv)
       .select(greatest(cu, cv).as("h"), least(cu, cv).as("l"))
@@ -94,7 +102,10 @@ object StarComponents {
     require(converged, s"star components did not converge in $iter rounds")
     System.err.println(s"[star-components] converged in $iter rounds")
     // fixpoint = star forest (member → root); roots label themselves
-    cur.select(col("h").as("node"), col("l").as("label"))
+    val labeled = cur.select(col("h").as("node"), col("l").as("label"))
       .union(cur.select(col("l").as("node"), col("l").as("label")).distinct())
+    labeled.union(
+      allNodes.join(labeled.select(col("node")), Seq("node"), "left_anti")
+        .select(col("node"), col("node").as("label")))
   }
 }

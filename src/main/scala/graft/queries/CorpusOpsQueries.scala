@@ -498,6 +498,14 @@ object CorpusOpsQueries {
       }(org.apache.spark.sql.Encoders.STRING)
       .toDF("term").distinct()
     def rank(counted: DataFrame): DataFrame = counted
+      // top-20 via the DISTRIBUTED TakeOrderedAndProject first, THEN the
+      // rank window over those 20 rows — a bare Window.orderBy over the
+      // input pulled the whole frame into one task, which on the
+      // exact-census fallback path is the full vocabulary (the very
+      // web-scale wall this query exists to avoid; the q93 discipline,
+      // r13 review). Same (n desc, term) order both steps → identical
+      // rows and ranks.
+      .orderBy(col("n").desc, col("term")).limit(20)
       .withColumn("rnk", row_number().over(Window.orderBy(col("n").desc, col("term"))))
       .filter(col("rnk") <= 20)
       .withColumn("pct", round(col("n").cast("double") / nTotal.toDouble, 6))

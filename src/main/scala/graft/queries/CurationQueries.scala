@@ -178,16 +178,21 @@ object CurationQueries {
     // average per-token score. The absolute score carries a systematic
     // smoothing offset (4096-bucket Laplace mass vs a small occupied
     // vocabulary), so DSIR selection is always relative — and the gate is
-    // exact-integer via cross-multiplication, no float division: products
-    // stay < 2^63 while |s_micro_doc|·Σn ≲ 1e18, i.e. up to ~1e5 average
-    // |per-token micro score| on a 1e13-token corpus.
+    // exact-integer via cross-multiplication, no float division. The
+    // products are evaluated in 128-bit space (decimal(38,0) here,
+    // HUGEINT in the oracle): in 64-bit they overflowed exactly at the
+    // design regime — a 1e13-token corpus at ~1e4 average |per-token
+    // micro score| makes tot_s · n_tok exceed 2^63 for any ≥100-token
+    // doc, and Spark's non-ANSI BIGINT silently wraps where DuckDB
+    // raises (r13 review).
     val gtot = scored.agg(
       sum(col("s_micro")).as("tot_s"), sum(col("n_tok")).as("tot_n"))
     scored.crossJoin(broadcast(gtot))
       .groupBy(col("lang"))
       .agg(
         count(lit(1)).as("n_docs"),
-        count_if(col("s_micro") * col("tot_n") > col("tot_s") * col("n_tok"))
+        count_if(col("s_micro").cast("decimal(38,0)") * col("tot_n")
+            > col("tot_s").cast("decimal(38,0)") * col("n_tok"))
           .as("n_selected"),
         sum(col("s_micro")).as("sum_score_micro"),
         sum(col("n_tok")).as("n_tokens"))
@@ -224,7 +229,7 @@ object CurationQueries {
        |  SELECT CAST(sum(s_micro) AS BIGINT) AS tot_s,
        |    CAST(sum(n_tok) AS BIGINT) AS tot_n FROM scored)
        |SELECT lang, count(*) AS n_docs,
-       |  count(*) FILTER (WHERE s_micro * tot_n > tot_s * n_tok)
+       |  count(*) FILTER (WHERE s_micro::HUGEINT * tot_n > tot_s::HUGEINT * n_tok)
        |    AS n_selected,
        |  CAST(sum(s_micro) AS BIGINT) AS sum_score_micro,
        |  CAST(sum(n_tok) AS BIGINT) AS n_tokens,
@@ -465,7 +470,8 @@ object CurationQueries {
       .groupBy(col("lang"))
       .agg(
         count(lit(1)).as("n_docs"),
-        count_if(col("s_micro") * col("tot_n") > col("tot_s") * col("n_bg"))
+        count_if(col("s_micro").cast("decimal(38,0)") * col("tot_n")
+            > col("tot_s").cast("decimal(38,0)") * col("n_bg"))
           .as("n_kept"),
         sum(col("n_bg")).as("n_bigrams"),
         round(sum(col("s_micro")).cast("double")
@@ -510,7 +516,7 @@ object CurationQueries {
        |  SELECT CAST(sum(s_micro) AS BIGINT) AS tot_s,
        |    CAST(sum(n_bg) AS BIGINT) AS tot_n FROM scored)
        |SELECT lang, count(*) AS n_docs,
-       |  count(*) FILTER (WHERE s_micro * tot_n > tot_s * n_bg) AS n_kept,
+       |  count(*) FILTER (WHERE s_micro::HUGEINT * tot_n > tot_s::HUGEINT * n_bg) AS n_kept,
        |  CAST(sum(n_bg) AS BIGINT) AS n_bigrams,
        |  round(CAST(sum(s_micro) AS BIGINT)::DOUBLE
        |    / CAST(sum(n_bg) AS BIGINT)::DOUBLE / 1e6, 6) + 0.0 AS avg_logprob
@@ -533,18 +539,34 @@ object CurationQueries {
   // (q90's trick), not just counts.
   //
   // Scale shape: the domain histogram is a tiny map-side-combined census
-  // broadcast back; ranking is one window per domain (the same exchange
-  // any per-domain op uses); the gate is map-only arithmetic.
+  // broadcast back; ranking is the q95 bucketed two-phase form — language
+  // cardinality is small and fixed, so a plain per-lang window would
+  // serialize the dominant language (~most of a real corpus) onto one
+  // task (r13 review); bucket = h div 2^20 is monotone in h, so
+  // boff + within-bucket row_number is IDENTICAL to the single-window
+  // rank (the oracle still states the plain window and hash-matches).
   def q109TemperatureSampling(spark: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(spark, d).select(col("doc_id"), col("lang"))
+      .withColumn("h", md5Int(col("doc_id").cast("string")))
+      .withColumn("bucket", floor(col("h") / lit(1L << 20)))
     val cnt = docs.groupBy(col("lang")).agg(count(lit(1)).as("n"))
       .withColumn("w_micro", round(sqrt(col("n")) * 1e6).cast("long"))
     val tot = cnt.agg(sum(col("n")).as("tot_n"),
       sum(col("w_micro")).as("tot_w"))
+    val bCnt = docs.groupBy(col("lang"), col("bucket"))
+      .agg(count(lit(1)).as("bn"))
+    val wB = Window.partitionBy(col("lang")).orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = bCnt
+      .withColumn("boff", coalesce(sum(col("bn")).over(wB), lit(0L)))
+      .select(col("lang"), col("bucket"), col("boff"))
+    val wIn = Window.partitionBy(col("lang"), col("bucket"))
+      .orderBy(col("h"), col("doc_id"))
     val ranked = docs
-      .withColumn("rnk", row_number().over(Window.partitionBy(col("lang"))
-        .orderBy(md5Int(col("doc_id").cast("string")), col("doc_id"))).cast("long"))
+      .join(broadcast(offs), Seq("lang", "bucket"))
+      .withColumn("rnk",
+        (col("boff") + row_number().over(wIn)).cast("long"))
       .join(broadcast(cnt), "lang")
       .crossJoin(broadcast(tot))
       .withColumn("target", expr("tot_n div 4"))

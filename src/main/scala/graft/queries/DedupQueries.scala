@@ -351,18 +351,25 @@ object DedupQueries {
 
     def scoredAndCounts(spark: SparkSession, d: String): (DataFrame, DataFrame) = {
       val (sp, cp) = StagingRoots.memoizedBuild(done, d) {
-        val (docs, reps, scored) = scoredCandidatePairs(spark, d)
-        val dirKey = StagingRoots.pathKey(d)
-        val sPath = root.resolve(s"scored_$dirKey").toString
-        val cPath = root.resolve(s"counts_$dirKey").toString
-        // Overwrite, not Append: a failed build is not memoized, and a
-        // retry must not append onto its committed part-files (the
-        // EvalStaging r11 ADVICE, same medicine here)
-        scored.write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(sPath)
-        docs.agg(count(lit(1)).as("n_docs"))
-          .crossJoin(reps.agg(count(lit(1)).as("n_after_exact")))
-          .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(cPath)
-        (sPath, cPath)
+        // releasing: the build persists reps/shingled (+ the verify
+        // join's candidate frame) for its multi-pass scoring; once both
+        // parquet outputs are written, consumers read THOSE — the
+        // in-memory copies would otherwise pin corpus-sized frames for
+        // the JVM lifetime (r13 review)
+        StagingRoots.releasingBuildCaches(spark) {
+          val (docs, reps, scored) = scoredCandidatePairs(spark, d)
+          val dirKey = StagingRoots.pathKey(d)
+          val sPath = root.resolve(s"scored_$dirKey").toString
+          val cPath = root.resolve(s"counts_$dirKey").toString
+          // Overwrite, not Append: a failed build is not memoized, and a
+          // retry must not append onto its committed part-files (the
+          // EvalStaging r11 ADVICE, same medicine here)
+          scored.write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(sPath)
+          docs.agg(count(lit(1)).as("n_docs"))
+            .crossJoin(reps.agg(count(lit(1)).as("n_after_exact")))
+            .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(cPath)
+          (sPath, cPath)
+        }
       }
       (graft.sources.ResultSink.read(spark, sp),
         graft.sources.ResultSink.read(spark, cp))
@@ -637,26 +644,40 @@ object DedupQueries {
         col("doc_id").as("d2")),
         col("band") === col("band_r") && col("band_key") === col("band_key_r"))
       .select(col("d1"), col("d2")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val candI = bandsI.select(col("band"), col("band_key"), col("doc_id").as("d1"))
       .join(bandsI.select(col("band").as("band_r"), col("band_key").as("band_key_r"),
         col("doc_id").as("d2")),
         col("band") === col("band_r") && col("band_key") === col("band_key_r") &&
           col("d1") < col("d2"))
       .select(col("d1"), col("d2")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
     // verify: batch sketches on d1; (index ∪ batch) sketches on d2 —
     // existing text is NOT read, its sketches come from the written index
     val sk2 = exSketches.union(skI)
-    def score(cand: DataFrame): DataFrame = cand
-      .repartition(spark.sparkContext.defaultParallelism, col("d1"))
-      .join(skI.select(col("doc_id").as("d1"), col("shset").as("s1")), "d1")
-      .join(sk2.select(col("doc_id").as("d2"), col("shset").as("s2")), "d2")
-      .withColumn("jac", jaccard(col("s1"), col("s2")))
-      .select(col("d1"), col("d2"), col("jac"))
-      .filter(col("jac") >= JaccardThreshold)
+    def score(cand: DataFrame): DataFrame = {
+      // verify parallelism SIZED to candidate volume — the verifyScored
+      // discipline: a fixed defaultParallelism re-exposed the exact
+      // uniform-huge-partition OOM that discipline exists to prevent
+      // (high-duplication corpora go quadratic in cluster size and AQE
+      // cannot split uniformly-huge partitions; r13 review). The count
+      // is one cheap job over the persisted 16-byte pair frame.
+      val nPart = math.max(spark.sparkContext.defaultParallelism,
+        (cand.count() * 2500L / (48L << 20)).toInt + 1)
+      cand.repartition(nPart, col("d1"))
+        .join(skI.select(col("doc_id").as("d1"), col("shset").as("s1"))
+          .repartition(nPart, col("d1")), "d1")
+        .repartition(nPart, col("d2"))
+        .join(sk2.select(col("doc_id").as("d2"), col("shset").as("s2"))
+          .repartition(nPart, col("d2")), "d2")
+        .withColumn("jac", jaccard(col("s1"), col("s2")))
+        .select(col("d1"), col("d2"), col("jac"))
+        .filter(col("jac") >= JaccardThreshold)
+    }
     val verE = score(candE).persist(StorageLevel.MEMORY_AND_DISK)
     val verI = score(candI).persist(StorageLevel.MEMORY_AND_DISK)
     val removed = verE.select(col("d1")).union(verI.select(col("d2"))).distinct()
-    inc.agg(count(lit(1)).as("n_incoming"))
+    val census = inc.agg(count(lit(1)).as("n_incoming"))
       .crossJoin(exDigests.agg(count(lit(1)).as("n_existing_reps")))
       .crossJoin(stayed.agg(count(lit(1)).as("n_stayed")))
       .crossJoin(repsI.agg(count(lit(1)).as("n_after_exact")))
@@ -675,6 +696,15 @@ object DedupQueries {
         col("n_verified_vs_existing"), col("n_verified_within"),
         col("n_near_removed"),
         (col("n_after_exact") - col("n_near_removed")).as("n_accepted"))
+    // ONE census row: materialize it now so the batch-scoped persists can
+    // be released — pre-fix skI/bandsI/verE/verI pinned corpus-sized
+    // shingle/band frames in the block store for the JVM lifetime
+    // (r13 review; the IncrementalIndex cache correctly persists across
+    // batches — that is the INDEX, not batch scratch)
+    val row = census.collect()
+    Seq(skI, bandsI, candE, candI, verE, verI).foreach(_.unpersist(false))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(row.toSeq), census.schema)
   }
 
   val q88Sql: String = {

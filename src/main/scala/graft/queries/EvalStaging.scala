@@ -37,6 +37,23 @@ private[graft] object StagingRoots {
       String, java.util.concurrent.CompletableFuture[A]]
   def memo[A](): Memo[A] = new Memo[A]()
 
+  /** Release the Spark caches a staging BUILD created once its output is
+    * written: builders persist corpus-sized frames (shingle sets, band
+    * keys, normalized vectors) for their multi-pass builds, and the
+    * memoized staging path never touches those RDDs again — un-released
+    * they pin multi-GB copies in the block store for the JVM's lifetime
+    * (r13 review). Diff-of-persistent-RDDs scoping, valid under the
+    * single-driver assumption the staging lanes document (builds are
+    * serialized rows in Bench/Verify; a concurrent persist by ANOTHER
+    * thread during the build would be swept too). */
+  def releasingBuildCaches[A](spark: org.apache.spark.sql.SparkSession)(body: => A): A = {
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    try body
+    finally spark.sparkContext.getPersistentRDDs
+      .filter { case (id, _) => !before.contains(id) }
+      .values.foreach(_.unpersist(blocking = false))
+  }
+
   /** ONE definition of the per-JVM memoized staging build (three staging
     * caches share it — eval, dedup, gate — after the r13 review caught
     * the scaffolding triplicating): the first caller of `key` runs

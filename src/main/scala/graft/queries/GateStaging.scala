@@ -35,23 +35,11 @@ private[graft] object GateStaging {
     }
   }
 
-  /** Release caches the index BUILDERS created once the index is written:
-    * semanticStreamIndex/Routed persist the full normalized corpus
-    * (MEMORY_AND_DISK) for their multi-job seeding passes, and the
-    * memoized staging path never touches those RDDs again — un-released
-    * they pin a multi-GB corpus copy per layout for the JVM's lifetime,
-    * stealing storage/execution memory from every query that follows
-    * (r13 review). Diff-of-persistent-RDDs scoping, valid under the same
-    * single-driver assumption the staging lanes already document (the
-    * builds are serialized rows in Bench/Verify; a concurrent persist by
-    * ANOTHER thread during the build would be swept too). */
-  private def unpersistBuildCaches[A](spark: SparkSession)(body: => A): A = {
-    val before = spark.sparkContext.getPersistentRDDs.keySet
-    try body
-    finally spark.sparkContext.getPersistentRDDs
-      .filter { case (id, _) => !before.contains(id) }
-      .values.foreach(_.unpersist(blocking = false))
-  }
+  // release the corpus caches semanticStreamIndex/Routed persist for
+  // their seeding passes once the index is written (shared helper —
+  // see StagingRoots.releasingBuildCaches for the contract)
+  private def unpersistBuildCaches[A](spark: SparkSession)(body: => A): A =
+    StagingRoots.releasingBuildCaches(spark)(body)
 
   /** The flat (q113-cell) index dir for `d`, built+written on first use. */
   def flatDir(spark: SparkSession, d: String): String =

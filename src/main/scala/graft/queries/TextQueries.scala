@@ -399,13 +399,31 @@ object TextQueries {
 
   def q54SequencePack(spark: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val order = Window.partitionBy(col("source"))
-      .orderBy(md5Int(col("doc_id").cast("string")), col("doc_id"))
-    Tables.documents(spark, d)
+    // bucketed two-phase prefix sum (the q95 technique), NOT one window
+    // per source: source cardinality is small and fixed, so a per-source
+    // window partition serializes ~1/nSources of the whole corpus onto a
+    // single task (r13 review). The hash axis splits each source into
+    // 4096 order-aligned buckets — bucket = h div 2^20 is monotone in h,
+    // so (bucket, h, doc_id) order ≡ (h, doc_id) order and the per-row
+    // cum_before is IDENTICAL to the single-window form (the oracle
+    // still states the plain window and hash-matches).
+    val docs = Tables.documents(spark, d)
       .withColumn("n_tok", size(toks(col("text"))).cast("long"))
+      .withColumn("h", md5Int(col("doc_id").cast("string")))
+      .withColumn("bucket", floor(col("h") / lit(1L << 20)))
+    val bTot = docs.groupBy(col("source"), col("bucket"))
+      .agg(sum(col("n_tok")).as("btok"))
+    val wB = Window.partitionBy(col("source")).orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = bTot
+      .withColumn("boff", coalesce(sum(col("btok")).over(wB), lit(0L)))
+      .select(col("source"), col("bucket"), col("boff"))
+    val wIn = Window.partitionBy(col("source"), col("bucket"))
+      .orderBy(col("h"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs.join(broadcast(offs), Seq("source", "bucket"))
       .withColumn("cum_before",
-        coalesce(sum(col("n_tok")).over(
-          order.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        col("boff") + coalesce(sum(col("n_tok")).over(wIn), lit(0L)))
       .withColumn("pack_id", expr(s"cum_before div $PackBudget"))
       .groupBy(col("source"), col("pack_id"))
       .agg(count(lit(1)).as("pack_docs"), sum(col("n_tok")).as("pack_tokens"))
@@ -446,8 +464,15 @@ object TextQueries {
   // hash slice of the corpus standing in for an eval suite). The benchmark
   // n-gram set is DISTINCT'd small and broadcast, so the corpus side is one
   // map-side explode + broadcast semi-join — the corpus text never
-  // shuffles, which is what makes this shape viable at 100 TB (the
-  // benchmark set is fixed-size no matter the corpus).
+  // shuffles, which is what makes this shape viable at 100 TB. Honest
+  // sizing note (r13 review): "fixed-size" is a property of PRODUCTION
+  // benchmark suites (external eval sets — HellaSwag-class corpora of
+  // ~10⁶ grams), not of this fixture's stand-in, which derives the set as
+  // a 1/97 corpus slice purely for deterministic test data and therefore
+  // GROWS with the corpus. If the benchmark side ever rivals executor
+  // memory, drop the broadcast() hint (the semi-join becomes a shuffle
+  // join) or route through q92's Bloom prefilter, whose sketch is
+  // ~1.2 bytes/gram.
   def q55Decontamination(spark: SparkSession, d: String): DataFrame = {
     // one kernel pass per document: tokenize → 5-gram → md5-32 → sorted
     // distinct longs (8 bytes/gram on the wire; see HashedWordNgrams)
@@ -529,9 +554,18 @@ object TextQueries {
       .withColumn("alpha_ok",
         length(regexp_replace(lower(col("text")), "[^a-z]", "")).cast("double") >=
           col("n_chars").cast("double") * 0.2)
-    val dupW = Window.partitionBy(col("hn")).orderBy(col("doc_id"))
+    // exact-dup flag via partial-agg + equi join, NOT a window over hn:
+    // a window partition is the whole duplicate cluster on one task with
+    // no map-side combine — a boilerplate page that is 20% of a crawl
+    // serializes 20% of the corpus into one straggler, and AQE cannot
+    // split window partitions (it CAN split a skewed join) (r13 review).
+    // doc_id is unique, so is_dup ⇔ doc_id != min(doc_id) over hn —
+    // identical flags to the row_number form.
+    val keepers = docs.groupBy(col("hn")).agg(min(col("doc_id")).as("keeper_id"))
     val flagged = docs
-      .withColumn("is_dup", row_number().over(dupW) > 1)
+      .join(keepers, "hn")
+      .withColumn("is_dup", col("doc_id") =!= col("keeper_id"))
+      .drop("keeper_id")
     val benchGrams = docs.filter(col("is_bench"))
       .select(explode(col("gh")).as("g")).distinct()
     val contam = flagged.filter(!col("is_bench"))
@@ -734,30 +768,49 @@ object TextQueries {
       .persist(StorageLevel.MEMORY_AND_DISK)
     var seg = words
     val out = Seq.newBuilder[(Int, String, Long, Long)]
-    for (r <- 1 to BpeRounds) {
+    // U+0001 as the internal pair delimiter, NOT '+': symbols come from
+    // whitespace tokenization, so '+'-bearing text ('C++', 'a+b') made a
+    // pair like '++b' unparseable — split("\\+", 2) returned a='' and
+    // rewrote the wrong pattern, and DuckDB's split_part parsed it
+    // differently again (r13 review). chr(1) is below every printable
+    // char, so the (pcnt desc, pair asc) tie-break also keeps the
+    // tuple-lexicographic order both engines agree on. The DISPLAYED
+    // merged_pair stays 'a+b' in both.
+    var r = 1
+    var dry = false
+    while (r <= BpeRounds && !dry) {
       val syms = split(trim(col("seg")), " ")
       val pairs = seg
         .withColumn("syms", syms)
         .select(col("cnt"), explode(
           when(size(col("syms")) >= 2,
             transform(sequence(lit(1), size(col("syms")) - 1),
-              i => concat(element_at(col("syms"), i), lit("+"),
+              i => concat(element_at(col("syms"), i), lit("\u0001"),
                 element_at(col("syms"), i + 1))))
             .otherwise(array().cast("array<string>"))).as("pair"))
         .groupBy(col("pair")).agg(sum(col("cnt")).as("pcnt"))
         .orderBy(col("pcnt").desc, col("pair"))
         .limit(1)
         .collect()
-      val Array(a, b) = pairs.head.getAs[String]("pair").split("\\+", 2)
-      val pcnt = pairs.head.getAs[Long]("pcnt")
-      seg = seg.withColumn("seg",
-        regexp_replace(col("seg"),
-          java.util.regex.Pattern.quote(s" $a $b "), s" $a$b "))
-        .localCheckpoint()
-      val vocab = seg
-        .select(explode(split(trim(col("seg")), " ")).as("sym"))
-        .agg(countDistinct(col("sym"))).head.getLong(0)
-      out += ((r, s"$a+$b", pcnt, vocab))
+      if (pairs.isEmpty) {
+        // no word has >= 2 symbols left (single-character tokens, empty
+        // corpus): no merge is possible — stop, keeping the current
+        // segmentation; the oracle's LEFT JOIN degrades the same way
+        // (pairs.head previously threw NoSuchElementException here)
+        dry = true
+      } else {
+        val Array(a, b) = pairs.head.getAs[String]("pair").split("\u0001", 2)
+        val pcnt = pairs.head.getAs[Long]("pcnt")
+        seg = seg.withColumn("seg",
+          regexp_replace(col("seg"),
+            java.util.regex.Pattern.quote(s" $a $b "), s" $a$b "))
+          .localCheckpoint()
+        val vocab = seg
+          .select(explode(split(trim(col("seg")), " ")).as("sym"))
+          .agg(countDistinct(col("sym"))).head.getLong(0)
+        out += ((r, s"$a+$b", pcnt, vocab))
+      }
+      r += 1
     }
     words.unpersist()
     (seg, out.result())
@@ -775,21 +828,26 @@ object TextQueries {
     * final segmentation. Used by both q64Sql and q74Sql. */
   private val bpeCtes: String = {
     // one round: (words_in) -> top pair p<r> -> merged words w<r> + vocab v<r>
+    // chr(1) pair delimiter + LEFT JOIN degrade — in lockstep with the
+    // Scala loop (see bpeSegmentation): '+' is a legal symbol character,
+    // and an empty p<r> (no 2-symbol word left) must keep the previous
+    // segmentation rather than empty the whole chain via the cross join
     def round(r: Int, in: String): String =
       s"""p$r AS (
-        |  SELECT split_part(pair, '+', 1) AS a, split_part(pair, '+', 2) AS b,
+        |  SELECT split_part(pair, chr(1), 1) AS a, split_part(pair, chr(1), 2) AS b,
         |    pcnt FROM (
         |    SELECT pair, CAST(sum(cnt) AS BIGINT) AS pcnt FROM (
         |      SELECT cnt, unnest(list_transform(range(1, greatest(len(s), 1)),
-        |        i -> s[i] || '+' || s[i + 1])) AS pair
+        |        i -> s[i] || chr(1) || s[i + 1])) AS pair
         |      FROM (SELECT cnt, string_split(trim(seg), ' ') AS s FROM $in))
         |    GROUP BY pair)
         |  ORDER BY pcnt DESC, pair LIMIT 1),
         |w$r AS (
         |  SELECT w, cnt,
-        |    replace(seg, ' ' || p$r.a || ' ' || p$r.b || ' ',
-        |      ' ' || p$r.a || p$r.b || ' ') AS seg
-        |  FROM $in, p$r),
+        |    CASE WHEN p$r.a IS NULL THEN seg
+        |      ELSE replace(seg, ' ' || p$r.a || ' ' || p$r.b || ' ',
+        |        ' ' || p$r.a || p$r.b || ' ') END AS seg
+        |  FROM $in LEFT JOIN p$r ON true),
         |v$r AS (
         |  SELECT count(DISTINCT sym) AS vocab FROM (
         |    SELECT unnest(string_split(trim(seg), ' ')) AS sym FROM w$r))""".stripMargin

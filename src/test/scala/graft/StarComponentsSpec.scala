@@ -59,6 +59,23 @@ class StarComponentsSpec extends GraftSuite {
       (32L, 30L)), "three components")
   }
 
+  test("self-loop-only nodes are labeled as their own singleton components") {
+    import spark.implicits._
+    // pre-fix, the cu =!= cv filter discarded node 7's ONLY edge before
+    // any node was recorded, so it vanished from the output — violating
+    // the 'every node appearing in edges' contract (r13 review; dedup
+    // callers always pass d1 < d2, so no fixture exercised it)
+    val edges = Seq((7L, 7L), (1L, 2L), (3L, 3L), (2L, 2L)).toDF("u", "v")
+    val got = graft.operators.StarComponents.labels(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 7L -> 7L), got.toString)
+    // all-self-loop graph: every node is its own component
+    val only = Seq((5L, 5L), (6L, 6L)).toDF("u", "v")
+    val got2 = graft.operators.StarComponents.labels(only).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got2 == Map(5L -> 5L, 6L -> 6L), got2.toString)
+  }
+
   test("random graph labels match union-find") {
     val rnd = new scala.util.Random(42)
     val edges = Seq.fill(300)((rnd.nextInt(120).toLong, rnd.nextInt(120).toLong))
