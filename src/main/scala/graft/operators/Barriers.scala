@@ -20,6 +20,17 @@ import org.apache.spark.sql.functions._
   */
 object Barriers {
 
+  /** max_bars under the barrier contract is >= 1; a 0 (degenerate sweep
+    * config) classifies every row as TIME and then reads forward bar 0 —
+    * an ANSI INVALID_INDEX_OF_ZERO with no hint WHICH config is broken.
+    * Evaluated lazily inside the TIME branch, so valid rows never pay it
+    * and fixture plans/hashes are unchanged (r13 review). */
+  private def guardedMaxBars: Column =
+    when(col("max_bars") >= 1, col("max_bars"))
+      .otherwise(raise_error(concat(
+        lit("barrier scan requires max_bars >= 1, got "),
+        col("max_bars").cast("string"))))
+
   /** First 1-based index of `arr[1..maxBars]` satisfying `pred`, 0 if none
     * (ClickHouse arrayFirstIndex semantics; Spark array_position returns
     * 0-not-found natively). */
@@ -59,7 +70,7 @@ object Barriers {
         when(slWins, // AP-13: gap-down fill
           least(element_at(col("fwd_opens"), sl.cast("int")), col("sl_price")))
           .when(tpWins, col("tp_price")) // limit fill
-          .when(timeExit, element_at(col("fwd_closes"), col("max_bars").cast("int")))
+          .when(timeExit, element_at(col("fwd_closes"), guardedMaxBars.cast("int")))
           .otherwise(lit(0.0)))
       .filter(col("exit_type") =!= "INCOMPLETE")
       .withColumn("return_pct",
@@ -108,7 +119,7 @@ object Barriers {
           element_at(col("fwd_opens"), tr.cast("int")),
           element_at(col("trailing_sls"), tr.cast("int"))))
           .when(tpWins, col("tp_price"))
-          .when(timeExit, element_at(col("fwd_closes"), col("max_bars").cast("int")))
+          .when(timeExit, element_at(col("fwd_closes"), guardedMaxBars.cast("int")))
           .otherwise(lit(0.0)))
       .filter(col("exit_type") =!= "INCOMPLETE")
       .withColumn("return_pct",
@@ -123,7 +134,14 @@ object Barriers {
     */
   def twoSegmentSl(df: DataFrame): DataFrame = {
     val entry = col("entry_price")
-    val p1 = col("phase1_bars").cast("int")
+    // negative phase1_bars is the SILENT failure mode: slice with a
+    // negative start scans from the END of the forward array (Spark
+    // semantics), misclassifying exits with no error; p1 = -1 merely
+    // throws a cryptic slice error (r13 review) — raise readably instead
+    val p1 = when(col("phase1_bars") >= 0, col("phase1_bars"))
+      .otherwise(raise_error(concat(
+        lit("two-segment SL requires phase1_bars >= 0, got "),
+        col("phase1_bars").cast("string")))).cast("int")
     val scanned = df
       .withColumn("tp_price", entry * (lit(1.0) + col("tp_pct")))
       .withColumn("sl_wide_price", entry * (lit(1.0) - col("sl_wide_pct")))
@@ -163,7 +181,7 @@ object Barriers {
         when(slWins, // AP-13 gap fill at the effective (segment) SL price
           least(element_at(col("fwd_opens"), sl.cast("int")), col("sl_price_eff")))
           .when(tpWins, col("tp_price"))
-          .when(timeExit, element_at(col("fwd_closes"), col("max_bars").cast("int")))
+          .when(timeExit, element_at(col("fwd_closes"), guardedMaxBars.cast("int")))
           .otherwise(lit(0.0)))
       .filter(col("exit_type") =!= "INCOMPLETE")
       .withColumn("return_pct",
@@ -221,7 +239,7 @@ object Barriers {
         when(stopWins,
           least(element_at(col("fwd_opens"), stopBar.cast("int")), stopPrice))
           .when(tpWins, col("tp_price"))
-          .when(timeExit, element_at(col("fwd_closes"), col("max_bars").cast("int")))
+          .when(timeExit, element_at(col("fwd_closes"), guardedMaxBars.cast("int")))
           .otherwise(lit(0.0)))
       .filter(col("exit_type") =!= "INCOMPLETE")
       .withColumn("return_pct",

@@ -110,6 +110,18 @@ object Formations {
         var i = 0
         while (i < n) {
           val row = rows(i)
+          // fail READABLY on NULL OHLC: getDouble would NPE inside the
+          // task with no hint which bar broke. The declarative twin
+          // (withFormationColumns) degrades NULL rows to NULL features;
+          // this buffered path's domain is EventBars.bars output, which
+          // filters them — an external caller's NULL is a data bug this
+          // message points at (r13 review)
+          if (row.isNullAt(oIdx) || row.isNullAt(hIdx) ||
+              row.isNullAt(lIdx) || row.isNullAt(cIdx))
+            throw new IllegalArgumentException(
+              s"formation replay: NULL OHLC at bar $i (event_id " +
+                s"${row.getLong(eidIdx)}) — filter NULL bars first " +
+                "(EventBars.bars does) or use withFormationColumns")
           open(i) = row.getDouble(oIdx); high(i) = row.getDouble(hIdx)
           low(i) = row.getDouble(lIdx); close(i) = row.getDouble(cIdx)
           i += 1

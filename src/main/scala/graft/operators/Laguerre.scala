@@ -35,6 +35,21 @@ object Laguerre {
     val n = closes.length
     val out = new Array[Double](n)
     if (n == 0) return out
+    // fail FAST on NaN input: one NaN bar permanently poisons the
+    // running-sum ATR (trSum -= NaN stays NaN — unlike a windowed mean it
+    // never recovers) and the L0..L3 cascade, after which cu+cd is NaN,
+    // the >0 guard is false, and every later bar reports a VALID-LOOKING
+    // rsi of 0.0 / bearish regime with no error (r13 review). Bars built
+    // by EventBars are NaN-free; an external caller's NaN is a data bug
+    // this message points at instead of silently mislabeling the series.
+    var v = 0
+    while (v < n) {
+      if (highs(v).isNaN || lows(v).isNaN || closes(v).isNaN)
+        throw new IllegalArgumentException(
+          s"laguerre rsi: NaN OHLC at bar $v — NaN poisons the recursion " +
+            "irrecoverably; clean the series first")
+      v += 1
+    }
     val tr = new Array[Double](n)
     tr(0) = highs(0) - lows(0)
     var i = 1

@@ -152,7 +152,6 @@ object SeriesReplay {
         }
 
         new Iterator[Row] {
-          private var drained = false
           override def hasNext: Boolean = it.hasNext || !pending.isEmpty
           override def next(): Row = {
             while (it.hasNext && pending.size <= maxLead) {
@@ -161,7 +160,6 @@ object SeriesReplay {
               pending.addLast((row, ingest(row)))
               i += 1
             }
-            if (!it.hasNext) drained = true
             val (row, app) = pending.removeFirst()
             Row.fromSeq(row.toSeq ++ app)
           }

@@ -26,6 +26,13 @@ object EventBars {
       .withColumn("open", lag(col("close"), 1).over(w))
       .withColumn("rn", row_number().over(w))
       .filter(col("open").isNotNull)
+      // synthetic OHLC margins ASSUME POSITIVE PRICES (the events fixture
+      // contract — value > 0): for a negative close, greatest*1.001 sits
+      // BELOW both prices and least*0.999 above, inverting the high/low
+      // invariant; the DuckDB CTE shares the formula so oracle parity
+      // holds either way, but a signed series needs real OHLC columns,
+      // not this constructor (r13 review — documented, not changed: the
+      // formula is pinned bit-exactly across every bar-derived oracle)
       .withColumn("high", greatest(col("open"), col("close")) * 1.001)
       .withColumn("low", least(col("open"), col("close")) * 0.999)
   }
@@ -45,15 +52,29 @@ object EventBars {
       |  FROM b0 WHERE open IS NOT NULL)""".stripMargin
 
   /** Forward-array attachment for Spark side (AP-14 window form): arrays of
-    * the next `k` bars' OHLC, excluding the current (signal) bar. */
+    * the next `k` bars' OHLC, excluding the current (signal) bar.
+    *
+    * ONE struct-typed collect, not four scalar ones: collect_list SKIPS
+    * nulls, so a single NULL OHLC value would silently shorten one array
+    * and misalign the four against each other and against bar indices —
+    * the barrier scans would then gap-fill at the WRONG bar's open (or
+    * throw on the shortened array under ANSI). A struct with a null
+    * field is itself non-null, so the arrays stay index-aligned for any
+    * input; bars() filters null opens, making this a latent guard for
+    * external callers (r13 review). One window aggregate instead of four
+    * is also the cheaper plan. */
   def withForwardArrays(df: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("event_type")).orderBy(col("ts_us"), col("event_id"))
       .rowsBetween(0, k)
+    val fwd = slice(collect_list(struct(
+      col("high"), col("low"), col("open"), col("close"))).over(w), 2, k)
     df
-      .withColumn("fwd_highs", slice(collect_list(col("high")).over(w), 2, k))
-      .withColumn("fwd_lows", slice(collect_list(col("low")).over(w), 2, k))
-      .withColumn("fwd_opens", slice(collect_list(col("open")).over(w), 2, k))
-      .withColumn("fwd_closes", slice(collect_list(col("close")).over(w), 2, k))
+      .withColumn("__fwd", fwd)
+      .withColumn("fwd_highs", col("__fwd").getField("high"))
+      .withColumn("fwd_lows", col("__fwd").getField("low"))
+      .withColumn("fwd_opens", col("__fwd").getField("open"))
+      .withColumn("fwd_closes", col("__fwd").getField("close"))
+      .drop("__fwd")
   }
 
   /** Signals-only forward-array collection — the reference's AUDIT #3
@@ -84,6 +105,14 @@ object EventBars {
     // of the stage checkpoint a 100 TB run would write between the bar-prep
     // and sweep stages; MEMORY_AND_DISK spills instead of recomputing when
     // the bar frame outgrows executor storage.
+    //
+    // Cache lifetime: no unpersist handle BY DESIGN — this is the S8
+    // shared-frame fast path every barrier/sweep query of a session
+    // reuses. CacheManager dedupes persists of the same canonical plan
+    // (re-invocations attach to the ONE resident copy per corpus dir,
+    // they do not stack), so residency is bounded by the number of
+    // distinct corpora a session touches; clearCache() releases them
+    // (r13 review).
     val shared = bars.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     forwardArraysFor(shared.filter(isSignal), shared, k)
   }

@@ -134,4 +134,42 @@ class BarriersCrossCheckSpec extends GraftSuite {
       tpPct = 0.10, slPct = 0.01, trailPct = 0.01, maxBars = 3)
     assert(o2.exitType == "SL" && o2.exitBar == 2 && o2.exitPrice == 99.0)
   }
+
+  test("degenerate configs fail READABLY: max_bars = 0 and negative " +
+    "phase1_bars raise named errors, not index/slice internals") {
+    import spark.implicits._
+    // pre-guard, max_bars=0 classified every row TIME and read forward
+    // bar 0 (a bare INVALID_INDEX_OF_ZERO), and phase1_bars <= -2 made
+    // slice scan from the END of the array — silently wrong exits
+    val frame = Seq((100.0, Seq(101.0), Seq(99.9), Seq(100.2), Seq(100.1)))
+      .toDF("entry_price", "fwd_highs", "fwd_lows", "fwd_opens", "fwd_closes")
+    def rootMessages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ rootMessages(t.getCause)
+    val e1 = intercept[Exception](
+      graft.operators.Barriers.tripleBarrier(frame
+        .withColumn("tp_pct", lit(0.1)).withColumn("sl_pct", lit(0.1))
+        .withColumn("max_bars", lit(0))).collect())
+    assert(rootMessages(e1).exists(_.contains("max_bars >= 1")),
+      rootMessages(e1).mkString(" | "))
+    val e2 = intercept[Exception](
+      graft.operators.Barriers.twoSegmentSl(frame
+        .withColumn("tp_pct", lit(0.1)).withColumn("sl_wide_pct", lit(0.1))
+        .withColumn("sl_tight_pct", lit(0.05))
+        .withColumn("phase1_bars", lit(-3)).withColumn("max_bars", lit(1)))
+        .collect())
+    assert(rootMessages(e2).exists(_.contains("phase1_bars >= 0")),
+      rootMessages(e2).mkString(" | "))
+    // valid configs on the same frames still run
+    assert(graft.operators.Barriers.tripleBarrier(frame
+      .withColumn("tp_pct", lit(0.1)).withColumn("sl_pct", lit(0.1))
+      .withColumn("max_bars", lit(1))).collect().length == 1)
+  }
+
+  test("laguerre rsi refuses NaN OHLC with a named error (NaN poisons the " +
+    "recursion irrecoverably)") {
+    val e = intercept[IllegalArgumentException](
+      graft.operators.Laguerre.rsi(
+        Array(1.0, Double.NaN), Array(1.0, 1.0), Array(1.0, 1.0)))
+    assert(e.getMessage.contains("NaN OHLC at bar 1"), e.getMessage)
+  }
 }
