@@ -81,17 +81,8 @@ object Sweep {
       .withColumn("dir_2", lag(col("dir_0"), 2).over(w))
     val anySignal = col("rn") > spec.warmupBars &&
       spec.formations.map { case (_, p) => expr(p) }.reduce(_ || _)
-    val sig = EventBars.signalForwardArrays(flagged, anySignal, spec.forwardBars)
-      .withColumn("entry_price", try_element_at(col("fwd_opens"), lit(1)))
-      .filter(col("entry_price").isNotNull && col("entry_price") > 0)
-      // explicit fan-out partitioning: the signal frame is SMALL post-join,
-      // so AQE coalesces it to one or two partitions — and then the
-      // grid × signal explosion below (10⁴× rows for a 30k-config grid)
-      // inherits that parallelism: observed as 1 of 32 cores busy for
-      // 10 minutes at the 30k-config rehearsal. An explicit numPartitions
-      // repartition is AQE-stable (REPARTITION_BY_NUM is never coalesced)
-      // and pins the barrier-scan fan-out to the executor count.
-      .repartition(spark.sparkContext.defaultParallelism)
+    val sig = queries.EventBars.entryFiltered(
+      queries.EventBars.signalForwardArrays(flagged, anySignal, spec.forwardBars))
       .cache() // the shared frame every config reads
 
     val stackExpr = spec.formations.map { case (name, p) =>
@@ -157,16 +148,30 @@ object Sweep {
       if (gridMode) metricsRaw
       else metricsRaw.withColumn("lag_cfg", lit("single"))
 
-    ResultSink.overwritePartitions(metrics, s"$outDir/results",
-      Seq("generation", "formation"))
-    val wallS = (System.nanoTime() - t0) / 1e9
-    val telemetry = Seq((spec.generation, spec.formations.size, spec.grid.size,
-      spec.regimeGates.size, math.max(1, spec.laguerreGrid.size), wallS,
-      java.time.Instant.now().toString))
-      .toDF("generation", "n_formations", "n_barriers", "n_regime_gates",
-        "n_laguerre", "wall_s", "finished_at")
-    ResultSink.appendJsonl(telemetry, s"$outDir/telemetry")
-    sig.unpersist()
+    // the reference's resume primitive is DELETE WHERE generation = g
+    // THEN re-INSERT: dynamic partition overwrite alone replaces only the
+    // partitions PRESENT in this run's output, so a re-run whose tighter
+    // grid produces ZERO rows for some (generation, formation) would
+    // silently leave the PREVIOUS run's rows in place — stale results
+    // indistinguishable from current ones (r13 review). Clear this
+    // generation's subtree first; cross-generation partitions stay
+    // untouched, and the write window this opens is the same one the
+    // reference's DELETE+INSERT has.
+    val genPath = new org.apache.hadoop.fs.Path(
+      s"$outDir/results/generation=${spec.generation}")
+    val fs = genPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(genPath)) fs.delete(genPath, true)
+    try {
+      ResultSink.overwritePartitions(metrics, s"$outDir/results",
+        Seq("generation", "formation"))
+      val wallS = (System.nanoTime() - t0) / 1e9
+      val telemetry = Seq((spec.generation, spec.formations.size, spec.grid.size,
+        spec.regimeGates.size, math.max(1, spec.laguerreGrid.size), wallS,
+        java.time.Instant.now().toString))
+        .toDF("generation", "n_formations", "n_barriers", "n_regime_gates",
+          "n_laguerre", "wall_s", "finished_at")
+      ResultSink.appendJsonl(telemetry, s"$outDir/telemetry")
+    } finally sig.unpersist() // finally: a failed write must not leak the cache
     metrics
   }
 

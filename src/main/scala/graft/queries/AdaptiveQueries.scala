@@ -107,19 +107,8 @@ object AdaptiveQueries {
     * windows in the quantile CTEs run over the FILTERED champion rows —
     * exactly the reference's CTE-chain semantics. */
   private def duckAdaptiveCte(withArrays: Boolean): String = {
-    def qexc(l: String, q: String): String = {
-      val n = s"len($l)"
-      // CAST to DOUBLE: DuckDB parses the 0.x literal as exact DECIMAL,
-      // whose h differs from Spark's double h by ~1 ulp — magnified by the
-      // 1e9-scale µs feature values across the round(x, 6) boundary
-      val h = s"(CAST($q AS DOUBLE) * ($n + 1))"
-      val idx = s"CAST(floor($h) AS INT)"
-      s"""(CASE WHEN $n = 0 THEN NULL
-         |  WHEN $h < 1 THEN $l[1]
-         |  WHEN $h >= $n THEN $l[$n]
-         |  ELSE $l[$idx] + ($h - floor($h)) * ($l[$idx + 1] - $l[$idx])
-         |END)""".stripMargin
-    }
+    def qexc(l: String, q: String): String =
+      QuantQueries.qexcSql(l, s"len($l)", q) // one shared definition (CAST included)
     val arrayCols = if (withArrays) ", fwd_highs, fwd_lows, fwd_opens, fwd_closes" else ""
     val src = if (withArrays) "fwd" else "bars"
     val fwdCte = if (withArrays) s"${EventBars.duckFwdCte(K)}," else ""
@@ -224,6 +213,12 @@ object AdaptiveQueries {
     import spark.implicits._
     val sig = EventBars.forwardArraysFor(
       adaptiveSignals(spark, d), EventBars.bars(spark, d), K)
+      // the post-band-join frame is SMALL and AQE coalesces it to ~1
+      // partition; the grid crossJoin below would inherit that and
+      // serialize the whole barrier scan onto one core — the sibling
+      // sweeps (q43/q47/q51, Sweep.run) all pin this; q46 had dropped it
+      // (r13 review)
+      .repartition(spark.sparkContext.defaultParallelism)
     val gridDf = profiles.toDF("barrier_profile", "tp_mult", "sl_mult", "max_bars")
     val trades = Barriers.tripleBarrier(
       sig.crossJoin(broadcast(gridDf))

@@ -262,7 +262,8 @@ object AsofQueries {
 
   def q108ResampleFfill(spark: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val e = evBase(spark, d).select(col("event_type"), col("ts_us"), col("value"))
+    val e = evBase(spark, d)
+      .select(col("event_type"), col("ts_us"), col("event_id"), col("value"))
     val grid = e.groupBy(col("event_type"))
       .agg((min(col("ts_us")) / SlotUs).cast("long").as("s0"),
         (max(col("ts_us")) / SlotUs).cast("long").as("s1"))
@@ -271,10 +272,18 @@ object AsofQueries {
     val agg = e.withColumn("slot", (col("ts_us") / SlotUs).cast("long"))
       .groupBy(col("event_type"), col("slot"))
       .agg(count(lit(1)).as("n_events"),
-        min_by(col("value"), col("ts_us")).as("o"),
+        // open/close tie-break BY CONSTRUCTION, not data luck: min_by on
+        // ts_us alone picks an arbitrary row when two events share a
+        // timestamp (partition-order dependent, and DuckDB's arg_min
+        // breaks its own ties differently) — order on the UNIQUE
+        // (ts_us, event_id) pair via lexicographic struct min/max, the
+        // q102 discipline (r13 review)
+        min(struct(col("ts_us"), col("event_id"), col("value")))
+          .getField("value").as("o"),
         max(col("value")).as("h"),
         min(col("value")).as("l"),
-        max_by(col("value"), col("ts_us")).as("c"))
+        max(struct(col("ts_us"), col("event_id"), col("value")))
+          .getField("value").as("c"))
     val w = Window.partitionBy(col("event_type")).orderBy(col("slot"))
       .rowsBetween(Window.unboundedPreceding, 0)
     grid.join(agg, Seq("event_type", "slot"), "left")
@@ -288,7 +297,7 @@ object AsofQueries {
 
   val q108Sql: String =
     """WITH e AS (
-      |  SELECT event_type, epoch_us(ts) AS ts_us, value FROM events),
+      |  SELECT event_type, epoch_us(ts) AS ts_us, event_id, value FROM events),
       |b AS (
       |  SELECT event_type, min(ts_us) // 3600000000 AS s0,
       |    max(ts_us) // 3600000000 AS s1
@@ -297,8 +306,9 @@ object AsofQueries {
       |  SELECT event_type, unnest(range(s0, s1 + 1)) AS slot FROM b),
       |a AS (
       |  SELECT event_type, ts_us // 3600000000 AS slot, count(*) AS n_events,
-      |    arg_min(value, ts_us) AS o, max(value) AS h, min(value) AS l,
-      |    arg_max(value, ts_us) AS c
+      |    (min({'t': ts_us, 'i': event_id, 'v': value})).v AS o,
+      |    max(value) AS h, min(value) AS l,
+      |    (max({'t': ts_us, 'i': event_id, 'v': value})).v AS c
       |  FROM e GROUP BY 1, 2),
       |j AS (
       |  SELECT g.event_type, g.slot, coalesce(a.n_events, 0) AS n_events,

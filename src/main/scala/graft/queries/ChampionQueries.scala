@@ -22,17 +22,10 @@ object ChampionQueries {
 
   type Q = (SparkSession, String) => DataFrame
 
-  /** DuckDB exclusive-quantile interpolation over sorted list `l`. */
-  private def qexc(l: String, q: String): String = {
-    val n = s"len($l)"
-    val h = s"($q * ($n + 1))"
-    val idx = s"CAST(floor($h) AS INT)"
-    s"""(CASE WHEN $n = 0 THEN NULL
-       |  WHEN $h < 1 THEN $l[1]
-       |  WHEN $h >= $n THEN $l[$n]
-       |  ELSE $l[$idx] + ($h - floor($h)) * ($l[$idx + 1] - $l[$idx])
-       |END)""".stripMargin
-  }
+  /** DuckDB exclusive-quantile interpolation over sorted list `l` —
+    * the shared QuantQueries.qexcSql (one definition, CAST included). */
+  private def qexc(l: String, q: String): String =
+    QuantQueries.qexcSql(l, s"len($l)", q)
 
   // ---------------------------------------------------------------------------
   // q40 — champion pattern, TRUE no-lookahead (sql/gen111_true_nolookahead

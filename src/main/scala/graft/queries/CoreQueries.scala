@@ -408,8 +408,14 @@ object CoreQueries {
     val discB = round(col("l_discount") * 100).cast("long")
     val qtyI = round(col("l_quantity")).cast("long")
     val retC = round(col("p_retailprice") * 100).cast("long")
-    li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
-      .join(broadcast(s), li("l_suppkey") === s("s_suppkey"))
+    // part and supplier are SF-SCALED dimensions (TPC-H: SF x 200k /
+    // SF x 10k rows) — a forced broadcast() overrides the size threshold
+    // and would ship multi-GB relations (or exceed the 8 GB broadcast
+    // limit) at the 100 TB regime. Let Catalyst size them: at bench SF
+    // they still auto-broadcast, at scale they shuffle. nation is FIXED
+    // (25 rows) and stays forced (r13 review).
+    li.join(p, li("l_partkey") === p("p_partkey"))
+      .join(s, li("l_suppkey") === s("s_suppkey"))
       .join(broadcast(n), s("s_nationkey") === n("n_nationkey"))
       .groupBy(col("p_brand"), col("n_name"))
       .agg(
@@ -655,7 +661,7 @@ object CoreQueries {
         any_value(col("t_click")).as("t_click"),
         min(when(col("event_type") === "purchase" && col("ts_us") > col("t_click"),
           col("ts_us"))).as("t_purchase"))
-    s3.agg(
+    val census = s3.agg(
       count(lit(1)).as("n_users"),
       count(col("t_view")).as("n_viewed"),
       count(col("t_click")).as("n_clicked_after_view"),
@@ -665,6 +671,14 @@ object CoreQueries {
         .as("view_to_purchase_rate"),
       round(avg((col("t_purchase") - col("t_view")).cast("double") / 1e6), 4)
         .as("avg_funnel_sec"))
+    // ONE census row: materialize now and release the query-private
+    // events cache — it backs only this query's three scans, and leaving
+    // it resident pinned a corpus-sized projection for the JVM lifetime
+    // outside the documented shared-frame pattern (r13 review)
+    val row = census.collect()
+    ev.unpersist(false)
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(row.toSeq), census.schema)
   }
 
   val q82Sql: String =

@@ -159,6 +159,21 @@ object EventBars {
       .drop("fwd")
   }
 
+  /** Shared post-band-join sweep-signal tail (q43/q47/q51/Sweep.run —
+    * four verbatim copies had to stay in sync by hand, and the drift this
+    * invites already happened once: q46 rebuilt the chain and dropped the
+    * repartition, r13 review): next-bar-open entry price, the P3 entry
+    * filter, and the AQE-stable REPARTITION_BY_NUM that pins the grid
+    * fan-out's parallelism — AQE coalesces the small post-band-join frame
+    * to ~1 partition and the grid × signal explosion inherits it
+    * (observed: 1 of 32 cores busy for 10 minutes at the 30k-config
+    * rehearsal; REPARTITION_BY_NUM is never coalesced). */
+  def entryFiltered(sig: DataFrame): DataFrame =
+    sig
+      .withColumn("entry_price", try_element_at(col("fwd_opens"), lit(1)))
+      .filter(col("entry_price").isNotNull && col("entry_price") > 0)
+      .repartition(sig.sparkSession.sparkContext.defaultParallelism)
+
   /** DuckDB CTE producing the same forward arrays on `bars` → `fwd`. */
   def duckFwdCte(k: Int): String =
     s"""fwd AS (

@@ -24,8 +24,15 @@ object QuantQueries {
 
   /** DuckDB SQL for exclusive-quantile interpolation over a sorted DOUBLE
     * list `l` with length `n` — mirrors QuantileExactExclusive.nullSafeEval. */
-  private def qexcSql(l: String, n: String, q: String): String = {
-    val h = s"($q * ($n + 1))"
+  /** ONE definition of the DuckDB exclusive-quantile interpolation over a
+    * sorted list (shared by the quant/champion/adaptive oracles — three
+    * verbatim copies had started to drift, r13 review). CAST to DOUBLE:
+    * DuckDB parses the 0.x literal as exact DECIMAL, whose h differs
+    * from Spark's double h by ~1 ulp — harmless on small-magnitude
+    * inputs, but magnified across the round(x, 6) boundary by
+    * 1e9-scale values (the AdaptiveQueries lesson, now everywhere). */
+  private[queries] def qexcSql(l: String, n: String, q: String): String = {
+    val h = s"(CAST($q AS DOUBLE) * ($n + 1))"
     val idx = s"CAST(floor($h) AS INT)"
     s"""(CASE WHEN $n = 0 THEN NULL
        |  WHEN $h < 1 THEN $l[1]

@@ -48,13 +48,8 @@ object SweepQueries {
       .withColumn("dir_2", lag(col("dir_0"), 2).over(w))
     val anySignal = col("rn") > 100 && sweepFormations.map { case (_, p) => expr(p) }
       .reduce(_ || _)
-    val sig = EventBars.signalForwardArrays(flagged, anySignal, K)
-      .withColumn("entry_price", try_element_at(col("fwd_opens"), lit(1)))
-      .filter(col("entry_price").isNotNull && col("entry_price") > 0)
-      // AQE coalesces the small post-band-join frame to ~1 partition; the
-      // grid fan-out below would inherit that (see Sweep.run) — pin the
-      // scan parallelism explicitly (REPARTITION_BY_NUM survives AQE)
-      .repartition(spark.sparkContext.defaultParallelism)
+    val sig = EventBars.entryFiltered(
+      EventBars.signalForwardArrays(flagged, anySignal, K))
     val stackExpr = sweepFormations.map { case (name, p) =>
       s"'$name', CASE WHEN $p THEN 1 ELSE 0 END"
     }.mkString(s"stack(${sweepFormations.size}, ", ", ", ") as (formation, flag)")
@@ -188,13 +183,8 @@ object SweepQueries {
       .withColumn("dir_2", lag(col("dir_0"), 2).over(w))
     val anySignal = col("rn") > 100 && sweepFormations.map { case (_, p) => expr(p) }
       .reduce(_ || _)
-    val sig = EventBars.signalForwardArrays(flagged, anySignal, K)
-      .withColumn("entry_price", try_element_at(col("fwd_opens"), lit(1)))
-      .filter(col("entry_price").isNotNull && col("entry_price") > 0)
-      // AQE coalesces the small post-band-join frame to ~1 partition; the
-      // grid fan-out below would inherit that (see Sweep.run) — pin the
-      // scan parallelism explicitly (REPARTITION_BY_NUM survives AQE)
-      .repartition(spark.sparkContext.defaultParallelism)
+    val sig = EventBars.entryFiltered(
+      EventBars.signalForwardArrays(flagged, anySignal, K))
     val formationStack = sweepFormations.map { case (name, p) =>
       s"'$name', CASE WHEN $p THEN 1 ELSE 0 END"
     }.mkString(s"stack(${sweepFormations.size}, ", ", ", ") as (formation, flag)")
@@ -239,13 +229,8 @@ object SweepQueries {
       .withColumn("dir_2", lag(col("dir_0"), 2).over(w))
     val anySignal = col("rn") > 100 && sweepFormations.map { case (_, p) => expr(p) }
       .reduce(_ || _)
-    val sig = EventBars.signalForwardArrays(flagged, anySignal, K)
-      .withColumn("entry_price", try_element_at(col("fwd_opens"), lit(1)))
-      .filter(col("entry_price").isNotNull && col("entry_price") > 0)
-      // AQE coalesces the small post-band-join frame to ~1 partition; the
-      // grid fan-out below would inherit that (see Sweep.run) — pin the
-      // scan parallelism explicitly (REPARTITION_BY_NUM survives AQE)
-      .repartition(spark.sparkContext.defaultParallelism)
+    val sig = EventBars.entryFiltered(
+      EventBars.signalForwardArrays(flagged, anySignal, K))
     val stackExpr = sweepFormations.map { case (name, p) =>
       s"'$name', CASE WHEN $p THEN 1 ELSE 0 END"
     }.mkString(s"stack(${sweepFormations.size}, ", ", ", ") as (formation, flag)")
