@@ -8,8 +8,13 @@ import org.apache.spark.sql.SparkSession
   * exits nonzero — a bench that cannot fail is not a bench.
   */
 object Bench {
-  private def jsonEscape(s: String): String =
-    s.replaceAll("[\\\\\"\\n\\r\\t]", " ").take(200)
+  // JSON emission via the shared escaper (JsonOut) — the local copy
+  // stripped only \n\r\t and let other control chars (ANSI ESC, \f)
+  // corrupt BENCH_LAST.json exactly when a failure needed diagnosing
+  private def jsonEscape(s: String): String = {
+    val q = JsonOut.jerr(s)
+    q.substring(1, q.length - 1) // callers embed inside their own quotes
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -42,11 +47,14 @@ object Bench {
     // accounting (whichever ran first used to absorb the whole chain)
     val staging: Seq[(String, Double, Option[String])] =
       if (only.forall(_.exists(Set("q49_dedup_pipeline",
-          "q61_dup_components", "q79_split_leakage")))) {
+          "q61_dup_components", "q79_split_leakage",
+          // q87/q89 consume the same staged chain (r13 review: filtered
+          // runs of them used to absorb the build into their timed row)
+          "q87_components_star", "q89_cluster_rep")))) {
         val t0 = System.nanoTime()
         val err =
           try { graft.queries.DedupQueries.Staging.scoredAndCounts(spark, sfDir); None }
-          catch { case e: Throwable => Some(jsonEscape(e.toString)) }
+          catch { case scala.util.control.NonFatal(e) => Some(jsonEscape(e.toString)) }
         Seq(("q_staging_dedup", (System.nanoTime() - t0) / 1e9, err))
       } else Seq.empty
     // the eval staging frames (q72's KDE regularity lane + the tamrs
@@ -57,7 +65,7 @@ object Bench {
         val t0 = System.nanoTime()
         val err =
           try { graft.queries.EvalStaging.build(spark, sfDir); None }
-          catch { case e: Throwable => Some(jsonEscape(e.toString)) }
+          catch { case scala.util.control.NonFatal(e) => Some(jsonEscape(e.toString)) }
         Seq(("q_staging_eval", (System.nanoTime() - t0) / 1e9, err))
       } else Seq.empty
     // the gate indexes (flat + routed) are built+WRITTEN once and read by
@@ -74,7 +82,7 @@ object Bench {
             graft.queries.GateStaging.build(spark, sfDir,
               flat = needFlat, routed = needRouted)
             None
-          } catch { case e: Throwable => Some(jsonEscape(e.toString)) }
+          } catch { case scala.util.control.NonFatal(e) => Some(jsonEscape(e.toString)) }
         Seq(("q_staging_gate", (System.nanoTime() - t0) / 1e9, err))
       } else Seq.empty
     }
@@ -89,10 +97,13 @@ object Bench {
       System.gc()
       val t0 = System.nanoTime()
       // noop sink: forces full evaluation of every output column (a bare
-      // count() lets Catalyst prune projections and undercounts the work)
+      // count() lets Catalyst prune projections and undercounts the work).
+      // NonFatal only: an OutOfMemoryError/LinkageError leaves the JVM in
+      // an undefined state — continuing would record garbage timings for
+      // every later query as if they were real (r13 review)
       val err =
         try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); None }
-        catch { case e: Throwable => Some(jsonEscape(e.toString)) }
+        catch { case scala.util.control.NonFatal(e) => Some(jsonEscape(e.toString)) }
       ((System.nanoTime() - t0) / 1e9, err)
     }
     val allStaging = staging ++ stagingEval ++ stagingGate
@@ -107,7 +118,10 @@ object Bench {
         // "1.17× regression" became 0.87× under best-of-2)
         if (err1.isEmpty && t1 >= 1.0) {
           val (t2, err2) = once(fn)
-          (name, if (err2.isEmpty) math.min(t1, t2) else t1, err1)
+          // a second-run failure COUNTS: dropping err2 reported a flaky
+          // query as a clean pass with t1 — "a bench that cannot fail is
+          // not a bench" applies to the rerun too (r13 review)
+          (name, if (err2.isEmpty) math.min(t1, t2) else t1, err2)
         } else (name, t1, err1)
       }
     // 3-decimal seconds: ms precision is all the comparison needs, and the
@@ -122,8 +136,9 @@ object Bench {
       .mkString("{", ",", "}")
     val nFail = results.count(_._3.nonEmpty)
     val total = results.collect { case (_, v, None) => v }.sum
+    val sfj = jsonEscape(sfDir)
     val line =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","failures":$nFail,"errors":$errs}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfj","failures":$nFail,"errors":$errs}"""
     // full record goes to the FILE ONLY: the round driver captures a
     // bounded log TAIL, which truncated this (long) line mid-JSON in
     // r5–r7 whenever it preceded the compact line on stdout
@@ -138,7 +153,7 @@ object Bench {
     // separately so cross-round totals stay comparable (r8 ADVICE)
     val stagingSec = allStaging.collect { case (_, v, None) => v }.sum
     println(
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":{},"sf":"$sfDir","failures":$nFail,"n_queries":${results.length - allStaging.length},"staging_sec":${r3(stagingSec)},"full_record":"BENCH_LAST.json"}""")
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":{},"sf":"$sfj","failures":$nFail,"n_queries":${results.length - allStaging.length},"staging_sec":${r3(stagingSec)},"full_record":"BENCH_LAST.json"}""")
     if (nFail > 0) sys.exit(1)
   }
 }

@@ -30,33 +30,43 @@ object ArrowBridge {
   def writeIpcStream(rows: Iterator[InternalRow], schema: StructType,
       timeZoneId: String, batchRows: Int,
       out: java.nio.channels.WritableByteChannel): Long = {
+    // a non-positive batch size would make the == flush check below
+    // unreachable and buffer the WHOLE partition into one Arrow batch
+    // (r13 review)
+    require(batchRows > 0, s"batchRows=$batchRows (must be positive)")
     val arrowSchema =
       ArrowUtils.toArrowSchema(schema, timeZoneId,
         errorOnDuplicatedFieldNames = true, largeVarTypes = false)
     val allocator =
       ArrowUtils.rootAllocator.newChildAllocator("graft-arrow-sink", 0, Long.MaxValue)
-    val root = VectorSchemaRoot.create(arrowSchema, allocator)
+    // the root sits INSIDE the allocator's try scope: if
+    // VectorSchemaRoot.create throws mid-allocation (wide schema, memory
+    // pressure), the child allocator must still close, or its
+    // registration leaks on Spark's shared root allocator for the
+    // executor's lifetime and accumulates across task retries (r13
+    // review); nested try/finally also keeps allocator.close() reachable
+    // when root.close() itself throws
     try {
-      val writer = ArrowWriter.create(root)
-      val ipc = new org.apache.arrow.vector.ipc.ArrowStreamWriter(root, null, out)
-      ipc.start()
-      var total = 0L
-      var inBatch = 0
-      rows.foreach { row =>
-        writer.write(row)
-        total += 1
-        inBatch += 1
-        if (inBatch == batchRows) {
-          writer.finish(); ipc.writeBatch(); writer.reset(); inBatch = 0
+      val root = VectorSchemaRoot.create(arrowSchema, allocator)
+      try {
+        val writer = ArrowWriter.create(root)
+        val ipc = new org.apache.arrow.vector.ipc.ArrowStreamWriter(root, null, out)
+        ipc.start()
+        var total = 0L
+        var inBatch = 0
+        rows.foreach { row =>
+          writer.write(row)
+          total += 1
+          inBatch += 1
+          if (inBatch == batchRows) {
+            writer.finish(); ipc.writeBatch(); writer.reset(); inBatch = 0
+          }
         }
-      }
-      if (inBatch > 0) { writer.finish(); ipc.writeBatch() }
-      ipc.end()
-      total
-    } finally {
-      root.close()
-      allocator.close()
-    }
+        if (inBatch > 0) { writer.finish(); ipc.writeBatch() }
+        ipc.end()
+        total
+      } finally root.close()
+    } finally allocator.close()
   }
 
   /** The physical-plan row iterator feeding the sink (InternalRow RDD). */

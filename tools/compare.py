@@ -80,11 +80,25 @@ def main():
         prereq = json.load(open(f"{out_dir}/oracle_prereq.json"))
     except FileNotFoundError:
         prereq = {}
+    # Verify records every query that THREW in failures.json (and clears
+    # that query's dump dir before running, so no stale parquet survives);
+    # without this, a crashed query's missing dump was indistinguishable
+    # from a filtered dev run and counted as a silent skip — a regression
+    # masked as a green gate (r13 review)
+    try:
+        verify_failures = json.load(open(f"{out_dir}/failures.json"))
+    except FileNotFoundError:
+        verify_failures = {}
     n_pass = n_fail = n_skip = 0
     for name, sql in sorted(oracle.items()):
         if name in skip:
             print(f"SKIP {name} (requested)")
             n_skip += 1
+            continue
+        if name in verify_failures:
+            print(f"FAIL {name}: query threw during Verify: "
+                  f"{verify_failures[name]}")
+            n_fail += 1
             continue
         if not glob.glob(f"{out_dir}/{name}/*.parquet"):
             # a filtered Verify run dumped only a subset — not a failure
