@@ -159,6 +159,39 @@ class PlanShapeSpec extends GraftSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("q54/q109 skew-proof rankings: every corpus-sized window is " +
+    "partitioned on (domain, bucket), never on the domain alone") {
+    // the r13 rewrites: a per-source/lang window serializes ~1/nDomains
+    // of the corpus onto one task; the q95 bucketed two-phase form keeps
+    // per-row results identical while every corpus-sized window partition
+    // carries the bucket axis. The offsets frame (nDomains × 4096 rows)
+    // may legally window on the domain alone — so the pin is: every
+    // windowspecdefinition over the CORPUS frame names `bucket`.
+    for ((name, df) <- Seq(
+        "q54" -> TextQueries.q54SequencePack(spark, sf),
+        "q109" -> CurationQueries.q109TemperatureSampling(spark, sf))) {
+      val p = plan(df)
+      val corpusWindows = p.linesIterator
+        .filter(_.contains("windowspecdefinition"))
+        .filterNot(_.contains("bucket"))
+        .toList
+      // the only bucket-less windows allowed are over the tiny offsets
+      // frame — they window on (source|lang, bucket-ORDERED) which still
+      // mentions bucket in the ORDER clause, so anything here is a
+      // regression to the serialized form
+      assert(corpusWindows.isEmpty,
+        s"$name: bucket-less window over a corpus-sized frame:\n" +
+          corpusWindows.mkString("\n"))
+    }
+  }
+
+  test("q104 heavy hitters: ranking rides TakeOrderedAndProject, not a " +
+    "global single-partition window over the census") {
+    val p = plan(CorpusOpsQueries.q104HeavyHitters(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"),
+      s"q104 must take its top-20 distributed:\n$p")
+  }
+
   test("q73 classifier: map-only scoring — one corpus scan, no joins") {
     val p = plan(CurationQueries.q73QualityClassifier(spark, sf))
     assert(p.linesIterator.count(_.contains("Scan parquet")) == 1,
