@@ -157,8 +157,15 @@ object Sweep {
     // generation's subtree first; cross-generation partitions stay
     // untouched, and the write window this opens is the same one the
     // reference's DELETE+INSERT has.
+    // escape the partition VALUE the way Spark does when writing the
+    // directory (':', '%', control chars etc. are percent-encoded by
+    // ExternalCatalogUtils.escapePathName): raw interpolation would miss
+    // the escaped dir for such a generation string, the delete would
+    // silently no-op, and stale rows would survive the resume (r14 advice)
     val genPath = new org.apache.hadoop.fs.Path(
-      s"$outDir/results/generation=${spec.generation}")
+      s"$outDir/results/generation=" +
+        org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+          .escapePathName(spec.generation))
     val fs = genPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(genPath)) fs.delete(genPath, true)
     try {

@@ -106,11 +106,17 @@ object StreamingOps {
       }
   }
 
+  // java.lang.Double.compare, not primitive '<': a NaN value compared
+  // with '<' is false both ways, so binary search would insert NaN at the
+  // FRONT of the buffer (unsorting it) and removeSorted could then delete
+  // the wrong element, desyncing buf from slots permanently — the same
+  // hole ExclusiveQuantileAgg closed. compare gives NaN a stable total
+  // order (greater than every real), keeping both searches consistent.
   private def insertSorted(v: Vector[Double], x: Double): Vector[Double] = {
     var lo = 0; var hi = v.length
     while (lo < hi) {
       val mid = (lo + hi) >>> 1
-      if (v(mid) < x) lo = mid + 1 else hi = mid
+      if (java.lang.Double.compare(v(mid), x) < 0) lo = mid + 1 else hi = mid
     }
     (v.take(lo) :+ x) ++ v.drop(lo)
   }
@@ -122,7 +128,7 @@ object StreamingOps {
     var lo = 0; var hi = v.length
     while (lo < hi) {
       val mid = (lo + hi) >>> 1
-      if (v(mid) < x) lo = mid + 1 else hi = mid
+      if (java.lang.Double.compare(v(mid), x) < 0) lo = mid + 1 else hi = mid
     }
     v.take(lo) ++ v.drop(lo + 1)
   }

@@ -117,6 +117,72 @@ class StreamingSpec extends GraftSuite {
     } finally query.stop()
   }
 
+  test("runningStats: NaN bars cannot unsort the reservoir — p95Prior matches " +
+    "a plain-Scala replay of the same algorithm") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // Pre-fix, insertSorted used primitive '<': a NaN value binary-searched
+    // to the FRONT of the value-sorted buffer (every comparison false),
+    // unsorting it; a later removeSorted on the now-unsorted buffer could
+    // delete the wrong element, permanently desyncing buf from slots even
+    // after NaN stopped arriving. With java.lang.Double.compare, NaN sorts
+    // to the END and removal is exact — so the operator must agree bit-for-
+    // bit with this independent replay of the reservoir on a NaN-laced feed.
+    val vals = (0 until 600).map { i =>
+      if (i % 37 == 3) Double.NaN else ((i * 2654435761L) % 10000) / 10000.0
+    }
+    val maxBuf = 16
+    // plain-Scala replay: same deterministic coin, compare-based sort
+    def quantile(sorted: Vector[Double], q: Double): Double = {
+      val m = sorted.length
+      if (m == 0) Double.NaN
+      else {
+        val h = q * (m + 1)
+        if (h < 1.0) sorted.head
+        else if (h >= m) sorted.last
+        else {
+          val fh = math.floor(h); val idx = fh.toInt
+          sorted(idx - 1) + (h - fh) * (sorted(idx) - sorted(idx - 1))
+        }
+      }
+    }
+    var slots = Vector.empty[Double]
+    var n = 0L
+    val expected = vals.map { v =>
+      val p = quantile(slots.sortWith(java.lang.Double.compare(_, _) < 0), 0.95)
+      n += 1
+      if (slots.length < maxBuf) slots = slots :+ v
+      else {
+        val j = (scala.util.hashing.byteswap64(n) & Long.MaxValue) % n
+        if (j < maxBuf) slots = slots.updated(j.toInt, v)
+      }
+      p
+    }
+    val mem = MemoryStream[Bar]
+    val query = StreamingOps.runningStats(mem.toDS(), maxBuffer = maxBuf)
+      .writeStream.format("memory").queryName("running_nan")
+      .outputMode("append").start()
+    try {
+      mem.addData(vals.zipWithIndex.map { case (v, i) => Bar("N", i.toLong, v) })
+      query.processAllAvailable()
+      val got = spark.table("running_nan").orderBy("tsUs")
+        .select("p95Prior").collect()
+        .map(r => if (r.isNullAt(0)) Double.NaN else r.getDouble(0))
+      assert(got.length == expected.length)
+      got.zip(expected).zipWithIndex.foreach { case ((g, e), i) =>
+        assert(java.lang.Double.compare(g, e) == 0 ||
+          (g.isNaN && e.isNaN),
+          s"row $i: operator p95Prior=$g != replay $e — reservoir desynced")
+      }
+      // and once NaNs are diluted out, the estimate is real and sane:
+      // rows 0-16 fill the buffer; the final prior-p95 must be finite
+      // unless a NaN legitimately survives in the 16-slot sample (the
+      // replay tells us which)
+      assert(java.lang.Double.compare(got.last, expected.last) == 0 ||
+        (got.last.isNaN && expected.last.isNaN))
+    } finally query.stop()
+  }
+
   test("windowedBarStats: watermarked tumbling windows match batch aggregation") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._

@@ -151,6 +151,16 @@ def main():
                     print(f"   oracle: {a}\n   spark : {b}")
                     break
             n_fail += 1
+    # the oracle loop only sees names present in oracle_sql.json; a query
+    # registered without an oracle ("omit for non-SQL-expressible ops")
+    # that THREW during Verify would otherwise revert to a silent skip —
+    # every failures.json entry must surface as a FAIL row (r14 advice)
+    for name in sorted(set(verify_failures) - set(oracle)):
+        if name in skip:
+            continue
+        print(f"FAIL {name}: query threw during Verify (no oracle row): "
+              f"{verify_failures[name]}")
+        n_fail += 1
     print(f"\n{n_pass} pass, {n_fail} fail, {n_skip} skipped")
     sys.exit(1 if n_fail else 0)
 
