@@ -366,21 +366,8 @@ object SemScale {
         val (k, buildWall) = time {
           val (coarse, fineRouted, m) = queries.SimilarityQueries
             .semanticStreamIndexStaged(spark, src, tc)
-          m.repartitionByRange(32, col("cid")).sortWithinPartitions("cid")
-            .write.mode("overwrite").parquet(s"$dst/members.parquet")
-          val fineOut = fineRouted.select(col("fr").as("ccid"), col("cid"),
-            expr("transform(smud, v -> CAST(v AS BIGINT))").as("cmud"))
-            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-          fineOut.repartition(1).write.mode("overwrite")
-            .parquet(s"$dst/fine.parquet")
-          // O(√K): the non-empty coarse ids — the only collected state
-          val nonEmpty = fineOut.select(col("ccid")).distinct().collect()
-            .map(_.getInt(0)).sorted.toSeq
-          import spark.implicits._
-          nonEmpty.map(cc => (cc, coarse(cc)))
-            .toDF("ccid", "cmud")
-            .repartition(1).write.mode("overwrite").parquet(s"$dst/coarse.parquet")
-          fineOut.count()
+          queries.SimilarityQueries
+            .writeGateIndexStaged(spark, dst, coarse, fineRouted, m)
         }
         println(s"""{"mode":"gateindexrs","src":"$src","dst":"$dst",""" +
           s""""n_vectors":$n,"k":$k,""" +

@@ -26,6 +26,21 @@ private[graft] object StagingRoots {
     }
   }
 
+  /** Recursive copy of a directory tree into `dst` (which may already
+    * exist — children are created under it). The q130 lifecycle lane
+    * copies its memoized PRISTINE base index into a fresh workdir per
+    * invocation, because append/compact MUTATE the index in place and a
+    * memoized build must never be mutated. */
+  def copyRecursively(src: java.nio.file.Path, dst: java.nio.file.Path): Unit = {
+    import java.nio.file.{Files, Path, StandardCopyOption}
+    val walk = Files.walk(src)
+    try walk.forEach { p =>
+      val t = dst.resolve(src.relativize(p).toString)
+      if (Files.isDirectory(p)) Files.createDirectories(t)
+      else Files.copy(p, t, StandardCopyOption.REPLACE_EXISTING)
+    } finally walk.close()
+  }
+
   /** Collision-free filename stem for a corpus dir path. */
   def pathKey(d: String): String =
     java.security.MessageDigest.getInstance("MD5")

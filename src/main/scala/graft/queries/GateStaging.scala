@@ -61,6 +61,36 @@ private[graft] object GateStaging {
       }
     }
 
+  /** PRISTINE staged index over the q130 BASE slice (vec_id % 4 != 0 of
+    * `embeddings`), memoized per (JVM, corpus). Never mutated — the
+    * append lifecycle copies it into a fresh workdir per invocation. */
+  private def appendBasePristineDir(spark: SparkSession, d: String): String =
+    staged("appendbase", d) { path =>
+      unpersistBuildCaches(spark) {
+        import org.apache.spark.sql.functions.col
+        val (coarse, fineRouted, members) = SimilarityQueries
+          .semanticStreamIndexStagedFrom(
+            graft.Tables.embeddings(spark, d)
+              .filter(col("vec_id") % 4 =!= 0)
+              .select(col("vec_id"), col("embedding")))
+        SimilarityQueries.writeGateIndexStaged(spark, path, coarse, fineRouted, members)
+        ()
+      }
+    }
+
+  /** A FRESH mutable copy of the pristine q130 base index — one per call,
+    * because [[SimilarityQueries.semanticIndexAppend]]/compact mutate the
+    * dir in place and a re-run (Bench after Verify, a second Bench pass)
+    * must start from the same pristine state, not from the previous run's
+    * appended generations. The copy lives under the staging root, swept
+    * on JVM exit. */
+  def appendWorkdir(spark: SparkSession, d: String): String = {
+    val pristine = appendBasePristineDir(spark, d)
+    val work = java.nio.file.Files.createTempDirectory(root, "appendwork_")
+    StagingRoots.copyRecursively(java.nio.file.Paths.get(pristine), work)
+    work.toString
+  }
+
   /** Pre-build the selected layouts (the Bench `q_staging_gate` hook) —
     * a filtered bench run that selects only q126 stages only the flat
     * index; q127/q129-only runs stage only the routed one (r13 review). */

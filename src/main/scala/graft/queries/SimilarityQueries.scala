@@ -928,6 +928,145 @@ object SimilarityQueries {
   }
 
   // ---------------------------------------------------------------------------
+  // q130 — the INCREMENTAL semantic-index lifecycle, oracle-checked (r14):
+  // the one r13 subsystem whose correctness rested on ScalaTest alone. The
+  // query runs the whole production sequence — staged BUILD on a base
+  // slice (vec_id % 4 != 0), one online ADMIT batch of the arrivals under
+  // the frozen routing tables (StreamingOps.semanticAdmitBatch: greedy
+  // first-arrival in vec_id order, the q49 discipline), COMPACT back to
+  // the pristine one-row-per-cid layout, and a census read of the index
+  // that came out the other end. The oracle replays the same frozen-
+  // tables assignment in DuckDB (the base-restricted routed kmeans CTE +
+  // the staged probe routing rule) and the same greedy as a recursive
+  // CTE over per-cell arrival ranks. minCos is 0.3, not the production
+  // 0.9: the synthetic embeddings fixture's pairwise-cosine ceiling is
+  // 0.51, so at 0.9 the greedy would never reject and the oracle row
+  // would pin only the assignment, not the admit decision (at 0.3 the
+  // sf0.01 run rejects 71/125 arrivals, with admit chains).
+  private[graft] val AppendMinCos = 0.3
+  private val AppendBaseWhere = "WHERE vec_id % 4 <> 0"
+  private val AppendArrivalWhere = "WHERE vec_id % 4 = 0"
+
+  def q130SemanticIndexAppendCensus(spark: SparkSession, d: String): DataFrame = {
+    // fresh mutable copy of the memoized pristine base build — append and
+    // compact mutate the dir in place, and a re-run must start pristine
+    val idx = GateStaging.appendWorkdir(spark, d)
+    val staged = stagedGateTables(
+      spark.read.parquet(s"$idx/coarse.parquet"),
+      spark.read.parquet(s"$idx/fine.parquet"))
+    val arrivals = Tables.embeddings(spark, d)
+      .filter(col("vec_id") % 4 === 0)
+      .select(col("vec_id"), col("embedding"))
+    val flags = graft.streaming.StreamingOps
+      .semanticAdmitBatch(idx, staged, arrivals, minCos = AppendMinCos)
+    staged.cells.unpersist()
+    // close the lifecycle: fold the append generations back to the
+    // pristine layout BEFORE the census read — the census then checks
+    // compaction's rewrite, not just the merged-read view
+    semanticIndexCompact(spark, idx)
+    val admitted = spark.read.parquet(s"$idx/members.parquet")
+      .select(col("cid"), explode(col("members")).as("m"))
+      .select(col("m.vec_id").as("vec_id"), col("cid"))
+    val cellSz = admitted.groupBy(col("cid"))
+      .agg(count(lit(1)).as("n_cell_members"))
+    val admRows = admitted
+      .withColumn("generation",
+        when(col("vec_id") % 4 === 0, lit(1)).otherwise(lit(0)))
+      .withColumn("admitted", lit(1))
+    val rejRows = flags.filter(col("semantic_near_dup"))
+      .select(col("vec_id"), col("cid"))
+      .withColumn("generation", lit(1))
+      .withColumn("admitted", lit(0))
+    admRows.unionByName(rejRows)
+      .join(cellSz, Seq("cid"))
+      .select(col("vec_id"), col("cid"), col("generation"), col("admitted"),
+        col("n_cell_members"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** q130's oracle: the base-restricted routed-kmeans CTE (frozen tables
+    * exactly as the base build computes them), the staged probe-routing
+    * rule for arrivals (coarse argmin over non-empty coarse cells →
+    * in-cell argmin, ties to the smaller id — the kernels' rule), and the
+    * greedy first-arrival admit as a RECURSIVE CTE over per-cell arrival
+    * ranks. Conflict pairs are precomputed set-wise (cpairs) so the
+    * recursion carries only admitted-id lists; md/a2 and the arrival CTEs
+    * are MATERIALIZED so the recursion does not re-evaluate the kmeans
+    * chain once per step (108 s → ~1 s at sf0.01). Validated against an
+    * independent plain-Python greedy replay at both SFs before wiring. */
+  lazy val q130Sql: String = {
+    val sqDist = sqDistSql _
+    s"""WITH RECURSIVE ${routedKmeansCteSqlWhere(AppendBaseWhere, materialize = true)},
+       |amd AS MATERIALIZED (
+       |  SELECT vec_id, e, nrm,
+       |    list_transform(e, x -> round(x * 1000000.0)::BIGINT::DOUBLE) AS mud
+       |  FROM v $AppendArrivalWhere),
+       |avc AS (
+       |  SELECT vec_id, ccid FROM (
+       |    SELECT a.vec_id, c.ccid, row_number() OVER (PARTITION BY a.vec_id
+       |      ORDER BY ${sqDist("a.mud", "c.mud")}, c.ccid) AS rn
+       |    FROM amd a CROSS JOIN (
+       |      SELECT cs.* FROM cs WHERE ccid IN (SELECT DISTINCT ccid FROM f2c2)) c)
+       |  WHERE rn = 1),
+       |aa2 AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT a.vec_id, f.cid, row_number() OVER (PARTITION BY a.vec_id
+       |      ORDER BY ${sqDist("a.mud", "f.cmu")}, f.cid) AS rn
+       |    FROM amd a JOIN avc USING (vec_id)
+       |    JOIN f2c2 ON f2c2.ccid = avc.ccid
+       |    JOIN c2f f ON f.cid = f2c2.cid) WHERE rn = 1),
+       |aa AS MATERIALIZED (
+       |  SELECT vec_id, cid,
+       |    row_number() OVER (PARTITION BY cid ORDER BY vec_id) AS rn
+       |  FROM aa2),
+       |allv AS MATERIALIZED (
+       |  SELECT a2.vec_id, a2.cid, md.e, md.nrm FROM a2 JOIN md USING (vec_id)
+       |  UNION ALL
+       |  SELECT aa.vec_id, aa.cid, amd.e, amd.nrm FROM aa JOIN amd USING (vec_id)),
+       |cpairs AS MATERIALIZED (
+       |  SELECT x.vec_id AS aid, y.vec_id AS bid
+       |  FROM (SELECT allv.* FROM allv JOIN aa USING (vec_id)) x
+       |  JOIN allv y ON y.cid = x.cid AND y.vec_id <> x.vec_id
+       |  WHERE round(${dotSql("x.e", "y.e")}
+       |    / nullif(x.nrm * y.nrm, 0.0), 6) >= $AppendMinCos),
+       |aaconf AS MATERIALIZED (
+       |  SELECT a.vec_id, a.cid, a.rn,
+       |    coalesce(c.ids, CAST([] AS BIGINT[])) AS conflicts
+       |  FROM aa a LEFT JOIN (
+       |    SELECT aid, list(bid) AS ids FROM cpairs GROUP BY aid) c
+       |  ON c.aid = a.vec_id),
+       |rec AS (
+       |  SELECT cells.cid, 0 AS rn, CAST(NULL AS BIGINT) AS vec_id,
+       |    CAST(NULL AS BOOLEAN) AS dup,
+       |    coalesce(list(b.vec_id) FILTER (WHERE b.vec_id IS NOT NULL),
+       |      CAST([] AS BIGINT[])) AS adm
+       |  FROM (SELECT DISTINCT cid FROM allv) cells
+       |  LEFT JOIN a2 b ON b.cid = cells.cid
+       |  GROUP BY cells.cid
+       |  UNION ALL
+       |  SELECT a.cid, a.rn, a.vec_id,
+       |    len(list_filter(a.conflicts, x -> list_contains(r.adm, x))) > 0 AS dup,
+       |    CASE WHEN len(list_filter(a.conflicts, x -> list_contains(r.adm, x))) > 0
+       |         THEN r.adm ELSE list_append(r.adm, a.vec_id) END AS adm
+       |  FROM rec r JOIN aaconf a ON a.cid = r.cid AND a.rn = r.rn + 1),
+       |flags AS (SELECT cid, vec_id, dup FROM rec WHERE rn >= 1),
+       |cellsz AS (
+       |  SELECT cid, count(*) AS n_cell_members FROM (
+       |    SELECT vec_id, cid FROM a2
+       |    UNION ALL
+       |    SELECT vec_id, cid FROM flags WHERE NOT dup) GROUP BY cid)
+       |SELECT u.vec_id, u.cid, u.generation, u.admitted, c.n_cell_members
+       |FROM (
+       |  SELECT vec_id, cid, CAST(0 AS INT) AS generation,
+       |    CAST(1 AS INT) AS admitted FROM a2
+       |  UNION ALL
+       |  SELECT vec_id, cid, CAST(1 AS INT),
+       |    CAST(CASE WHEN dup THEN 0 ELSE 1 END AS INT) FROM flags) u
+       |JOIN cellsz c USING (cid)
+       |ORDER BY u.vec_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------------
   // q116 — ROUTED SemDeDup (the q113 pattern one rung up): at K = ⌈N/64⌉
   // the flat argmin's N·K arithmetic goes super-linear once K reaches
   // ~10⁴ (measured: 12.3 s at 100× but 156 s at 1000×, where K = 31,250
@@ -1332,9 +1471,19 @@ object SimilarityQueries {
     * [[semanticStreamIndexRouted]]'s (SemDedupStagedSpec pins the written
     * tables and the member assignment). */
   private[graft] def semanticStreamIndexStaged(spark: SparkSession, d: String,
+      targetCell: Int = TargetCell): (Seq[Seq[Long]], DataFrame, DataFrame) =
+    semanticStreamIndexStagedFrom(Tables.embeddings(spark, d), targetCell)
+
+  /** [[semanticStreamIndexStaged]] over an arbitrary (vec_id, embedding)
+    * frame instead of the whole corpus — the q130 incremental-lifecycle
+    * oracle builds its BASE index over a deterministic slice of
+    * `embeddings` and admits the complement as arrivals. */
+  private[graft] def semanticStreamIndexStagedFrom(vecs: DataFrame,
       targetCell: Int = TargetCell): (Seq[Seq[Long]], DataFrame, DataFrame) = {
     import org.apache.spark.storage.StorageLevel
-    val v = withNorm(spark, d)
+    val v = vecs
+      .withColumn("e", col("embedding"))
+      .withColumn("nrm", sqrt(dot("e", "e")))
       .withColumn("mud",
         transform(col("e"), x => round(x * lit(1e6)).cast("long").cast("double")))
       .repartition(col("vec_id"))
@@ -1343,6 +1492,34 @@ object SimilarityQueries {
     val members = a2.groupBy(col("cid"))
       .agg(collect_list(struct(col("vec_id"), col("e"), col("nrm"))).as("members"))
     (coarse, fineRouted, members)
+  }
+
+  /** Write the staged-BUILT routed gate-index layout (coarse/fine/members
+    * parquet — bit-identical tables to [[writeGateIndexRouted]]'s,
+    * SemDedupStagedSpec pins it) from [[semanticStreamIndexStagedFrom]]'s
+    * frames, collecting only the O(√K) non-empty coarse ids. Returns K
+    * (the fine-cell count). ONE definition shared by SemScale
+    * `gateindexrs` and [[GateStaging]]'s q130 base index — a layout
+    * change must hit every writer or none. */
+  private[graft] def writeGateIndexStaged(spark: SparkSession, dst: String,
+      coarse: Seq[Seq[Long]], fineRouted: DataFrame, members: DataFrame): Long = {
+    import org.apache.spark.storage.StorageLevel
+    members.repartitionByRange(32, col("cid")).sortWithinPartitions("cid")
+      .write.mode("overwrite").parquet(s"$dst/members.parquet")
+    val fineOut = fineRouted.select(col("fr").as("ccid"), col("cid"),
+      expr("transform(smud, v -> CAST(v AS BIGINT))").as("cmud"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    fineOut.repartition(1).write.mode("overwrite").parquet(s"$dst/fine.parquet")
+    // O(√K): the non-empty coarse ids — the only collected state
+    val nonEmpty = fineOut.select(col("ccid")).distinct().collect()
+      .map(_.getInt(0)).sorted.toSeq
+    import spark.implicits._
+    nonEmpty.map(cc => (cc, coarse(cc)))
+      .toDF("ccid", "cmud")
+      .repartition(1).write.mode("overwrite").parquet(s"$dst/coarse.parquet")
+    val k = fineOut.count()
+    fineOut.unpersist()
+    k
   }
 
   /** INCREMENTAL gate-index maintenance — the q88 snapshot-dedup
@@ -1817,16 +1994,28 @@ object SimilarityQueries {
     * ⌈√K⌉ seeds → fine-to-coarse routing (both passes) → per-vector
     * routed argmin restricted to the routed cell's fine centroids →
     * Lloyd update → routed re-assignment; the census rides on top. */
-  private val routedKmeansCteSql: String = {
-    val sqDist = (m: String, c: String) =>
-      s"list_reduce(list_transform(range(1, ${Dim + 1}), " +
-        s"i -> ($m[i] - $c[i]) * ($m[i] - $c[i])), (x, y) -> x + y)"
+  /** Exact-integer squared distance between two micro-unit lists — the
+    * shared SQL twin of the centroid kernels' arithmetic. */
+  private def sqDistSql(m: String, c: String): String =
+    s"list_reduce(list_transform(range(1, ${Dim + 1}), " +
+      s"i -> ($m[i] - $c[i]) * ($m[i] - $c[i])), (x, y) -> x + y)"
+
+  /** The routed-kmeans CTE block, parameterized for the q130 lifecycle
+    * oracle: `mdWhere` restricts the corpus the index is BUILT on (the
+    * base slice; empty = whole corpus, the q116/q127 form), and
+    * `materialize` marks the md/a2 CTEs MATERIALIZED so a downstream
+    * recursive CTE does not re-evaluate the whole chain once per
+    * recursion step (measured: 108 s → 1 s at sf0.01). */
+  private def routedKmeansCteSqlWhere(mdWhere: String,
+      materialize: Boolean = false): String = {
+    val sqDist = sqDistSql _
+    val mat = if (materialize) "MATERIALIZED " else ""
     s"""v AS (
       |  $withNormSql),
-      |md AS (
+      |md AS $mat(
       |  SELECT vec_id, e, nrm,
       |    list_transform(e, x -> round(x * 1000000.0)::BIGINT::DOUBLE) AS mud
-      |  FROM v),
+      |  FROM v $mdWhere),
       |seeds AS (
       |  SELECT mud, rn - 1 AS cid FROM (
       |    SELECT mud, row_number() OVER (
@@ -1876,7 +2065,7 @@ object SimilarityQueries {
       |    FROM md CROSS JOIN (
       |      SELECT cs.* FROM cs WHERE ccid IN (SELECT DISTINCT ccid FROM f2c2)) c)
       |  WHERE rn = 1),
-      |a2 AS (
+      |a2 AS $mat(
       |  SELECT vec_id, c1, cid FROM (
       |    SELECT md.vec_id, a1.c1, f.cid, row_number() OVER (PARTITION BY md.vec_id
       |      ORDER BY ${sqDist("md.mud", "f.cmu")}, f.cid) AS rn
@@ -1885,6 +2074,8 @@ object SimilarityQueries {
       |    JOIN f2c2 ON f2c2.ccid = vc2.ccid
       |    JOIN c2f f ON f.cid = f2c2.cid) WHERE rn = 1)""".stripMargin
   }
+
+  private val routedKmeansCteSql: String = routedKmeansCteSqlWhere("")
 
   val q116Sql: String = semDedupSqlWith(routedKmeansCteSql)
 
@@ -2659,6 +2850,7 @@ object SimilarityQueries {
     "q126_semantic_gate_census" -> (q126SemanticGateCensus _),
     "q127_semantic_gate_routed" -> (q127SemanticGateRoutedCensus _),
     "q129_semantic_gate_staged" -> (q129SemanticGateStagedCensus _),
+    "q130_semantic_index_append" -> (q130SemanticIndexAppendCensus _),
     "q119_semantic_dedup_capped" -> (q119SemanticDedupCapped _),
     "q90_diversity_sample" -> (q90DiversitySample _),
     "q76_ann_sq8" -> (q76AnnSq8 _),
@@ -2681,6 +2873,7 @@ object SimilarityQueries {
     // tail — only the assignment head's physical placement differs (the
     // q105/q112 twin-shares-the-oracle pattern)
     "q129_semantic_gate_staged" -> q127Sql,
+    "q130_semantic_index_append" -> q130Sql,
     "q119_semantic_dedup_capped" -> q119Sql,
     "q90_diversity_sample" -> q90Sql,
     "q76_ann_sq8" -> q76Sql,

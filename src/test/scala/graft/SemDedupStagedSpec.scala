@@ -472,4 +472,55 @@ class SemDedupStagedSpec extends GraftSuite {
     assert(aS == aR, s"assignments drifted: ${(aS.toSet diff aR.toSet).take(3)}")
     assert(aR.nonEmpty)
   }
+
+  test("q130 lifecycle census is chunking-invariant: two vec_id-monotone " +
+    "admit batches with a compaction BETWEEN them equal the one-shot run") {
+    // the q130 oracle row checks one admit batch end-to-end; this pin adds
+    // the multi-generation path the oracle can't see — a compact in the
+    // MIDDLE of the arrival stream (merged read of gen-0+delta, swap,
+    // marker removal) followed by a second admit against the compacted
+    // index must land on the same census as the single-batch run
+    val sf001 = "/root/testdata/sf0.01"
+    val oneShot = SimilarityQueries
+      .q130SemanticIndexAppendCensus(spark, sf001).collect().toSeq
+    assert(oneShot.nonEmpty)
+    // chunked replay of the same lifecycle: split arrivals at the median
+    // vec_id (monotone ACROSS chunks — the admit loop's chunking-
+    // invariance contract is vec_id-monotone streams)
+    val idx = graft.queries.GateStaging.appendWorkdir(spark, sf001)
+    val staged = SimilarityQueries.stagedGateTables(
+      spark.read.parquet(s"$idx/coarse.parquet"),
+      spark.read.parquet(s"$idx/fine.parquet"))
+    val arrivals = Tables.embeddings(spark, sf001)
+      .filter(col("vec_id") % 4 === 0)
+      .select(col("vec_id"), col("embedding"))
+    val mid = arrivals.agg(expr("percentile_approx(vec_id, 0.5)"))
+      .collect()(0).getLong(0)
+    val flags1 = graft.streaming.StreamingOps.semanticAdmitBatch(
+      idx, staged, arrivals.filter(col("vec_id") < mid),
+      minCos = SimilarityQueries.AppendMinCos).collect()
+    assert(SimilarityQueries.semanticIndexCompact(spark, idx),
+      "first chunk admitted nothing — mid-lifecycle compact not exercised")
+    val flags2 = graft.streaming.StreamingOps.semanticAdmitBatch(
+      idx, staged, arrivals.filter(col("vec_id") >= mid),
+      minCos = SimilarityQueries.AppendMinCos).collect()
+    staged.cells.unpersist()
+    SimilarityQueries.semanticIndexCompact(spark, idx)
+    val rejected = (flags1 ++ flags2).filter(_.getBoolean(2))
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    val members = spark.read.parquet(s"$idx/members.parquet")
+      .select(col("cid"), explode(col("members")).as("m"))
+      .select(col("m.vec_id").as("vec_id"), col("cid")).collect()
+      .map(r => (r.getLong(0), r.getInt(1)))
+    // same shape as the q130 census: (vec_id, cid, generation, admitted)
+    val chunked = (members.map { case (vid, cid) =>
+      (vid, cid, if (vid % 4 == 0) 1 else 0, 1)
+    } ++ rejected.toSeq.map { case (vid, cid) => (vid, cid, 1, 0) }).toSet
+    val oneShotSet = oneShot
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3))).toSet
+    assert(chunked == oneShotSet,
+      s"chunked lifecycle drifted: ${(chunked diff oneShotSet).take(3)} / " +
+        s"${(oneShotSet diff chunked).take(3)}")
+    assert(rejected.nonEmpty, "no rejects — the greedy path was not exercised")
+  }
 }
