@@ -334,4 +334,60 @@ class PlanShapeSpec extends GraftSuite {
       s"no broadcast join in the assignment head (the cells join must " +
         s"shuffle):\n$head")
   }
+
+  test("ResultSink-written (symbol, threshold) tables prune partitions and " +
+    "skip row groups on close_time_ms — the §1.6 MergeTree-key mapping") {
+    // SURVEY §1.6 maps the reference's MergeTree key layout
+    // (sql/gen200_triple_barrier.sql:48-49 — ORDER BY (symbol, threshold,
+    // close_time_ms)) to directory partitioning + footer min/max skipping,
+    // "free in Spark". This pin makes the promise checked: a key predicate
+    // on a table the ENGINE wrote must (1) list exactly the matching
+    // partition dirs, (2) push the time predicate into the parquet scan,
+    // and (3) actually skip the non-matching row groups. At 100× this is
+    // the difference between scanning one symbol and scanning the fleet.
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_prune_pin").toString
+    try {
+      val rows = for {
+        s <- Seq("BTCUSDT", "ETHUSDT", "SOLUSDT")
+        t <- Seq(25, 50)
+        i <- 0 until 2000
+      } yield (s, t, i.toLong * 60000L, i.toDouble)
+      // 4 disjoint close_time_ms ranges -> 4 files per partition dir, each
+      // carrying its own min/max footer stats (the MergeTree ORDER BY role)
+      val df = rows.toDF("symbol", "threshold_decimal_bps", "close_time_ms", "feature")
+        .repartitionByRange(4, col("close_time_ms"))
+        .sortWithinPartitions("close_time_ms")
+      graft.sources.ResultSink.append(df, dir, Seq("symbol", "threshold_decimal_bps"))
+      val filtered = graft.sources.ResultSink.read(spark, dir)
+        .filter(col("symbol") === "ETHUSDT" &&
+          col("threshold_decimal_bps") === 50 &&
+          col("close_time_ms") < 25L * 60000L)
+      val executed = filtered.queryExecution.executedPlan
+      val scan = executed.collectLeaves().collectFirst {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }.getOrElse(fail("no FileSourceScanExec in:\n" + executed))
+      // (1) directory pruning: ONE of the 6 (symbol, threshold) partitions
+      // is listed, with all 4 of its range files
+      assert(scan.selectedPartitions.partitionCount == 1,
+        s"partition pruning regressed: listed " +
+          s"${scan.selectedPartitions.partitionCount} of 6 partitions")
+      assert(scan.selectedPartitions.totalNumberOfFiles == 4)
+      val pstr = executed.toString
+      assert(pstr.contains("PartitionFilters") && pstr.contains("ETHUSDT"), pstr)
+      // (2) the time predicate reaches the parquet footer stats
+      assert(pstr.contains("PushedFilters") &&
+        pstr.contains("LessThan(close_time_ms"), pstr)
+      // (3) and the stats actually SKIP: of the partition's 2000 rows only
+      // the first range file's row group may leave the scan
+      // (repartitionByRange samples its boundaries, so that file holds
+      // ~500±few-hundred rows — anything near 2000 means no skipping)
+      assert(filtered.collect().length == 25)
+      val scanRows = scan.metrics("numOutputRows").value
+      assert(scanRows < 1000,
+        s"row-group skipping regressed: scan emitted $scanRows of the " +
+          s"partition's 2000 rows (expected only the one matching row group)")
+    } finally queries.StagingRoots.deleteRecursively(java.nio.file.Paths.get(dir))
+  }
 }
