@@ -631,10 +631,108 @@ object SemScale {
           f""""compact_wall_sec":$wall%.1f,"compact_peak_heap_mb":${heapPeakMb()},""" +
           s""""xmx_mb":${xmxMb()}}""")
 
+      case "admitproc" =>
+        // ONE admit process of the cross-process lock rehearsal (r14):
+        // two of these run CONCURRENTLY from separate JVMs
+        // (tools/runjvm.sh) against ONE index, admitting the SAME
+        // arrival ids in the same batch order — the double-admit
+        // hazard. One of them maintains with maxGens=1 so compactions
+        // fire WHILE the other is admitting — the lost-delta hazard
+        // (a compact racing an append could sweep the append's
+        // just-committed delta aside with the pre-compact dir). The
+        // two-level lock (JVM monitor + OS FileChannel.lock) must
+        // serialize all of it; `verifyindex` afterwards checks no id
+        // was admitted twice and no delta was lost. MUTATES <idx>.
+        val src = args(1)
+        val idx = args(2)
+        val tag = args(3)
+        val nBatches = args.lift(4).map(_.toInt).getOrElse(6)
+        val mod = args.lift(5).map(_.toInt).getOrElse(4)
+        val maxGens = args.lift(6).map(_.toInt).getOrElse(Int.MaxValue)
+        val spark = session()
+        val staged = queries.SimilarityQueries.stagedGateTables(
+          spark.read.parquet(s"$idx/coarse.parquet"),
+          spark.read.parquet(s"$idx/fine.parquet"))
+        val arrivals = Tables.embeddings(spark, src)
+          .filter(pmod(col("vec_id"), lit(mod)) === 0)
+          .select((col("vec_id") + lit(1000000000L)).as("vec_id"),
+            col("embedding"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val nArr = arrivals.count()
+        val walls = (0 until nBatches).map { b =>
+          val chunk = arrivals.filter(
+            pmod(floor(col("vec_id") / lit(mod)), lit(nBatches)) === b)
+          val (nFlags, admitWall) = time(graft.streaming.StreamingOps
+            .semanticAdmitBatch(idx, staged, chunk).count())
+          val compacted =
+            if (maxGens != Int.MaxValue)
+              queries.SimilarityQueries.maintainIndex(spark, idx, maxGens)
+            else false
+          System.err.println(f"[admitproc $tag] batch $b: $nFlags flags " +
+            f"in $admitWall%.1f s, compacted=$compacted")
+          admitWall
+        }
+        arrivals.unpersist()
+        staged.cells.unpersist()
+        println(s"""{"mode":"admitproc","tag":"$tag","idx":"$idx",""" +
+          s""""n_arrivals":$nArr,"n_batches":$nBatches,""" +
+          f""""admit_total_sec":${walls.sum}%.1f}""")
+
+      case "verifyindex" =>
+        // Post-contention invariants of the admitproc pair: every member
+        // vec_id appears EXACTLY once across all generations (a failed
+        // lock double-admits), and the member set is exactly
+        // base ∪ arrivals (a compact racing an append silently LOSES the
+        // delta — count shortfall). Prints the facts; the rehearsal
+        // transcript in SCALE.md records the expected values.
+        val idx = args(1)
+        val spark = session()
+        val m = queries.SimilarityQueries.readCellMembersMerged(spark, idx)
+          .select(explode(col("members")).as("mm"))
+          .select(col("mm.vec_id").as("vec_id"))
+        val total = m.count()
+        val distinct = m.distinct().count()
+        val maxMult = m.groupBy(col("vec_id")).count()
+          .agg(max(col("count"))).head.getLong(0)
+        val nBase = m.filter(col("vec_id") < 1000000000L).count()
+        val nArr = total - nBase
+        println(s"""{"mode":"verifyindex","idx":"$idx","n_members":$total,""" +
+          s""""n_distinct":$distinct,"max_multiplicity":$maxMult,""" +
+          s""""n_base":$nBase,"n_arrivals_admitted":$nArr,""" +
+          s""""gens":${queries.SimilarityQueries.appendGenerationCount(idx)},""" +
+          s""""marked":${queries.SimilarityQueries.hasAppendGenerations(idx)}}""")
+
+      case "lockhold" =>
+        // Hold the index mutation lock from THIS process for <ms>
+        // milliseconds (no Spark needed): the SIGKILL half of the lock
+        // rehearsal kills this process mid-hold and probes that the OS
+        // releases FileChannel locks on process death (no stale-lock
+        // state to heal); the blocking half probes while it is alive.
+        val idx = args(1)
+        val ms = args.lift(2).map(_.toLong).getOrElse(60000L)
+        queries.SimilarityQueries.withIndexLock(idx) {
+          println("HELD")
+          System.out.flush()
+          Thread.sleep(ms)
+        }
+        println("RELEASED")
+
+      case "lockprobe" =>
+        // Time how long acquiring the index lock takes from this process
+        // — ~0 s against a dead (SIGKILLed) holder, ~the remaining hold
+        // time against a live one (proves the OS lock actually blocks
+        // ACROSS processes, which the same-JVM latch spec cannot).
+        val idx = args(1)
+        val t0 = System.nanoTime()
+        queries.SimilarityQueries.withIndexLock(idx) {}
+        val wall = (System.nanoTime() - t0) / 1e9
+        println(f"""{"mode":"lockprobe","idx":"$idx","acquire_sec":$wall%.2f}""")
+
       case other =>
         System.err.println(s"unknown mode: $other " +
           "(staged|census|blobfix|append|dedup|gateindex|gateindexr|" +
-          "gateindexrs|gate|subset|admitloop|compact|dumpmembers)")
+          "gateindexrs|gate|subset|admitloop|compact|dumpmembers|" +
+          "admitproc|verifyindex|lockhold|lockprobe)")
         sys.exit(2)
     }
   }
