@@ -632,7 +632,9 @@ object StreamingOps {
     * ledger reaches maxGens). Cosine uses the gate's exact rule (left-fold float→double
     * dot, HALF_UP round-6). Returns the per-batch flags as a LOCAL
     * frame (micro-batch-sized by contract — collected so the result
-    * survives the index mutation that follows materialization).
+    * survives the index mutation that follows materialization; the
+    * contract is ENFORCED: a batch over `maxBatchRows` raises a named
+    * error before the collect rather than OOMing the driver inside it).
     *
     * The read→decide→append sequence is one TRANSACTION under the
     * index's cross-process file lock, so concurrent admit loops (or an
@@ -640,7 +642,9 @@ object StreamingOps {
     * read members the other is mid-way through extending. */
   def semanticAdmitBatch(idx: String,
       tables: graft.queries.SimilarityQueries.StagedGateTables,
-      batch: DataFrame, minCos: Double = 0.9): DataFrame = {
+      batch: DataFrame, minCos: Double = 0.9,
+      maxBatchRows: Long = 1000000L): DataFrame = {
+    require(maxBatchRows >= 1, s"maxBatchRows=$maxBatchRows (must be >= 1)")
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
     val spark = batch.sparkSession
@@ -661,6 +665,20 @@ object StreamingOps {
         .select(col("cid"), col("vec_id"), col("e"), col("nrm"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
+        // the per-batch flag collect below is driver-resident by design
+        // (it orders the decide→append transaction), bounded by the
+        // micro-batch contract — make the bound ENFORCED, not
+        // conventional (r13 verdict LOW #2): a misconfigured source that
+        // feeds a corpus-sized "batch" must fail with a named error
+        // BEFORE the collect, not OOM the driver inside it. The count is
+        // one cheap job over the just-persisted assignment.
+        val nBatch = assigned.count()
+        if (nBatch > maxBatchRows)
+          throw new IllegalArgumentException(
+            s"semanticAdmitBatch: batch has $nBatch rows, over the " +
+              s"maxBatchRows=$maxBatchRows driver-collect bound — split the " +
+              s"stream into smaller micro-batches or raise the bound " +
+              s"explicitly if the driver heap is sized for it")
         // prune the accumulated members to the cells this batch touches
         // BEFORE merging generations: the touched-cid list is batch-bounded
         // (collected under the micro-batch contract) and goes into the SCAN

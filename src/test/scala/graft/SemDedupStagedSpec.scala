@@ -523,4 +523,27 @@ class SemDedupStagedSpec extends GraftSuite {
         s"${(oneShotSet diff chunked).take(3)}")
     assert(rejected.nonEmpty, "no rejects — the greedy path was not exercised")
   }
+
+  test("semanticAdmitBatch refuses a batch over maxBatchRows with a named " +
+    "error BEFORE the driver collect (and before any index mutation)") {
+    val sf001 = "/root/testdata/sf0.01"
+    val idx = graft.queries.GateStaging.appendWorkdir(spark, sf001)
+    val staged = SimilarityQueries.stagedGateTables(
+      spark.read.parquet(s"$idx/coarse.parquet"),
+      spark.read.parquet(s"$idx/fine.parquet"))
+    val arrivals = Tables.embeddings(spark, sf001)
+      .filter(col("vec_id") % 4 === 0)
+      .select(col("vec_id"), col("embedding"))
+    val before = spark.read.parquet(s"$idx/members.parquet").count()
+    val e = intercept[IllegalArgumentException] {
+      graft.streaming.StreamingOps.semanticAdmitBatch(
+        idx, staged, arrivals, minCos = SimilarityQueries.AppendMinCos,
+        maxBatchRows = 10L)
+    }
+    assert(e.getMessage.contains("maxBatchRows"), e.getMessage)
+    // the refusal must leave the index untouched: no delta, no marker
+    assert(spark.read.parquet(s"$idx/members.parquet").count() == before)
+    assert(!SimilarityQueries.hasAppendGenerations(idx))
+    staged.cells.unpersist()
+  }
 }
