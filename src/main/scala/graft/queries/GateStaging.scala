@@ -93,10 +93,15 @@ private[graft] object GateStaging {
 
   /** Pre-build the selected layouts (the Bench `q_staging_gate` hook) —
     * a filtered bench run that selects only q126 stages only the flat
-    * index; q127/q129-only runs stage only the routed one (r13 review). */
+    * index; q127/q129-only runs stage only the routed one (r13 review);
+    * q130 stages the pristine append-lifecycle BASE index (r14: its
+    * build otherwise lands inside q130's first timed run — the exact
+    * build-cost-in-gate-rows accounting r13 fixed for the twins). */
   def build(spark: SparkSession, d: String,
-      flat: Boolean = true, routed: Boolean = true): Unit = {
+      flat: Boolean = true, routed: Boolean = true,
+      appendBase: Boolean = false): Unit = {
     if (flat) flatDir(spark, d)
     if (routed) routedDir(spark, d)
+    if (appendBase) appendBasePristineDir(spark, d)
   }
 }
