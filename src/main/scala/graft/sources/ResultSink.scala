@@ -77,7 +77,12 @@ object ResultSink {
     * container's only brotli surface is commons-compress's
     * BrotliCompressorInputStream WRAPPER, which is decompress-only and
     * itself requires the absent org.brotli:dec jar — there is no codec to
-    * vendor without egress, so gzip remains the documented stand-in. */
+    * vendor without egress, so gzip remains the documented stand-in.
+    * Re-audited r14: the container's only additions are the native
+    * libbrotli{dec,enc,common}.so under the DRIVER-side miniconda tree
+    * (Python brotlicffi) — no JVM binding jar, and hand-rolling an
+    * incubator-FFM binding to a conda .so would be a fragile
+    * environment-specific hack, not a portable codec. Still carried. */
   def writeJsonlGz(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite)
       .option("ignoreNullFields", "false")

@@ -546,4 +546,47 @@ class SemDedupStagedSpec extends GraftSuite {
     assert(!SimilarityQueries.hasAppendGenerations(idx))
     staged.cells.unpersist()
   }
+
+  test("index lock blocks a REAL second JVM while held and is released by " +
+    "the OS when the holder is SIGKILLed (the cross-process half the " +
+    "same-JVM latch tests cannot see)") {
+    // the repeatable form of the SCALE.md r14 rehearsal: spawn
+    // `SemScale lockhold` in a child JVM (no Spark session — the mode is
+    // pure java.nio), then contend from THIS JVM's withIndexLock
+    val idxDir = java.nio.file.Files.createTempDirectory("graft_lock_spec")
+    val javaBin = System.getProperty("java.home") + "/bin/java"
+    val cp = System.getProperty("java.class.path")
+    val holder = new ProcessBuilder(
+      javaBin, "-cp", cp, "graft.SemScale", "lockhold", idxDir.toString, "60000")
+      .redirectErrorStream(true).start()
+    try {
+      // wait for the child to actually HOLD the lock
+      val br = new java.io.BufferedReader(
+        new java.io.InputStreamReader(holder.getInputStream))
+      val deadline = System.nanoTime() + 30L * 1000000000L
+      var line = br.readLine()
+      while (line != null && line != "HELD" && System.nanoTime() < deadline)
+        line = br.readLine()
+      assert(line == "HELD", s"holder never reported HELD (last: $line)")
+      // acquiring from this JVM must BLOCK while the other process lives
+      val acquired = new java.util.concurrent.CountDownLatch(1)
+      val t = new Thread(() => {
+        SimilarityQueries.withIndexLock(idxDir.toString) {}
+        acquired.countDown()
+      })
+      t.setDaemon(true)
+      t.start()
+      assert(!acquired.await(2, java.util.concurrent.TimeUnit.SECONDS),
+        "a second process acquired the lock WHILE another held it — the " +
+          "OS advisory lock is not excluding writers across processes")
+      // SIGKILL the holder mid-hold: the OS must release its lock (no
+      // stale-lock state), so the blocked acquire completes promptly
+      holder.destroyForcibly()
+      assert(acquired.await(15, java.util.concurrent.TimeUnit.SECONDS),
+        "lock not released after the holding process was SIGKILLed")
+    } finally {
+      holder.destroyForcibly()
+      graft.queries.StagingRoots.deleteRecursively(idxDir)
+    }
+  }
 }
