@@ -23,6 +23,16 @@ private[functions] object InputChecks {
       case t => TypeCheckResult.TypeCheckFailure(
         s"$name expects array<float> or array<double>, got ${t.simpleString}")
     }
+
+  def typed(name: String, e: Expression, want: DataType): TypeCheckResult =
+    if (org.apache.spark.sql.catalyst.types.DataTypeUtils
+        .sameType(e.dataType, want)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$name expects ${want.simpleString}, got ${e.dataType.simpleString}")
+
+  def all(rs: TypeCheckResult*): TypeCheckResult =
+    rs.find(_ != TypeCheckResult.TypeCheckSuccess)
+      .getOrElse(TypeCheckResult.TypeCheckSuccess)
 }
 
 /** Gauss error function, double precision (fractional-expansion algorithm

@@ -1,5 +1,6 @@
 package graft.functions
 
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.UnaryExpression
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
@@ -82,6 +83,11 @@ case class PqEncode(child: Expression, cb: Seq[Seq[Long]], m: Int, k: Int)
     extends UnaryExpression {
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
   override def nullable: Boolean = true
+  // the kernel reads raw 8-byte longs: a double-typed mud (every OTHER
+  // kernel's dtype) would silently reinterpret bit patterns as distances
+  // under UnsafeArrayData — fail at analysis instead (r14 parity spec)
+  override def checkInputDataTypes(): TypeCheckResult =
+    InputChecks.typed("pq_encode", child, ArrayType(LongType))
   @transient private lazy val cbArr: Array[Array[Long]] = cb.map(_.toArray).toArray
 
   override def nullSafeEval(v: Any): Any =
@@ -101,6 +107,8 @@ case class PqLut(child: Expression, cb: Seq[Seq[Long]], m: Int, k: Int)
     extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullable: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult =
+    InputChecks.typed("pq_lut", child, ArrayType(LongType))
   @transient private lazy val cbArr: Array[Array[Long]] = cb.map(_.toArray).toArray
 
   override def nullSafeEval(v: Any): Any =
@@ -159,6 +167,11 @@ case class CentroidArgmin(child: Expression, cents: Seq[Seq[Long]])
     "centroid_argmin: ragged centroid table")
   override def dataType: DataType = IntegerType
   override def nullable: Boolean = true
+  // the kernel reads raw 8-byte doubles: a long-typed mud (the PQ
+  // kernels' dtype) would silently reinterpret bit patterns under
+  // UnsafeArrayData — fail at analysis instead (r14 parity spec)
+  override def checkInputDataTypes(): TypeCheckResult =
+    InputChecks.typed("centroid_argmin", child, ArrayType(DoubleType))
   @transient private lazy val cArr: Array[Array[Long]] = cents.map(_.toArray).toArray
 
   override def nullSafeEval(v: Any): Any =
@@ -224,6 +237,9 @@ case class CentroidArgminRouted(left: Expression, right: Expression,
     "centroid_argmin_routed: cell/ids length mismatch")
   override def dataType: DataType = IntegerType
   override def nullable: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult = InputChecks.all(
+    InputChecks.typed("centroid_argmin_routed mud", left, ArrayType(DoubleType)),
+    InputChecks.typed("centroid_argmin_routed route", right, IntegerType))
   @transient private lazy val cArr: Array[Array[Array[Long]]] =
     cents.map(_.map(_.toArray).toArray).toArray
   @transient private lazy val idArr: Array[Array[Int]] = ids.map(_.toArray).toArray
@@ -285,6 +301,10 @@ case class CellArgmin(first: Expression, second: Expression, third: Expression)
     extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
   override def dataType: DataType = IntegerType
   override def nullable: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult = InputChecks.all(
+    InputChecks.typed("cell_argmin mud", first, ArrayType(DoubleType)),
+    InputChecks.typed("cell_argmin cells", second, ArrayType(ArrayType(LongType))),
+    InputChecks.typed("cell_argmin ids", third, ArrayType(IntegerType)))
 
   override def nullSafeEval(mud: Any, cells: Any, ids: Any): Any =
     CellArgminKernel.argmin(mud.asInstanceOf[ArrayData],
