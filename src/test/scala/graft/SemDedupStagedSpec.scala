@@ -547,6 +547,101 @@ class SemDedupStagedSpec extends GraftSuite {
     staged.cells.unpersist()
   }
 
+  test("admit-loop fuzz: random corpora with planted near-dup clusters — " +
+    "engine flags == plain-Scala greedy at minCos 0.3 and 0.6") {
+    // the fixture corpora have a 0.51 pairwise-cos ceiling and near-dups
+    // only by exact copy; this fuzz explores geometry the fixtures can't —
+    // planted clusters (anchor + noisy copies at cos ≈ 0.98), random
+    // cross-pairs near the threshold, greedy CHAINS (a copy admitted
+    // because its anchor was itself rejected earlier)
+    import spark.implicits._
+    val rnd = new scala.util.Random(987654L)
+    def cos6(e: Seq[Float], e2: Seq[Float]): Double = {
+      def nrm(v: Seq[Float]) =
+        math.sqrt(v.foldLeft(0.0)((a, x) => a + x.toDouble * x.toDouble))
+      val (n, n2) = (nrm(e), nrm(e2))
+      if (n * n2 == 0.0) return -2.0
+      val dot = e.indices.foldLeft(0.0)((a, i) => a + e(i).toDouble * e2(i).toDouble)
+      new java.math.BigDecimal(dot / (n * n2))
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    }
+    (0 until 2).foreach { trial =>
+      // 24 anchors, each with 2-5 noisy copies + random fill = ~320 vectors
+      val vecs = scala.collection.mutable.ArrayBuffer[(Long, Seq[Float])]()
+      var id = 0L
+      def rndVec(): Array[Float] = Array.fill(64)(rnd.nextFloat() * 2f - 1f)
+      (0 until 24).foreach { _ =>
+        val anchor = rndVec()
+        vecs += ((id, anchor.toSeq)); id += 1
+        (0 until 2 + rnd.nextInt(4)).foreach { _ =>
+          val copy = anchor.map(x => x + (rnd.nextFloat() - 0.5f) * 0.1f)
+          vecs += ((id, copy.toSeq)); id += 1
+        }
+      }
+      while (vecs.length < 320) { vecs += ((id, rndVec().toSeq)); id += 1 }
+      // shuffle ids so clusters straddle the base/arrival split
+      val shuffled = rnd.shuffle(vecs.toSeq).zipWithIndex
+        .map { case ((_, e), i) => (i.toLong, e) }
+      val base = shuffled.filter(_._1 % 3 != 0)
+      val arrivals = shuffled.filter(_._1 % 3 == 0).sortBy(_._1)
+
+      val pristine = java.nio.file.Files.createTempDirectory("graft_fuzz_idx")
+      val (coarse, fineRouted, members) = SimilarityQueries
+        .semanticStreamIndexStagedFrom(
+          base.toDF("vec_id", "embedding"))
+      SimilarityQueries.writeGateIndexStaged(
+        spark, pristine.toString, coarse, fineRouted, members)
+      try Seq(0.3, 0.6).foreach { minCos =>
+        val dir = java.nio.file.Files.createTempDirectory("graft_fuzz_work")
+        graft.queries.StagingRoots.copyRecursively(pristine, dir)
+        val tabs = SimilarityQueries.stagedGateTables(
+          spark.read.parquet(s"$dir/coarse.parquet"),
+          spark.read.parquet(s"$dir/fine.parquet"))
+        try {
+          val flags = graft.streaming.StreamingOps.semanticAdmitBatch(
+              dir.toString, tabs, arrivals.toDF("vec_id", "embedding"),
+              minCos = minCos)
+            .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+          // model: ENGINE cell assignment (the kernels are pinned
+          // elsewhere) + an independent per-cell vec_id greedy
+          val cidOf = graft.streaming.StreamingOps.semanticGateAssignStaged(
+              arrivals.toDF("vec_id", "embedding"), tabs)
+            .select(col("vec_id"), col("cid")).collect()
+            .map(r => r.getLong(0) -> r.getInt(1)).toMap
+          val baseCells = SimilarityQueries
+            .readCellMembersMerged(spark, pristine.toString)
+            .select(col("cid"), explode(col("members")).as("m"))
+            .select(col("cid"), col("m.vec_id"), col("m.e")).collect()
+            .groupBy(_.getInt(0))
+            .view.mapValues(_.map(r =>
+              (r.getLong(1), r.getSeq[Float](2))).toBuffer).toMap
+          val want = scala.collection.mutable.Map[Long, Boolean]()
+          arrivals.groupBy(a => cidOf(a._1)).foreach { case (cid, cell) =>
+            val admitted = baseCells.getOrElse(cid,
+              scala.collection.mutable.ArrayBuffer.empty).map(_._2)
+              .to(scala.collection.mutable.ArrayBuffer)
+            cell.sortBy(_._1).foreach { case (aid, e) =>
+              val dup = admitted.exists(b => cos6(e, b) >= minCos)
+              if (!dup) admitted += e
+              want(aid) = dup
+            }
+          }
+          assert(flags.keySet == want.keySet)
+          want.foreach { case (aid, f) =>
+            assert(flags(aid) == f,
+              s"trial $trial minCos=$minCos vec $aid: engine=${flags(aid)} model=$f")
+          }
+          // non-vacuous: the planted clusters must produce both outcomes
+          assert(want.values.exists(identity) && want.values.exists(!_),
+            s"trial $trial minCos=$minCos: all-one-outcome fuzz is vacuous")
+        } finally {
+          tabs.cells.unpersist()
+          graft.queries.StagingRoots.deleteRecursively(dir)
+        }
+      } finally graft.queries.StagingRoots.deleteRecursively(pristine)
+    }
+  }
+
   test("index lock blocks a REAL second JVM while held and is released by " +
     "the OS when the holder is SIGKILLed (the cross-process half the " +
     "same-JVM latch tests cannot see)") {
