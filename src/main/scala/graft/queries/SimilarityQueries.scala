@@ -1676,6 +1676,39 @@ object SimilarityQueries {
     appendGenerationCount(idx) >= maxGens && semanticIndexCompact(spark, idx)
   }
 
+  /** The REBUILD trigger the incremental contract names (T68: "the real
+    * rebuild trigger is cell-balance shift" — verdicts do not decay under
+    * frozen tables, measured in SCALE.md r13, but a cell whose membership
+    * balloons makes every probe routed there pay O(cell) verify work and
+    * eventually re-creates the mega-cell regime the capped census
+    * exists for). `rebuildDue` = the worst cell exceeds `ratio` × the
+    * index's design cell size (targetCell at build time ≈ members/K).
+    * One distributed aggregate over the member table — no driver-side
+    * member materialization; cheap enough to poll at maintenance
+    * cadence, NOT per batch (it scans the index; [[maintainIndex]]'s
+    * ledger check is the per-batch knob). Frozen-appended indexes are
+    * read through the generation merge, so multi-generation rows count
+    * as ONE cell like the verify tail sees them. The comparison base is
+    * the MEDIAN cell size (approx_percentile — mergeable, no K-row
+    * spool), not the mean: the ballooned cell inflates the mean it
+    * would be compared against, so a mean-ratio trigger goes QUIETER as
+    * the skew it hunts grows (measured: a 12×-average blob into a
+    * 6-cell index moved the mean 3× and never fired). */
+  private[graft] def indexCellBalance(spark: SparkSession, idx: String): (Long, Double) = {
+    val sizes = readCellMembersMerged(spark, idx)
+      .select(size(col("members")).cast("long").as("n"))
+    val row = sizes.agg(max(col("n")).as("mx"),
+      expr("approx_percentile(n, 0.5)").cast("double").as("med")).head()
+    (row.getLong(0), row.getDouble(1))
+  }
+
+  private[graft] def rebuildDue(spark: SparkSession, idx: String,
+      ratio: Double = 8.0): Boolean = {
+    require(ratio > 1.0, s"ratio=$ratio (must be > 1)")
+    val (mx, med) = indexCellBalance(spark, idx)
+    mx > ratio * math.max(1.0, med)
+  }
+
   /** COMPACT an appended index back to the pristine one-row-per-cid
     * layout — the maintenance step that closes the append lifecycle
     * (build → serve → [[semanticIndexAppend]]* → compact): run the

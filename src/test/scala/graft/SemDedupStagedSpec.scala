@@ -642,6 +642,39 @@ class SemDedupStagedSpec extends GraftSuite {
     }
   }
 
+  test("rebuildDue fires on cell-balance shift and stays quiet on a " +
+    "balanced index (the T68 rebuild trigger, implemented)") {
+    val sf001 = "/root/testdata/sf0.01"
+    import spark.implicits._
+    val idx = graft.queries.GateStaging.appendWorkdir(spark, sf001)
+    // fresh build over the base slice: balanced by construction
+    assert(!SimilarityQueries.rebuildDue(spark, idx),
+      "a just-built index must not demand a rebuild")
+    val (mx0, med0) = SimilarityQueries.indexCellBalance(spark, idx)
+    assert(mx0 >= 1 && med0 >= 1.0)
+    // balloon ONE cell: append many noisy copies of one member vector —
+    // frozen tables route them all to the anchor's cell (no dedup in the
+    // raw append path, by contract)
+    val anchor = Tables.embeddings(spark, sf001)
+      .filter(col("vec_id") === 1).select(col("embedding"))
+      .collect()(0).getSeq[Float](0)
+    val rnd = new scala.util.Random(42L)
+    val blob = (0 until (med0 * 12).toInt).map { i =>
+      (5000000L + i,
+        anchor.map(x => x + (rnd.nextFloat() - 0.5f) * 0.01f))
+    }
+    SimilarityQueries.semanticIndexAppend(spark, idx,
+      blob.toDF("vec_id", "embedding"))
+    assert(SimilarityQueries.rebuildDue(spark, idx),
+      "a 12x-average mega-cell must trip the rebuild trigger")
+    // the trigger counts merged generations as one cell (the noisy
+    // copies may straddle one cell boundary, so require only that the
+    // bulk of the blob shows up in the worst cell)
+    val (mx1, _) = SimilarityQueries.indexCellBalance(spark, idx)
+    assert(mx1 >= mx0 && mx1 >= (blob.length * 8) / 10,
+      s"merged balance missed the appended blob: $mx0 -> $mx1 (blob ${blob.length})")
+  }
+
   test("index lock blocks a REAL second JVM while held and is released by " +
     "the OS when the holder is SIGKILLed (the cross-process half the " +
     "same-JVM latch tests cannot see)") {
