@@ -98,7 +98,7 @@ object ScaleFixture {
     }
 
     def maxOf(df: DataFrame, c: String): Long =
-      df.agg(max(col(c))).head.getLong(0)
+      df.agg(max(col(c))).head().getLong(0)
 
     // replica index table: one row per replica, id 0 keeps the original rows
     val reps = spark.range(k).select(col("id").as("rep"))
@@ -130,7 +130,7 @@ object ScaleFixture {
 
     def shiftRep(df: DataFrame, shifts: Map[String, Long]): DataFrame =
       df.crossJoin(reps)
-        .select(df.columns.map { c =>
+        .select(df.columns.toIndexedSeq.map { c =>
           shifts.get(c) match {
             case Some(m) => (col(c) + col("rep") * m).as(c)
             case None    => col(c)
@@ -155,7 +155,7 @@ object ScaleFixture {
     // normalize to µs-since-epoch longs (robust to ns-Long vs timestamp ts)
     val ev = ev0.withColumn("ts_us", Tables.tsUs(ev0)).drop("ts")
     val evStats =
-      ev.agg(max("event_id"), max("ts_us"), min("ts_us")).head
+      ev.agg(max("event_id"), max("ts_us"), min("ts_us")).head()
     val eM = evStats.getLong(0) + 1
     // one-hour gap between appended segments so they never interleave
     val span = evStats.getLong(1) - evStats.getLong(2) + 3600L * 1000 * 1000
@@ -201,7 +201,7 @@ object ScaleFixture {
       embOnly: Boolean = false): Unit = {
 
     def maxOf(df: DataFrame, c: String): Long =
-      df.agg(max(col(c))).head.getLong(0)
+      df.agg(max(col(c))).head().getLong(0)
 
     if (!embOnly) writeDocs(spark, src, dst, reps, write, hotShinglePct)
 
@@ -236,7 +236,7 @@ object ScaleFixture {
       hotShinglePct: Int): Unit = {
 
     def maxOf(df: DataFrame, c: String): Long =
-      df.agg(max(col(c))).head.getLong(0)
+      df.agg(max(col(c))).head().getLong(0)
 
     val docs = Tables.documents(spark, src).cache()
     val dM = maxOf(docs, "doc_id") + 1

@@ -617,7 +617,7 @@ object SemScale {
             .listFiles().count(_.getName.endsWith(".parquet")).toLong
           val rows = spark.read.parquet(s"$idx/members.parquet")
           val gens = rows.groupBy(col("cid")).count()
-            .agg(org.apache.spark.sql.functions.max("count")).head.getLong(0)
+            .agg(org.apache.spark.sql.functions.max("count")).head().getLong(0)
           (files, rows.count(), gens)
         }
         val (fB, rB, gB) = layout()
@@ -693,7 +693,7 @@ object SemScale {
         val total = m.count()
         val distinct = m.distinct().count()
         val maxMult = m.groupBy(col("vec_id")).count()
-          .agg(max(col("count"))).head.getLong(0)
+          .agg(max(col("count"))).head().getLong(0)
         val nBase = m.filter(col("vec_id") < 1000000000L).count()
         val nArr = total - nBase
         println(s"""{"mode":"verifyindex","idx":"$idx","n_members":$total,""" +

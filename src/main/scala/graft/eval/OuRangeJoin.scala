@@ -44,7 +44,7 @@ object OuRangeJoin {
     val sorted = bars.select(col("ts_us").cast("long"), col("close").cast("double"))
       .repartitionByRange(col("ts_us")).sortWithinPartitions(col("ts_us"))
     val indexed = spark.createDataFrame(
-      sorted.rdd.zipWithIndex.map { case (r, i) => (r.getLong(0), r.getDouble(1), i) })
+      sorted.rdd.zipWithIndex().map { case (r, i) => (r.getLong(0), r.getDouble(1), i) })
       .toDF("b_ts", "close", "rn")
 
     // 2. as-of: union bars (kind 0) and trades (kind 1); within each time

@@ -752,7 +752,7 @@ object SimilarityQueries {
         col("mud"), cents.map(_.map(_.toLong).toSeq)))
     // persisted: the centroid-update collect AND the second assignment both
     // consume a1 — uncached, the whole ×K first pass would run twice
-    val a1 = assign(seeds, "c1")(v).persist(StorageLevel.MEMORY_AND_DISK)
+    val a1 = assign(seeds.toIndexedSeq, "c1")(v).persist(StorageLevel.MEMORY_AND_DISK)
     val lanes = (0 until Dim).map(i =>
       sum(element_at(col("mud"), i + 1).cast("long")).as(s"s$i"))
     val sums = a1.groupBy(col("c1"))

@@ -807,7 +807,7 @@ object TextQueries {
           .localCheckpoint()
         val vocab = seg
           .select(explode(split(trim(col("seg")), " ")).as("sym"))
-          .agg(countDistinct(col("sym"))).head.getLong(0)
+          .agg(countDistinct(col("sym"))).head().getLong(0)
         out += ((r, s"$a+$b", pcnt, vocab))
       }
       r += 1
