@@ -78,11 +78,20 @@ object StoreScale {
           sum(col("return_pct") * col("oos_score")).as("wsum"),
           max(col("exit_bar")).as("worst_exit"))
 
-    def exchanges(df: DataFrame): Int =
-      "Exchange".r.findAllIn(df.queryExecution.executedPlan.toString).length
+    // plan probe with AQE OFF: under AQE the pre-execution executedPlan is
+    // the INITIAL adaptive plan, not what runs (r14 advice) — and these
+    // plans have nothing for AQE to improve (the probe's whole point is
+    // the static exchange count bucketing removes), so the AQE-off plan
+    // is the honest structural comparison. Timed runs stay under AQE.
+    def exchanges(mk: => DataFrame): Int = {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      try "Exchange".r.findAllIn(mk.queryExecution.executedPlan.toString).length
+      finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    }
 
     def run(label: String, t: => DataFrame, e: => DataFrame): (Double, Long, Int) = {
       val nEx = exchanges(chain(t, e))
+      println(s"[storescale] $label: $nEx exchanges (AQE-off plan probe)")
       // two timed runs, keep the second (page cache warm for BOTH forms)
       timed(chain(t, e).write.format("noop").mode("overwrite").save())
       val (_, wall) = timed(chain(t, e).write.format("noop").mode("overwrite").save())

@@ -73,6 +73,178 @@ object Ranking {
     if (da == 0 || db == 0) Double.NaN else num / math.sqrt(da * db)
   }
 
+  /** Kendall rank correlation, tau-b (tie-corrected — scipy.stats.
+    * kendalltau's default, the form gen720's rank-agreement census
+    * emits, scripts/gen720_ranking_experiments.py:108-142): tau =
+    * (C − D) / √((n0 − n1)(n0 − n2)) with n0 = n(n−1)/2 and n1/n2 the
+    * tie-pair counts of each side. O(n²) pairwise — rankings are
+    * O(nConfigs). NaN when either side is constant. */
+  def kendallTau(a: Array[Double], b: Array[Double]): Double = {
+    require(a.length == b.length && a.length >= 2, "need two aligned samples")
+    val n = a.length
+    var c = 0L; var d = 0L; var tiesA = 0L; var tiesB = 0L
+    var i = 0
+    while (i < n) {
+      var j = i + 1
+      while (j < n) {
+        val da = java.lang.Double.compare(a(i), a(j))
+        val db = java.lang.Double.compare(b(i), b(j))
+        if (da == 0 && db == 0) { tiesA += 1; tiesB += 1 }
+        else if (da == 0) tiesA += 1
+        else if (db == 0) tiesB += 1
+        else if (da * db > 0) c += 1
+        else d += 1
+        j += 1
+      }
+      i += 1
+    }
+    val n0 = n.toLong * (n - 1) / 2
+    val den = math.sqrt((n0 - tiesA).toDouble) * math.sqrt((n0 - tiesB).toDouble)
+    if (den == 0) Double.NaN else (c - d) / den
+  }
+
+  /** Shannon-entropy objective weights (gen720_ranking_experiments.py:
+    * 213-240): min-max normalize each column to [0,1], shift by 1e-10,
+    * normalize columns to proportions, entropy with k = 1/ln(n),
+    * weight = (1 − entropy) / Σ(1 − entropy); equal weights when every
+    * column is non-discriminating (total divergence 0). */
+  def entropyWeights(matrix: Array[Array[Double]]): Array[Double] = {
+    val n = matrix.length
+    require(n >= 2, "need at least two alternatives")
+    val m = matrix.head.length
+    val mins = Array.tabulate(m)(j => matrix.map(_(j)).min)
+    val maxs = Array.tabulate(m)(j => matrix.map(_(j)).max)
+    val normed = matrix.map(r => Array.tabulate(m) { j =>
+      val rng = maxs(j) - mins(j)
+      (r(j) - mins(j)) / (if (rng == 0) 1.0 else rng) + 1e-10
+    })
+    val colSums = Array.tabulate(m)(j => normed.map(_(j)).sum)
+    val k = 1.0 / math.log(n)
+    val divergence = Array.tabulate(m) { j =>
+      val ent = -k * normed.map { r =>
+        val p = r(j) / colSums(j)
+        p * math.log(p)
+      }.sum
+      1.0 - ent
+    }
+    val total = divergence.sum
+    if (total == 0) Array.fill(m)(1.0 / m) else divergence.map(_ / total)
+  }
+
+  /** PROMETHEE-II net flows (gen720_ranking_experiments.py:295-328):
+    * flip cost criteria, pairwise differences through a linear (Type V)
+    * preference function clipped to [0,1] with indifference threshold
+    * `q` and strict-preference threshold `p` per criterion, aggregate
+    * with equal criterion weights, net flow = outgoing − incoming
+    * (each averaged over the n−1 other alternatives). */
+  def prometheeII(matrix: Array[Array[Double]], types: Array[Int],
+      q: Array[Double], p: Array[Double]): Array[Double] = {
+    val n = matrix.length
+    require(n >= 2, "need at least two alternatives")
+    val m = matrix.head.length
+    val adj = matrix.map(r => Array.tabulate(m)(j => r(j) * types(j)))
+    val denom = Array.tabulate(m) { j =>
+      val d = p(j) - q(j); if (d == 0) 1.0 else d
+    }
+    val pi = Array.tabulate(n, n) { (i, k) =>
+      var s = 0.0
+      var j = 0
+      while (j < m) {
+        val d = adj(i)(j) - adj(k)(j)
+        s += math.min(1.0, math.max(0.0, (d - q(j)) / denom(j)))
+        j += 1
+      }
+      s / m
+    }
+    Array.tabulate(n) { i =>
+      var plus = 0.0; var minus = 0.0
+      var k = 0
+      while (k < n) {
+        plus += pi(i)(k); minus += pi(k)(i)
+        k += 1
+      }
+      (plus - minus) / (n - 1)
+    }
+  }
+
+  // -------------------------------------------------------------------------
+  // Rank-cutoff objective layer (scripts/rank_optimize.py:39-88): the five
+  // objective functions over survivorAnalysis results, plus a SEEDLESS
+  // deterministic search driver standing in for Optuna's TPE (an external
+  // stochastic library — the reference pins seeds elsewhere; parity means
+  // the objectives' semantics plus a reproducible optimizer, not TPE's
+  // sampling trajectory).
+
+  /** survivors / mean cutoff (rank_optimize.py:39-47). */
+  def objMaxSurvivorsMinCutoff(result: SurvivorResult, cutoffs: Map[String, Int]): Double = {
+    if (result.nIntersection == 0) return 0.0
+    val meanCutoff = cutoffs.values.sum.toDouble / cutoffs.size
+    if (meanCutoff < 1) 0.0 else result.nIntersection / meanCutoff
+  }
+
+  /** avg survivor percentile, penalized below targetN (rank_optimize.py:
+    * 50-57; config.RANK_TARGET_N = 10). */
+  def objQualityAtTargetN(result: SurvivorResult, targetN: Int = 10): Double =
+    if (result.nIntersection < targetN)
+      result.avgPercentile * (result.nIntersection.toDouble / targetN)
+    else result.avgPercentile
+
+  /** unused cutoff budget while nonempty (rank_optimize.py:60-67). */
+  def objTightestNonempty(result: SurvivorResult, cutoffs: Map[String, Int]): Double =
+    if (result.nIntersection == 0) 0.0
+    else cutoffs.size * 100.0 - cutoffs.values.sum
+
+  /** survivors × binding-metric efficiency (rank_optimize.py:70-80). */
+  def objDiversityReward(result: SurvivorResult, cutoffs: Map[String, Int]): Double = {
+    if (result.nIntersection == 0) return 0.0
+    val nActive = cutoffs.values.count(_ < 100)
+    if (nActive == 0) 0.0
+    else result.nIntersection * (result.nBindingMetrics.toDouble / nActive)
+  }
+
+  /** the pareto_efficiency triple (rank_optimize.py:148-157): maximize
+    * survivors, maximize avg quality, minimize mean cutoff. */
+  def objParetoTriple(result: SurvivorResult, cutoffs: Map[String, Int]): (Double, Double, Double) =
+    (result.nIntersection.toDouble, result.avgPercentile,
+      cutoffs.values.sum.toDouble / cutoffs.size)
+
+  /** Deterministic coordinate-descent cutoff search over the reference's
+    * grid (suggest_int(5, 100, step=5), rank_optimize.py:92-101): start
+    * at all-100 (no gate), sweep metrics in sorted-name order, for each
+    * try every grid value holding the others fixed and keep the argmax
+    * (ties prefer the LARGER cutoff — the looser gate), repeat until a
+    * full sweep moves nothing. Fully reproducible: no RNG at all. */
+  def searchCutoffs(
+      metricData: Map[String, Map[String, Option[Double]]],
+      higherIsBetter: Map[String, Boolean],
+      objective: (SurvivorResult, Map[String, Int]) => Double,
+      grid: Seq[Int] = 5 to 100 by 5,
+      maxSweeps: Int = 20): (Map[String, Int], Double) = {
+    val names = metricData.keys.toSeq.sorted
+    var cutoffs = names.map(_ -> 100).toMap
+    def eval(c: Map[String, Int]): Double =
+      objective(survivorAnalysis(metricData, higherIsBetter, c), c)
+    var best = eval(cutoffs)
+    var moved = true
+    var sweeps = 0
+    while (moved && sweeps < maxSweeps) {
+      moved = false
+      for (name <- names) {
+        // descending grid so the tie-break (prefer larger cutoff) is the
+        // first maximum encountered
+        for (v <- grid.sorted.reverse if v != cutoffs(name)) {
+          val cand = cutoffs.updated(name, v)
+          val score = eval(cand)
+          if (score > best) {
+            best = score; cutoffs = cand; moved = true
+          }
+        }
+      }
+      sweeps += 1
+    }
+    (cutoffs, best)
+  }
+
   private def averageRanks(v: Array[Double]): Array[Double] = {
     val idx = v.indices.sortBy(v)
     val ranks = new Array[Double](v.length)

@@ -83,11 +83,20 @@ private[graft] object GateStaging {
     * dir in place and a re-run (Bench after Verify, a second Bench pass)
     * must start from the same pristine state, not from the previous run's
     * appended generations. The copy lives under the staging root, swept
-    * on JVM exit. */
+    * on JVM exit — AND the caller's PREVIOUS workdir is deleted on its
+    * next call (per-thread: every caller fully materializes one
+    * lifecycle before requesting the next, so the predecessor is dead by
+    * then; cross-thread callers never share a slot), so a long sf0.1
+    * session of repeated q130 runs holds at most one live copy per
+    * thread instead of accumulating full index copies until JVM exit
+    * (r14 advice). */
+  private val prevWorkdir = new ThreadLocal[java.nio.file.Path]
   def appendWorkdir(spark: SparkSession, d: String): String = {
     val pristine = appendBasePristineDir(spark, d)
+    Option(prevWorkdir.get()).foreach(StagingRoots.deleteRecursively)
     val work = java.nio.file.Files.createTempDirectory(root, "appendwork_")
     StagingRoots.copyRecursively(java.nio.file.Paths.get(pristine), work)
+    prevWorkdir.set(work)
     work.toString
   }
 

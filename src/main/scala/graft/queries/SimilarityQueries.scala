@@ -1682,7 +1682,7 @@ object SimilarityQueries {
     * balloons makes every probe routed there pay O(cell) verify work and
     * eventually re-creates the mega-cell regime the capped census
     * exists for). `rebuildDue` = the worst cell exceeds `ratio` × the
-    * index's design cell size (targetCell at build time ≈ members/K).
+    * MEDIAN observed cell size.
     * One distributed aggregate over the member table — no driver-side
     * member materialization; cheap enough to poll at maintenance
     * cadence, NOT per batch (it scans the index; [[maintainIndex]]'s
@@ -1699,7 +1699,10 @@ object SimilarityQueries {
       .select(size(col("members")).cast("long").as("n"))
     val row = sizes.agg(max(col("n")).as("mx"),
       expr("approx_percentile(n, 0.5)").cast("double").as("med")).head()
-    (row.getLong(0), row.getDouble(1))
+    // an empty or just-healed index yields zero member rows → both
+    // aggregates NULL; a maintenance-cadence poll must see "balanced"
+    // (no rebuild due), not an NPE (r14 advice)
+    if (row.isNullAt(0)) (0L, 0.0) else (row.getLong(0), row.getDouble(1))
   }
 
   private[graft] def rebuildDue(spark: SparkSession, idx: String,

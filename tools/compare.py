@@ -157,6 +157,10 @@ def main():
     # every failures.json entry must surface as a FAIL row (r14 advice)
     for name in sorted(set(verify_failures) - set(oracle)):
         if name in skip:
+            # a skipped crashed query must still appear in the summary —
+            # mirroring the main loop's SKIP accounting (r14 advice)
+            print(f"SKIP {name} (requested)")
+            n_skip += 1
             continue
         print(f"FAIL {name}: query threw during Verify (no oracle row): "
               f"{verify_failures[name]}")
