@@ -1,0 +1,1040 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** The gen720 MCDM ranking-experiment pack (scripts/
+  * gen720_ranking_experiments.py, 832 LoC — the selection layer a
+  * reference user runs over the WFO fold parquet) plus the gen800
+  * stagnation-first ranking (scripts/gen800_rank.py:5-11) and the
+  * rank_optimize objective layer (scripts/rank_optimize.py:39-88), all
+  * restated as oracle-checked distributed queries.
+  *
+  * Shared data shape — the gen720 FOLD FRAME: the reference's
+  * `{direction}_folds.parquet` keys fold-level metrics by (barrier_id,
+  * symbol, formation, threshold, fold). The synthetic analog slices
+  * `events` the same way: ranked unit `bid` = user_id % 24 (the
+  * barrier-config axis), dimensions `sym` = event_type (the 5-symbol
+  * axis), `fmt`/`thr` = two independent event_id bits (the formation /
+  * threshold axes), folds = 4 contiguous index quartiles per series —
+  * so every method ranks 24 barriers over 5×2×2×4 = 80 fold cells, the
+  * exact (ranked-unit × dims × folds) geometry the reference's methods
+  * consume.
+  *
+  * Scale shape: ONE windowed pass over the fact table builds the fold
+  * frame (partitioned on the 480-series axis); every method after that
+  * is column algebra / tiny grouped aggregates over the O(barriers ×
+  * folds) frame, broadcast-joined where frames meet — the reference
+  * does the same math in numpy over a collected fold parquet. At 100 TB
+  * the fact scan dominates; the selection layer stays O(barriers).
+  *
+  * Cross-engine float discipline (the q68/q120 contract): fold metrics
+  * are rounded at the source (4/6 dp), every aggregate whose summation
+  * order differs across engines (entropy column sums, TOPSIS norms,
+  * PROMETHEE flow sums) is rounded the moment it exists (10 dp), derived
+  * weights at 12 dp, final scores at 6 dp — so both engines run
+  * identical scalar expression trees over identical doubles, and
+  * ORDER-dependent ranks (row_number on score DESC, bid) agree exactly.
+  */
+object McdmQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** The 6-metric fold basis with benefit(+1)/cost(−1) types — the
+    * FOLD_METRICS analog (gen720_ranking_experiments.py:49-50 uses 7
+    * metrics with 2 cost columns; this basis keeps the same
+    * benefit-majority + 2-cost structure over the metrics the engine's
+    * fold frames already compute, q56/q58). */
+  private val Metrics: Seq[(String, Int)] = Seq(
+    ("pf", 1), ("sharpe", 1), ("win_rate", 1), ("total_ret", 1),
+    ("maxdd", -1), ("vol", -1))
+  private val MetricNames = Metrics.map(_._1)
+
+  /** Round-3 stability basis (`:55` STABILITY_METRICS — benefit-only). */
+  private val StabilityMetrics = Seq("pf", "sharpe", "win_rate", "total_ret")
+
+  /** The baseline the agreement census compares against:
+    * equal_weight_topsis_3metric (`:134`, 2 benefit + 1 cost). */
+  private val BaselineMetrics: Seq[(String, Int)] =
+    Seq(("pf", 1), ("sharpe", 1), ("vol", -1))
+
+  private val NBoot = 200 // `:586` n_bootstrap
+  private val Seed = 42L // `:586` seed
+  private val TopK = 10 // `:631` top-10 frequency
+  // multiplicative integer hash standing in for numpy PCG64 (whose bit
+  // stream is not reproducible in SQL): chosen(rep, slot) =
+  // ((rep·F + slot + seed) · 2654435761) mod 2³² mod F — pinned
+  // identically in both engines, which is what "seeded" buys
+  private val HashMul = 2654435761L
+  private val HashMod = 4294967296L
+
+  private val NBid = 24 // barriers ranked (user_id % 24)
+  private val NFolds = 4 // index-quartile folds per series
+
+  // ---------------------------------------------------------------------------
+  // The shared gen720 fold frame: per-(bid, sym, fmt, thr, fold) metrics.
+  // Returns via lag within the (bid, sym, fmt, thr) series; fold = the
+  // within-series index quartile; maxdd from the within-(series, fold)
+  // running cum. Metric rounding: pf/win_rate 4 dp (the q56 E20 contract),
+  // total_ret/sharpe/maxdd/vol 6 dp.
+  private[graft] def foldFrame(spark: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(spark, d)
+    val base = ev.select(
+      concat(lit("b"), lpad((col("user_id") % NBid).cast("string"), 2, "0")).as("bid"),
+      col("event_type").as("sym"),
+      concat(lit("f"), (col("event_id") % 2).cast("string")).as("fmt"),
+      concat(lit("t"), (expr("event_id div 2") % 2).cast("string")).as("thr"),
+      Tables.tsUs(ev).as("ts_us"), col("event_id"), col("value"))
+    val wS = Window.partitionBy(col("bid"), col("sym"), col("fmt"), col("thr"))
+      .orderBy(col("ts_us"), col("event_id"))
+    val rets = base
+      .withColumn("prev", lag(col("value"), 1).over(wS))
+      .filter(col("prev").isNotNull && col("prev") =!= 0.0)
+      .withColumn("r", (col("value") - col("prev")) / col("prev"))
+      .withColumn("idx", row_number().over(wS).cast("long") - 1)
+      .withColumn("n", count(lit(1)).over(
+        Window.partitionBy(col("bid"), col("sym"), col("fmt"), col("thr"))))
+      .withColumn("fold", expr(s"($NFolds * idx) div n"))
+    val wF = Window
+      .partitionBy(col("bid"), col("sym"), col("fmt"), col("thr"), col("fold"))
+      .orderBy(col("ts_us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wins = sum(greatest(col("r"), lit(0.0)))
+    val losses = sum(greatest(-col("r"), lit(0.0)))
+    rets
+      .withColumn("cum", sum(col("r")).over(wF))
+      .withColumn("runmax", max(col("cum")).over(wF))
+      .groupBy(col("bid"), col("sym"), col("fmt"), col("thr"), col("fold"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(when(losses === 0.0, when(wins > 0.0, lit(10.0)).otherwise(lit(null)))
+          .otherwise(least(wins / losses, lit(10.0))), 4).as("pf"),
+        round(count_if(col("r") > 0).cast("double") / count(lit(1)), 4).as("win_rate"),
+        round(sum(col("r")), 6).as("total_ret"),
+        round(coalesce(avg(col("r")) / nullif(stddev_samp(col("r")), lit(0.0)),
+          lit(0.0)), 6).as("sharpe"),
+        round(max(col("runmax") - col("cum")), 6).as("maxdd"),
+        round(coalesce(stddev_samp(col("r")), lit(0.0)), 6).as("vol"))
+      .withColumn("fold_key",
+        concat_ws("|", col("sym"), col("fmt"), col("thr"), col("fold").cast("string")))
+  }
+
+  /** DuckDB twin of [[foldFrame]] — `folds` is MATERIALIZED because the
+    * census query reads it from six method chains (un-materialized, DuckDB
+    * would replay the window pass per reference). */
+  private val duckFoldsCte: String =
+    s"""ev AS (
+       |  SELECT 'b' || lpad((user_id % $NBid)::VARCHAR, 2, '0') AS bid,
+       |    event_type AS sym,
+       |    'f' || (event_id % 2)::VARCHAR AS fmt,
+       |    't' || ((event_id // 2) % 2)::VARCHAR AS thr,
+       |    epoch_us(ts) AS ts_us, event_id, value
+       |  FROM events),
+       |r0 AS (
+       |  SELECT bid, sym, fmt, thr, ts_us, event_id,
+       |    (value - prev) / prev AS r
+       |  FROM (
+       |    SELECT *, lag(value) OVER (PARTITION BY bid, sym, fmt, thr
+       |      ORDER BY ts_us, event_id) AS prev
+       |    FROM ev)
+       |  WHERE prev IS NOT NULL AND prev <> 0),
+       |ix AS (
+       |  SELECT *, row_number() OVER (PARTITION BY bid, sym, fmt, thr
+       |      ORDER BY ts_us, event_id) - 1 AS idx,
+       |    count(*) OVER (PARTITION BY bid, sym, fmt, thr) AS n
+       |  FROM r0),
+       |fx AS (
+       |  SELECT bid, sym, fmt, thr, ($NFolds * idx) // n AS fold,
+       |    ts_us, event_id, r
+       |  FROM ix),
+       |cum0 AS (
+       |  SELECT *, sum(r) OVER w AS cum
+       |  FROM fx
+       |  WINDOW w AS (PARTITION BY bid, sym, fmt, thr, fold
+       |    ORDER BY ts_us, event_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+       |cums AS (
+       |  SELECT *, max(cum) OVER w AS runmax
+       |  FROM cum0
+       |  WINDOW w AS (PARTITION BY bid, sym, fmt, thr, fold
+       |    ORDER BY ts_us, event_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+       |folds AS MATERIALIZED (
+       |  SELECT bid, sym, fmt, thr, fold,
+       |    sym || '|' || fmt || '|' || thr || '|' || fold::VARCHAR AS fold_key,
+       |    count(*) AS n,
+       |    round(CASE WHEN sum(greatest(-r, 0.0)) = 0.0
+       |      THEN CASE WHEN sum(greatest(r, 0.0)) > 0.0 THEN 10.0 END
+       |      ELSE least(sum(greatest(r, 0.0)) / sum(greatest(-r, 0.0)), 10.0)
+       |    END, 4) AS pf,
+       |    round(count(*) FILTER (WHERE r > 0)::DOUBLE / count(*), 4) AS win_rate,
+       |    round(sum(r), 6) AS total_ret,
+       |    round(coalesce(avg(r) / nullif(stddev_samp(r), 0.0), 0.0), 6) AS sharpe,
+       |    round(max(runmax - cum), 6) AS maxdd,
+       |    round(coalesce(stddev_samp(r), 0.0), 6) AS vol
+       |  FROM cums GROUP BY bid, sym, fmt, thr, fold)""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // Barrier medians (the `barrier_medians` shared infrastructure, `:98-105`):
+  // per-bid median of each metric across ALL fold cells, then the
+  // finite-row mask (`:252-254` — drop barriers with any non-finite
+  // median). A constant rep column keys the generic per-group method
+  // machinery (the bootstrap runs the same chains per resample rep).
+  private def barrierMedians(folds: DataFrame): DataFrame = {
+    val aggs = MetricNames.map(m =>
+      round(expr(s"percentile($m, 0.5D)"), 8).as(s"med_$m"))
+    folds.groupBy(col("bid")).agg(aggs.head, aggs.tail: _*)
+      .filter(MetricNames.map(m => col(s"med_$m").isNotNull).reduce(_ && _))
+      .withColumn("rep", lit(0L))
+  }
+
+  private val duckMedCte: String = {
+    val meds = MetricNames.map(m =>
+      s"round(quantile_cont($m, 0.5), 8) AS med_$m").mkString(",\n    ")
+    val mask = MetricNames.map(m => s"med_$m IS NOT NULL").mkString(" AND ")
+    s"""med AS (
+       |  SELECT bid,
+       |    $meds
+       |  FROM folds GROUP BY bid),
+       |medf AS (SELECT *, 0 AS rep FROM med WHERE $mask)""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------------
+  // Generic per-rep entropy weights (`:213-240`): min-max normalize the
+  // median matrix, shift 1e-10, column proportions, Shannon entropy with
+  // k = 1/ln(n), weight = divergence/Σdivergence (equal when Σ = 0).
+  // Order-dependent aggregates (column sums, entropy sums) round at 10 dp,
+  // weights at 12 dp — identical inputs to TOPSIS in both engines.
+  private def entropyWeightsFrame(medians: DataFrame): DataFrame = {
+    val boundAggs = MetricNames.flatMap(m => Seq(
+      min(col(s"med_$m")).as(s"mn_$m"), max(col(s"med_$m")).as(s"mx_$m")))
+    val bounds = medians.groupBy(col("rep")).agg(boundAggs.head, boundAggs.tail: _*)
+    def nm(m: String): Column = {
+      val rng = col(s"mx_$m") - col(s"mn_$m")
+      (col(s"med_$m") - col(s"mn_$m")) / when(rng === 0.0, 1.0).otherwise(rng) +
+        lit(1e-10)
+    }
+    val normed = medians.join(broadcast(bounds), "rep")
+      .select(col("rep") +: col("bid") +: MetricNames.map(m => nm(m).as(s"nm_$m")): _*)
+    val csAggs = MetricNames.map(m =>
+      round(sum(col(s"nm_$m")), 10).as(s"cs_$m")) :+
+      count(lit(1)).cast("double").as("nb")
+    val colsums = normed.groupBy(col("rep")).agg(csAggs.head, csAggs.tail: _*)
+    val entAggs = MetricNames.map { m =>
+      val p = col(s"nm_$m") / col(s"cs_$m")
+      round(-sum(p * log(p)) / log(any_value(col("nb"))), 10).as(s"ent_$m")
+    }
+    val ent = normed.join(broadcast(colsums), "rep")
+      .groupBy(col("rep")).agg(entAggs.head, entAggs.tail: _*)
+    val total = MetricNames.map(m => lit(1.0) - col(s"ent_$m")).reduce(_ + _)
+    ent.select(col("rep") +: MetricNames.map { m =>
+      round(when(total === 0.0, lit(1.0 / MetricNames.size))
+        .otherwise((lit(1.0) - col(s"ent_$m")) / total), 12).as(s"w_$m")
+    }: _*)
+  }
+
+  /** CTEs `${p}b/${p}n/${p}c/${p}e/${p}w` — entropy weights per rep from
+    * `$src(rep, bid, med_*)`; the chain ends in `${p}w(rep, w_*)`. */
+  private def entropySqlChain(p: String, src: String): String = {
+    val mins = MetricNames.map(m =>
+      s"min(med_$m) AS mn_$m, max(med_$m) AS mx_$m").mkString(", ")
+    val nms = MetricNames.map(m =>
+      s"(med_$m - mn_$m) / (CASE WHEN mx_$m - mn_$m = 0 THEN 1.0 " +
+        s"ELSE mx_$m - mn_$m END) + 1e-10 AS nm_$m").mkString(",\n    ")
+    val css = MetricNames.map(m => s"round(sum(nm_$m), 10) AS cs_$m").mkString(", ")
+    val ents = MetricNames.map(m =>
+      s"round(-sum((nm_$m / cs_$m) * ln(nm_$m / cs_$m)) / ln(any_value(nb)), 10)" +
+        s" AS ent_$m").mkString(",\n    ")
+    val tot = MetricNames.map(m => s"(1.0 - ent_$m)").mkString(" + ")
+    val ws = MetricNames.map(m =>
+      s"round(CASE WHEN $tot = 0 THEN ${1.0 / MetricNames.size} " +
+        s"ELSE (1.0 - ent_$m) / ($tot) END, 12) AS w_$m").mkString(",\n    ")
+    s"""${p}b AS (SELECT rep, $mins FROM $src GROUP BY rep),
+       |${p}n AS (
+       |  SELECT rep, bid,
+       |    $nms
+       |  FROM $src JOIN ${p}b USING (rep)),
+       |${p}c AS (SELECT rep, $css, count(*)::DOUBLE AS nb FROM ${p}n GROUP BY rep),
+       |${p}e AS (
+       |  SELECT rep,
+       |    $ents
+       |  FROM ${p}n JOIN ${p}c USING (rep) GROUP BY rep),
+       |${p}w AS (
+       |  SELECT rep,
+       |    $ws
+       |  FROM ${p}e)""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------------
+  // Generic per-rep TOPSIS (`topsis_rank`, eval/ranking.py:333-368 — the
+  // same semantics eval/Ranking.topsis pins): L2 column norms (10 dp),
+  // weighted normalized matrix, ideal/nadir per type, closeness =
+  // dNadir/(dIdeal+dNadir) rounded 6 dp.
+  private def topsisScores(medians: DataFrame, weights: DataFrame,
+      metrics: Seq[(String, Int)]): DataFrame = {
+    val names = metrics.map(_._1)
+    val normAggs = names.map(m =>
+      round(sqrt(sum(col(s"med_$m") * col(s"med_$m"))), 10).as(s"nrm_$m"))
+    val norms = medians.groupBy(col("rep")).agg(normAggs.head, normAggs.tail: _*)
+    def v(m: String): Column =
+      col(s"med_$m") / when(col(s"nrm_$m") === 0.0, 1.0).otherwise(col(s"nrm_$m")) *
+        col(s"w_$m")
+    val wtd = medians.join(broadcast(norms), "rep").join(broadcast(weights), "rep")
+      .select(col("rep") +: col("bid") +: names.map(m => v(m).as(s"v_$m")): _*)
+    val bAggs = metrics.flatMap { case (m, t) =>
+      if (t == 1) Seq(max(col(s"v_$m")).as(s"i_$m"), min(col(s"v_$m")).as(s"a_$m"))
+      else Seq(min(col(s"v_$m")).as(s"i_$m"), max(col(s"v_$m")).as(s"a_$m"))
+    }
+    val bounds = wtd.groupBy(col("rep")).agg(bAggs.head, bAggs.tail: _*)
+    def sq(c: Column) = c * c
+    val di = sqrt(names.map(m => sq(col(s"v_$m") - col(s"i_$m"))).reduce(_ + _))
+    val dn = sqrt(names.map(m => sq(col(s"v_$m") - col(s"a_$m"))).reduce(_ + _))
+    wtd.join(broadcast(bounds), "rep")
+      .select(col("rep"), col("bid"),
+        round(when(di + dn === 0.0, 0.0).otherwise(dn / (di + dn)), 6).as("score"))
+  }
+
+  /** CTEs `${p}m/${p}v/${p}x/${p}s` — TOPSIS per rep over
+    * `$medSrc(rep, bid, med_*)` weighted by `$wSrc(rep, w_*)`; ends in
+    * `${p}s(rep, bid, score)`. */
+  private def topsisSqlChain(p: String, medSrc: String, wSrc: String,
+      metrics: Seq[(String, Int)]): String = {
+    val names = metrics.map(_._1)
+    val nrms = names.map(m =>
+      s"round(sqrt(sum(med_$m * med_$m)), 10) AS nrm_$m").mkString(", ")
+    val vs = names.map(m =>
+      s"med_$m / (CASE WHEN nrm_$m = 0 THEN 1.0 ELSE nrm_$m END) * w_$m AS v_$m")
+      .mkString(",\n    ")
+    val bs = metrics.map { case (m, t) =>
+      if (t == 1) s"max(v_$m) AS i_$m, min(v_$m) AS a_$m"
+      else s"min(v_$m) AS i_$m, max(v_$m) AS a_$m"
+    }.mkString(",\n    ")
+    val di = names.map(m => s"(v_$m - i_$m) * (v_$m - i_$m)").mkString(" + ")
+    val dn = names.map(m => s"(v_$m - a_$m) * (v_$m - a_$m)").mkString(" + ")
+    s"""${p}m AS (SELECT rep, $nrms FROM $medSrc GROUP BY rep),
+       |${p}v AS (
+       |  SELECT rep, bid,
+       |    $vs
+       |  FROM $medSrc JOIN ${p}m USING (rep) JOIN $wSrc USING (rep)),
+       |${p}x AS (
+       |  SELECT rep,
+       |    $bs
+       |  FROM ${p}v GROUP BY rep),
+       |${p}s AS (
+       |  SELECT rep, bid,
+       |    round(CASE WHEN sqrt($di) + sqrt($dn) = 0 THEN 0.0
+       |      ELSE sqrt($dn) / (sqrt($di) + sqrt($dn)) END, 6) AS score
+       |  FROM ${p}v JOIN ${p}x USING (rep))""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------------
+  // q131 — Round 1: entropy-weighted TOPSIS on fold-level barrier medians
+  // (`:242-287`). Ranks over the 6-metric median matrix with
+  // entropy-derived weights; output carries the medians the reference's
+  // ranking entries embed (`:144-165`).
+  def q131EntropyTopsis(spark: SparkSession, d: String): DataFrame = {
+    val med = barrierMedians(foldFrame(spark, d))
+    val s = topsisScores(med, entropyWeightsFrame(med), Metrics)
+    med.join(s, Seq("rep", "bid"))
+      // partitionless rank window: O(barriers) frame (24 rows), bounded
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("score").desc, col("bid"))))
+      .select(col("bid") +: MetricNames.map(m => col(s"med_$m")) :+
+        col("score") :+ col("rank"): _*)
+      .orderBy(col("rank"))
+  }
+
+  val q131Sql: String = {
+    val medCols = MetricNames.map(m => s"med_$m").mkString(", ")
+    s"""WITH $duckFoldsCte,
+       |$duckMedCte,
+       |${entropySqlChain("e1", "medf")},
+       |${topsisSqlChain("t1", "medf", "e1w", Metrics)}
+       |SELECT bid, $medCols, score,
+       |  row_number() OVER (ORDER BY score DESC, bid) AS rank
+       |FROM medf JOIN t1s USING (rep, bid) ORDER BY rank""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------------
+  // q132 — Round 2: PROMETHEE-II net flows (`:295-404`): pairwise
+  // differences of the type-adjusted median matrix through a linear
+  // (Type V) preference function with q = 0, p = range/4 (range-0 columns
+  // → p = 1), equal criterion weights; net flow = (Σ outgoing − Σ
+  // incoming)/(n−1). The pairwise stage is the O(n²) self-join over the
+  // O(barriers) frame — 24×23 pairs, the same driver-scale math the
+  // reference does in numpy (the q71 knee precedent).
+  private def prometheeScoresFrom(med: DataFrame): DataFrame = {
+    val rngAggs = MetricNames.map(m =>
+      (max(col(s"med_$m")) - min(col(s"med_$m"))).as(s"rng_$m"))
+    val rng = med.groupBy(col("rep")).agg(rngAggs.head, rngAggs.tail: _*)
+    val a = med.select(col("rep") +: col("bid").as("abid") +:
+      Metrics.map { case (m, t) => (col(s"med_$m") * t).as(s"a_$m") }: _*)
+    val b = med.select(col("rep") +: col("bid").as("bbid") +:
+      Metrics.map { case (m, t) => (col(s"med_$m") * t).as(s"b_$m") }: _*)
+    val prefTerms = MetricNames.map { m =>
+      val p = when(col(s"rng_$m") / 4.0 === 0.0, 1.0).otherwise(col(s"rng_$m") / 4.0)
+      least(lit(1.0), greatest(lit(0.0), (col(s"a_$m") - col(s"b_$m")) / p))
+    }
+    val pi = prefTerms.reduce(_ + _) / MetricNames.size
+    val pairs = a.join(b, Seq("rep")).filter(col("abid") =!= col("bbid"))
+      .join(broadcast(rng), "rep")
+      .select(col("rep"), col("abid"), col("bbid"), pi.as("pi"))
+    val nbar = med.groupBy(col("rep")).agg(count(lit(1)).cast("double").as("nb"))
+    val plus = pairs.groupBy(col("rep"), col("abid"))
+      .agg(round(sum(col("pi")), 10).as("sp")).withColumnRenamed("abid", "bid")
+    val minus = pairs.groupBy(col("rep"), col("bbid"))
+      .agg(round(sum(col("pi")), 10).as("sm")).withColumnRenamed("bbid", "bid")
+    plus.join(minus, Seq("rep", "bid")).join(broadcast(nbar), "rep")
+      .select(col("rep"), col("bid"),
+        round(col("sp") / (col("nb") - 1), 10).as("phi_plus"),
+        round(col("sm") / (col("nb") - 1), 10).as("phi_minus"))
+      .withColumn("net_flow", round(col("phi_plus") - col("phi_minus"), 6))
+  }
+
+  def q132Promethee(spark: SparkSession, d: String): DataFrame =
+    prometheeScoresFrom(barrierMedians(foldFrame(spark, d)))
+      // partitionless rank window: O(barriers) frame, bounded
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("net_flow").desc, col("bid"))))
+      .select(col("bid"), round(col("phi_plus"), 6).as("phi_plus"),
+        round(col("phi_minus"), 6).as("phi_minus"), col("net_flow"), col("rank"))
+      .orderBy(col("rank"))
+
+  /** CTEs `${p}r/${p}p/${p}pl/${p}mi/${p}n/${p}f` ending in
+    * `${p}f(rep, bid, phi_plus, phi_minus, net_flow)`. */
+  private def prometheeSqlChain(p: String, src: String): String = {
+    val rngs = MetricNames.map(m =>
+      s"max(med_$m) - min(med_$m) AS rng_$m").mkString(", ")
+    val terms = Metrics.map { case (m, t) =>
+      s"least(1.0, greatest(0.0, (($t) * (a.med_$m - b.med_$m)) / " +
+        s"(CASE WHEN rng_$m / 4.0 = 0 THEN 1.0 ELSE rng_$m / 4.0 END)))"
+    }.mkString("\n      + ")
+    s"""${p}r AS (SELECT rep, $rngs FROM $src GROUP BY rep),
+       |${p}p AS (
+       |  SELECT a.rep, a.bid AS abid, b.bid AS bbid,
+       |    ($terms) / ${MetricNames.size}.0 AS pi
+       |  FROM $src a JOIN $src b ON a.rep = b.rep AND a.bid <> b.bid
+       |  JOIN ${p}r ON ${p}r.rep = a.rep),
+       |${p}pl AS (SELECT rep, abid AS bid, round(sum(pi), 10) AS sp
+       |  FROM ${p}p GROUP BY rep, abid),
+       |${p}mi AS (SELECT rep, bbid AS bid, round(sum(pi), 10) AS sm
+       |  FROM ${p}p GROUP BY rep, bbid),
+       |${p}n AS (SELECT rep, count(*)::DOUBLE AS nb FROM $src GROUP BY rep),
+       |${p}f AS (
+       |  SELECT rep, bid,
+       |    round(sp / (nb - 1), 10) AS phi_plus,
+       |    round(sm / (nb - 1), 10) AS phi_minus,
+       |    round(round(sp / (nb - 1), 10) - round(sm / (nb - 1), 10), 6) AS net_flow
+       |  FROM ${p}pl JOIN ${p}mi USING (rep, bid) JOIN ${p}n USING (rep))""".stripMargin
+  }
+
+  val q132Sql: String =
+    s"""WITH $duckFoldsCte,
+       |$duckMedCte,
+       |${prometheeSqlChain("p2", "medf")}
+       |SELECT bid, round(phi_plus, 6) AS phi_plus, round(phi_minus, 6) AS phi_minus,
+       |  net_flow,
+       |  row_number() OVER (ORDER BY net_flow DESC, bid) AS rank
+       |FROM p2f ORDER BY rank""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // q133 — Round 3: stability-weighted composite (`:412-478`): per-barrier
+  // median and std per stability metric, CV = std/|median| (capped at 10
+  // when |median| ≤ 1e-10), raw = median × 1/(1+CV), min-max normalize per
+  // metric across barriers (range ≤ 1e-10 → zeros), score = Σ normed. "A
+  // consistent PF=1.08 beats a volatile PF=1.15."
+  private def stabilityScoresFrom(folds: DataFrame): DataFrame = {
+    val aggs = StabilityMetrics.flatMap(m => Seq(
+      round(expr(s"percentile($m, 0.5D)"), 8).as(s"med_$m"),
+      round(stddev_samp(col(m)), 8).as(s"sd_$m")))
+    val st = folds.groupBy(col("bid")).agg(aggs.head, aggs.tail: _*)
+    def raw(m: String): Column = {
+      val cv = when(abs(col(s"med_$m")) > 1e-10,
+        col(s"sd_$m") / abs(col(s"med_$m"))).otherwise(lit(10.0))
+      round(col(s"med_$m") * (lit(1.0) / (lit(1.0) + cv)), 10)
+    }
+    val rawDf = st.select(col("bid") +:
+      StabilityMetrics.map(m => raw(m).as(s"raw_$m")): _*)
+    val bAggs = StabilityMetrics.flatMap(m => Seq(
+      min(col(s"raw_$m")).as(s"mn_$m"), max(col(s"raw_$m")).as(s"mx_$m")))
+    val bounds = rawDf.agg(bAggs.head, bAggs.tail: _*)
+    def normed(m: String): Column = {
+      val rng = col(s"mx_$m") - col(s"mn_$m")
+      when(rng > 1e-10, (col(s"raw_$m") - col(s"mn_$m")) / rng).otherwise(lit(0.0))
+    }
+    rawDf.crossJoin(broadcast(bounds))
+      .select(col("bid") +:
+        StabilityMetrics.map(m => round(normed(m), 10).as(s"s_$m")): _*)
+      .withColumn("score",
+        round(StabilityMetrics.map(m => col(s"s_$m")).reduce(_ + _), 6))
+      .filter(col("score").isNotNull) // the `:448` finite mask
+  }
+
+  def q133StabilityRank(spark: SparkSession, d: String): DataFrame =
+    stabilityScoresFrom(foldFrame(spark, d))
+      // partitionless rank window: O(barriers) frame, bounded
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("score").desc, col("bid"))))
+      .select(col("bid") +: StabilityMetrics.map(m => col(s"s_$m")) :+
+        col("score") :+ col("rank"): _*)
+      .orderBy(col("rank"))
+
+  /** CTEs `${p}st/${p}raw/${p}b/${p}nm/${p}f` ending in
+    * `${p}f(bid, s_*, score)`. */
+  private def stabilitySqlChain(p: String): String = {
+    val sm = StabilityMetrics
+    val sts = sm.map(m =>
+      s"round(quantile_cont($m, 0.5), 8) AS med_$m, " +
+        s"round(stddev_samp($m), 8) AS sd_$m").mkString(",\n    ")
+    val raws = sm.map(m =>
+      s"round(med_$m * (1.0 / (1.0 + CASE WHEN abs(med_$m) > 1e-10 " +
+        s"THEN sd_$m / abs(med_$m) ELSE 10.0 END)), 10) AS raw_$m")
+      .mkString(",\n    ")
+    val bs = sm.map(m => s"min(raw_$m) AS mn_$m, max(raw_$m) AS mx_$m").mkString(", ")
+    val nms = sm.map(m =>
+      s"round(CASE WHEN mx_$m - mn_$m > 1e-10 " +
+        s"THEN (raw_$m - mn_$m) / (mx_$m - mn_$m) ELSE 0.0 END, 10) AS s_$m")
+      .mkString(",\n    ")
+    val sumExpr = sm.map(m => s"s_$m").mkString(" + ")
+    s"""${p}st AS (
+       |  SELECT bid,
+       |    $sts
+       |  FROM folds GROUP BY bid),
+       |${p}raw AS (
+       |  SELECT bid,
+       |    $raws
+       |  FROM ${p}st),
+       |${p}b AS (SELECT $bs FROM ${p}raw),
+       |${p}nm AS (
+       |  SELECT bid,
+       |    $nms
+       |  FROM ${p}raw, ${p}b),
+       |${p}f AS (
+       |  SELECT bid, ${sm.map(m => s"s_$m").mkString(", ")},
+       |    round($sumExpr, 6) AS score
+       |  FROM ${p}nm
+       |  WHERE round($sumExpr, 6) IS NOT NULL)""".stripMargin
+  }
+
+  val q133Sql: String = {
+    val sCols = StabilityMetrics.map(m => s"s_$m").mkString(", ")
+    s"""WITH $duckFoldsCte,
+       |${stabilitySqlChain("s3")}
+       |SELECT bid, $sCols, score,
+       |  row_number() OVER (ORDER BY score DESC, bid) AS rank
+       |FROM s3f ORDER BY rank""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------------
+  // q134 — Round 4: cross-consistency / universality (`:486-578`): per
+  // (barrier, dimension value) median PF, fraction of dimension values
+  // with median PF > 1 per barrier across the symbol / formation /
+  // threshold axes, score = geometric mean of the three fractions with
+  // an 1e-6 zero clamp (`:539-540`).
+  private def universalityFrom(folds: DataFrame): DataFrame = {
+    def frac(dim: String, alias: String): DataFrame =
+      folds.groupBy(col("bid"), col(dim))
+        .agg(round(expr("percentile(pf, 0.5D)"), 8).as("pm"))
+        .withColumn("above1",
+          when(col("pm").isNotNull, (col("pm") > 1.0).cast("int")))
+        .groupBy(col("bid"))
+        .agg((sum(col("above1")).cast("double") / count(col("above1"))).as(alias))
+    frac("sym", "symbol_fraction")
+      .join(frac("fmt", "formation_fraction"), "bid")
+      .join(frac("thr", "threshold_fraction"), "bid")
+      .withColumn("score", round(cbrt(
+        greatest(col("symbol_fraction"), lit(1e-6)) *
+          greatest(col("formation_fraction"), lit(1e-6)) *
+          greatest(col("threshold_fraction"), lit(1e-6))), 6))
+  }
+
+  def q134Universality(spark: SparkSession, d: String): DataFrame =
+    universalityFrom(foldFrame(spark, d))
+      // partitionless rank window: O(barriers) frame, bounded
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("score").desc, col("bid"))))
+      .select(col("bid"),
+        round(col("symbol_fraction"), 6).as("symbol_fraction"),
+        round(col("formation_fraction"), 6).as("formation_fraction"),
+        round(col("threshold_fraction"), 6).as("threshold_fraction"),
+        col("score"), col("rank"))
+      .orderBy(col("rank"))
+
+  /** CTEs ending in `${p}f(bid, symbol_fraction, formation_fraction,
+    * threshold_fraction, score)`. */
+  private def universalitySqlChain(p: String): String = {
+    def fracCte(name: String, dim: String): String =
+      s"""${p}$name AS (
+         |  SELECT bid, sum(above1)::DOUBLE / count(above1) AS frac
+         |  FROM (
+         |    SELECT bid, CASE WHEN pm IS NOT NULL
+         |      THEN CASE WHEN pm > 1.0 THEN 1 ELSE 0 END END AS above1
+         |    FROM (SELECT bid, $dim, round(quantile_cont(pf, 0.5), 8) AS pm
+         |          FROM folds GROUP BY bid, $dim))
+         |  GROUP BY bid)""".stripMargin
+    s"""${fracCte("sy", "sym")},
+       |${fracCte("fm", "fmt")},
+       |${fracCte("th", "thr")},
+       |${p}f AS (
+       |  SELECT s.bid, s.frac AS symbol_fraction, f.frac AS formation_fraction,
+       |    t.frac AS threshold_fraction,
+       |    round(cbrt(greatest(s.frac, 1e-6) * greatest(f.frac, 1e-6)
+       |      * greatest(t.frac, 1e-6)), 6) AS score
+       |  FROM ${p}sy s JOIN ${p}fm f ON f.bid = s.bid
+       |  JOIN ${p}th t ON t.bid = s.bid)""".stripMargin
+  }
+
+  val q134Sql: String =
+    s"""WITH $duckFoldsCte,
+       |${universalitySqlChain("u4")}
+       |SELECT bid, round(symbol_fraction, 6) AS symbol_fraction,
+       |  round(formation_fraction, 6) AS formation_fraction,
+       |  round(threshold_fraction, 6) AS threshold_fraction, score,
+       |  row_number() OVER (ORDER BY score DESC, bid) AS rank
+       |FROM u4f ORDER BY rank""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // q135 — Round 5: bootstrap rank stability (`:586-668`): resample fold
+  // ids with replacement NBoot times (the reference filters with `is_in`,
+  // so a rep's sample is the DISTINCT set of drawn fold ids — reproduced
+  // exactly), rerun entropy-weighted TOPSIS per rep on the resampled
+  // per-barrier medians, count top-10 appearances, score = frequency.
+  // The resample RNG is the pinned multiplicative hash (seed 42 folded
+  // in) — identical in both engines; numpy's PCG64 bit stream is not
+  // SQL-reproducible and the method's semantics don't depend on it.
+  private def bootstrapRanksFrom(spark: SparkSession, folds: DataFrame): DataFrame = {
+    val fk = folds.select(col("fold_key")).distinct()
+      // partitionless index window: O(fold cells) frame (80 rows), bounded
+      .withColumn("fidx",
+        row_number().over(Window.orderBy(col("fold_key"))).cast("long") - 1)
+    val fc = fk.agg(count(lit(1)).as("f"))
+    val chosen = spark.range(NBoot).select(col("id").as("rep"))
+      .crossJoin(fk.select(col("fidx").as("slot")))
+      .crossJoin(broadcast(fc))
+      .select(col("rep"),
+        (((col("rep") * col("f") + col("slot") + lit(Seed)) * lit(HashMul))
+          % lit(HashMod) % col("f")).as("cidx"))
+      .distinct()
+    val rs = chosen.join(broadcast(fk), chosen("cidx") === fk("fidx"))
+      .select(col("rep"), col("fold_key"))
+      .join(folds, "fold_key")
+    val mAggs = MetricNames.map(m =>
+      round(expr(s"percentile($m, 0.5D)"), 8).as(s"med_$m"))
+    val rmed = rs.groupBy(col("rep"), col("bid")).agg(mAggs.head, mAggs.tail: _*)
+      .filter(MetricNames.map(m => col(s"med_$m").isNotNull).reduce(_ && _))
+    val ranked = topsisScores(rmed, entropyWeightsFrame(rmed), Metrics)
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("rep")).orderBy(col("score").desc, col("bid"))))
+    val counts = ranked.filter(col("rnk") <= TopK).groupBy(col("bid"))
+      .agg(count(lit(1)).as("top10_count"))
+    folds.select(col("bid")).distinct()
+      .join(counts, Seq("bid"), "left")
+      .na.fill(0L, Seq("top10_count"))
+      .withColumn("freq", round(col("top10_count") / lit(NBoot.toDouble), 6))
+      // partitionless rank window: O(barriers) frame, bounded
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("top10_count").desc, col("bid"))))
+  }
+
+  def q135BootstrapRank(spark: SparkSession, d: String): DataFrame =
+    bootstrapRanksFrom(spark, foldFrame(spark, d))
+      .select(col("bid"), col("top10_count"), col("freq"), col("rank"))
+      .orderBy(col("rank"))
+
+  /** CTEs ending in `${p}out(bid, top10_count, freq, rank)`. */
+  private def bootstrapSqlChain(p: String): String = {
+    val meds = MetricNames.map(m =>
+      s"round(quantile_cont($m, 0.5), 8) AS med_$m").mkString(",\n    ")
+    val mask = MetricNames.map(m => s"med_$m IS NOT NULL").mkString(" AND ")
+    s"""${p}fk AS (
+       |  SELECT fold_key, row_number() OVER (ORDER BY fold_key) - 1 AS fidx
+       |  FROM (SELECT DISTINCT fold_key FROM folds)),
+       |${p}fc AS (SELECT count(*) AS f FROM ${p}fk),
+       |${p}ch AS (
+       |  SELECT DISTINCT rep,
+       |    ((rep * f + fidx + $Seed) * $HashMul) % $HashMod % f AS cidx
+       |  FROM (SELECT unnest(range($NBoot)) AS rep), ${p}fk, ${p}fc),
+       |${p}rs AS (
+       |  SELECT c.rep, fo.*
+       |  FROM ${p}ch c JOIN ${p}fk k ON k.fidx = c.cidx
+       |  JOIN folds fo ON fo.fold_key = k.fold_key),
+       |${p}md AS (
+       |  SELECT rep, bid,
+       |    $meds
+       |  FROM ${p}rs GROUP BY rep, bid),
+       |${p}mf AS (SELECT * FROM ${p}md WHERE $mask),
+       |${entropySqlChain(s"${p}e", s"${p}mf")},
+       |${topsisSqlChain(s"${p}t", s"${p}mf", s"${p}ew", Metrics)},
+       |${p}rk AS (
+       |  SELECT rep, bid,
+       |    row_number() OVER (PARTITION BY rep ORDER BY score DESC, bid) AS rnk
+       |  FROM ${p}ts),
+       |${p}ct AS (
+       |  SELECT bid, count(*) AS top10_count
+       |  FROM ${p}rk WHERE rnk <= $TopK GROUP BY bid),
+       |${p}out AS (
+       |  SELECT b.bid, coalesce(c.top10_count, 0) AS top10_count,
+       |    round(coalesce(c.top10_count, 0) / $NBoot.0, 6) AS freq,
+       |    row_number() OVER (ORDER BY coalesce(c.top10_count, 0) DESC, b.bid)
+       |      AS rank
+       |  FROM (SELECT DISTINCT bid FROM folds) b
+       |  LEFT JOIN ${p}ct c ON c.bid = b.bid)""".stripMargin
+  }
+
+  val q135Sql: String =
+    s"""WITH $duckFoldsCte,
+       |${bootstrapSqlChain("q5")}
+       |SELECT bid, top10_count, freq, rank FROM q5out ORDER BY rank""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // q136 — the rank-agreement census every gen720 round emits
+  // (`compare_to_baseline`, `:108-142` + the cross-round matrix
+  // `:676-742`): per method vs the equal-weight 3-metric TOPSIS baseline
+  // — Kendall tau (tie-free rankings, so tau-b ≡ (C−D)/n₀), Spearman rho
+  // (the closed form over rank permutations), top-10 Jaccard, rank-1
+  // agreement. eval/Ranking.kendallTau is the library twin (golden-
+  // pinned); here the census itself is oracle-checked.
+  def q136RankAgreement(spark: SparkSession, d: String): DataFrame = {
+    // one shared fold frame across the six method chains (each is a
+    // different grouping of the same 1,920-cell frame)
+    val folds = foldFrame(spark, d).cache()
+    val med = barrierMedians(folds)
+    def ranksOf(scored: DataFrame, scoreCol: String): DataFrame =
+      scored.withColumn("rnk",
+        // partitionless rank window: O(barriers) frame, bounded
+        row_number().over(Window.orderBy(col(scoreCol).desc, col("bid"))))
+        .select(col("bid"), col("rnk"))
+    val baselineW = med.select(col("rep")).distinct()
+      .select(col("rep") +: BaselineMetrics.map { case (m, _) =>
+        lit(1.0 / 3).as(s"w_$m") }: _*)
+    val baseline = ranksOf(topsisScores(med, baselineW, BaselineMetrics), "score")
+    val methods = Seq(
+      ("bootstrap_stability",
+        bootstrapRanksFrom(spark, folds).select(col("bid"), col("rank").as("rnk"))),
+      ("cross_consistency", ranksOf(universalityFrom(folds), "score")),
+      ("entropy_topsis",
+        ranksOf(topsisScores(med, entropyWeightsFrame(med), Metrics), "score")),
+      ("promethee_ii", ranksOf(prometheeScoresFrom(med), "net_flow")),
+      ("stability_weighted", ranksOf(stabilityScoresFrom(folds), "score")))
+    val tagged = methods.map { case (name, df) =>
+      df.withColumn("method", lit(name)) }.reduce(_ unionByName _)
+    val mb = tagged
+      .join(broadcast(baseline.select(col("bid"), col("rnk").as("rb"))), "bid")
+    val agg1 = mb.groupBy(col("method")).agg(
+      count(lit(1)).cast("double").as("n"),
+      sum((col("rnk") - col("rb")) * (col("rnk") - col("rb"))).cast("double").as("sd2"),
+      count(when(col("rnk") <= 10 && col("rb") <= 10, 1)).cast("double").as("inter"),
+      count(when(col("rnk") <= 10 || col("rb") <= 10, 1)).cast("double").as("uni"),
+      max(when(col("rnk") === 1 && col("rb") === 1, 1).otherwise(0))
+        .as("rank1_agreement"))
+    val x = mb.select(col("method"), col("bid"), col("rnk"), col("rb"))
+    val y = mb.select(col("method").as("ym"), col("bid").as("ybid"),
+      col("rnk").as("yrnk"), col("rb").as("yrb"))
+    val tau = x.join(y, col("method") === col("ym") && col("bid") < col("ybid"))
+      .select(col("method"),
+        (signum((col("rnk") - col("yrnk")).cast("double")) *
+          signum((col("rb") - col("yrb")).cast("double"))).as("sgn"))
+      .groupBy(col("method"))
+      .agg(round(sum(col("sgn")) / count(lit(1)), 4).as("kendall_tau"))
+    agg1.join(tau, "method")
+      .select(col("method"), col("kendall_tau"),
+        round(lit(1.0) - lit(6.0) * col("sd2") /
+          (col("n") * (col("n") * col("n") - 1.0)), 4).as("spearman_rho"),
+        round(col("inter") / col("uni"), 4).as("top10_jaccard"),
+        col("rank1_agreement"))
+      .orderBy(col("method"))
+  }
+
+  val q136Sql: String = {
+    val blw = BaselineMetrics.map { case (m, _) =>
+      s"${1.0 / 3} AS w_$m" }.mkString(", ")
+    s"""WITH $duckFoldsCte,
+       |$duckMedCte,
+       |b0w AS (SELECT DISTINCT rep, $blw FROM medf),
+       |${topsisSqlChain("b0", "medf", "b0w", BaselineMetrics)},
+       |${entropySqlChain("e1", "medf")},
+       |${topsisSqlChain("t1", "medf", "e1w", Metrics)},
+       |${prometheeSqlChain("p2", "medf")},
+       |${stabilitySqlChain("s3")},
+       |${universalitySqlChain("u4")},
+       |${bootstrapSqlChain("q5")},
+       |rk_base AS (SELECT bid,
+       |  row_number() OVER (ORDER BY score DESC, bid) AS rb FROM b0s),
+       |tg AS (
+       |  SELECT 'bootstrap_stability' AS method, bid, rank AS rnk FROM q5out
+       |  UNION ALL SELECT 'cross_consistency', bid,
+       |    row_number() OVER (ORDER BY score DESC, bid) FROM u4f
+       |  UNION ALL SELECT 'entropy_topsis', bid,
+       |    row_number() OVER (ORDER BY score DESC, bid) FROM t1s
+       |  UNION ALL SELECT 'promethee_ii', bid,
+       |    row_number() OVER (ORDER BY net_flow DESC, bid) FROM p2f
+       |  UNION ALL SELECT 'stability_weighted', bid,
+       |    row_number() OVER (ORDER BY score DESC, bid) FROM s3f),
+       |mb AS (
+       |  SELECT tg.method, tg.bid, tg.rnk, b.rb
+       |  FROM tg JOIN rk_base b ON b.bid = tg.bid),
+       |a1 AS (
+       |  SELECT method, count(*)::DOUBLE AS n,
+       |    sum((rnk - rb) * (rnk - rb))::DOUBLE AS sd2,
+       |    count(*) FILTER (WHERE rnk <= 10 AND rb <= 10)::DOUBLE AS inter,
+       |    count(*) FILTER (WHERE rnk <= 10 OR rb <= 10)::DOUBLE AS uni,
+       |    max(CASE WHEN rnk = 1 AND rb = 1 THEN 1 ELSE 0 END) AS rank1_agreement
+       |  FROM mb GROUP BY method),
+       |a2 AS (
+       |  SELECT x.method,
+       |    round(sum(sign((x.rnk - y.rnk)::DOUBLE) * sign((x.rb - y.rb)::DOUBLE))
+       |      / count(*), 4) AS kendall_tau
+       |  FROM mb x JOIN mb y ON x.method = y.method AND x.bid < y.bid
+       |  GROUP BY x.method)
+       |SELECT a1.method, kendall_tau,
+       |  round(1.0 - 6.0 * sd2 / (n * (n * n - 1.0)), 4) AS spearman_rho,
+       |  round(inter / uni, 4) AS top10_jaccard, rank1_agreement
+       |FROM a1 JOIN a2 ON a2.method = a1.method ORDER BY a1.method""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------------
+  // q137 — gen800 stagnation-first ranking (scripts/gen800_rank.py:5-11,
+  // 85-93): rank by underwater_ratio ASC (least total time underwater),
+  // tie-break max_underwater_bars ASC (shortest longest-stagnation),
+  // after the PF > 1 / n ≥ 30 / Omega > 1 gates; top 50. Underwater =
+  // bars below the running equity peak; the longest run is the classic
+  // gaps-and-islands grouping. On the 50-config grid (the reference
+  // ranks its sweep jsonl); omega is the UNCAPPED gain/loss ratio (NULL
+  // on zero losses → gated out, the reference's `omega is None` skip)
+  // so the two gate columns stay distinct.
+  def q137StagnationRank(spark: SparkSession, d: String): DataFrame = {
+    val wC = Window.partitionBy(col("cfg")).orderBy(col("ts_us"), col("event_id"))
+    val wF = wC.rowsBetween(Window.unboundedPreceding, 0)
+    val rows = RankingQueries.cfgReturns(spark, d)
+      .withColumn("cum", sum(col("r")).over(wF))
+      .withColumn("runmax", max(col("cum")).over(wF))
+      .withColumn("uw", (col("runmax") > col("cum")).cast("int"))
+      .withColumn("idx", row_number().over(wC).cast("long"))
+    val maxRun = rows.filter(col("uw") === 1)
+      .withColumn("grp", col("idx") -
+        row_number().over(Window.partitionBy(col("cfg")).orderBy(col("idx"))))
+      .groupBy(col("cfg"), col("grp")).agg(count(lit(1)).as("len"))
+      .groupBy(col("cfg")).agg(max(col("len")).as("max_underwater_bars"))
+    val wins = sum(greatest(col("r"), lit(0.0)))
+    val losses = sum(greatest(-col("r"), lit(0.0)))
+    val base = rows.groupBy(col("cfg")).agg(
+      count(lit(1)).as("n_trades"),
+      round(sum(col("uw")).cast("double") / count(lit(1)), 6).as("underwater_ratio"),
+      round(when(losses === 0.0, when(wins > 0.0, lit(10.0)).otherwise(lit(null)))
+        .otherwise(least(wins / losses, lit(10.0))), 4).as("pf"),
+      round(wins / nullif(losses, lit(0.0)), 4).as("omega"),
+      round(count_if(col("r") > 0).cast("double") / count(lit(1)), 4).as("win_rate"))
+    base.join(maxRun, Seq("cfg"), "left")
+      .na.fill(0L, Seq("max_underwater_bars"))
+      .filter(col("n_trades") >= 30 && col("pf") > 1.0 && col("omega") > 1.0)
+      // partitionless rank window: O(nConfigs) gated frame, bounded
+      .withColumn("rank", row_number().over(Window.orderBy(
+        col("underwater_ratio"), col("max_underwater_bars"), col("cfg"))))
+      .filter(col("rank") <= 50)
+      .select(col("rank"), col("cfg"), col("max_underwater_bars"),
+        col("underwater_ratio"), col("pf"), col("omega"), col("n_trades"),
+        col("win_rate"))
+      .orderBy(col("rank"))
+  }
+
+  val q137Sql: String =
+    s"""WITH ${RankingQueries.duckCfgRets},
+       |cum0 AS (
+       |  SELECT cfg, ts_us, event_id, r, sum(r) OVER w AS cum
+       |  FROM rets
+       |  WINDOW w AS (PARTITION BY cfg ORDER BY ts_us, event_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+       |cums AS (
+       |  SELECT *, max(cum) OVER w AS runmax,
+       |    row_number() OVER (PARTITION BY cfg ORDER BY ts_us, event_id) AS idx
+       |  FROM cum0
+       |  WINDOW w AS (PARTITION BY cfg ORDER BY ts_us, event_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+       |flags AS (
+       |  SELECT cfg, idx, r, CASE WHEN runmax > cum THEN 1 ELSE 0 END AS uw
+       |  FROM cums),
+       |runs AS (
+       |  SELECT cfg, idx - row_number() OVER (PARTITION BY cfg ORDER BY idx) AS grp
+       |  FROM flags WHERE uw = 1),
+       |mr AS (
+       |  SELECT cfg, max(len) AS max_underwater_bars
+       |  FROM (SELECT cfg, grp, count(*) AS len FROM runs GROUP BY cfg, grp)
+       |  GROUP BY cfg),
+       |base AS (
+       |  SELECT cfg, count(*) AS n_trades,
+       |    round(sum(uw)::DOUBLE / count(*), 6) AS underwater_ratio,
+       |    round(CASE WHEN sum(greatest(-r, 0.0)) = 0.0
+       |      THEN CASE WHEN sum(greatest(r, 0.0)) > 0.0 THEN 10.0 END
+       |      ELSE least(sum(greatest(r, 0.0)) / sum(greatest(-r, 0.0)), 10.0)
+       |    END, 4) AS pf,
+       |    round(sum(greatest(r, 0.0)) / nullif(sum(greatest(-r, 0.0)), 0.0), 4)
+       |      AS omega,
+       |    round(count(*) FILTER (WHERE r > 0)::DOUBLE / count(*), 4) AS win_rate
+       |  FROM flags GROUP BY cfg),
+       |g AS (
+       |  SELECT base.cfg, n_trades, underwater_ratio, pf, omega, win_rate,
+       |    coalesce(mr.max_underwater_bars, 0) AS max_underwater_bars
+       |  FROM base LEFT JOIN mr ON mr.cfg = base.cfg
+       |  WHERE n_trades >= 30 AND pf > 1.0 AND omega > 1.0)
+       |SELECT * FROM (
+       |  SELECT row_number() OVER (ORDER BY underwater_ratio,
+       |      max_underwater_bars, cfg) AS rank,
+       |    cfg, max_underwater_bars, underwater_ratio, pf, omega, n_trades,
+       |    win_rate
+       |  FROM g)
+       |WHERE rank <= 50 ORDER BY rank""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // q138 — the rank_optimize objective layer (scripts/rank_optimize.py:
+  // 39-88) evaluated on a FIXED uniform cutoff grid over the q124
+  // percentile machinery: per tightening level, survivor count, average
+  // survivor percentile, binding-metric count (metrics whose relaxation
+  // to 100 grows the intersection — run_ranking_with_cutoffs'
+  // n_binding_metrics), and the four single-objective values
+  // (max_survivors_min_cutoff, quality_at_target_n with target 10,
+  // tightest_nonempty, diversity_reward). eval/Ranking.searchCutoffs is
+  // the seeded-search twin (Optuna's TPE is an external stochastic
+  // sampler; the objectives are the reference semantics).
+  private val CutoffLevels = Seq(100, 80, 60, 40, 20, 10, 5)
+  private val TargetN = 10 // config.RANK_TARGET_N
+
+  def q138RankObjectives(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val m = RankingQueries.cfgMetrics(spark, d)
+    val nAll = m.select(count(lit(1)).cast("double").as("n_cfg"))
+    def pct(v: Column, higherIsBetter: Boolean): Column = {
+      val key = if (higherIsBetter) v.asc else v.desc
+      // partitionless rank windows BY CONSTRUCTION: the O(nConfigs)
+      // metric frame (50 rows), never fact data — the q124 contract
+      val avgRank = rank().over(Window.orderBy(key)).cast("double") +
+        (count(lit(1)).over(Window.partitionBy(v)).cast("double") - 1.0) / 2.0
+      round(avgRank / col("n_cfg") * 100.0, 4)
+    }
+    val ranked = m.crossJoin(broadcast(nAll))
+      .withColumn("p_omega", pct(col("omega"), higherIsBetter = true))
+      .withColumn("p_sr", pct(col("sr"), higherIsBetter = true))
+      .withColumn("p_win", pct(col("win_rate"), higherIsBetter = true))
+      .withColumn("p_maxdd", pct(col("maxdd"), higherIsBetter = false))
+      .select(col("cfg"), col("p_omega"), col("p_sr"), col("p_win"), col("p_maxdd"),
+        least(col("p_omega"), col("p_sr"), col("p_win"), col("p_maxdd")).as("min_all"),
+        least(col("p_sr"), col("p_win"), col("p_maxdd")).as("mx_omega"),
+        least(col("p_omega"), col("p_win"), col("p_maxdd")).as("mx_sr"),
+        least(col("p_omega"), col("p_sr"), col("p_maxdd")).as("mx_win"),
+        least(col("p_omega"), col("p_sr"), col("p_win")).as("mx_maxdd"))
+    def surv(c: Column): Column = c >= lit(100.0) - col("cutoff_pct")
+    val agg = CutoffLevels.toDF("cutoff_pct").crossJoin(ranked)
+      .groupBy(col("cutoff_pct"))
+      .agg(
+        count(when(surv(col("min_all")), 1)).as("n_intersection"),
+        round(coalesce(avg(when(surv(col("min_all")),
+          (col("p_omega") + col("p_sr") + col("p_win") + col("p_maxdd")) / 4.0)),
+          lit(0.0)), 4).as("avg_percentile"),
+        count(when(surv(col("mx_omega")), 1)).as("rx_omega"),
+        count(when(surv(col("mx_sr")), 1)).as("rx_sr"),
+        count(when(surv(col("mx_win")), 1)).as("rx_win"),
+        count(when(surv(col("mx_maxdd")), 1)).as("rx_maxdd"))
+    val nb = Seq("rx_omega", "rx_sr", "rx_win", "rx_maxdd")
+      .map(c => (col(c) > col("n_intersection")).cast("int")).reduce(_ + _)
+    agg
+      .withColumn("n_binding",
+        when(col("cutoff_pct") < 100, nb).otherwise(lit(0)))
+      .select(col("cutoff_pct"), col("n_intersection"), col("avg_percentile"),
+        col("n_binding"),
+        round(when(col("n_intersection") === 0, 0.0)
+          .otherwise(col("n_intersection") / col("cutoff_pct").cast("double")), 6)
+          .as("obj_survivors_per_cutoff"),
+        round(when(col("n_intersection") < TargetN,
+          col("avg_percentile") * (col("n_intersection") / lit(TargetN.toDouble)))
+          .otherwise(col("avg_percentile")), 6).as("obj_quality_at_target"),
+        when(col("n_intersection") === 0, 0.0)
+          .otherwise(lit(400.0) - lit(4.0) * col("cutoff_pct"))
+          .as("obj_tightest_nonempty"),
+        round(when(col("n_intersection") === 0 || col("cutoff_pct") >= 100, 0.0)
+          .otherwise(col("n_intersection") *
+            (col("n_binding").cast("double") / 4.0)), 6).as("obj_diversity"))
+      .orderBy(col("cutoff_pct").desc)
+  }
+
+  val q138Sql: String =
+    s"""WITH ${RankingQueries.duckCfgMetrics},
+       |nn AS (SELECT count(*)::DOUBLE AS n_cfg FROM m),
+       |pct AS (
+       |  SELECT cfg,
+       |    round((rank() OVER (ORDER BY omega ASC)
+       |      + (count(*) OVER (PARTITION BY omega) - 1) / 2.0) / n_cfg * 100.0, 4)
+       |      AS p_omega,
+       |    round((rank() OVER (ORDER BY sr ASC)
+       |      + (count(*) OVER (PARTITION BY sr) - 1) / 2.0) / n_cfg * 100.0, 4)
+       |      AS p_sr,
+       |    round((rank() OVER (ORDER BY win_rate ASC)
+       |      + (count(*) OVER (PARTITION BY win_rate) - 1) / 2.0) / n_cfg * 100.0, 4)
+       |      AS p_win,
+       |    round((rank() OVER (ORDER BY maxdd DESC)
+       |      + (count(*) OVER (PARTITION BY maxdd) - 1) / 2.0) / n_cfg * 100.0, 4)
+       |      AS p_maxdd
+       |  FROM m, nn),
+       |mins AS (
+       |  SELECT cfg, p_omega, p_sr, p_win, p_maxdd,
+       |    least(p_omega, p_sr, p_win, p_maxdd) AS min_all,
+       |    least(p_sr, p_win, p_maxdd) AS mx_omega,
+       |    least(p_omega, p_win, p_maxdd) AS mx_sr,
+       |    least(p_omega, p_sr, p_maxdd) AS mx_win,
+       |    least(p_omega, p_sr, p_win) AS mx_maxdd
+       |  FROM pct),
+       |cuts AS (SELECT unnest([${CutoffLevels.mkString(", ")}]) AS cutoff_pct),
+       |agg AS (
+       |  SELECT c.cutoff_pct,
+       |    count(*) FILTER (WHERE min_all >= 100.0 - c.cutoff_pct)
+       |      AS n_intersection,
+       |    round(coalesce(avg((p_omega + p_sr + p_win + p_maxdd) / 4.0)
+       |      FILTER (WHERE min_all >= 100.0 - c.cutoff_pct), 0.0), 4)
+       |      AS avg_percentile,
+       |    count(*) FILTER (WHERE mx_omega >= 100.0 - c.cutoff_pct) AS rx_omega,
+       |    count(*) FILTER (WHERE mx_sr >= 100.0 - c.cutoff_pct) AS rx_sr,
+       |    count(*) FILTER (WHERE mx_win >= 100.0 - c.cutoff_pct) AS rx_win,
+       |    count(*) FILTER (WHERE mx_maxdd >= 100.0 - c.cutoff_pct) AS rx_maxdd
+       |  FROM cuts c CROSS JOIN mins GROUP BY c.cutoff_pct),
+       |obj AS (
+       |  SELECT cutoff_pct, n_intersection, avg_percentile,
+       |    CASE WHEN cutoff_pct < 100 THEN
+       |      (CASE WHEN rx_omega > n_intersection THEN 1 ELSE 0 END
+       |       + CASE WHEN rx_sr > n_intersection THEN 1 ELSE 0 END
+       |       + CASE WHEN rx_win > n_intersection THEN 1 ELSE 0 END
+       |       + CASE WHEN rx_maxdd > n_intersection THEN 1 ELSE 0 END)
+       |    ELSE 0 END AS n_binding
+       |  FROM agg)
+       |SELECT cutoff_pct, n_intersection, avg_percentile, n_binding,
+       |  round(CASE WHEN n_intersection = 0 THEN 0.0
+       |    ELSE n_intersection / cutoff_pct::DOUBLE END, 6)
+       |    AS obj_survivors_per_cutoff,
+       |  round(CASE WHEN n_intersection < $TargetN
+       |    THEN avg_percentile * (n_intersection / $TargetN.0)
+       |    ELSE avg_percentile END, 6) AS obj_quality_at_target,
+       |  CASE WHEN n_intersection = 0 THEN 0.0
+       |    ELSE 400.0 - 4.0 * cutoff_pct END AS obj_tightest_nonempty,
+       |  round(CASE WHEN n_intersection = 0 OR cutoff_pct >= 100 THEN 0.0
+       |    ELSE n_intersection * (n_binding / 4.0) END, 6) AS obj_diversity
+       |FROM obj ORDER BY cutoff_pct DESC""".stripMargin
+
+  val all: Map[String, Q] = Map(
+    "q131_entropy_topsis" -> (q131EntropyTopsis _),
+    "q132_promethee" -> (q132Promethee _),
+    "q133_stability_rank" -> (q133StabilityRank _),
+    "q134_universality" -> (q134Universality _),
+    "q135_bootstrap_rank" -> (q135BootstrapRank _),
+    "q136_rank_agreement" -> (q136RankAgreement _),
+    "q137_stagnation_rank" -> (q137StagnationRank _),
+    "q138_rank_objectives" -> (q138RankObjectives _))
+
+  val oracles: Map[String, String] = Map(
+    "q131_entropy_topsis" -> q131Sql,
+    "q132_promethee" -> q132Sql,
+    "q133_stability_rank" -> q133Sql,
+    "q134_universality" -> q134Sql,
+    "q135_bootstrap_rank" -> q135Sql,
+    "q136_rank_agreement" -> q136Sql,
+    "q137_stagnation_rank" -> q137Sql,
+    "q138_rank_objectives" -> q138Sql)
+}
