@@ -99,7 +99,9 @@ object Ranking {
       i += 1
     }
     val n0 = n.toLong * (n - 1) / 2
-    val den = math.sqrt((n0 - tiesA).toDouble) * math.sqrt((n0 - tiesB).toDouble)
+    // one sqrt of the product (scipy's form): sqrt(a)·sqrt(b) loses an
+    // ulp and reports identity correlations as 1.0000000000000002
+    val den = math.sqrt((n0 - tiesA).toDouble * (n0 - tiesB).toDouble)
     if (den == 0) Double.NaN else (c - d) / den
   }
 
