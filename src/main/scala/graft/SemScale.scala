@@ -631,6 +631,84 @@ object SemScale {
           f""""compact_wall_sec":$wall%.1f,"compact_peak_heap_mb":${heapPeakMb()},""" +
           s""""xmx_mb":${xmxMb()}}""")
 
+      case "rebuildcycle" =>
+        // T68 END TO END: trigger → rebuild → recovery, measured. Against
+        // a WRITTEN staged index (gateindexrs), (1) record cell balance +
+        // the blob-region gate wall on the healthy index, (2) append a
+        // seedless near-identical-but-DISTINCT blob (the blobfix
+        // adversary as an ARRIVAL stream — frozen routing funnels all of
+        // it into one cell), (3) show rebuildDue firing and the gate wall
+        // degrading to O(blob) verify work per routed probe, (4) run the
+        // maintainIndexWithRebuild policy (compact-when-due +
+        // rebuild-when-skewed), (5) show balance restored and the wall
+        // recovered. MUTATES <idx>.
+        val src = args(1)
+        val idx = args(2)
+        val blobN = args.lift(3).map(_.toInt).getOrElse(100000)
+        val probeN = args.lift(4).map(_.toInt).getOrElse(256)
+        val ratio = args.lift(5).map(_.toDouble).getOrElse(16.0)
+        val spark = session()
+        resetHeapPeaks()
+        val dim = Tables.embeddings(spark, src)
+          .select(size(col("embedding"))).head().getInt(0)
+        // near-identical-but-distinct vectors OFF the corpus manifold:
+        // diverse enough that a re-cluster can partition them, alien
+        // enough that the frozen tables route every one to a single cell
+        def blobVecs(n: Int, shift: Long): DataFrame =
+          spark.range(n).select((col("id") + shift).as("vec_id"))
+            .select(col("vec_id"), expr(
+              s"transform(sequence(0, ${dim - 1}), " +
+                "i -> CAST(0.25 + 0.0001 * sin(vec_id * 13.7D + i) AS FLOAT))")
+              .as("embedding"))
+        // balance + trigger + one gated probe batch over the blob region;
+        // the verify tail reads the merged members, so appended and
+        // rebuilt states measure through the same read path
+        def measure(label: String): (Long, Double, Boolean, Double, Long, Int) = {
+          val (mx, med) = queries.SimilarityQueries.indexCellBalance(spark, idx)
+          val due = queries.SimilarityQueries.rebuildDue(spark, idx, ratio)
+          val staged = queries.SimilarityQueries.stagedGateTables(
+            spark.read.parquet(s"$idx/coarse.parquet"),
+            spark.read.parquet(s"$idx/fine.parquet"))
+          val probes = blobVecs(probeN, 3000000000L)
+          val members = queries.SimilarityQueries.readCellMembersMerged(spark, idx)
+          val ((flagged, probeMaxCell), wall) = time {
+            val v = graft.streaming.StreamingOps.semanticGateVerifyShard(
+              graft.streaming.StreamingOps
+                .semanticGateAssignStaged(probes, staged),
+              members, 0, Int.MaxValue)
+            val r = v.agg(count(when(col("semantic_near_dup"), 1)).as("f"),
+              max(col("n_cell_members")).as("mc")).head()
+            (r.getLong(0), if (r.isNullAt(1)) 0 else r.getInt(1))
+          }
+          staged.cells.unpersist()
+          System.err.println(f"[rebuildcycle] $label: max_cell=$mx med=$med%.1f " +
+            f"due=$due gate_wall=$wall%.1f s flagged=$flagged " +
+            s"probe_max_cell=$probeMaxCell")
+          (mx, med, due, wall, flagged, probeMaxCell)
+        }
+        val before = measure("before")
+        val (nApp, appendWall) = time(queries.SimilarityQueries
+          .semanticIndexAppend(spark, idx, blobVecs(blobN, 2000000000L)))
+        val blobbed = measure("blobbed")
+        val ((compacted, rebuilt), maintWall) = time(queries.SimilarityQueries
+          .maintainIndexWithRebuild(spark, idx, maxGens = 1, rebuildRatio = ratio))
+        val after = measure("after")
+        println(s"""{"mode":"rebuildcycle","src":"$src","idx":"$idx",""" +
+          s""""blob_n":$nApp,"probe_n":$probeN,"ratio":$ratio,""" +
+          s""""before":{"max_cell":${before._1},"median":${before._2},""" +
+          f""""due":${before._3},"gate_wall_sec":${before._4}%.1f,""" +
+          s""""probe_max_cell":${before._6}},""" +
+          f""""append_wall_sec":$appendWall%.1f,""" +
+          s""""blobbed":{"max_cell":${blobbed._1},"median":${blobbed._2},""" +
+          f""""due":${blobbed._3},"gate_wall_sec":${blobbed._4}%.1f,""" +
+          s""""probe_max_cell":${blobbed._6},"flagged":${blobbed._5}},""" +
+          s""""policy":{"compacted":$compacted,"rebuilt":$rebuilt,""" +
+          f""""wall_sec":$maintWall%.1f},""" +
+          s""""after":{"max_cell":${after._1},"median":${after._2},""" +
+          f""""due":${after._3},"gate_wall_sec":${after._4}%.1f,""" +
+          s""""probe_max_cell":${after._6},"flagged":${after._5}},""" +
+          f""""peak_heap_mb":${heapPeakMb()},"xmx_mb":${xmxMb()}}""")
+
       case "admitproc" =>
         // ONE admit process of the cross-process lock rehearsal (r14):
         // two of these run CONCURRENTLY from separate JVMs

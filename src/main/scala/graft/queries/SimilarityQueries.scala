@@ -1705,8 +1705,15 @@ object SimilarityQueries {
     if (row.isNullAt(0)) (0L, 0.0) else (row.getLong(0), row.getDouble(1))
   }
 
+  // Default calibrated at the DESIGN regime, not assumed: a healthy
+  // 2M-vector/K=125k staged build's natural cell-size tail reaches
+  // max/median ≈ 8.9 (max 124 vs median 14 — SCALE.md r15), so the r14
+  // default of 8 false-fired on a balanced index exactly where the
+  // trigger matters; 16 gives 2× margin over the measured natural tail
+  // while a real blob overshoots by orders of magnitude (100,015 vs a
+  // median of 14 in the same rung).
   private[graft] def rebuildDue(spark: SparkSession, idx: String,
-      ratio: Double = 8.0): Boolean = {
+      ratio: Double = 16.0): Boolean = {
     require(ratio > 1.0, s"ratio=$ratio (must be > 1)")
     val (mx, med) = indexCellBalance(spark, idx)
     mx > ratio * math.max(1.0, med)
@@ -1792,6 +1799,110 @@ object SimilarityQueries {
       else StagingRoots.deleteRecursively(pre)
     }
     if (Files.exists(tmp)) StagingRoots.deleteRecursively(tmp)
+  }
+
+  /** Finish or roll back a REBUILD interrupted mid-swap (states ordered
+    * by the swap sequence in [[semanticIndexRebuild]] — directory-level
+    * twins of [[healInterruptedCompact]]'s):
+    *  - index dir MISSING + `<idx>.prerebuild` present → crashed between
+    *    the two renames: restore the pre-rebuild dir (the index is whole
+    *    again, possibly still marked appended — the rebuild re-runs).
+    *  - index dir present + prerebuild present → crashed after the swap:
+    *    the live dir is already the rebuilt one; drop only the backup.
+    *  - a leftover `<idx>.rebuilt` tmp dir is deleted in every state.
+    * Runs BEFORE [[withIndexLock]] (the lock file lives INSIDE the index
+    * dir, which may be the thing that is missing) — callers are the
+    * single-maintenance-owner paths ([[semanticIndexRebuild]],
+    * [[maintainIndexWithRebuild]]). */
+  private[graft] def healInterruptedRebuild(idx: String): Unit = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val live = java.nio.file.Paths.get(idx)
+    val pre = Paths.get(idx + ".prerebuild")
+    val tmp = Paths.get(idx + ".rebuilt")
+    if (Files.exists(pre)) {
+      if (!Files.exists(live))
+        Files.move(pre, live, StandardCopyOption.ATOMIC_MOVE)
+      else StagingRoots.deleteRecursively(pre)
+    }
+    if (Files.exists(tmp)) StagingRoots.deleteRecursively(tmp)
+  }
+
+  /** REBUILD the index from its own merged members — the T68 maintenance
+    * ACTION the [[rebuildDue]] trigger exists for: re-cluster every
+    * member vector (any append generations included) with the staged
+    * build ([[semanticStreamIndexStagedFrom]] — O(√K) driver state, the
+    * K ≥ 10⁵ form) and swap the whole index directory. Where compaction
+    * merges generations under the FROZEN geometry, a rebuild re-derives
+    * the geometry — the fix for the mega-cell regime frozen tables
+    * cannot escape (a cell ballooned by drifted arrivals stays ballooned
+    * under compaction forever).
+    *
+    * `targetCell` defaults to the index's OBSERVED median cell size —
+    * robust to the very skew that triggered the rebuild (the ballooned
+    * cell inflates the mean, not the median; the same argument as
+    * [[rebuildDue]]'s base) — so a rebuild preserves the original
+    * build's density without the index having to record it.
+    *
+    * Crash ordering mirrors [[semanticIndexCompact]], one level up: the
+    * new index is fully written to a sibling `<idx>.rebuilt` dir, the
+    * live dir is renamed to `<idx>.prerebuild`, the rebuilt dir renamed
+    * in (both single atomic renames), the backup deleted LAST;
+    * [[healInterruptedRebuild]] finishes or rolls back any window. The
+    * rebuilt dir carries no `_appended` marker — it is a pristine build.
+    *
+    * Concurrency contract, stated honestly: the member read, re-cluster
+    * and swap run under the index writer lock, so same-JVM appends are
+    * excluded for the duration — but the DIRECTORY swap retires the lock
+    * file itself, so unlike compact (whose readers and cross-process
+    * writers stay correct throughout) a rebuild assumes a SINGLE
+    * maintenance owner: schedule it from the admit loop's policy hook
+    * ([[maintainIndexWithRebuild]]), not concurrently with writer
+    * processes. Returns the rebuilt fine-cell count K. */
+  private[graft] def semanticIndexRebuild(spark: SparkSession, idx: String,
+      targetCell: Option[Int] = None): Long = {
+    healInterruptedRebuild(idx)
+    withIndexLock(idx) {
+      import java.nio.file.{Files, Paths, StandardCopyOption}
+      healInterruptedCompact(idx)
+      val tc = targetCell.getOrElse {
+        val (_, med) = indexCellBalance(spark, idx)
+        math.max(1, math.rint(med).toInt)
+      }
+      val vecs = readCellMembersMerged(spark, idx)
+        .select(explode(col("members")).as("m"))
+        .select(col("m.vec_id").as("vec_id"), col("m.e").as("embedding"))
+      val tmp = idx + ".rebuilt"
+      val k = StagingRoots.releasingBuildCaches(spark) {
+        val (coarse, fineRouted, members) = semanticStreamIndexStagedFrom(vecs, tc)
+        writeGateIndexStaged(spark, tmp, coarse, fineRouted, members)
+      }
+      val live = Paths.get(idx)
+      val pre = Paths.get(idx + ".prerebuild")
+      Files.move(live, pre, StandardCopyOption.ATOMIC_MOVE)
+      Files.move(Paths.get(tmp), live, StandardCopyOption.ATOMIC_MOVE)
+      StagingRoots.deleteRecursively(pre)
+      k
+    }
+  }
+
+  /** The admit loop's FULL maintenance policy — [[maintainIndex]]'s
+    * compact-when-due ledger check plus the T68 cell-balance trigger at
+    * the same maintenance cadence: heal any interrupted window, compact
+    * when the generation ledger reaches `maxGens`, then poll
+    * [[rebuildDue]] and re-cluster via [[semanticIndexRebuild]] when a
+    * ballooned cell exceeds `rebuildRatio` × the median. Returns
+    * (compacted, rebuilt). Call at maintenance cadence, not per batch
+    * (the balance poll scans the index); rebuilds inherit the
+    * single-maintenance-owner contract documented on the rebuild. */
+  private[graft] def maintainIndexWithRebuild(spark: SparkSession, idx: String,
+      maxGens: Int = 16, rebuildRatio: Double = 16.0): (Boolean, Boolean) = {
+    healInterruptedRebuild(idx)
+    val compacted = maintainIndex(spark, idx, maxGens)
+    val rebuilt = rebuildDue(spark, idx, rebuildRatio) && {
+      semanticIndexRebuild(spark, idx)
+      true
+    }
+    (compacted, rebuilt)
   }
 
   /** Generation-merging member reader for an index that has received

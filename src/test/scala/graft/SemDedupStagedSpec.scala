@@ -659,20 +659,70 @@ class SemDedupStagedSpec extends GraftSuite {
       .filter(col("vec_id") === 1).select(col("embedding"))
       .collect()(0).getSeq[Float](0)
     val rnd = new scala.util.Random(42L)
-    val blob = (0 until (med0 * 12).toInt).map { i =>
+    // 24× the median: well past the recalibrated default ratio of 16
+    // (the r15 rung measured a natural max/median tail of ~8.9 on a
+    // healthy 2M-vector index, so the trigger's default cleared it)
+    val blob = (0 until (med0 * 24).toInt).map { i =>
       (5000000L + i,
         anchor.map(x => x + (rnd.nextFloat() - 0.5f) * 0.01f))
     }
     SimilarityQueries.semanticIndexAppend(spark, idx,
       blob.toDF("vec_id", "embedding"))
     assert(SimilarityQueries.rebuildDue(spark, idx),
-      "a 12x-average mega-cell must trip the rebuild trigger")
+      "a 24x-median mega-cell must trip the rebuild trigger")
     // the trigger counts merged generations as one cell (the noisy
     // copies may straddle one cell boundary, so require only that the
     // bulk of the blob shows up in the worst cell)
     val (mx1, _) = SimilarityQueries.indexCellBalance(spark, idx)
     assert(mx1 >= mx0 && mx1 >= (blob.length * 8) / 10,
       s"merged balance missed the appended blob: $mx0 -> $mx1 (blob ${blob.length})")
+  }
+
+  test("maintainIndexWithRebuild rebuilds a blobbed index and restores " +
+    "balance (T68 trigger → action → recovery, the repeatable form of the " +
+    "SemScale rebuildcycle rung)") {
+    val sf001 = "/root/testdata/sf0.01"
+    import spark.implicits._
+    val idx = graft.queries.GateStaging.appendWorkdir(spark, sf001)
+    val baseIds = spark.read.parquet(s"$idx/members.parquet")
+      .select(explode(col("members")).as("m")).select(col("m.vec_id"))
+      .collect().map(_.getLong(0)).toSet
+    val (_, med0) = SimilarityQueries.indexCellBalance(spark, idx)
+    // a quiet index: the policy must compact nothing and rebuild nothing
+    val (c0, r0) = SimilarityQueries.maintainIndexWithRebuild(spark, idx)
+    assert(!c0 && !r0, "policy acted on a pristine balanced index")
+    // blob: near-identical-but-DISTINCT off-manifold arrivals — frozen
+    // routing funnels all of them into one cell (the rebuildcycle rung's
+    // generator at spec scale)
+    val blobN = math.max(400, (med0 * 24).toInt)
+    val blob = spark.range(blobN)
+      .select((col("id") + 2000000000L).as("vec_id"))
+      .select(col("vec_id"), expr(
+        "transform(sequence(0, 63), " +
+          "i -> CAST(0.25 + 0.0001 * sin(vec_id * 13.7D + i) AS FLOAT))")
+        .as("embedding"))
+    SimilarityQueries.semanticIndexAppend(spark, idx, blob)
+    assert(SimilarityQueries.rebuildDue(spark, idx),
+      "the blob must trip the trigger before the policy runs")
+    val (compacted, rebuilt) =
+      SimilarityQueries.maintainIndexWithRebuild(spark, idx, maxGens = 1)
+    assert(compacted && rebuilt, s"policy ran ($compacted, $rebuilt)")
+    // recovery: trigger quiet, pristine layout (no marker, one row/cid),
+    // and NO member lost or duplicated by the re-cluster
+    assert(!SimilarityQueries.rebuildDue(spark, idx),
+      "rebuild did not restore cell balance")
+    assert(!SimilarityQueries.hasAppendGenerations(idx))
+    val rows = spark.read.parquet(s"$idx/members.parquet")
+    assert(rows.groupBy(col("cid")).count()
+      .agg(max(col("count"))).head().getLong(0) == 1L)
+    val ids = rows.select(explode(col("members")).as("m"))
+      .select(col("m.vec_id")).collect().map(_.getLong(0))
+    assert(ids.length == ids.distinct.length, "rebuild duplicated members")
+    assert(ids.toSet == baseIds ++ (0 until blobN).map(_ + 2000000000L),
+      "rebuild lost or invented members")
+    // a crash-window heal is a no-op on the healthy result
+    SimilarityQueries.healInterruptedRebuild(idx)
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(idx)))
   }
 
   test("index lock blocks a REAL second JVM while held and is released by " +
