@@ -51,6 +51,7 @@ object McdmQueries {
     ("pf", 1), ("sharpe", 1), ("win_rate", 1), ("total_ret", 1),
     ("maxdd", -1), ("vol", -1))
   private val MetricNames = Metrics.map(_._1)
+  private val MetricTypes = Metrics.map(_._2).toArray
 
   /** Round-3 stability basis (`:55` STABILITY_METRICS — benefit-only). */
   private val StabilityMetrics = Seq("pf", "sharpe", "win_rate", "total_ret")
@@ -119,6 +120,14 @@ object McdmQueries {
         round(coalesce(stddev_samp(col("r")), lit(0.0)), 6).as("vol"))
       .withColumn("fold_key",
         concat_ws("|", col("sym"), col("fmt"), col("thr"), col("fold").cast("string")))
+      // PERSISTED: every method chain drives several broadcast subtrees
+      // (entropy bounds/colsums, TOPSIS norms/ideal), and each broadcast
+      // materializes its subtree independently — uncached, the events
+      // window pass re-ran per broadcast (measured: q135 16.8 s → the
+      // fact scan ~10× over). The frame is O(barriers × fold cells)
+      // (1,920 rows), so the cache is trivial; Bench clears caches
+      // between queries.
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
   }
 
   /** DuckDB twin of [[foldFrame]] — `folds` is MATERIALIZED because the
@@ -188,6 +197,8 @@ object McdmQueries {
     folds.groupBy(col("bid")).agg(aggs.head, aggs.tail: _*)
       .filter(MetricNames.map(m => col(s"med_$m").isNotNull).reduce(_ && _))
       .withColumn("rep", lit(0L))
+      // O(barriers) rows, read by every broadcast subtree downstream
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
   }
 
   private val duckMedCte: String = {
@@ -202,37 +213,89 @@ object McdmQueries {
   }
 
   // ---------------------------------------------------------------------------
-  // Generic per-rep entropy weights (`:213-240`): min-max normalize the
-  // median matrix, shift 1e-10, column proportions, Shannon entropy with
-  // k = 1/ln(n), weight = divergence/Σdivergence (equal when Σ = 0).
-  // Order-dependent aggregates (column sums, entropy sums) round at 10 dp,
-  // weights at 12 dp — identical inputs to TOPSIS in both engines.
-  private def entropyWeightsFrame(medians: DataFrame): DataFrame = {
-    val boundAggs = MetricNames.flatMap(m => Seq(
-      min(col(s"med_$m")).as(s"mn_$m"), max(col(s"med_$m")).as(s"mx_$m")))
-    val bounds = medians.groupBy(col("rep")).agg(boundAggs.head, boundAggs.tail: _*)
-    def nm(m: String): Column = {
-      val rng = col(s"mx_$m") - col(s"mn_$m")
-      (col(s"med_$m") - col(s"mn_$m")) / when(rng === 0.0, 1.0).otherwise(rng) +
-        lit(1e-10)
+  // Driver-scale method twins — the architecture call, stated plainly:
+  // the DISTRIBUTED stages are the ones that touch fact data (the fold
+  // frame's windowed events pass and the median/stat aggregations); the
+  // method math over the resulting O(barriers) matrix is driver-side BY
+  // THE REFERENCE'S DESIGN (its numpy layer — the eval/Ranking header's
+  // documented contract, collected state bounded by barriers × reps,
+  // never corpus). A fully-declarative first cut expressed each method
+  // as 6-10 chained broadcast-joined aggregate frames; every broadcast
+  // materializes its subtree as its own job, so the 200-rep bootstrap
+  // and the 6-chain census were JOB-LATENCY-bound (37.6 s for q136 over
+  // 4,800 rows — measured, sf0.1). The twins run the identical scalar
+  // expression trees with the ORACLE CHAIN'S rounding points
+  // (order-dependent sums 10 dp, weights 12 dp, scores 6 dp, Spark's
+  // HALF_UP semantics), so engine-vs-oracle parity is unchanged.
+
+  /** Spark round() semantics (BigDecimal.valueOf → HALF_UP — half away
+    * from zero, like DuckDB's round), NaN/Inf passed through. */
+  private def rd(v: Double, d: Int): Double =
+    if (v.isNaN || v.isInfinite) v
+    else java.math.BigDecimal.valueOf(v)
+      .setScale(d, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  /** The collected barrier-median matrix, bid-sorted (MetricNames column
+    * order). O(barriers) rows by construction. */
+  private def collectMedians(med: DataFrame): (Array[String], Array[Array[Double]]) = {
+    val rows = med.orderBy(col("bid")).collect()
+    (rows.map(_.getAs[String]("bid")),
+      rows.map(r0 => MetricNames.map(m => r0.getAs[Double](s"med_$m")).toArray))
+  }
+
+  /** Entropy weights (`:213-240`) with the oracle chain's rounding
+    * points: column sums and entropies 10 dp, weights 12 dp. */
+  private def entropyWeightsPinned(matrix: Array[Array[Double]]): Array[Double] = {
+    val n = matrix.length
+    val m = MetricNames.size
+    val mins = Array.tabulate(m)(j => matrix.map(_(j)).min)
+    val maxs = Array.tabulate(m)(j => matrix.map(_(j)).max)
+    val normed = matrix.map(row => Array.tabulate(m) { j =>
+      val rng = maxs(j) - mins(j)
+      (row(j) - mins(j)) / (if (rng == 0) 1.0 else rng) + 1e-10
+    })
+    val cs = Array.tabulate(m)(j => rd(normed.map(_(j)).sum, 10))
+    val ent = Array.tabulate(m) { j =>
+      rd(-normed.map { row =>
+        val p = row(j) / cs(j); p * math.log(p)
+      }.sum / math.log(n.toDouble), 10)
     }
-    val normed = medians.join(broadcast(bounds), "rep")
-      .select(col("rep") +: col("bid") +: MetricNames.map(m => nm(m).as(s"nm_$m")): _*)
-    val csAggs = MetricNames.map(m =>
-      round(sum(col(s"nm_$m")), 10).as(s"cs_$m")) :+
-      count(lit(1)).cast("double").as("nb")
-    val colsums = normed.groupBy(col("rep")).agg(csAggs.head, csAggs.tail: _*)
-    val entAggs = MetricNames.map { m =>
-      val p = col(s"nm_$m") / col(s"cs_$m")
-      round(-sum(p * log(p)) / log(any_value(col("nb"))), 10).as(s"ent_$m")
+    val tot = ent.map(1.0 - _).sum
+    Array.tabulate(m)(j =>
+      rd(if (tot == 0) 1.0 / m else (1.0 - ent(j)) / tot, 12))
+  }
+
+  /** TOPSIS (`topsis_rank`, eval/ranking.py:333-368) with the oracle
+    * chain's rounding points: L2 norms 10 dp, closeness 6 dp. */
+  private def topsisPinned(matrix: Array[Array[Double]], weights: Array[Double],
+      types: Array[Int]): Array[Double] = {
+    val m = weights.length
+    val norms = Array.tabulate(m) { j =>
+      val s = rd(math.sqrt(matrix.map(row => row(j) * row(j)).sum), 10)
+      if (s == 0) 1.0 else s
     }
-    val ent = normed.join(broadcast(colsums), "rep")
-      .groupBy(col("rep")).agg(entAggs.head, entAggs.tail: _*)
-    val total = MetricNames.map(m => lit(1.0) - col(s"ent_$m")).reduce(_ + _)
-    ent.select(col("rep") +: MetricNames.map { m =>
-      round(when(total === 0.0, lit(1.0 / MetricNames.size))
-        .otherwise((lit(1.0) - col(s"ent_$m")) / total), 12).as(s"w_$m")
-    }: _*)
+    val v = matrix.map(row => Array.tabulate(m)(j => row(j) / norms(j) * weights(j)))
+    val ideal = Array.tabulate(m) { j =>
+      val c = v.map(_(j)); if (types(j) == 1) c.max else c.min
+    }
+    val nadir = Array.tabulate(m) { j =>
+      val c = v.map(_(j)); if (types(j) == 1) c.min else c.max
+    }
+    v.map { row =>
+      val di = math.sqrt((0 until m).map(j =>
+        (row(j) - ideal(j)) * (row(j) - ideal(j))).sum)
+      val dn = math.sqrt((0 until m).map(j =>
+        (row(j) - nadir(j)) * (row(j) - nadir(j))).sum)
+      rd(if (di + dn == 0) 0.0 else dn / (di + dn), 6)
+    }
+  }
+
+  /** rank = position under (score DESC, bid ASC) — row_number's order. */
+  private def ranksFrom(bids: Array[String], scores: Array[Double]): Array[Int] = {
+    val order = bids.indices.sortBy(i => (-scores(i), bids(i)))
+    val rank = new Array[Int](bids.length)
+    order.zipWithIndex.foreach { case (i, pos) => rank(i) = pos + 1 }
+    rank
   }
 
   /** CTEs `${p}b/${p}n/${p}c/${p}e/${p}w` — entropy weights per rep from
@@ -267,34 +330,9 @@ object McdmQueries {
        |  FROM ${p}e)""".stripMargin
   }
 
-  // ---------------------------------------------------------------------------
-  // Generic per-rep TOPSIS (`topsis_rank`, eval/ranking.py:333-368 — the
-  // same semantics eval/Ranking.topsis pins): L2 column norms (10 dp),
-  // weighted normalized matrix, ideal/nadir per type, closeness =
-  // dNadir/(dIdeal+dNadir) rounded 6 dp.
-  private def topsisScores(medians: DataFrame, weights: DataFrame,
-      metrics: Seq[(String, Int)]): DataFrame = {
-    val names = metrics.map(_._1)
-    val normAggs = names.map(m =>
-      round(sqrt(sum(col(s"med_$m") * col(s"med_$m"))), 10).as(s"nrm_$m"))
-    val norms = medians.groupBy(col("rep")).agg(normAggs.head, normAggs.tail: _*)
-    def v(m: String): Column =
-      col(s"med_$m") / when(col(s"nrm_$m") === 0.0, 1.0).otherwise(col(s"nrm_$m")) *
-        col(s"w_$m")
-    val wtd = medians.join(broadcast(norms), "rep").join(broadcast(weights), "rep")
-      .select(col("rep") +: col("bid") +: names.map(m => v(m).as(s"v_$m")): _*)
-    val bAggs = metrics.flatMap { case (m, t) =>
-      if (t == 1) Seq(max(col(s"v_$m")).as(s"i_$m"), min(col(s"v_$m")).as(s"a_$m"))
-      else Seq(min(col(s"v_$m")).as(s"i_$m"), max(col(s"v_$m")).as(s"a_$m"))
-    }
-    val bounds = wtd.groupBy(col("rep")).agg(bAggs.head, bAggs.tail: _*)
-    def sq(c: Column) = c * c
-    val di = sqrt(names.map(m => sq(col(s"v_$m") - col(s"i_$m"))).reduce(_ + _))
-    val dn = sqrt(names.map(m => sq(col(s"v_$m") - col(s"a_$m"))).reduce(_ + _))
-    wtd.join(broadcast(bounds), "rep")
-      .select(col("rep"), col("bid"),
-        round(when(di + dn === 0.0, 0.0).otherwise(dn / (di + dn)), 6).as("score"))
-  }
+  // (the per-rep TOPSIS SQL generator below is the oracle's form; the
+  // engine side runs topsisPinned over the collected matrix — see the
+  // driver-twin note above)
 
   /** CTEs `${p}m/${p}v/${p}x/${p}s` — TOPSIS per rep over
     * `$medSrc(rep, bid, med_*)` weighted by `$wSrc(rep, w_*)`; ends in
@@ -335,15 +373,14 @@ object McdmQueries {
   // entropy-derived weights; output carries the medians the reference's
   // ranking entries embed (`:144-165`).
   def q131EntropyTopsis(spark: SparkSession, d: String): DataFrame = {
-    val med = barrierMedians(foldFrame(spark, d))
-    val s = topsisScores(med, entropyWeightsFrame(med), Metrics)
-    med.join(s, Seq("rep", "bid"))
-      // partitionless rank window: O(barriers) frame (24 rows), bounded
-      .withColumn("rank",
-        row_number().over(Window.orderBy(col("score").desc, col("bid"))))
-      .select(col("bid") +: MetricNames.map(m => col(s"med_$m")) :+
-        col("score") :+ col("rank"): _*)
-      .orderBy(col("rank"))
+    import spark.implicits._
+    val (bids, matrix) = collectMedians(barrierMedians(foldFrame(spark, d)))
+    val scores = topsisPinned(matrix, entropyWeightsPinned(matrix), MetricTypes)
+    val rank = ranksFrom(bids, scores)
+    bids.indices.sortBy(rank(_)).map { i =>
+      (bids(i), matrix(i)(0), matrix(i)(1), matrix(i)(2), matrix(i)(3),
+        matrix(i)(4), matrix(i)(5), scores(i), rank(i))
+    }.toDF("bid" +: MetricNames.map(m => s"med_$m") :+ "score" :+ "rank": _*)
   }
 
   val q131Sql: String = {
@@ -365,42 +402,48 @@ object McdmQueries {
   // incoming)/(n−1). The pairwise stage is the O(n²) self-join over the
   // O(barriers) frame — 24×23 pairs, the same driver-scale math the
   // reference does in numpy (the q71 knee precedent).
-  private def prometheeScoresFrom(med: DataFrame): DataFrame = {
-    val rngAggs = MetricNames.map(m =>
-      (max(col(s"med_$m")) - min(col(s"med_$m"))).as(s"rng_$m"))
-    val rng = med.groupBy(col("rep")).agg(rngAggs.head, rngAggs.tail: _*)
-    val a = med.select(col("rep") +: col("bid").as("abid") +:
-      Metrics.map { case (m, t) => (col(s"med_$m") * t).as(s"a_$m") }: _*)
-    val b = med.select(col("rep") +: col("bid").as("bbid") +:
-      Metrics.map { case (m, t) => (col(s"med_$m") * t).as(s"b_$m") }: _*)
-    val prefTerms = MetricNames.map { m =>
-      val p = when(col(s"rng_$m") / 4.0 === 0.0, 1.0).otherwise(col(s"rng_$m") / 4.0)
-      least(lit(1.0), greatest(lit(0.0), (col(s"a_$m") - col(s"b_$m")) / p))
+  /** PROMETHEE-II with the oracle chain's rounding points: pair-sum
+    * flows 10 dp (the GROUP BY sums), φ± 10 dp, net flow 6 dp. Returns
+    * (phi_plus, phi_minus, net) per row of `matrix`. */
+  private def prometheePinned(matrix: Array[Array[Double]])
+      : Array[(Double, Double, Double)] = {
+    val n = matrix.length
+    val m = MetricNames.size
+    val ranges = Array.tabulate(m)(j => matrix.map(_(j)).max - matrix.map(_(j)).min)
+    val p = ranges.map(r0 => if (r0 / 4.0 == 0.0) 1.0 else r0 / 4.0)
+    val types = MetricTypes
+    def pi(i: Int, k: Int): Double = {
+      var s = 0.0
+      var j = 0
+      while (j < m) {
+        val d0 = types(j) * (matrix(i)(j) - matrix(k)(j))
+        s += math.min(1.0, math.max(0.0, d0 / p(j)))
+        j += 1
+      }
+      s / m
     }
-    val pi = prefTerms.reduce(_ + _) / MetricNames.size
-    val pairs = a.join(b, Seq("rep")).filter(col("abid") =!= col("bbid"))
-      .join(broadcast(rng), "rep")
-      .select(col("rep"), col("abid"), col("bbid"), pi.as("pi"))
-    val nbar = med.groupBy(col("rep")).agg(count(lit(1)).cast("double").as("nb"))
-    val plus = pairs.groupBy(col("rep"), col("abid"))
-      .agg(round(sum(col("pi")), 10).as("sp")).withColumnRenamed("abid", "bid")
-    val minus = pairs.groupBy(col("rep"), col("bbid"))
-      .agg(round(sum(col("pi")), 10).as("sm")).withColumnRenamed("bbid", "bid")
-    plus.join(minus, Seq("rep", "bid")).join(broadcast(nbar), "rep")
-      .select(col("rep"), col("bid"),
-        round(col("sp") / (col("nb") - 1), 10).as("phi_plus"),
-        round(col("sm") / (col("nb") - 1), 10).as("phi_minus"))
-      .withColumn("net_flow", round(col("phi_plus") - col("phi_minus"), 6))
+    Array.tabulate(n) { i =>
+      var sp = 0.0; var sm = 0.0
+      var k = 0
+      while (k < n) {
+        if (k != i) { sp += pi(i, k); sm += pi(k, i) }
+        k += 1
+      }
+      val phiP = rd(rd(sp, 10) / (n - 1), 10)
+      val phiM = rd(rd(sm, 10) / (n - 1), 10)
+      (phiP, phiM, rd(phiP - phiM, 6))
+    }
   }
 
-  def q132Promethee(spark: SparkSession, d: String): DataFrame =
-    prometheeScoresFrom(barrierMedians(foldFrame(spark, d)))
-      // partitionless rank window: O(barriers) frame, bounded
-      .withColumn("rank",
-        row_number().over(Window.orderBy(col("net_flow").desc, col("bid"))))
-      .select(col("bid"), round(col("phi_plus"), 6).as("phi_plus"),
-        round(col("phi_minus"), 6).as("phi_minus"), col("net_flow"), col("rank"))
-      .orderBy(col("rank"))
+  def q132Promethee(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val (bids, matrix) = collectMedians(barrierMedians(foldFrame(spark, d)))
+    val flows = prometheePinned(matrix)
+    val rank = ranksFrom(bids, flows.map(_._3))
+    bids.indices.sortBy(rank(_)).map { i =>
+      (bids(i), rd(flows(i)._1, 6), rd(flows(i)._2, 6), flows(i)._3, rank(i))
+    }.toDF("bid", "phi_plus", "phi_minus", "net_flow", "rank")
+  }
 
   /** CTEs `${p}r/${p}p/${p}pl/${p}mi/${p}n/${p}f` ending in
     * `${p}f(rep, bid, phi_plus, phi_minus, net_flow)`. */
@@ -445,41 +488,61 @@ object McdmQueries {
   // when |median| ≤ 1e-10), raw = median × 1/(1+CV), min-max normalize per
   // metric across barriers (range ≤ 1e-10 → zeros), score = Σ normed. "A
   // consistent PF=1.08 beats a volatile PF=1.15."
-  private def stabilityScoresFrom(folds: DataFrame): DataFrame = {
+  /** The distributed stat pass for round 3: per-bid median + sample std
+    * of each stability metric (the ONE fact-derived aggregate; the
+    * composite itself is driver-twin math). */
+  private def stabilityStatFrame(folds: DataFrame): DataFrame = {
     val aggs = StabilityMetrics.flatMap(m => Seq(
       round(expr(s"percentile($m, 0.5D)"), 8).as(s"med_$m"),
       round(stddev_samp(col(m)), 8).as(s"sd_$m")))
-    val st = folds.groupBy(col("bid")).agg(aggs.head, aggs.tail: _*)
-    def raw(m: String): Column = {
-      val cv = when(abs(col(s"med_$m")) > 1e-10,
-        col(s"sd_$m") / abs(col(s"med_$m"))).otherwise(lit(10.0))
-      round(col(s"med_$m") * (lit(1.0) / (lit(1.0) + cv)), 10)
-    }
-    val rawDf = st.select(col("bid") +:
-      StabilityMetrics.map(m => raw(m).as(s"raw_$m")): _*)
-    val bAggs = StabilityMetrics.flatMap(m => Seq(
-      min(col(s"raw_$m")).as(s"mn_$m"), max(col(s"raw_$m")).as(s"mx_$m")))
-    val bounds = rawDf.agg(bAggs.head, bAggs.tail: _*)
-    def normed(m: String): Column = {
-      val rng = col(s"mx_$m") - col(s"mn_$m")
-      when(rng > 1e-10, (col(s"raw_$m") - col(s"mn_$m")) / rng).otherwise(lit(0.0))
-    }
-    rawDf.crossJoin(broadcast(bounds))
-      .select(col("bid") +:
-        StabilityMetrics.map(m => round(normed(m), 10).as(s"s_$m")): _*)
-      .withColumn("score",
-        round(StabilityMetrics.map(m => col(s"s_$m")).reduce(_ + _), 6))
-      .filter(col("score").isNotNull) // the `:448` finite mask
+    folds.groupBy(col("bid")).agg(aggs.head, aggs.tail: _*)
   }
 
-  def q133StabilityRank(spark: SparkSession, d: String): DataFrame =
-    stabilityScoresFrom(foldFrame(spark, d))
-      // partitionless rank window: O(barriers) frame, bounded
-      .withColumn("rank",
-        row_number().over(Window.orderBy(col("score").desc, col("bid"))))
-      .select(col("bid") +: StabilityMetrics.map(m => col(s"s_$m")) :+
-        col("score") :+ col("rank"): _*)
-      .orderBy(col("rank"))
+  /** Composite scores with the oracle chain's rounding points: raw
+    * 10 dp, normed 10 dp, score 6 dp; NaN scores dropped (the `:448`
+    * finite mask). Returns (bid, s_*, score) bid-sorted. */
+  private def stabilityPinned(st: Array[(String, Array[Double], Array[Double])])
+      : Array[(String, Array[Double], Double)] = {
+    val nm = StabilityMetrics.size
+    val raw = st.map { case (_, med, sd) =>
+      Array.tabulate(nm) { j =>
+        val cv = if (math.abs(med(j)) > 1e-10) sd(j) / math.abs(med(j)) else 10.0
+        rd(med(j) * (1.0 / (1.0 + cv)), 10)
+      }
+    }
+    val mins = Array.tabulate(nm)(j => raw.map(_(j)).min)
+    val maxs = Array.tabulate(nm)(j => raw.map(_(j)).max)
+    st.indices.map { i =>
+      val s = Array.tabulate(nm) { j =>
+        val rng = maxs(j) - mins(j)
+        rd(if (rng > 1e-10) (raw(i)(j) - mins(j)) / rng else 0.0, 10)
+      }
+      (st(i)._1, s, rd(s.sum, 6))
+    }.filterNot(_._3.isNaN).toArray
+  }
+
+  private def collectStabilityStats(folds: DataFrame)
+      : Array[(String, Array[Double], Array[Double])] =
+    stabilityStatFrame(folds).orderBy(col("bid")).collect()
+      // a NULL median/std propagates to a NULL score in the oracle (the
+      // finite mask drops it); mirror by dropping the row here — getAs
+      // would silently unbox NULL to 0.0 otherwise
+      .filter(r0 => (0 until r0.length).forall(!r0.isNullAt(_)))
+      .map { r0 =>
+        (r0.getAs[String]("bid"),
+          StabilityMetrics.map(m => r0.getAs[Double](s"med_$m")).toArray,
+          StabilityMetrics.map(m => r0.getAs[Double](s"sd_$m")).toArray)
+      }
+
+  def q133StabilityRank(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val scored = stabilityPinned(collectStabilityStats(foldFrame(spark, d)))
+    val rank = ranksFrom(scored.map(_._1), scored.map(_._3))
+    scored.indices.sortBy(rank(_)).map { i =>
+      val (bid, s, score) = scored(i)
+      (bid, s(0), s(1), s(2), s(3), score, rank(i))
+    }.toDF("bid" +: StabilityMetrics.map(m => s"s_$m") :+ "score" :+ "rank": _*)
+  }
 
   /** CTEs `${p}st/${p}raw/${p}b/${p}nm/${p}f` ending in
     * `${p}f(bid, s_*, score)`. */
@@ -604,7 +667,11 @@ object McdmQueries {
   // The resample RNG is the pinned multiplicative hash (seed 42 folded
   // in) — identical in both engines; numpy's PCG64 bit stream is not
   // SQL-reproducible and the method's semantics don't depend on it.
-  private def bootstrapRanksFrom(spark: SparkSession, folds: DataFrame): DataFrame = {
+  /** The distributed half of round 5: the deterministic resample join +
+    * per-(rep, bid) median aggregation — one fan-out join and one
+    * groupBy over the fold frame, yielding the O(reps × barriers)
+    * resampled-median frame the per-rep method math consumes. */
+  private def repMedianFrame(spark: SparkSession, folds: DataFrame): DataFrame = {
     val fk = folds.select(col("fold_key")).distinct()
       // partitionless index window: O(fold cells) frame (80 rows), bounded
       .withColumn("fidx",
@@ -622,26 +689,42 @@ object McdmQueries {
       .join(folds, "fold_key")
     val mAggs = MetricNames.map(m =>
       round(expr(s"percentile($m, 0.5D)"), 8).as(s"med_$m"))
-    val rmed = rs.groupBy(col("rep"), col("bid")).agg(mAggs.head, mAggs.tail: _*)
+    rs.groupBy(col("rep"), col("bid")).agg(mAggs.head, mAggs.tail: _*)
       .filter(MetricNames.map(m => col(s"med_$m").isNotNull).reduce(_ && _))
-    val ranked = topsisScores(rmed, entropyWeightsFrame(rmed), Metrics)
-      .withColumn("rnk", row_number().over(
-        Window.partitionBy(col("rep")).orderBy(col("score").desc, col("bid"))))
-    val counts = ranked.filter(col("rnk") <= TopK).groupBy(col("bid"))
-      .agg(count(lit(1)).as("top10_count"))
-    folds.select(col("bid")).distinct()
-      .join(counts, Seq("bid"), "left")
-      .na.fill(0L, Seq("top10_count"))
-      .withColumn("freq", round(col("top10_count") / lit(NBoot.toDouble), 6))
-      // partitionless rank window: O(barriers) frame, bounded
-      .withColumn("rank",
-        row_number().over(Window.orderBy(col("top10_count").desc, col("bid"))))
   }
 
-  def q135BootstrapRank(spark: SparkSession, d: String): DataFrame =
-    bootstrapRanksFrom(spark, foldFrame(spark, d))
-      .select(col("bid"), col("top10_count"), col("freq"), col("rank"))
-      .orderBy(col("rank"))
+  /** Per-bid top-10 counts over the NBoot reps (driver twin of the
+    * per-rep entropy-TOPSIS chains — 200 × (24×6) matrices, trivially
+    * driver-scale). */
+  private def bootstrapCounts(spark: SparkSession, folds: DataFrame)
+      : Array[(String, Long)] = {
+    val rows = repMedianFrame(spark, folds)
+      .orderBy(col("rep"), col("bid")).collect()
+    val counts = scala.collection.mutable.Map.empty[String, Long]
+    rows.groupBy(_.getAs[Long]("rep")).foreach { case (_, repRows) =>
+      val bids = repRows.map(_.getAs[String]("bid"))
+      val matrix = repRows.map(r0 =>
+        MetricNames.map(m => r0.getAs[Double](s"med_$m")).toArray)
+      val scores = topsisPinned(matrix, entropyWeightsPinned(matrix), MetricTypes)
+      bids.indices.sortBy(i => (-scores(i), bids(i))).take(TopK)
+        .foreach(i => counts(bids(i)) = counts.getOrElse(bids(i), 0L) + 1)
+    }
+    val allBids = folds.select(col("bid")).distinct()
+      .collect().map(_.getString(0)).sorted
+    allBids.map(b => b -> counts.getOrElse(b, 0L))
+  }
+
+  def q135BootstrapRank(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val counted = bootstrapCounts(spark, foldFrame(spark, d))
+    val bids = counted.map(_._1)
+    val order = bids.indices.sortBy(i => (-counted(i)._2, bids(i)))
+    val rank = new Array[Int](bids.length)
+    order.zipWithIndex.foreach { case (i, pos) => rank(i) = pos + 1 }
+    bids.indices.sortBy(rank(_)).map { i =>
+      (bids(i), counted(i)._2, rd(counted(i)._2 / NBoot.toDouble, 6), rank(i))
+    }.toDF("bid", "top10_count", "freq", "rank")
+  }
 
   /** CTEs ending in `${p}out(bid, top10_count, freq, rank)`. */
   private def bootstrapSqlChain(p: String): String = {
@@ -697,54 +780,57 @@ object McdmQueries {
   // agreement. eval/Ranking.kendallTau is the library twin (golden-
   // pinned); here the census itself is oracle-checked.
   def q136RankAgreement(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
     // one shared fold frame across the six method chains (each is a
-    // different grouping of the same 1,920-cell frame)
-    val folds = foldFrame(spark, d).cache()
-    val med = barrierMedians(folds)
-    def ranksOf(scored: DataFrame, scoreCol: String): DataFrame =
-      scored.withColumn("rnk",
-        // partitionless rank window: O(barriers) frame, bounded
-        row_number().over(Window.orderBy(col(scoreCol).desc, col("bid"))))
-        .select(col("bid"), col("rnk"))
-    val baselineW = med.select(col("rep")).distinct()
-      .select(col("rep") +: BaselineMetrics.map { case (m, _) =>
-        lit(1.0 / 3).as(s"w_$m") }: _*)
-    val baseline = ranksOf(topsisScores(med, baselineW, BaselineMetrics), "score")
-    val methods = Seq(
+    // different grouping of the same 1,920-cell frame; foldFrame persists
+    // its output, so the three distributed aggregations below scan it
+    // from cache)
+    val folds = foldFrame(spark, d)
+    val (bids, matrix) = collectMedians(barrierMedians(folds))
+    def rankMap(bs: Array[String], scores: Array[Double]): Map[String, Int] = {
+      val r0 = ranksFrom(bs, scores)
+      bs.indices.map(i => bs(i) -> r0(i)).toMap
+    }
+    // baseline: equal-weight TOPSIS over the (pf, sharpe, vol) columns
+    val baseIdx = BaselineMetrics.map { case (m, _) => MetricNames.indexOf(m) }
+    val base3 = matrix.map(row => baseIdx.map(row(_)).toArray)
+    val baseline = rankMap(bids,
+      topsisPinned(base3, Array.fill(3)(1.0 / 3), BaselineMetrics.map(_._2).toArray))
+    val stab = stabilityPinned(collectStabilityStats(folds))
+    val univ = universalityFrom(folds).orderBy(col("bid")).collect()
+      .map(r0 => (r0.getAs[String]("bid"), r0.getAs[Double]("score")))
+    val boot = bootstrapCounts(spark, folds)
+    val methods: Seq[(String, Map[String, Int])] = Seq(
       ("bootstrap_stability",
-        bootstrapRanksFrom(spark, folds).select(col("bid"), col("rank").as("rnk"))),
-      ("cross_consistency", ranksOf(universalityFrom(folds), "score")),
+        rankMap(boot.map(_._1), boot.map(_._2.toDouble))),
+      ("cross_consistency", rankMap(univ.map(_._1), univ.map(_._2))),
       ("entropy_topsis",
-        ranksOf(topsisScores(med, entropyWeightsFrame(med), Metrics), "score")),
-      ("promethee_ii", ranksOf(prometheeScoresFrom(med), "net_flow")),
-      ("stability_weighted", ranksOf(stabilityScoresFrom(folds), "score")))
-    val tagged = methods.map { case (name, df) =>
-      df.withColumn("method", lit(name)) }.reduce(_ unionByName _)
-    val mb = tagged
-      .join(broadcast(baseline.select(col("bid"), col("rnk").as("rb"))), "bid")
-    val agg1 = mb.groupBy(col("method")).agg(
-      count(lit(1)).cast("double").as("n"),
-      sum((col("rnk") - col("rb")) * (col("rnk") - col("rb"))).cast("double").as("sd2"),
-      count(when(col("rnk") <= 10 && col("rb") <= 10, 1)).cast("double").as("inter"),
-      count(when(col("rnk") <= 10 || col("rb") <= 10, 1)).cast("double").as("uni"),
-      max(when(col("rnk") === 1 && col("rb") === 1, 1).otherwise(0))
-        .as("rank1_agreement"))
-    val x = mb.select(col("method"), col("bid"), col("rnk"), col("rb"))
-    val y = mb.select(col("method").as("ym"), col("bid").as("ybid"),
-      col("rnk").as("yrnk"), col("rb").as("yrb"))
-    val tau = x.join(y, col("method") === col("ym") && col("bid") < col("ybid"))
-      .select(col("method"),
-        (signum((col("rnk") - col("yrnk")).cast("double")) *
-          signum((col("rb") - col("yrb")).cast("double"))).as("sgn"))
-      .groupBy(col("method"))
-      .agg(round(sum(col("sgn")) / count(lit(1)), 4).as("kendall_tau"))
-    agg1.join(tau, "method")
-      .select(col("method"), col("kendall_tau"),
-        round(lit(1.0) - lit(6.0) * col("sd2") /
-          (col("n") * (col("n") * col("n") - 1.0)), 4).as("spearman_rho"),
-        round(col("inter") / col("uni"), 4).as("top10_jaccard"),
-        col("rank1_agreement"))
-      .orderBy(col("method"))
+        rankMap(bids, topsisPinned(matrix, entropyWeightsPinned(matrix), MetricTypes))),
+      ("promethee_ii", rankMap(bids, prometheePinned(matrix).map(_._3))),
+      ("stability_weighted", rankMap(stab.map(_._1), stab.map(_._3))))
+    val out = methods.map { case (name, rm) =>
+      val common = rm.keySet.intersect(baseline.keySet).toSeq.sorted
+      val n = common.size.toDouble
+      var sd2 = 0.0; var cd = 0.0; var np = 0L
+      var inter = 0; var uni = 0
+      common.foreach { b =>
+        val dr = rm(b) - baseline(b)
+        sd2 += dr.toDouble * dr
+        val t10m = rm(b) <= 10; val t10b = baseline(b) <= 10
+        if (t10m && t10b) inter += 1
+        if (t10m || t10b) uni += 1
+      }
+      for (i <- common.indices; j <- (i + 1) until common.size) {
+        cd += math.signum((rm(common(i)) - rm(common(j))).toDouble) *
+          math.signum((baseline(common(i)) - baseline(common(j))).toDouble)
+        np += 1
+      }
+      val rank1 = common.exists(b => rm(b) == 1 && baseline(b) == 1)
+      (name, rd(cd / np, 4), rd(1.0 - 6.0 * sd2 / (n * (n * n - 1.0)), 4),
+        rd(inter.toDouble / uni, 4), if (rank1) 1 else 0)
+    }.sortBy(_._1)
+    out.toDF("method", "kendall_tau", "spearman_rho", "top10_jaccard",
+      "rank1_agreement")
   }
 
   val q136Sql: String = {

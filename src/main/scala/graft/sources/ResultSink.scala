@@ -82,7 +82,11 @@ object ResultSink {
     * libbrotli{dec,enc,common}.so under the DRIVER-side miniconda tree
     * (Python brotlicffi) — no JVM binding jar, and hand-rolling an
     * incubator-FFM binding to a conda .so would be a fragile
-    * environment-specific hack, not a portable codec. Still carried. */
+    * environment-specific hack, not a portable codec. Re-audited r15:
+    * aircompressor-2.0.3 (the one compression jar on the Spark
+    * classpath) ships lz4/lzo/snappy/zstd only, and no brotli CLI is on
+    * PATH (the conda man page is driver-side Python packaging debris) —
+    * nothing new to vendor. Still carried. */
   def writeJsonlGz(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite)
       .option("ignoreNullFields", "false")
