@@ -220,6 +220,18 @@ class PlanShapeSpec extends GraftSuite {
       s"cross-config stage shuffled a tiny frame:\n$p")
   }
 
+  test("gen720 fold frame: ONE fact exchange — the 5-key fold windows and " +
+    "the fold aggregation reuse the 4-key series partitioning (subset rule)") {
+    // the only distributed stage the whole MCDM pack pays per corpus: the
+    // lag/index windows partition on (bid, sym, fmt, thr), and both the
+    // fold-scoped windows (… , fold) and the 5-key groupBy are satisfied
+    // by that same hash partitioning (grouping keys ⊇ partitioning keys),
+    // so fold assignment and fold aggregation add NO exchange
+    val p = plan(graft.queries.McdmQueries.foldFrame(spark, sf))
+    val exchanges = p.linesIterator.count(_.contains("Exchange"))
+    assert(exchanges == 1, s"fold frame should shuffle exactly once:\n$p")
+  }
+
   test("q113 scaled-K assignment: map-only codegen'd kernel — no SortAggregate, " +
     "no join, no N×K row explosion in the plan") {
     val p = plan(SimilarityQueries.q113SemanticDedupScaled(spark, sf))
