@@ -779,13 +779,12 @@ object McdmQueries {
   // (the closed form over rank permutations), top-10 Jaccard, rank-1
   // agreement. eval/Ranking.kendallTau is the library twin (golden-
   // pinned); here the census itself is oracle-checked.
-  def q136RankAgreement(spark: SparkSession, d: String): DataFrame = {
-    import spark.implicits._
-    // one shared fold frame across the six method chains (each is a
-    // different grouping of the same 1,920-cell frame; foldFrame persists
-    // its output, so the three distributed aggregations below scan it
-    // from cache)
-    val folds = foldFrame(spark, d)
+  /** The six rank maps (baseline first) the agreement censuses compare —
+    * one shared fold frame across the chains (each is a different
+    * grouping of the same 1,920-cell frame; foldFrame persists its
+    * output, so the distributed aggregations scan it from cache). */
+  private def methodRankMaps(spark: SparkSession, folds: DataFrame)
+      : Seq[(String, Map[String, Int])] = {
     val (bids, matrix) = collectMedians(barrierMedians(folds))
     def rankMap(bs: Array[String], scores: Array[Double]): Map[String, Int] = {
       val r0 = ranksFrom(bs, scores)
@@ -794,13 +793,13 @@ object McdmQueries {
     // baseline: equal-weight TOPSIS over the (pf, sharpe, vol) columns
     val baseIdx = BaselineMetrics.map { case (m, _) => MetricNames.indexOf(m) }
     val base3 = matrix.map(row => baseIdx.map(row(_)).toArray)
-    val baseline = rankMap(bids,
-      topsisPinned(base3, Array.fill(3)(1.0 / 3), BaselineMetrics.map(_._2).toArray))
     val stab = stabilityPinned(collectStabilityStats(folds))
     val univ = universalityFrom(folds).orderBy(col("bid")).collect()
       .map(r0 => (r0.getAs[String]("bid"), r0.getAs[Double]("score")))
     val boot = bootstrapCounts(spark, folds)
-    val methods: Seq[(String, Map[String, Int])] = Seq(
+    Seq(
+      ("baseline_topsis", rankMap(bids, topsisPinned(base3,
+        Array.fill(3)(1.0 / 3), BaselineMetrics.map(_._2).toArray))),
       ("bootstrap_stability",
         rankMap(boot.map(_._1), boot.map(_._2.toDouble))),
       ("cross_consistency", rankMap(univ.map(_._1), univ.map(_._2))),
@@ -808,35 +807,53 @@ object McdmQueries {
         rankMap(bids, topsisPinned(matrix, entropyWeightsPinned(matrix), MetricTypes))),
       ("promethee_ii", rankMap(bids, prometheePinned(matrix).map(_._3))),
       ("stability_weighted", rankMap(stab.map(_._1), stab.map(_._3))))
-    val out = methods.map { case (name, rm) =>
-      val common = rm.keySet.intersect(baseline.keySet).toSeq.sorted
-      val n = common.size.toDouble
-      var sd2 = 0.0; var cd = 0.0; var np = 0L
-      var inter = 0; var uni = 0
-      common.foreach { b =>
-        val dr = rm(b) - baseline(b)
-        sd2 += dr.toDouble * dr
-        val t10m = rm(b) <= 10; val t10b = baseline(b) <= 10
-        if (t10m && t10b) inter += 1
-        if (t10m || t10b) uni += 1
-      }
-      for (i <- common.indices; j <- (i + 1) until common.size) {
-        cd += math.signum((rm(common(i)) - rm(common(j))).toDouble) *
-          math.signum((baseline(common(i)) - baseline(common(j))).toDouble)
-        np += 1
-      }
-      val rank1 = common.exists(b => rm(b) == 1 && baseline(b) == 1)
-      (name, rd(cd / np, 4), rd(1.0 - 6.0 * sd2 / (n * (n * n - 1.0)), 4),
-        rd(inter.toDouble / uni, 4), if (rank1) 1 else 0)
-    }.sortBy(_._1)
-    out.toDF("method", "kendall_tau", "spearman_rho", "top10_jaccard",
-      "rank1_agreement")
   }
 
-  val q136Sql: String = {
+  /** (tau, rho, top10 jaccard, rank1 agreement) between two rank maps
+    * over their common ids — `compare_to_baseline`'s stats with the
+    * oracle's rounding (4 dp). */
+  private def agreementStats(a: Map[String, Int], b: Map[String, Int])
+      : (Double, Double, Double, Int) = {
+    val common = a.keySet.intersect(b.keySet).toSeq.sorted
+    val n = common.size.toDouble
+    var sd2 = 0.0; var cd = 0.0; var np = 0L
+    var inter = 0; var uni = 0
+    common.foreach { k =>
+      val dr = a(k) - b(k)
+      sd2 += dr.toDouble * dr
+      val t10a = a(k) <= 10; val t10b = b(k) <= 10
+      if (t10a && t10b) inter += 1
+      if (t10a || t10b) uni += 1
+    }
+    for (i <- common.indices; j <- (i + 1) until common.size) {
+      cd += math.signum((a(common(i)) - a(common(j))).toDouble) *
+        math.signum((b(common(i)) - b(common(j))).toDouble)
+      np += 1
+    }
+    val rank1 = common.exists(k => a(k) == 1 && b(k) == 1)
+    (rd(cd / np, 4), rd(1.0 - 6.0 * sd2 / (n * (n * n - 1.0)), 4),
+      rd(inter.toDouble / uni, 4), if (rank1) 1 else 0)
+  }
+
+  def q136RankAgreement(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val maps = methodRankMaps(spark, foldFrame(spark, d))
+    val baseline = maps.head._2
+    maps.tail.map { case (name, rm) =>
+      val (tau, rho, jac, r1) = agreementStats(rm, baseline)
+      (name, tau, rho, jac, r1)
+    }.sortBy(_._1)
+      .toDF("method", "kendall_tau", "spearman_rho", "top10_jaccard",
+        "rank1_agreement")
+  }
+
+  /** The CTE stack shared by the two agreement censuses (q136/q139):
+    * fold frame → all six method chains → per-method rank relations
+    * `rk_base(bid, rb)` and `tg(method, bid, rnk)`. */
+  private val duckCensusCtes: String = {
     val blw = BaselineMetrics.map { case (m, _) =>
       s"${1.0 / 3} AS w_$m" }.mkString(", ")
-    s"""WITH $duckFoldsCte,
+    s"""$duckFoldsCte,
        |$duckMedCte,
        |b0w AS (SELECT DISTINCT rep, $blw FROM medf),
        |${topsisSqlChain("b0", "medf", "b0w", BaselineMetrics)},
@@ -857,7 +874,11 @@ object McdmQueries {
        |  UNION ALL SELECT 'promethee_ii', bid,
        |    row_number() OVER (ORDER BY net_flow DESC, bid) FROM p2f
        |  UNION ALL SELECT 'stability_weighted', bid,
-       |    row_number() OVER (ORDER BY score DESC, bid) FROM s3f),
+       |    row_number() OVER (ORDER BY score DESC, bid) FROM s3f)""".stripMargin
+  }
+
+  val q136Sql: String = {
+    s"""WITH $duckCensusCtes,
        |mb AS (
        |  SELECT tg.method, tg.bid, tg.rnk, b.rb
        |  FROM tg JOIN rk_base b ON b.bid = tg.bid),
@@ -879,6 +900,55 @@ object McdmQueries {
        |  round(inter / uni, 4) AS top10_jaccard, rank1_agreement
        |FROM a1 JOIN a2 ON a2.method = a1.method ORDER BY a1.method""".stripMargin
   }
+
+  // ---------------------------------------------------------------------------
+  // q139 — the cross-round comparison MATRIX (`run_cross_round_comparison`,
+  // `:676-742`): pairwise Kendall tau / Spearman rho / top-10 Jaccard
+  // across ALL rankings INCLUDING round 0 (the baseline) — the
+  // cross_round_comparison.json artifact every gen720 run emits. q136 is
+  // the per-round method-vs-baseline census; this is the full 6×6 upper
+  // triangle (15 pairs).
+  def q139RankMatrix(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val maps = methodRankMaps(spark, foldFrame(spark, d))
+    (for {
+      i <- maps.indices
+      j <- (i + 1) until maps.size
+    } yield {
+      val (tau, rho, jac, _) = agreementStats(maps(i)._2, maps(j)._2)
+      (maps(i)._1, maps(j)._1, tau, rho, jac)
+    }).sortBy(t => (t._1, t._2))
+      .toDF("method_a", "method_b", "kendall_tau", "spearman_rho",
+        "top10_jaccard")
+  }
+
+  val q139Sql: String =
+    s"""WITH $duckCensusCtes,
+       |tg2 AS (
+       |  SELECT 'baseline_topsis' AS method, bid, rb AS rnk FROM rk_base
+       |  UNION ALL SELECT method, bid, rnk FROM tg),
+       |pm AS (
+       |  SELECT x.method AS method_a, y.method AS method_b, x.bid,
+       |    x.rnk AS ra, y.rnk AS rbb
+       |  FROM tg2 x JOIN tg2 y ON x.bid = y.bid AND x.method < y.method),
+       |a1 AS (
+       |  SELECT method_a, method_b, count(*)::DOUBLE AS n,
+       |    sum((ra - rbb) * (ra - rbb))::DOUBLE AS sd2,
+       |    count(*) FILTER (WHERE ra <= 10 AND rbb <= 10)::DOUBLE AS inter,
+       |    count(*) FILTER (WHERE ra <= 10 OR rbb <= 10)::DOUBLE AS uni
+       |  FROM pm GROUP BY method_a, method_b),
+       |a2 AS (
+       |  SELECT x.method_a, x.method_b,
+       |    round(sum(sign((x.ra - y.ra)::DOUBLE) * sign((x.rbb - y.rbb)::DOUBLE))
+       |      / count(*), 4) AS kendall_tau
+       |  FROM pm x JOIN pm y ON x.method_a = y.method_a
+       |    AND x.method_b = y.method_b AND x.bid < y.bid
+       |  GROUP BY x.method_a, x.method_b)
+       |SELECT a1.method_a, a1.method_b, kendall_tau,
+       |  round(1.0 - 6.0 * sd2 / (n * (n * n - 1.0)), 4) AS spearman_rho,
+       |  round(inter / uni, 4) AS top10_jaccard
+       |FROM a1 JOIN a2 ON a2.method_a = a1.method_a AND a2.method_b = a1.method_b
+       |ORDER BY a1.method_a, a1.method_b""".stripMargin
 
   // ---------------------------------------------------------------------------
   // q137 — gen800 stagnation-first ranking (scripts/gen800_rank.py:5-11,
@@ -986,7 +1056,10 @@ object McdmQueries {
   private val CutoffLevels = Seq(100, 80, 60, 40, 20, 10, 5)
   private val TargetN = 10 // config.RANK_TARGET_N
 
-  def q138RankObjectives(spark: SparkSession, d: String): DataFrame = {
+  /** The uniform-cutoff grid frame shared by q138 and q140: per
+    * tightening level, survivor count, average survivor percentile and
+    * the per-metric relaxed counts over the q124 percentile machinery. */
+  private def cutoffGridFrame(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
     val m = RankingQueries.cfgMetrics(spark, d)
     val nAll = m.select(count(lit(1)).cast("double").as("n_cfg"))
@@ -1010,7 +1083,7 @@ object McdmQueries {
         least(col("p_omega"), col("p_sr"), col("p_maxdd")).as("mx_win"),
         least(col("p_omega"), col("p_sr"), col("p_win")).as("mx_maxdd"))
     def surv(c: Column): Column = c >= lit(100.0) - col("cutoff_pct")
-    val agg = CutoffLevels.toDF("cutoff_pct").crossJoin(ranked)
+    CutoffLevels.toDF("cutoff_pct").crossJoin(ranked)
       .groupBy(col("cutoff_pct"))
       .agg(
         count(when(surv(col("min_all")), 1)).as("n_intersection"),
@@ -1021,9 +1094,12 @@ object McdmQueries {
         count(when(surv(col("mx_sr")), 1)).as("rx_sr"),
         count(when(surv(col("mx_win")), 1)).as("rx_win"),
         count(when(surv(col("mx_maxdd")), 1)).as("rx_maxdd"))
+  }
+
+  def q138RankObjectives(spark: SparkSession, d: String): DataFrame = {
     val nb = Seq("rx_omega", "rx_sr", "rx_win", "rx_maxdd")
       .map(c => (col(c) > col("n_intersection")).cast("int")).reduce(_ + _)
-    agg
+    cutoffGridFrame(spark, d)
       .withColumn("n_binding",
         when(col("cutoff_pct") < 100, nb).otherwise(lit(0)))
       .select(col("cutoff_pct"), col("n_intersection"), col("avg_percentile"),
@@ -1043,8 +1119,11 @@ object McdmQueries {
       .orderBy(col("cutoff_pct").desc)
   }
 
-  val q138Sql: String =
-    s"""WITH ${RankingQueries.duckCfgMetrics},
+  /** CTEs through `agg(cutoff_pct, n_intersection, avg_percentile,
+    * rx_*)` — the cutoff-grid stack shared by the q138 and q140
+    * oracles. */
+  private val duckCutoffGridCtes: String =
+    s"""${RankingQueries.duckCfgMetrics},
        |nn AS (SELECT count(*)::DOUBLE AS n_cfg FROM m),
        |pct AS (
        |  SELECT cfg,
@@ -1081,7 +1160,10 @@ object McdmQueries {
        |    count(*) FILTER (WHERE mx_sr >= 100.0 - c.cutoff_pct) AS rx_sr,
        |    count(*) FILTER (WHERE mx_win >= 100.0 - c.cutoff_pct) AS rx_win,
        |    count(*) FILTER (WHERE mx_maxdd >= 100.0 - c.cutoff_pct) AS rx_maxdd
-       |  FROM cuts c CROSS JOIN mins GROUP BY c.cutoff_pct),
+       |  FROM cuts c CROSS JOIN mins GROUP BY c.cutoff_pct)""".stripMargin
+
+  val q138Sql: String =
+    s"""WITH $duckCutoffGridCtes,
        |obj AS (
        |  SELECT cutoff_pct, n_intersection, avg_percentile,
        |    CASE WHEN cutoff_pct < 100 THEN
@@ -1104,6 +1186,102 @@ object McdmQueries {
        |    ELSE n_intersection * (n_binding / 4.0) END, 6) AS obj_diversity
        |FROM obj ORDER BY cutoff_pct DESC""".stripMargin
 
+  // ---------------------------------------------------------------------------
+  // q140 — rank_optimize's pareto_efficiency lane (`:141-223`): the
+  // multi-objective triple (maximize survivors, maximize avg quality,
+  // minimize mean cutoff) evaluated on the deterministic uniform-cutoff
+  // grid — the reproducible stand-in for NSGA-II's sampled population
+  // (the sampler is an external stochastic library; the pinned semantics
+  // are the objective TRIPLE, the non-dominated front, the
+  // threshold-free TOPSIS ranking of the front with equal weights and
+  // types (↑,↑,↓) — Issue #28 — and the knee annotation, ε = 0.125, the
+  // q71 kneeDetect pairing).
+  def q140ParetoFront(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val grid = cutoffGridFrame(spark, d)
+      .select(col("cutoff_pct"), col("n_intersection"), col("avg_percentile"))
+      .orderBy(col("cutoff_pct")).collect()
+      .map(r0 => (r0.getAs[Int]("cutoff_pct"),
+        r0.getAs[Long]("n_intersection"), r0.getAs[Double]("avg_percentile")))
+    def dominates(a: (Int, Long, Double), b: (Int, Long, Double)): Boolean =
+      a._2 >= b._2 && a._3 >= b._3 && a._1 <= b._1 &&
+        (a._2 > b._2 || a._3 > b._3 || a._1 < b._1)
+    val front = grid.filter(p => !grid.exists(o => dominates(o, p)))
+    val matrix = front.map(p => Array(p._2.toDouble, p._3, p._1.toDouble))
+    val scores = topsisPinned(matrix, Array.fill(3)(1.0 / 3), Array(1, 1, -1))
+    val knees = graft.eval.Ranking.kneeDetect(matrix, Array(1, 1, -1)).toSet
+    val order = front.indices.sortBy(i => (-scores(i), front(i)._1))
+    val rank = new Array[Int](front.length)
+    order.zipWithIndex.foreach { case (i, pos) => rank(i) = pos + 1 }
+    front.indices.sortBy(rank(_)).map { i =>
+      (front(i)._1, front(i)._2, front(i)._3, front(i)._1.toDouble,
+        scores(i), if (knees(i)) 1 else 0, rank(i))
+    }.toDF("cutoff_pct", "n_survivors", "avg_quality", "mean_cutoff",
+      "topsis_score", "is_knee", "rank")
+  }
+
+  val q140Sql: String = {
+    val pfMetrics = Seq(("ns", 1), ("aq", 1), ("mc", -1))
+    val w3 = 1.0 / 3
+    def rng(i: Int) = s"(CASE WHEN x$i - m$i = 0 THEN 1.0 ELSE x$i - m$i END)"
+    s"""WITH $duckCutoffGridCtes,
+       |front AS (
+       |  SELECT cutoff_pct, n_intersection AS ns, avg_percentile AS aq,
+       |    cutoff_pct::DOUBLE AS mc
+       |  FROM agg a
+       |  WHERE NOT EXISTS (
+       |    SELECT 1 FROM agg b
+       |    WHERE b.n_intersection >= a.n_intersection
+       |      AND b.avg_percentile >= a.avg_percentile
+       |      AND b.cutoff_pct <= a.cutoff_pct
+       |      AND (b.n_intersection > a.n_intersection
+       |        OR b.avg_percentile > a.avg_percentile
+       |        OR b.cutoff_pct < a.cutoff_pct))),
+       |pft AS (
+       |  SELECT 0 AS rep, cutoff_pct AS bid, ns::DOUBLE AS med_ns,
+       |    aq AS med_aq, mc AS med_mc
+       |  FROM front),
+       |pfw AS (SELECT DISTINCT rep, $w3 AS w_ns, $w3 AS w_aq, $w3 AS w_mc
+       |  FROM pft),
+       |${topsisSqlChain("pf", "pft", "pfw", pfMetrics)},
+       |kf AS (SELECT bid, -med_ns AS f1, -med_aq AS f2, med_mc AS f3 FROM pft),
+       |kb AS (
+       |  SELECT min(f1) AS m1, max(f1) AS x1, min(f2) AS m2, max(f2) AS x2,
+       |    min(f3) AS m3, max(f3) AS x3
+       |  FROM kf),
+       |kn AS (
+       |  SELECT bid,
+       |    (f1 - m1) / ${rng(1)} AS g1,
+       |    (f2 - m2) / ${rng(2)} AS g2,
+       |    (f3 - m3) / ${rng(3)} AS g3
+       |  FROM kf, kb),
+       |kp AS (
+       |  SELECT a.bid AS ab,
+       |    sqrt((b.g1 - a.g1) * (b.g1 - a.g1) + (b.g2 - a.g2) * (b.g2 - a.g2)
+       |      + (b.g3 - a.g3) * (b.g3 - a.g3)) AS dist,
+       |    greatest(b.g1 - a.g1, 0.0) + greatest(b.g2 - a.g2, 0.0)
+       |      + greatest(b.g3 - a.g3, 0.0) AS sac,
+       |    greatest(a.g1 - b.g1, 0.0) + greatest(a.g2 - b.g2, 0.0)
+       |      + greatest(a.g3 - b.g3, 0.0) AS gain
+       |  FROM kn a JOIN kn b ON a.bid <> b.bid),
+       |kh AS (
+       |  SELECT ab, max(CASE WHEN dist <= 0.125 THEN 1 ELSE 0 END) AS has
+       |  FROM kp GROUP BY ab),
+       |km AS (
+       |  SELECT ab AS bid, min(sac / gain) AS mu
+       |  FROM kp JOIN kh USING (ab)
+       |  WHERE (dist <= 0.125 OR has = 0) AND gain > 0
+       |  GROUP BY ab),
+       |ks AS (SELECT avg(mu) AS am, stddev_pop(mu) AS sm FROM km)
+       |SELECT f.cutoff_pct, f.ns AS n_survivors, f.aq AS avg_quality,
+       |  f.mc AS mean_cutoff, s.score AS topsis_score,
+       |  CAST(mu IS NOT NULL AND mu > am + 2.0 * sm AS INT) AS is_knee,
+       |  row_number() OVER (ORDER BY s.score DESC, f.cutoff_pct) AS rank
+       |FROM front f JOIN pfs s ON s.bid = f.cutoff_pct
+       |LEFT JOIN km ON km.bid = f.cutoff_pct, ks
+       |ORDER BY rank""".stripMargin
+  }
+
   val all: Map[String, Q] = Map(
     "q131_entropy_topsis" -> (q131EntropyTopsis _),
     "q132_promethee" -> (q132Promethee _),
@@ -1112,7 +1290,9 @@ object McdmQueries {
     "q135_bootstrap_rank" -> (q135BootstrapRank _),
     "q136_rank_agreement" -> (q136RankAgreement _),
     "q137_stagnation_rank" -> (q137StagnationRank _),
-    "q138_rank_objectives" -> (q138RankObjectives _))
+    "q138_rank_objectives" -> (q138RankObjectives _),
+    "q139_rank_matrix" -> (q139RankMatrix _),
+    "q140_pareto_front" -> (q140ParetoFront _))
 
   val oracles: Map[String, String] = Map(
     "q131_entropy_topsis" -> q131Sql,
@@ -1122,5 +1302,7 @@ object McdmQueries {
     "q135_bootstrap_rank" -> q135Sql,
     "q136_rank_agreement" -> q136Sql,
     "q137_stagnation_rank" -> q137Sql,
-    "q138_rank_objectives" -> q138Sql)
+    "q138_rank_objectives" -> q138Sql,
+    "q139_rank_matrix" -> q139Sql,
+    "q140_pareto_front" -> q140Sql)
 }

@@ -229,6 +229,52 @@ class McdmSpec extends GraftSuite {
     case _ => }
   }
 
+  test("q139 matrix: 15 ordered pairs, and the entropy-vs-baseline cell " +
+    "equals q136's entropy_topsis row") {
+    val rows = McdmQueries.q139RankMatrix(spark, sf).collect()
+    assert(rows.length == 15)
+    rows.foreach { r =>
+      assert(r.getAs[String]("method_a") < r.getAs[String]("method_b"))
+      assert(math.abs(r.getAs[Double]("kendall_tau")) <= 1.0)
+      assert(math.abs(r.getAs[Double]("spearman_rho")) <= 1.0)
+      val j = r.getAs[Double]("top10_jaccard")
+      assert(j >= 0.0 && j <= 1.0)
+    }
+    val cell = rows.find(r => r.getAs[String]("method_a") == "baseline_topsis"
+      && r.getAs[String]("method_b") == "entropy_topsis").get
+    val census = McdmQueries.q136RankAgreement(spark, sf)
+      .filter(col("method") === "entropy_topsis").collect().head
+    assert(cell.getAs[Double]("kendall_tau")
+      == census.getAs[Double]("kendall_tau"))
+    assert(cell.getAs[Double]("spearman_rho")
+      == census.getAs[Double]("spearman_rho"))
+    assert(cell.getAs[Double]("top10_jaccard")
+      == census.getAs[Double]("top10_jaccard"))
+  }
+
+  test("q140 front is non-dominated; knees and TOPSIS match the library " +
+    "on its own rows") {
+    val rows = McdmQueries.q140ParetoFront(spark, sf)
+      .orderBy(col("cutoff_pct")).collect()
+    assert(rows.nonEmpty)
+    val pts = rows.map(r => (r.getAs[Int]("cutoff_pct"),
+      r.getAs[Long]("n_survivors"), r.getAs[Double]("avg_quality")))
+    for (a <- pts; b <- pts if a != b) {
+      val dom = a._2 >= b._2 && a._3 >= b._3 && a._1 <= b._1 &&
+        (a._2 > b._2 || a._3 > b._3 || a._1 < b._1)
+      assert(!dom, s"front member $b is dominated by $a")
+    }
+    val matrix = pts.map(p => Array(p._2.toDouble, p._3, p._1.toDouble))
+    val scores = Ranking.topsis(matrix, Array.fill(3)(1.0 / 3), Array(1, 1, -1))
+    val knees = Ranking.kneeDetect(matrix, Array(1, 1, -1)).toSet
+    rows.zipWithIndex.foreach { case (r, i) =>
+      assert(math.abs(r.getAs[Double]("topsis_score") - scores(i)) < 2e-6)
+      assert(r.getAs[Int]("is_knee") == (if (knees(i)) 1 else 0))
+    }
+    val ranks = rows.map(_.getAs[Int]("rank")).sorted
+    assert(ranks.toSeq == (1 to rows.length))
+  }
+
   test("q138 rows match survivorAnalysis + the objective functions on the " +
     "collected metric frame") {
     val m = graft.queries.RankingQueries.cfgMetrics(spark, sf)
