@@ -1282,6 +1282,150 @@ object McdmQueries {
        |ORDER BY rank""".stripMargin
   }
 
+  // ---------------------------------------------------------------------------
+  // q141 — gen720 best risk-adjusted barriers across formations
+  // (scripts/gen720_best_barriers.py:30-95): TWO-LEVEL median
+  // aggregation (folds → per-(formation, barrier, symbol, threshold)
+  // medians with summed trades → per-(formation, barrier)
+  // medians-of-medians + cross-asset consistency = fraction of asset
+  // cells with PF > 1), then the reference's GRADUATED filter cascade —
+  // strict (PF > 1.05, XA > 0.6, trades > 500), relaxed (PF > 1.0,
+  // XA > 0.5, trades > 500), else unfiltered top (trades > 100) — the
+  // first nonempty tier wins; sort by the risk-adjusted median
+  // (sharpe — the omega-analog in this basis) descending, top 30. The
+  // tier pick is data-dependent in the reference too; both engines
+  // resolve it identically from the same aggregates. Level-2 medians
+  // round at 10 dp (inputs are 8 dp — their midpoints have 9 decimals,
+  // the r15 boundary rule one level up).
+  def q141BestBarriers(spark: SparkSession, d: String): DataFrame = {
+    val folds = foldFrame(spark, d)
+    def med(c: String, dp: Int) = round(expr(s"percentile($c, 0.5D)"), dp)
+    val perAsset = folds.groupBy(col("fmt"), col("bid"), col("sym"), col("thr"))
+      .agg(sum(col("n")).as("n_trades"),
+        med("pf", 8).as("pf"), med("sharpe", 8).as("sharpe"),
+        med("total_ret", 8).as("total_ret"), med("win_rate", 8).as("win_rate"),
+        med("maxdd", 8).as("maxdd"))
+    val agg = perAsset.groupBy(col("fmt"), col("bid"))
+      .agg(
+        med("pf", 10).as("med_pf"), med("sharpe", 10).as("med_sharpe"),
+        med("total_ret", 10).as("med_total_ret"),
+        med("win_rate", 10).as("med_win_rate"), med("maxdd", 10).as("med_max_dd"),
+        sum(col("n_trades")).as("total_trades"),
+        round(avg(when(col("pf") > 1.0, 1.0).when(col("pf").isNotNull, 0.0)), 6)
+          .as("xa_consistency"),
+        count(lit(1)).as("n_assets"))
+    val strict = col("med_pf") > 1.05 && col("xa_consistency") > 0.6 &&
+      col("total_trades") > 500
+    val relaxed = col("med_pf") > 1.0 && col("xa_consistency") > 0.5 &&
+      col("total_trades") > 500
+    val pick = agg.agg(
+      count(when(strict, 1)).as("c1"), count(when(relaxed, 1)).as("c2"))
+      .select(when(col("c1") > 0, 1).when(col("c2") > 0, 2).otherwise(3).as("tier"))
+    agg.crossJoin(broadcast(pick))
+      .filter((col("tier") === 1 && strict) || (col("tier") === 2 && relaxed) ||
+        (col("tier") === 3 && col("total_trades") > 100))
+      // partitionless rank window: O(formations × barriers) frame, bounded
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("med_sharpe").desc, col("fmt"), col("bid"))))
+      .filter(col("rank") <= 30)
+      .select(col("rank"), col("fmt"), col("bid"), col("med_pf"),
+        col("med_sharpe"), col("med_total_ret"), col("med_win_rate"),
+        col("med_max_dd"), col("total_trades"), col("xa_consistency"),
+        col("n_assets"), col("tier"))
+      .orderBy(col("rank"))
+  }
+
+  val q141Sql: String =
+    s"""WITH $duckFoldsCte,
+       |pa AS (
+       |  SELECT fmt, bid, sym, thr, sum(n) AS n_trades,
+       |    round(quantile_cont(pf, 0.5), 8) AS pf,
+       |    round(quantile_cont(sharpe, 0.5), 8) AS sharpe,
+       |    round(quantile_cont(total_ret, 0.5), 8) AS total_ret,
+       |    round(quantile_cont(win_rate, 0.5), 8) AS win_rate,
+       |    round(quantile_cont(maxdd, 0.5), 8) AS maxdd
+       |  FROM folds GROUP BY fmt, bid, sym, thr),
+       |ag AS (
+       |  SELECT fmt, bid,
+       |    round(quantile_cont(pf, 0.5), 10) AS med_pf,
+       |    round(quantile_cont(sharpe, 0.5), 10) AS med_sharpe,
+       |    round(quantile_cont(total_ret, 0.5), 10) AS med_total_ret,
+       |    round(quantile_cont(win_rate, 0.5), 10) AS med_win_rate,
+       |    round(quantile_cont(maxdd, 0.5), 10) AS med_max_dd,
+       |    CAST(sum(n_trades) AS BIGINT) AS total_trades,
+       |    round(avg(CASE WHEN pf > 1.0 THEN 1.0
+       |      WHEN pf IS NOT NULL THEN 0.0 END), 6) AS xa_consistency,
+       |    count(*) AS n_assets
+       |  FROM pa GROUP BY fmt, bid),
+       |pick AS (
+       |  SELECT CASE WHEN count(*) FILTER (WHERE med_pf > 1.05
+       |      AND xa_consistency > 0.6 AND total_trades > 500) > 0 THEN 1
+       |    WHEN count(*) FILTER (WHERE med_pf > 1.0
+       |      AND xa_consistency > 0.5 AND total_trades > 500) > 0 THEN 2
+       |    ELSE 3 END AS tier
+       |  FROM ag),
+       |sel AS (
+       |  SELECT ag.*, tier FROM ag, pick
+       |  WHERE (tier = 1 AND med_pf > 1.05 AND xa_consistency > 0.6
+       |      AND total_trades > 500)
+       |    OR (tier = 2 AND med_pf > 1.0 AND xa_consistency > 0.5
+       |      AND total_trades > 500)
+       |    OR (tier = 3 AND total_trades > 100))
+       |SELECT * FROM (
+       |  SELECT row_number() OVER (ORDER BY med_sharpe DESC, fmt, bid) AS rank,
+       |    fmt, bid, med_pf, med_sharpe, med_total_ret, med_win_rate,
+       |    med_max_dd, total_trades, xa_consistency, n_assets, tier
+       |  FROM sel)
+       |WHERE rank <= 30 ORDER BY rank""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // q142 — the gen720 telemetry pack's `top-barriers` canned query
+  // (scripts/gen720_query.py:36-52): per barrier over ALL fold rows,
+  // average and CV of the risk metric, average PF, and the
+  // TAMRS-viable fraction (risk metric > 1 AND tail metric > 0.30 —
+  // pf/sharpe in this basis), gated HAVING n_folds ≥ 50, ranked by
+  // viable fraction DESC then CV ASC, top 20 (bid tiebreak added in
+  // BOTH engines — the canned query's ordering is otherwise
+  // nondeterministic on ties).
+  def q142TopBarriers(spark: SparkSession, d: String): DataFrame =
+    foldFrame(spark, d).groupBy(col("bid"))
+      .agg(
+        count(lit(1)).as("n_folds"),
+        // means of 4/6 dp-QUANTIZED metrics are lattice points that land
+        // exactly on 6 dp rounding boundaries (the median lesson, for
+        // means): round at 10 dp, where the exact decimal is representable
+        round(avg(col("pf")), 10).as("avg_pf"),
+        round(stddev_samp(col("pf")) / nullif(avg(col("pf")), lit(0.0)), 6)
+          .as("pf_cv"),
+        round(avg(col("sharpe")), 10).as("avg_sharpe"),
+        round(sum(when(col("pf") > 1.0 && col("sharpe") > 0.30, 1)
+          .otherwise(0)).cast("double") / count(lit(1)), 6).as("viable_pct"))
+      .filter(col("n_folds") >= 50)
+      // partitionless rank window: O(barriers) frame, bounded
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("viable_pct").desc, col("pf_cv").asc, col("bid"))))
+      .filter(col("rank") <= 20)
+      .select(col("rank"), col("bid"), col("n_folds"), col("avg_pf"),
+        col("pf_cv"), col("avg_sharpe"), col("viable_pct"))
+      .orderBy(col("rank"))
+
+  val q142Sql: String =
+    s"""WITH $duckFoldsCte,
+       |tb AS (
+       |  SELECT bid, count(*) AS n_folds,
+       |    round(avg(pf), 10) AS avg_pf,
+       |    round(stddev_samp(pf) / nullif(avg(pf), 0.0), 6) AS pf_cv,
+       |    round(avg(sharpe), 10) AS avg_sharpe,
+       |    round(sum(CASE WHEN pf > 1.0 AND sharpe > 0.30 THEN 1 ELSE 0 END)::DOUBLE
+       |      / count(*), 6) AS viable_pct
+       |  FROM folds GROUP BY bid HAVING count(*) >= 50)
+       |SELECT * FROM (
+       |  SELECT row_number() OVER (ORDER BY viable_pct DESC, pf_cv ASC, bid)
+       |      AS rank,
+       |    bid, n_folds, avg_pf, pf_cv, avg_sharpe, viable_pct
+       |  FROM tb)
+       |WHERE rank <= 20 ORDER BY rank""".stripMargin
+
   val all: Map[String, Q] = Map(
     "q131_entropy_topsis" -> (q131EntropyTopsis _),
     "q132_promethee" -> (q132Promethee _),
@@ -1292,7 +1436,9 @@ object McdmQueries {
     "q137_stagnation_rank" -> (q137StagnationRank _),
     "q138_rank_objectives" -> (q138RankObjectives _),
     "q139_rank_matrix" -> (q139RankMatrix _),
-    "q140_pareto_front" -> (q140ParetoFront _))
+    "q140_pareto_front" -> (q140ParetoFront _),
+    "q141_best_barriers" -> (q141BestBarriers _),
+    "q142_top_barriers" -> (q142TopBarriers _))
 
   val oracles: Map[String, String] = Map(
     "q131_entropy_topsis" -> q131Sql,
@@ -1304,5 +1450,7 @@ object McdmQueries {
     "q137_stagnation_rank" -> q137Sql,
     "q138_rank_objectives" -> q138Sql,
     "q139_rank_matrix" -> q139Sql,
-    "q140_pareto_front" -> q140Sql)
+    "q140_pareto_front" -> q140Sql,
+    "q141_best_barriers" -> q141Sql,
+    "q142_top_barriers" -> q142Sql)
 }

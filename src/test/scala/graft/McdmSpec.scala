@@ -275,6 +275,49 @@ class McdmSpec extends GraftSuite {
     assert(ranks.toSeq == (1 to rows.length))
   }
 
+  test("q141 honors the graduated filter cascade and the sort contract") {
+    // sf0.01: the cascade's absolute trade gates (the reference's 500/100
+    // literals) empty out at the 1k-row smoke fixture
+    val rows = McdmQueries.q141BestBarriers(spark, "/root/testdata/sf0.01")
+      .orderBy(col("rank")).collect()
+    assert(rows.nonEmpty && rows.length <= 30)
+    val tiers = rows.map(_.getAs[Int]("tier")).distinct
+    assert(tiers.length == 1, s"mixed tiers: ${tiers.toSeq}")
+    rows.foreach { r =>
+      tiers.head match {
+        case 1 =>
+          assert(r.getAs[Double]("med_pf") > 1.05
+            && r.getAs[Double]("xa_consistency") > 0.6
+            && r.getAs[Long]("total_trades") > 500)
+        case 2 =>
+          assert(r.getAs[Double]("med_pf") > 1.0
+            && r.getAs[Double]("xa_consistency") > 0.5
+            && r.getAs[Long]("total_trades") > 500)
+        case _ => assert(r.getAs[Long]("total_trades") > 100)
+      }
+    }
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getAs[Double]("med_sharpe") >= b.getAs[Double]("med_sharpe"))
+    case _ => }
+  }
+
+  test("q142 viable fraction and gates hold on its own rows") {
+    // sf0.01: the n_folds >= 50 gate needs the full 80-cell fold universe
+    val rows = McdmQueries.q142TopBarriers(spark, "/root/testdata/sf0.01")
+      .orderBy(col("rank")).collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_folds") >= 50)
+      val v = r.getAs[Double]("viable_pct")
+      assert(v >= 0.0 && v <= 1.0)
+    }
+    rows.sliding(2).foreach { case Array(a, b) =>
+      val (va, vb) = (a.getAs[Double]("viable_pct"), b.getAs[Double]("viable_pct"))
+      assert(va > vb || (va == vb
+        && a.getAs[Double]("pf_cv") <= b.getAs[Double]("pf_cv")))
+    case _ => }
+  }
+
   test("q138 rows match survivorAnalysis + the objective functions on the " +
     "collected metric frame") {
     val m = graft.queries.RankingQueries.cfgMetrics(spark, sf)
