@@ -1442,6 +1442,68 @@ object McdmQueries {
        |  FROM tb)
        |WHERE rank <= 20 ORDER BY rank""".stripMargin
 
+  // ---------------------------------------------------------------------------
+  // q143 — cross-asset robustness metrics (eval/cross_asset.py:65-137,
+  // the module that feeds ranking.py's xa_* MetricSpecs): per config
+  // over the asset axis — count of assets with PF > 1 (finite PF only),
+  // mean PF over TESTED assets, summed signal count, and consistency =
+  // positive count / ALL assets (the reference's deliberate denominator
+  // asymmetry: the mean skips untested assets, the consistency fraction
+  // charges them). A config with no tested asset keeps its row with
+  // NULL metrics (`:118-122`). Config axis = the 10-bucket grid; assets
+  // = event_type; quantized-input means round at 10 dp (the r15
+  // lattice rule).
+  def q143CrossAssetMetrics(spark: SparkSession, d: String): DataFrame = {
+    val wins = sum(greatest(col("r"), lit(0.0)))
+    val losses = sum(greatest(-col("r"), lit(0.0)))
+    val perAsset = RankingQueries.cfgReturns(spark, d)
+      .groupBy(col("bucket"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        round(when(losses === 0.0, when(wins > 0.0, lit(10.0)).otherwise(lit(null)))
+          .otherwise(least(wins / losses, lit(10.0))), 4).as("pf"))
+    val nAssets = RankingQueries.cfgReturns(spark, d)
+      .agg(countDistinct(col("event_type")).cast("double").as("n_assets"))
+    perAsset.groupBy(col("bucket"))
+      .agg(
+        count(col("pf")).as("n_tested"),
+        count(when(col("pf") > 1.0, 1)).as("n_pos"),
+        round(avg(col("pf")), 10).as("xa_avg_pf"),
+        sum(col("n")).as("xa_total_signals"))
+      .crossJoin(broadcast(nAssets))
+      .select(
+        concat(lit("c"), col("bucket").cast("string")).as("config"),
+        when(col("n_tested") > 0, col("n_pos")).as("xa_n_positive"),
+        col("xa_avg_pf"),
+        when(col("n_tested") > 0, col("xa_total_signals")).as("xa_total_signals"),
+        round(when(col("n_tested") > 0,
+          col("n_pos").cast("double") / col("n_assets")), 6).as("xa_consistency"))
+      .orderBy(col("config"))
+  }
+
+  val q143Sql: String =
+    s"""WITH ${RankingQueries.duckCfgRets},
+       |pa AS (
+       |  SELECT bucket, event_type, count(*) AS n,
+       |    round(CASE WHEN sum(greatest(-r, 0.0)) = 0.0
+       |      THEN CASE WHEN sum(greatest(r, 0.0)) > 0.0 THEN 10.0 END
+       |      ELSE least(sum(greatest(r, 0.0)) / sum(greatest(-r, 0.0)), 10.0)
+       |    END, 4) AS pf
+       |  FROM rets GROUP BY bucket, event_type),
+       |na AS (SELECT count(DISTINCT event_type)::DOUBLE AS n_assets FROM rets),
+       |cf AS (
+       |  SELECT bucket, count(pf) AS n_tested,
+       |    count(CASE WHEN pf > 1.0 THEN 1 END) AS n_pos,
+       |    round(avg(pf), 10) AS xa_avg_pf,
+       |    CAST(sum(n) AS BIGINT) AS xa_total_signals
+       |  FROM pa GROUP BY bucket)
+       |SELECT 'c' || bucket::VARCHAR AS config,
+       |  CASE WHEN n_tested > 0 THEN n_pos END AS xa_n_positive,
+       |  xa_avg_pf,
+       |  CASE WHEN n_tested > 0 THEN xa_total_signals END AS xa_total_signals,
+       |  round(CASE WHEN n_tested > 0 THEN n_pos::DOUBLE / n_assets END, 6)
+       |    AS xa_consistency
+       |FROM cf, na ORDER BY config""".stripMargin
+
   val all: Map[String, Q] = Map(
     "q131_entropy_topsis" -> (q131EntropyTopsis _),
     "q132_promethee" -> (q132Promethee _),
@@ -1454,7 +1516,8 @@ object McdmQueries {
     "q139_rank_matrix" -> (q139RankMatrix _),
     "q140_pareto_front" -> (q140ParetoFront _),
     "q141_best_barriers" -> (q141BestBarriers _),
-    "q142_top_barriers" -> (q142TopBarriers _))
+    "q142_top_barriers" -> (q142TopBarriers _),
+    "q143_cross_asset_metrics" -> (q143CrossAssetMetrics _))
 
   val oracles: Map[String, String] = Map(
     "q131_entropy_topsis" -> q131Sql,
@@ -1468,5 +1531,6 @@ object McdmQueries {
     "q139_rank_matrix" -> q139Sql,
     "q140_pareto_front" -> q140Sql,
     "q141_best_barriers" -> q141Sql,
-    "q142_top_barriers" -> q142Sql)
+    "q142_top_barriers" -> q142Sql,
+    "q143_cross_asset_metrics" -> q143Sql)
 }

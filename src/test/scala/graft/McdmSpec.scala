@@ -318,6 +318,22 @@ class McdmSpec extends GraftSuite {
     case _ => }
   }
 
+  test("q143 pins the reference's denominator asymmetry: consistency over " +
+    "ALL assets, mean over tested only") {
+    val rows = McdmQueries.q143CrossAssetMetrics(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      if (!r.isNullAt(r.fieldIndex("xa_consistency"))) {
+        val nPos = r.getAs[Long]("xa_n_positive")
+        // 5 event types = the full asset axis; consistency divides by it
+        assert(math.abs(r.getAs[Double]("xa_consistency")
+          - math.rint(nPos / 5.0 * 1e6) / 1e6) < 1e-12)
+        val c = r.getAs[Double]("xa_consistency")
+        assert(c >= 0.0 && c <= 1.0)
+      }
+    }
+  }
+
   test("q138 rows match survivorAnalysis + the objective functions on the " +
     "collected metric frame") {
     val m = graft.queries.RankingQueries.cfgMetrics(spark, sf)
