@@ -111,6 +111,36 @@ class McdmSpec extends GraftSuite {
       == ((cut, best)))
   }
 
+  test("library invariants hold on randomized matrices (seeded)") {
+    val rnd = new scala.util.Random(42L)
+    for (trial <- 1 to 25) {
+      val n = 2 + rnd.nextInt(30)
+      val m = 1 + rnd.nextInt(6)
+      val matrix = Array.fill(n, m)(math.rint(rnd.nextGaussian() * 1e4) / 1e4)
+      val types = Array.fill(m)(if (rnd.nextBoolean()) 1 else -1)
+      // entropy weights: a probability vector
+      val w = Ranking.entropyWeights(matrix)
+      assert(math.abs(w.sum - 1.0) < 1e-9 && w.forall(_ >= -1e-12),
+        s"trial $trial: ${w.mkString(",")}")
+      // TOPSIS closeness: bounded to [0, 1]
+      val t = Ranking.topsis(matrix, w, types)
+      assert(t.forall(v => v >= -1e-12 && v <= 1.0 + 1e-12), s"trial $trial")
+      // PROMETHEE-II: net flows sum to zero (outgoing ≡ incoming in total)
+      val ranges = (0 until m).map(j =>
+        matrix.map(_(j)).max - matrix.map(_(j)).min).toArray
+      val p = ranges.map(r => if (r / 4.0 == 0.0) 1.0 else r / 4.0)
+      val net = Ranking.prometheeII(matrix, types, Array.fill(m)(0.0), p)
+      assert(math.abs(net.sum) < 1e-9, s"trial $trial: Σnet = ${net.sum}")
+      // Kendall tau: symmetric in its arguments, antisymmetric under
+      // negation of one side
+      val a = Array.fill(n)(rnd.nextDouble())
+      val b = Array.fill(n)(rnd.nextDouble())
+      val tab = Ranking.kendallTau(a, b)
+      assert(math.abs(tab - Ranking.kendallTau(b, a)) < 1e-12)
+      assert(math.abs(tab + Ranking.kendallTau(a, b.map(-_))) < 1e-12)
+    }
+  }
+
   // ---------------------------------------------------------------------------
   // Query-vs-library parity (the RankingQueriesSpec discipline): the
   // distributed forms and the golden-pinned imperative ports must agree

@@ -725,6 +725,41 @@ class SemDedupStagedSpec extends GraftSuite {
     assert(java.nio.file.Files.exists(java.nio.file.Paths.get(idx)))
   }
 
+  test("healInterruptedRebuild finishes or rolls back BOTH rebuild crash " +
+    "windows (the T70 compact-heal discipline, one level up)") {
+    val sf001 = "/root/testdata/sf0.01"
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val idx = graft.queries.GateStaging.appendWorkdir(spark, sf001)
+    def census(): Long =
+      spark.read.parquet(s"$idx/members.parquet")
+        .select(explode(col("members"))).count()
+    val before = census()
+    // window 1: crashed BETWEEN the two renames — live dir missing, the
+    // pre-rebuild backup holds the whole index; heal must roll back
+    val pre = Paths.get(idx + ".prerebuild")
+    Files.move(Paths.get(idx), pre, StandardCopyOption.ATOMIC_MOVE)
+    SimilarityQueries.healInterruptedRebuild(idx)
+    assert(Files.exists(Paths.get(idx)) && !Files.exists(pre),
+      "window-1 heal must restore the live dir from the backup")
+    assert(census() == before, "window-1 heal lost members")
+    // window 2: crashed AFTER the swap — live dir is already the rebuilt
+    // index, the backup lingers; heal must drop ONLY the backup
+    Files.createDirectories(pre)
+    Files.write(pre.resolve("stale"), Array[Byte](1))
+    // plus tmp debris from a crashed build attempt
+    val tmp = Paths.get(idx + ".rebuilt")
+    Files.createDirectories(tmp)
+    Files.write(tmp.resolve("half"), Array[Byte](2))
+    SimilarityQueries.healInterruptedRebuild(idx)
+    assert(Files.exists(Paths.get(idx)) && !Files.exists(pre) && !Files.exists(tmp),
+      "window-2 heal must drop the backup and tmp debris, keep the live dir")
+    assert(census() == before, "window-2 heal touched the live index")
+    // and a rebuild through the policy still works after both heals
+    val k = SimilarityQueries.semanticIndexRebuild(spark, idx)
+    assert(k >= 1 && census() == before,
+      "post-heal rebuild must preserve every member")
+  }
+
   test("index lock blocks a REAL second JVM while held and is released by " +
     "the OS when the holder is SIGKILLed (the cross-process half the " +
     "same-JVM latch tests cannot see)") {
