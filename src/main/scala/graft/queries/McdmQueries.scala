@@ -80,7 +80,16 @@ object McdmQueries {
   // within-series index quartile; maxdd from the within-(series, fold)
   // running cum. Metric rounding: pf/win_rate 4 dp (the q56 E20 contract),
   // total_ret/sharpe/maxdd/vol 6 dp.
-  private[graft] def foldFrame(spark: SparkSession, d: String): DataFrame = {
+
+  /** What every pack query consumes: the fold frame staged once per
+    * (JVM, corpus) — the reference reads `{direction}_folds.parquet`
+    * from every method round the same way (McdmStaging). */
+  private[graft] def foldFrame(spark: SparkSession, d: String): DataFrame =
+    McdmStaging.folds(spark, d)
+
+  /** The RAW one-fact-exchange builder (PlanShapeSpec pins this plan;
+    * McdmStaging writes its output to the staged parquet). */
+  private[graft] def foldFrameRaw(spark: SparkSession, d: String): DataFrame = {
     val ev = Tables.events(spark, d)
     val base = ev.select(
       concat(lit("b"), lpad((col("user_id") % NBid).cast("string"), 2, "0")).as("bid"),
@@ -671,7 +680,7 @@ object McdmQueries {
     * per-(rep, bid) median aggregation — one fan-out join and one
     * groupBy over the fold frame, yielding the O(reps × barriers)
     * resampled-median frame the per-rep method math consumes. */
-  private def repMedianFrame(spark: SparkSession, folds: DataFrame): DataFrame = {
+  private[graft] def repMedianRaw(spark: SparkSession, folds: DataFrame): DataFrame = {
     val fk = folds.select(col("fold_key")).distinct()
       // partitionless index window: O(fold cells) frame (80 rows), bounded
       .withColumn("fidx",
@@ -695,28 +704,34 @@ object McdmQueries {
 
   /** Per-bid top-10 counts over the NBoot reps (driver twin of the
     * per-rep entropy-TOPSIS chains — 200 × (24×6) matrices, trivially
-    * driver-scale). */
-  private def bootstrapCounts(spark: SparkSession, folds: DataFrame)
+    * driver-scale). Reads the STAGED resample-median frame, so the three
+    * consumers (q135/q136/q139) share one resample pass per corpus. A
+    * rep with fewer than 3 finite-median barriers is skipped entirely
+    * (run_round5's `finite_mask.sum() < 3 → continue`); the freq
+    * denominator stays NBoot, as in the reference. */
+  private def bootstrapCounts(spark: SparkSession, d: String)
       : Array[(String, Long)] = {
-    val rows = repMedianFrame(spark, folds)
+    val rows = McdmStaging.repMedians(spark, d)
       .orderBy(col("rep"), col("bid")).collect()
     val counts = scala.collection.mutable.Map.empty[String, Long]
     rows.groupBy(_.getAs[Long]("rep")).foreach { case (_, repRows) =>
       val bids = repRows.map(_.getAs[String]("bid"))
-      val matrix = repRows.map(r0 =>
-        MetricNames.map(m => r0.getAs[Double](s"med_$m")).toArray)
-      val scores = topsisPinned(matrix, entropyWeightsPinned(matrix), MetricTypes)
-      bids.indices.sortBy(i => (-scores(i), bids(i))).take(TopK)
-        .foreach(i => counts(bids(i)) = counts.getOrElse(bids(i), 0L) + 1)
+      if (bids.length >= 3) {
+        val matrix = repRows.map(r0 =>
+          MetricNames.map(m => r0.getAs[Double](s"med_$m")).toArray)
+        val scores = topsisPinned(matrix, entropyWeightsPinned(matrix), MetricTypes)
+        bids.indices.sortBy(i => (-scores(i), bids(i))).take(TopK)
+          .foreach(i => counts(bids(i)) = counts.getOrElse(bids(i), 0L) + 1)
+      }
     }
-    val allBids = folds.select(col("bid")).distinct()
+    val allBids = foldFrame(spark, d).select(col("bid")).distinct()
       .collect().map(_.getString(0)).sorted
     allBids.map(b => b -> counts.getOrElse(b, 0L))
   }
 
   def q135BootstrapRank(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
-    val counted = bootstrapCounts(spark, foldFrame(spark, d))
+    val counted = bootstrapCounts(spark, d)
     val bids = counted.map(_._1)
     val order = bids.indices.sortBy(i => (-counted(i)._2, bids(i)))
     val rank = new Array[Int](bids.length)
@@ -747,7 +762,13 @@ object McdmQueries {
        |  SELECT rep, bid,
        |    $meds
        |  FROM ${p}rs GROUP BY rep, bid),
-       |${p}mf AS (SELECT * FROM ${p}md WHERE $mask),
+       |${p}m0 AS (SELECT * FROM ${p}md WHERE $mask),
+       |${p}mf AS (
+       |  -- run_round5's degenerate-rep skip: a rep with fewer than 3
+       |  -- finite-median barriers is dropped entirely (finite_mask.sum()
+       |  -- < 3 -> continue); freq keeps the NBoot denominator
+       |  SELECT * FROM ${p}m0
+       |  WHERE rep IN (SELECT rep FROM ${p}m0 GROUP BY rep HAVING count(*) >= 3)),
        |${entropySqlChain(s"${p}e", s"${p}mf")},
        |${topsisSqlChain(s"${p}t", s"${p}mf", s"${p}ew", Metrics)},
        |${p}rk AS (
@@ -783,8 +804,9 @@ object McdmQueries {
     * one shared fold frame across the chains (each is a different
     * grouping of the same 1,920-cell frame; foldFrame persists its
     * output, so the distributed aggregations scan it from cache). */
-  private def methodRankMaps(spark: SparkSession, folds: DataFrame)
+  private def methodRankMaps(spark: SparkSession, d: String)
       : Seq[(String, Map[String, Int])] = {
+    val folds = foldFrame(spark, d)
     val (bids, matrix) = collectMedians(barrierMedians(folds))
     def rankMap(bs: Array[String], scores: Array[Double]): Map[String, Int] = {
       val r0 = ranksFrom(bs, scores)
@@ -796,7 +818,7 @@ object McdmQueries {
     val stab = stabilityPinned(collectStabilityStats(folds))
     val univ = universalityFrom(folds).orderBy(col("bid")).collect()
       .map(r0 => (r0.getAs[String]("bid"), r0.getAs[Double]("score")))
-    val boot = bootstrapCounts(spark, folds)
+    val boot = bootstrapCounts(spark, d)
     Seq(
       ("baseline_topsis", rankMap(bids, topsisPinned(base3,
         Array.fill(3)(1.0 / 3), BaselineMetrics.map(_._2).toArray))),
@@ -837,7 +859,7 @@ object McdmQueries {
 
   def q136RankAgreement(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
-    val maps = methodRankMaps(spark, foldFrame(spark, d))
+    val maps = methodRankMaps(spark, d)
     val baseline = maps.head._2
     maps.tail.map { case (name, rm) =>
       val (tau, rho, jac, r1) = agreementStats(rm, baseline)
@@ -910,7 +932,7 @@ object McdmQueries {
   // triangle (15 pairs).
   def q139RankMatrix(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
-    val maps = methodRankMaps(spark, foldFrame(spark, d))
+    val maps = methodRankMaps(spark, d)
     (for {
       i <- maps.indices
       j <- (i + 1) until maps.size
@@ -1196,6 +1218,54 @@ object McdmQueries {
   // threshold-free TOPSIS ranking of the front with equal weights and
   // types (↑,↑,↓) — Issue #28 — and the knee annotation, ε = 0.125, the
   // q71 kneeDetect pairing).
+  /** eval/Ranking.kneeDetect with the oracle chain's rounding points
+    * (r15 ADVICE): mu (the min tradeoff ratio), its mean and its
+    * population sd are rounded at 10 dp before the `mu > mean + 2·sd`
+    * boundary test — order-dependent aggregates on both sides of an
+    * exact comparison, so both engines must reach it from identical
+    * doubles (the file's standing discipline). dist/sacrifice/gain use
+    * the SQL chain's multiply form, not math.pow. */
+  private def kneeSetPinned(matrix: Array[Array[Double]], types: Array[Int],
+      epsilon: Double = 0.125): Set[Int] = {
+    val n = matrix.length
+    if (n < 3) return Set.empty
+    val m = matrix.head.length
+    val f = matrix.map(r0 => Array.tabulate(m)(j =>
+      if (types(j) == 1) -r0(j) else r0(j)))
+    val mins = Array.tabulate(m)(j => f.map(_(j)).min)
+    val maxs = Array.tabulate(m)(j => f.map(_(j)).max)
+    val ranges = Array.tabulate(m) { j =>
+      val r0 = maxs(j) - mins(j); if (r0 == 0) 1.0 else r0
+    }
+    val fn = f.map(r0 => Array.tabulate(m)(j => (r0(j) - mins(j)) / ranges(j)))
+    def dist(a: Array[Double], b: Array[Double]): Double =
+      math.sqrt((0 until m).map(j => (a(j) - b(j)) * (a(j) - b(j))).sum)
+    val mu = Array.tabulate(n) { i =>
+      var neighbors = (0 until n).filter(k => k != i && dist(fn(i), fn(k)) <= epsilon)
+      if (neighbors.isEmpty) neighbors = (0 until n).filter(_ != i)
+      val tradeoffs = neighbors.map { k =>
+        var sacrifice = 0.0; var gain = 0.0
+        var j = 0
+        while (j < m) {
+          val d0 = fn(k)(j) - fn(i)(j)
+          if (d0 > 0) sacrifice += d0 else gain -= d0
+          j += 1
+        }
+        if (gain == 0) Double.NaN else sacrifice / gain
+      }.filterNot(_.isNaN)
+      if (tradeoffs.isEmpty) Double.NegativeInfinity else rd(tradeoffs.min, 10)
+    }
+    val finite = mu.filter(v => !v.isInfinite && !v.isNaN)
+    if (finite.isEmpty) return Set.empty
+    // sd around the UNROUNDED mean (stddev_pop's own definition), then
+    // both aggregates rounded where they exist
+    val mean0 = finite.sum / finite.length
+    val am = rd(mean0, 10)
+    val sm = rd(math.sqrt(finite.map(v => (v - mean0) * (v - mean0)).sum
+      / finite.length), 10)
+    mu.indices.filter(i => mu(i).isFinite && mu(i) > am + 2 * sm).toSet
+  }
+
   def q140ParetoFront(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
     val grid = cutoffGridFrame(spark, d)
@@ -1209,7 +1279,7 @@ object McdmQueries {
     val front = grid.filter(p => !grid.exists(o => dominates(o, p)))
     val matrix = front.map(p => Array(p._2.toDouble, p._3, p._1.toDouble))
     val scores = topsisPinned(matrix, Array.fill(3)(1.0 / 3), Array(1, 1, -1))
-    val knees = graft.eval.Ranking.kneeDetect(matrix, Array(1, 1, -1)).toSet
+    val knees = kneeSetPinned(matrix, Array(1, 1, -1))
     val order = front.indices.sortBy(i => (-scores(i), front(i)._1))
     val rank = new Array[Int](front.length)
     order.zipWithIndex.foreach { case (i, pos) => rank(i) = pos + 1 }
@@ -1268,11 +1338,12 @@ object McdmQueries {
        |  SELECT ab, max(CASE WHEN dist <= 0.125 THEN 1 ELSE 0 END) AS has
        |  FROM kp GROUP BY ab),
        |km AS (
-       |  SELECT ab AS bid, min(sac / gain) AS mu
+       |  SELECT ab AS bid, round(min(sac / gain), 10) AS mu
        |  FROM kp JOIN kh USING (ab)
        |  WHERE (dist <= 0.125 OR has = 0) AND gain > 0
        |  GROUP BY ab),
-       |ks AS (SELECT avg(mu) AS am, stddev_pop(mu) AS sm FROM km)
+       |ks AS (SELECT round(avg(mu), 10) AS am, round(stddev_pop(mu), 10) AS sm
+       |  FROM km)
        |SELECT f.cutoff_pct, f.ns AS n_survivors, f.aq AS avg_quality,
        |  f.mc AS mean_cutoff, s.score AS topsis_score,
        |  CAST(mu IS NOT NULL AND mu > am + 2.0 * sm AS INT) AS is_knee,
@@ -1395,8 +1466,8 @@ object McdmQueries {
   // viable fraction DESC then CV ASC, top 20 (bid tiebreak added in
   // BOTH engines — the canned query's ordering is otherwise
   // nondeterministic on ties).
-  def q142TopBarriers(spark: SparkSession, d: String): DataFrame =
-    foldFrame(spark, d).groupBy(col("bid"))
+  def q142TopBarriers(spark: SparkSession, d: String): DataFrame = {
+    val perBid = foldFrame(spark, d).groupBy(col("bid"))
       .agg(
         count(lit(1)).as("n_folds"),
         // means of 4/6 dp-QUANTIZED metrics are lattice points that land
@@ -1408,11 +1479,14 @@ object McdmQueries {
         round(avg(col("sharpe")), 10).as("avg_sharpe"),
         round(sum(when(col("pf") > 1.0 && col("sharpe") > 0.30, 1)
           .otherwise(0)).cast("double") / count(lit(1)), 6).as("viable_pct"))
+    perBid
       // the reference's >= 50 literal whenever the fold universe reaches
       // it; degrade to the observed max at smoke fixtures (its corpus
-      // guarantees 50+ folds per barrier; sf0.001 does not)
-      .crossJoin(broadcast(foldFrame(spark, d).groupBy(col("bid"))
-        .agg(count(lit(1)).as("nf")).agg(max(col("nf")).as("mxf"))))
+      // guarantees 50+ folds per barrier; sf0.001 does not). The scalar
+      // comes from the SAME grouped frame (n_folds ≡ the per-bid fold
+      // count) — the r15 form re-invoked foldFrame for it and was saved
+      // from a second fact pass only by CacheManager plan-dedup
+      .crossJoin(broadcast(perBid.agg(max(col("n_folds")).as("mxf"))))
       .filter(col("n_folds") >= least(lit(50L), col("mxf")))
       .drop("mxf")
       // partitionless rank window: O(barriers) frame, bounded
@@ -1422,6 +1496,7 @@ object McdmQueries {
       .select(col("rank"), col("bid"), col("n_folds"), col("avg_pf"),
         col("pf_cv"), col("avg_sharpe"), col("viable_pct"))
       .orderBy(col("rank"))
+  }
 
   val q142Sql: String =
     s"""WITH $duckFoldsCte,

@@ -227,7 +227,9 @@ class PlanShapeSpec extends GraftSuite {
     // fold-scoped windows (… , fold) and the 5-key groupBy are satisfied
     // by that same hash partitioning (grouping keys ⊇ partitioning keys),
     // so fold assignment and fold aggregation add NO exchange
-    val p = plan(graft.queries.McdmQueries.foldFrame(spark, sf))
+    // the RAW builder: the staged accessor (foldFrame) reads the parquet
+    // McdmStaging wrote from exactly this plan
+    val p = plan(graft.queries.McdmQueries.foldFrameRaw(spark, sf))
     val exchanges = p.linesIterator.count(_.contains("Exchange"))
     assert(exchanges == 1, s"fold frame should shuffle exactly once:\n$p")
   }
