@@ -44,7 +44,8 @@ object SparkEntry {
       (graft.queries.EvalStatsQueries.all, graft.queries.EvalStatsQueries.oracles),
       (graft.queries.CorpusOpsQueries.all, graft.queries.CorpusOpsQueries.oracles),
       (graft.queries.AsofQueries.all, graft.queries.AsofQueries.oracles),
-      (graft.queries.McdmQueries.all, graft.queries.McdmQueries.oracles))
+      (graft.queries.McdmQueries.all, graft.queries.McdmQueries.oracles),
+      (graft.queries.ReconstructQueries.all, graft.queries.ReconstructQueries.oracles))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * q40 is the gen111 champion chain — the reference's headline result
