@@ -161,6 +161,41 @@ object SemScale {
   private def xmxMb(): Long =
     Runtime.getRuntime.maxMemory() / (1024 * 1024)
 
+  /** Near-identical-but-DISTINCT vectors OFF the corpus manifold (the
+    * rebuildcycle adversary, shared by every rebuild rung): diverse
+    * enough that a re-cluster can partition them, alien enough that
+    * frozen routing funnels all of them into one cell. */
+  private def blobVecs(spark: SparkSession, dim: Int, n: Int, shift: Long)
+      : org.apache.spark.sql.DataFrame =
+    spark.range(n).select((col("id") + shift).as("vec_id"))
+      .select(col("vec_id"), expr(
+        s"transform(sequence(0, ${dim - 1}), " +
+          "i -> CAST(0.25 + 0.0001 * sin(vec_id * 13.7D + i) AS FLOAT))")
+        .as("embedding"))
+
+  /** One admit batch under the r16 geometry guard's reload-and-replay
+    * contract: a StaleRoutingTablesException (a rebuild retired the
+    * loaded tables) reloads from the index and replays the SAME batch —
+    * nothing was committed by the refused attempt. Returns the
+    * (possibly reloaded) tables, the flags frame, and whether a reload
+    * happened. */
+  private def admitReloading(spark: SparkSession, idx: String,
+      staged0: queries.SimilarityQueries.StagedGateTables,
+      chunk: org.apache.spark.sql.DataFrame)
+      : (queries.SimilarityQueries.StagedGateTables,
+         org.apache.spark.sql.DataFrame, Boolean) =
+    try (staged0,
+      graft.streaming.StreamingOps.semanticAdmitBatch(idx, staged0, chunk),
+      false)
+    catch {
+      case _: queries.SimilarityQueries.StaleRoutingTablesException =>
+        staged0.cells.unpersist()
+        val staged = queries.SimilarityQueries.stagedGateTablesAt(spark, idx)
+        (staged,
+          graft.streaming.StreamingOps.semanticAdmitBatch(idx, staged, chunk),
+          true)
+    }
+
   def main(args: Array[String]): Unit = {
     val mode = args.headOption.getOrElse("staged")
     startHeapSampler()
@@ -551,29 +586,42 @@ object SemScale {
       case "admitloop" =>
         // The ONLINE admit loop at its design regime: drive
         // semanticAdmitBatch over nBatches sequential arrival chunks
-        // against a WRITTEN routed index, with maintainIndex (the
-        // compact-when-due policy) in the batch body — exactly the
-        // production foreachBatch shape. Measures the two claims the
-        // sf0.01 specs pin but never weigh: per-batch cost is
-        // batch-bounded (the member read prunes to the batch's cells
-        // BEFORE the generation merge), and the policy bounds
-        // generation accumulation while the loop runs. MUTATES <idx>.
+        // against a WRITTEN routed index, with the maintenance policy in
+        // the batch body — exactly the production foreachBatch shape.
+        // Measures the two claims the sf0.01 specs pin but never weigh:
+        // per-batch cost is batch-bounded (the member read prunes to the
+        // batch's cells BEFORE the generation merge), and the policy
+        // bounds generation accumulation while the loop runs.
+        // policy=full (r16) runs maintainIndexWithRebuild instead of the
+        // compact-only maintainIndex, and blobAt >= 0 injects the
+        // off-manifold blob AFTER that batch's admit — forcing a rebuild
+        // to fire MID-SOAK, with the loop reloading its routing tables
+        // through the geometry guard's reload-and-replay contract. The
+        // per-batch admitted/flagged counts are printed so a policy=full
+        // transcript is comparable row-for-row against a policy-free one
+        // (the r16 soak invariant: the policy changes WALL numbers, not
+        // admission decisions, for batches before the blob). MUTATES <idx>.
         val src = args(1)
         val idx = args(2)
         val nBatches = args.lift(3).map(_.toInt).getOrElse(8)
         val mod = args.lift(4).map(_.toInt).getOrElse(20)
         val maxGens = args.lift(5).map(_.toInt).getOrElse(4)
+        val policy = args.lift(6).getOrElse("compact") // compact | full
+        val blobAt = args.lift(7).map(_.toInt).getOrElse(-1)
+        val blobN = args.lift(8).map(_.toInt).getOrElse(100000)
         val spark = session()
         resetHeapPeaks()
-        val staged = queries.SimilarityQueries.stagedGateTables(
-          spark.read.parquet(s"$idx/coarse.parquet"),
-          spark.read.parquet(s"$idx/fine.parquet"))
+        var staged = queries.SimilarityQueries.stagedGateTablesAt(spark, idx)
+        val dim = Tables.embeddings(spark, src)
+          .select(size(col("embedding"))).head().getInt(0)
         val arrivals = Tables.embeddings(spark, src)
           .filter(pmod(col("vec_id"), lit(mod)) === 0)
           .select((col("vec_id") + lit(1000000000L)).as("vec_id"),
             col("embedding"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         arrivals.count()
+        var nReloads = 0
+        var nRebuilds = 0
         val walls = (0 until nBatches).map { b =>
           // chunk on vec_id/mod, not vec_id: arrival ids share the
           // residue 0 mod `mod`, so chunking on the raw id would land
@@ -581,31 +629,52 @@ object SemScale {
           val chunk = arrivals.filter(
             pmod(floor(col("vec_id") / lit(mod)), lit(nBatches)) === b)
           val ((nDup, nNew), admitWall) = time {
-            val flags = graft.streaming.StreamingOps
-              .semanticAdmitBatch(idx, staged, chunk)
+            val (st, flags, reloaded) = admitReloading(spark, idx, staged, chunk)
+            staged = st
+            if (reloaded) nReloads += 1
             val d = flags.filter(col("semantic_near_dup")).count()
             (d, flags.count() - d)
           }
-          val (compacted, maintWall) = time(
-            queries.SimilarityQueries.maintainIndex(spark, idx, maxGens))
+          if (b == blobAt)
+            queries.SimilarityQueries.semanticIndexAppend(spark, idx,
+              blobVecs(spark, dim, blobN, 2000000000L))
+          val (compacted, maintWall) =
+            if (policy == "full") {
+              val ((c, r), w) = time(queries.SimilarityQueries
+                .maintainIndexWithRebuild(spark, idx, maxGens))
+              if (r) {
+                nRebuilds += 1
+                // the policy OWNER reloads eagerly after its own rebuild
+                // (peers rely on the guard); same tables object either way
+                staged.cells.unpersist()
+                staged = queries.SimilarityQueries.stagedGateTablesAt(spark, idx)
+              }
+              (c, w)
+            } else time(
+              queries.SimilarityQueries.maintainIndex(spark, idx, maxGens))
           val gens = queries.SimilarityQueries.appendGenerationCount(idx)
           System.err.println(f"[admitloop] batch $b: admit $admitWall%.1f s " +
             f"($nNew admitted, $nDup flagged), maintain $maintWall%.1f s " +
             s"(compacted=$compacted, gens now $gens)")
-          (admitWall, maintWall, compacted)
+          (admitWall, maintWall, compacted, nNew, nDup)
         }
         arrivals.unpersist()
         staged.cells.unpersist()
         val admits = walls.map(_._1)
         val nCompactions = walls.count(_._3)
+        val perBatch = walls.map(w => s"[${w._4},${w._5}]").mkString("[", ",", "]")
         println(s"""{"mode":"admitloop","src":"$src","idx":"$idx",""" +
-          s""""n_batches":$nBatches,"max_gens":$maxGens,""" +
+          s""""n_batches":$nBatches,"max_gens":$maxGens,"policy":"$policy",""" +
+          s""""blob_at":$blobAt,"admitted_flagged_per_batch":$perBatch,""" +
           f""""admit_first_sec":${admits.head}%.1f,""" +
           f""""admit_median_sec":${admits.sorted.apply(admits.size / 2)}%.1f,""" +
           f""""admit_max_sec":${admits.max}%.1f,""" +
           f""""maintain_total_sec":${walls.map(_._2).sum}%.1f,""" +
-          s""""n_compactions":$nCompactions,""" +
+          s""""n_compactions":$nCompactions,"n_rebuilds":$nRebuilds,""" +
+          s""""n_table_reloads":$nReloads,""" +
+          s""""stale_lock_retries":${queries.SimilarityQueries.staleLockRetries.get},""" +
           s""""gens_final":${queries.SimilarityQueries.appendGenerationCount(idx)},""" +
+          s""""geom_final":${queries.SimilarityQueries.indexGeometryVersion(idx)},""" +
           f""""peak_heap_mb":${heapPeakMb()},"xmx_mb":${xmxMb()}}""")
 
       case "compact" =>
@@ -651,15 +720,6 @@ object SemScale {
         resetHeapPeaks()
         val dim = Tables.embeddings(spark, src)
           .select(size(col("embedding"))).head().getInt(0)
-        // near-identical-but-distinct vectors OFF the corpus manifold:
-        // diverse enough that a re-cluster can partition them, alien
-        // enough that the frozen tables route every one to a single cell
-        def blobVecs(n: Int, shift: Long): DataFrame =
-          spark.range(n).select((col("id") + shift).as("vec_id"))
-            .select(col("vec_id"), expr(
-              s"transform(sequence(0, ${dim - 1}), " +
-                "i -> CAST(0.25 + 0.0001 * sin(vec_id * 13.7D + i) AS FLOAT))")
-              .as("embedding"))
         // balance + trigger + one gated probe batch over the blob region;
         // the verify tail reads the merged members, so appended and
         // rebuilt states measure through the same read path
@@ -669,7 +729,7 @@ object SemScale {
           val staged = queries.SimilarityQueries.stagedGateTables(
             spark.read.parquet(s"$idx/coarse.parquet"),
             spark.read.parquet(s"$idx/fine.parquet"))
-          val probes = blobVecs(probeN, 3000000000L)
+          val probes = blobVecs(spark, dim, probeN, 3000000000L)
           val members = queries.SimilarityQueries.readCellMembersMerged(spark, idx)
           val ((flagged, probeMaxCell), wall) = time {
             val v = graft.streaming.StreamingOps.semanticGateVerifyShard(
@@ -688,7 +748,7 @@ object SemScale {
         }
         val before = measure("before")
         val (nApp, appendWall) = time(queries.SimilarityQueries
-          .semanticIndexAppend(spark, idx, blobVecs(blobN, 2000000000L)))
+          .semanticIndexAppend(spark, idx, blobVecs(spark, dim, blobN, 2000000000L)))
         val blobbed = measure("blobbed")
         val ((compacted, rebuilt), maintWall) = time(queries.SimilarityQueries
           .maintainIndexWithRebuild(spark, idx, maxGens = 1, rebuildRatio = ratio))
@@ -720,30 +780,61 @@ object SemScale {
         // just-committed delta aside with the pre-compact dir). The
         // two-level lock (JVM monitor + OS FileChannel.lock) must
         // serialize all of it; `verifyindex` afterwards checks no id
-        // was admitted twice and no delta was lost. MUTATES <idx>.
+        // was admitted twice and no delta was lost.
+        // r16 extends the rehearsal across a REBUILD: policy=full runs
+        // maintainIndexWithRebuild, and blobAt >= 0 injects the
+        // off-manifold blob after that batch's admit — so one process
+        // swaps the whole index directory WHILE the other is admitting.
+        // The peer must survive through the two r16 mechanisms: the
+        // token-validated lock (a writer blocked across the swap
+        // re-acquires on the fresh lock file instead of holding the
+        // orphaned inode) and the geometry guard (its frozen tables are
+        // refused, it reloads and replays). MUTATES <idx>.
         val src = args(1)
         val idx = args(2)
         val tag = args(3)
         val nBatches = args.lift(4).map(_.toInt).getOrElse(6)
         val mod = args.lift(5).map(_.toInt).getOrElse(4)
         val maxGens = args.lift(6).map(_.toInt).getOrElse(Int.MaxValue)
+        val policy = args.lift(7).getOrElse("compact") // compact | full
+        val blobAt = args.lift(8).map(_.toInt).getOrElse(-1)
+        val blobN = args.lift(9).map(_.toInt).getOrElse(100000)
         val spark = session()
-        val staged = queries.SimilarityQueries.stagedGateTables(
-          spark.read.parquet(s"$idx/coarse.parquet"),
-          spark.read.parquet(s"$idx/fine.parquet"))
+        var staged = queries.SimilarityQueries.stagedGateTablesAt(spark, idx)
+        val dim = Tables.embeddings(spark, src)
+          .select(size(col("embedding"))).head().getInt(0)
         val arrivals = Tables.embeddings(spark, src)
           .filter(pmod(col("vec_id"), lit(mod)) === 0)
           .select((col("vec_id") + lit(1000000000L)).as("vec_id"),
             col("embedding"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val nArr = arrivals.count()
+        var nReloads = 0
+        var nRebuilds = 0
         val walls = (0 until nBatches).map { b =>
           val chunk = arrivals.filter(
             pmod(floor(col("vec_id") / lit(mod)), lit(nBatches)) === b)
-          val (nFlags, admitWall) = time(graft.streaming.StreamingOps
-            .semanticAdmitBatch(idx, staged, chunk).count())
+          val (nFlags, admitWall) = time {
+            val (st, flags, reloaded) = admitReloading(spark, idx, staged, chunk)
+            staged = st
+            if (reloaded) nReloads += 1
+            flags.count()
+          }
+          if (b == blobAt)
+            queries.SimilarityQueries.semanticIndexAppend(spark, idx,
+              blobVecs(spark, dim, blobN, 2000000000L))
           val compacted =
-            if (maxGens != Int.MaxValue)
+            if (policy == "full") {
+              val (c, r) = queries.SimilarityQueries
+                .maintainIndexWithRebuild(spark, idx,
+                  math.min(maxGens, 1))
+              if (r) {
+                nRebuilds += 1
+                staged.cells.unpersist()
+                staged = queries.SimilarityQueries.stagedGateTablesAt(spark, idx)
+              }
+              c
+            } else if (maxGens != Int.MaxValue)
               queries.SimilarityQueries.maintainIndex(spark, idx, maxGens)
             else false
           System.err.println(f"[admitproc $tag] batch $b: $nFlags flags " +
@@ -753,7 +844,9 @@ object SemScale {
         arrivals.unpersist()
         staged.cells.unpersist()
         println(s"""{"mode":"admitproc","tag":"$tag","idx":"$idx",""" +
-          s""""n_arrivals":$nArr,"n_batches":$nBatches,""" +
+          s""""n_arrivals":$nArr,"n_batches":$nBatches,"policy":"$policy",""" +
+          s""""n_rebuilds":$nRebuilds,"n_table_reloads":$nReloads,""" +
+          s""""stale_lock_retries":${queries.SimilarityQueries.staleLockRetries.get},""" +
           f""""admit_total_sec":${walls.sum}%.1f}""")
 
       case "verifyindex" =>

@@ -1209,8 +1209,12 @@ object SimilarityQueries {
     * shuffle-hash join. Driver/broadcast routing state is ~√K·Dim·8 B
     * (~180 KB at K = 125,000) instead of [[RoutedTables]]' ~K·Dim·8 B
     * (~16 MB at K = 31,250, O(K) — unusable at K ≥ 10⁷). */
+  /** `geom` = the index geometry version these tables were loaded under
+    * (-1 = not index-bound — build-pipeline tables that never feed the
+    * admit path's version check). */
   private[graft] final case class StagedGateTables(
-      nonEmpty: Seq[Int], coarse: Seq[Seq[Long]], cells: DataFrame)
+      nonEmpty: Seq[Int], coarse: Seq[Seq[Long]], cells: DataFrame,
+      geom: Long = -1L)
 
   /** Build [[StagedGateTables]] from the gateindexr parquet frames
     * (coarse: (ccid, cmud); fine: (ccid, cid, cmud)). The per-cell pack
@@ -1233,6 +1237,21 @@ object SimilarityQueries {
       nonEmpty = coarseRows.map(_.getInt(0)).toSeq,
       coarse = coarseRows.map(_.getSeq[Long](1).toSeq).toSeq,
       cells = cells)
+  }
+
+  /** [[stagedGateTables]] bound to a WRITTEN index dir: reads the
+    * coarse/fine parquet AND captures the geometry version, so
+    * [[graft.streaming.StreamingOps.semanticAdmitBatch]] can refuse the
+    * tables once a rebuild retires them (the version is captured BEFORE
+    * the table reads — a rebuild completing in between makes the tables
+    * look OLDER than they are, the conservative direction: a spurious
+    * reload, never a stale admit). */
+  private[graft] def stagedGateTablesAt(spark: SparkSession, idx: String)
+      : StagedGateTables = {
+    val geom = indexGeometryVersion(idx)
+    stagedGateTables(
+      spark.read.parquet(s"$idx/coarse.parquet"),
+      spark.read.parquet(s"$idx/fine.parquet")).copy(geom = geom)
   }
 
   /** One STAGED routed-assignment projection over a prepared (…, mud)
@@ -1612,24 +1631,115 @@ object SimilarityQueries {
   private val heldLocks = new ThreadLocal[scala.collection.mutable.Set[String]] {
     override def initialValue() = scala.collection.mutable.Set.empty[String]
   }
+
+  /** Times an acquire found itself holding a RETIRED lock inode and
+    * re-acquired on the fresh file (diagnostics for the rebuild-race
+    * rung; SemDedupStagedSpec pins that the counter moves). */
+  private[graft] val staleLockRetries = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** stat(2)-based identity of the file a path names (dev, inode on
+    * POSIX); None if the path is gone. CRITICAL implementation
+    * constraint, learned the hard way (r16): the validation below must
+    * NEVER open a second file descriptor to the lock file — POSIX fcntl
+    * locks (what FileChannel.lock uses) are released when ANY fd of the
+    * same process for that file closes, so a read-back via
+    * Files.readAllBytes silently dropped the holder's own lock (measured:
+    * a live cross-process holder stopped excluding, lockprobe acquire
+    * 0.14 s instead of the hold time). stat opens no fd. */
+  private def fileKeyOf(p: java.nio.file.Path): Option[AnyRef] =
+    try Some(java.nio.file.Files.readAttributes(p,
+      classOf[java.nio.file.attribute.BasicFileAttributes]).fileKey())
+    catch { case _: java.io.IOException => None }
+
   private[graft] def withIndexLock[A](idx: String)(body: => A): A = {
-    import java.nio.file.{Paths, StandardOpenOption}
+    import java.nio.file.{Files, Paths, StandardOpenOption}
     val canon = Paths.get(idx).toAbsolutePath.normalize.toString
     if (heldLocks.get.contains(canon)) body
     else {
       val monitor = indexLocks.computeIfAbsent(canon, _ => new Object)
       monitor.synchronized {
-        val ch = java.nio.channels.FileChannel.open(
-          Paths.get(canon, "_lock"),
-          StandardOpenOption.CREATE, StandardOpenOption.WRITE)
-        try {
-          val fl = ch.lock()
-          heldLocks.get += canon
-          try body finally { heldLocks.get -= canon; fl.release() }
-        } finally ch.close()
+        val lockPath = Paths.get(canon, "_lock")
+        // Acquire with POST-ACQUIRE IDENTITY VALIDATION — the enforcement
+        // of the single-maintenance-owner contract r15 could only
+        // document: a writer that opened the lock file before a crash
+        // window retired it, and acquired after, holds an ORPHANED inode
+        // with no exclusion against writers on the fresh file. The
+        // stat-sandwich (fileKey before open == fileKey after lock, both
+        // present) detects that and re-acquires on whatever the path now
+        // names. A COMPLETED rebuild preserves the lock inode across its
+        // directory swap (see semanticIndexRebuild), so in normal
+        // operation blocked writers stay valid and this loop never
+        // retries; only crash-window debris (a heal deleted the inode a
+        // writer was blocked on) triggers it. The sandwich is ABA-safe
+        // because no path ever brings a RETIRED lock inode back while
+        // the index dir exists: the rebuild swap keeps the ONE live
+        // inode, and heal's window-1 dir restore only runs when the
+        // index dir is missing — where open() below throws instead.
+        // A missing index DIR during a rebuild's two-rename window reads
+        // as NoSuchFile: wait briefly for the swap to land rather than
+        // crash the admit process, but give up loudly after 10 s (a
+        // genuinely deleted index must not spin forever).
+        val deadline = System.nanoTime() + 10L * 1000L * 1000L * 1000L
+        var out: Option[A] = None
+        while (out.isEmpty) {
+          if (!Files.exists(lockPath)) {
+            try Files.createFile(lockPath)
+            catch {
+              case _: java.nio.file.FileAlreadyExistsException => ()
+              case e: java.nio.file.NoSuchFileException =>
+                if (System.nanoTime() > deadline) throw e
+                Thread.sleep(50)
+            }
+          }
+          val k0 = fileKeyOf(lockPath)
+          if (k0.isDefined) {
+            val ch =
+              try Some(java.nio.channels.FileChannel.open(lockPath,
+                StandardOpenOption.WRITE))
+              catch {
+                case e: java.nio.file.NoSuchFileException =>
+                  if (System.nanoTime() > deadline) throw e
+                  Thread.sleep(50); None
+              }
+            ch.foreach { c =>
+              try {
+                val fl = c.lock()
+                try {
+                  if (fileKeyOf(lockPath) == k0) {
+                    heldLocks.get += canon
+                    try out = Some(body) finally heldLocks.get -= canon
+                  } else staleLockRetries.incrementAndGet()
+                } finally fl.release()
+              } finally c.close()
+            }
+          }
+        }
+        out.get
       }
     }
   }
+
+  /** The index's GEOMETRY VERSION — bumped by every rebuild (re-cluster),
+    * never by compaction (which preserves the frozen geometry). Missing
+    * file (every pre-r16 or freshly built index) reads as 0. Routing
+    * tables loaded from an index ([[stagedGateTablesAt]]) carry the
+    * version they were read under; the admit path refuses a batch whose
+    * tables predate the current geometry — cids assigned under retired
+    * centroids must never be committed into the rebuilt cid space. */
+  private[graft] def indexGeometryVersion(idx: String): Long = {
+    val p = java.nio.file.Paths.get(idx, "_geom")
+    if (java.nio.file.Files.exists(p))
+      new String(java.nio.file.Files.readAllBytes(p),
+        java.nio.charset.StandardCharsets.UTF_8).trim.toLong
+    else 0L
+  }
+
+  /** Thrown by the admit path when its routing tables predate the
+    * index's current geometry (a rebuild ran since they were loaded).
+    * CONSERVATIVE by design: the caller reloads tables and replays the
+    * batch — nothing wrong was committed. */
+  private[graft] final class StaleRoutingTablesException(msg: String)
+    extends IllegalStateException(msg)
 
   /** True iff the index is MARKED as having received append generations
     * (members.parquet holding multiple rows per cid). The check is the
@@ -1850,14 +1960,18 @@ object SimilarityQueries {
     * [[healInterruptedRebuild]] finishes or rolls back any window. The
     * rebuilt dir carries no `_appended` marker — it is a pristine build.
     *
-    * Concurrency contract, stated honestly: the member read, re-cluster
-    * and swap run under the index writer lock, so same-JVM appends are
-    * excluded for the duration — but the DIRECTORY swap retires the lock
-    * file itself, so unlike compact (whose readers and cross-process
-    * writers stay correct throughout) a rebuild assumes a SINGLE
-    * maintenance owner: schedule it from the admit loop's policy hook
-    * ([[maintainIndexWithRebuild]]), not concurrently with writer
-    * processes. Returns the rebuilt fine-cell count K. */
+    * Concurrency contract (ENFORCED since r16, previously documented
+    * only): the member read, re-cluster and swap run under the index
+    * writer lock. The directory swap retires the lock file itself, and
+    * two mechanisms make that safe against cross-process writers the r15
+    * contract could only warn about: (1) [[withIndexLock]]'s post-acquire
+    * token validation — a writer that opened the lock pre-swap and
+    * acquired post-swap detects the orphaned inode and re-acquires on
+    * the fresh file, so mutual exclusion survives the swap; (2) the
+    * `_geom` version written into the rebuilt dir BEFORE the swap — an
+    * admit whose routing tables predate the rebuild is refused with
+    * [[StaleRoutingTablesException]] (reload + replay, nothing
+    * committed). Returns the rebuilt fine-cell count K. */
   private[graft] def semanticIndexRebuild(spark: SparkSession, idx: String,
       targetCell: Option[Int] = None): Long = {
     healInterruptedRebuild(idx)
@@ -1876,9 +1990,28 @@ object SimilarityQueries {
         val (coarse, fineRouted, members) = semanticStreamIndexStagedFrom(vecs, tc)
         writeGateIndexStaged(spark, tmp, coarse, fineRouted, members)
       }
+      // the bumped geometry version rides INSIDE the rebuilt dir, so the
+      // bump and the new geometry become visible in the same atomic
+      // rename — no window where new tables carry the old version
+      Files.write(Paths.get(tmp, "_geom"),
+        (indexGeometryVersion(idx) + 1L).toString
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
       val live = Paths.get(idx)
       val pre = Paths.get(idx + ".prerebuild")
       Files.move(live, pre, StandardCopyOption.ATOMIC_MOVE)
+      // PRESERVE THE LOCK INODE across the swap (r16): the fcntl lock we
+      // hold lives on the file's inode, so carrying the SAME file into
+      // the rebuilt dir means every writer blocked on it stays validly
+      // blocked on <idx>/_lock after the swap — mutual exclusion
+      // survives without any writer-side special case. While the index
+      // dir is renamed aside (this two-rename window), newly arriving
+      // writers see NoSuchFile and wait in withIndexLock's bounded
+      // retry; nobody can create a rival lock file because the dir path
+      // does not exist.
+      val lockInPre = pre.resolve("_lock")
+      if (Files.exists(lockInPre))
+        Files.move(lockInPre, Paths.get(tmp, "_lock"),
+          StandardCopyOption.ATOMIC_MOVE)
       Files.move(Paths.get(tmp), live, StandardCopyOption.ATOMIC_MOVE)
       StagingRoots.deleteRecursively(pre)
       k

@@ -657,6 +657,25 @@ object StreamingOps {
     // index permanently violates the greedy-remove discipline and no
     // later read repairs it (r13 review)
     graft.queries.SimilarityQueries.withIndexLock(idx) {
+      // GEOMETRY GUARD (r16): refuse index-bound tables that predate the
+      // current geometry — a rebuild re-clustered since they were
+      // loaded, so this batch's cid assignments name retired centroids;
+      // committing them would scatter members into the wrong cells of
+      // the rebuilt cid space (and the gate would have decided dup/admit
+      // against the wrong neighborhoods). Checked INSIDE the lock, so a
+      // rebuild cannot complete between the check and the commit.
+      // Conservative: nothing was written — the caller reloads tables
+      // (stagedGateTablesAt) and replays the batch. Tables with geom=-1
+      // (not index-bound — the pre-r16 call shape) skip the check.
+      if (tables.geom >= 0) {
+        val cur = graft.queries.SimilarityQueries.indexGeometryVersion(idx)
+        if (cur != tables.geom)
+          throw new graft.queries.SimilarityQueries.StaleRoutingTablesException(
+            s"semanticAdmitBatch: routing tables were loaded at geometry " +
+              s"version ${tables.geom} but $idx is now at version $cur " +
+              s"(a rebuild ran) — reload with stagedGateTablesAt and replay " +
+              s"this batch")
+      }
       // repair any compact interrupted by a previous process BEFORE the
       // member read — below the maintenance threshold maintainIndex runs
       // after this batch, too late for a missing live members dir

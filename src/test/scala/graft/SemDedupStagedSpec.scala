@@ -802,4 +802,108 @@ class SemDedupStagedSpec extends GraftSuite {
       graft.queries.StagingRoots.deleteRecursively(idxDir)
     }
   }
+
+  test("a writer blocked ACROSS a rebuild-style directory swap re-acquires " +
+    "on the fresh lock file instead of keeping the orphaned inode (real " +
+    "second JVM holds; the swap happens while blocked)") {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val idxDir = Files.createTempDirectory("graft_swap_lock_spec")
+    val javaBin = System.getProperty("java.home") + "/bin/java"
+    val cp = System.getProperty("java.class.path")
+    val holder = new ProcessBuilder(
+      javaBin, "-cp", cp, "graft.SemScale", "lockhold", idxDir.toString, "60000")
+      .redirectErrorStream(true).start()
+    try {
+      val br = new java.io.BufferedReader(
+        new java.io.InputStreamReader(holder.getInputStream))
+      val deadline = System.nanoTime() + 30L * 1000000000L
+      var line = br.readLine()
+      while (line != null && line != "HELD" && System.nanoTime() < deadline)
+        line = br.readLine()
+      assert(line == "HELD", s"holder never reported HELD (last: $line)")
+      val r0 = SimilarityQueries.staleLockRetries.get
+      val acquired = new java.util.concurrent.CountDownLatch(1)
+      val t = new Thread(() => {
+        SimilarityQueries.withIndexLock(idxDir.toString) {}
+        acquired.countDown()
+      })
+      t.setDaemon(true)
+      t.start()
+      // 2 s unacquired proves the thread is past the monitor and blocked
+      // in ch.lock() on the CURRENT (pre-swap) inode
+      assert(!acquired.await(2, java.util.concurrent.TimeUnit.SECONDS),
+        "writer was not blocked by the cross-process holder")
+      // the rebuild-style swap, performed while holder and waiter both
+      // reference the old inode: dir renamed aside, fresh dir + fresh
+      // lock file at the same path, backup deleted (like the rebuild's
+      // backup delete — inodes survive via the open handles)
+      val old = Paths.get(idxDir.toString + ".prerebuild")
+      Files.move(idxDir, old, StandardCopyOption.ATOMIC_MOVE)
+      Files.createDirectories(idxDir)
+      Files.write(idxDir.resolve("_lock"), Array[Byte]())
+      graft.queries.StagingRoots.deleteRecursively(old)
+      assert(!acquired.await(1, java.util.concurrent.TimeUnit.SECONDS),
+        "writer acquired while the holder still held the (orphaned) lock")
+      // holder dies -> waiter acquires the ORPHAN, must detect and retry
+      // on the fresh file, then complete
+      holder.destroyForcibly()
+      assert(acquired.await(15, java.util.concurrent.TimeUnit.SECONDS),
+        "writer never completed after the swap — stale-inode retry broken")
+      assert(SimilarityQueries.staleLockRetries.get > r0,
+        "writer completed WITHOUT a stale-lock retry — it ran its body " +
+          "under the orphaned inode")
+    } finally {
+      holder.destroyForcibly()
+      graft.queries.StagingRoots.deleteRecursively(idxDir)
+    }
+  }
+
+  test("geometry guard: an admit whose routing tables predate a rebuild is " +
+    "refused (StaleRoutingTablesException), and reload + replay succeeds") {
+    val sf001 = "/root/testdata/sf0.01"
+    import spark.implicits._
+    val idx = graft.queries.GateStaging.appendWorkdir(spark, sf001)
+    val g0 = SimilarityQueries.indexGeometryVersion(idx)
+    val staged0 = SimilarityQueries.stagedGateTablesAt(spark, idx)
+    assert(staged0.geom == g0, "loader did not capture the geometry version")
+    // take the lock once so the lock file exists, then record its inode:
+    // a completed rebuild must carry the SAME file into the rebuilt dir
+    // (writers blocked on it stay validly blocked across the swap)
+    SimilarityQueries.withIndexLock(idx) {}
+    def lockKey(): AnyRef = java.nio.file.Files.readAttributes(
+      java.nio.file.Paths.get(idx, "_lock"),
+      classOf[java.nio.file.attribute.BasicFileAttributes]).fileKey()
+    val k0 = lockKey()
+    // force a rebuild: the policy test's blob adversary at spec scale
+    val (_, med0) = SimilarityQueries.indexCellBalance(spark, idx)
+    val blobN = math.max(400, (med0 * 24).toInt)
+    val blob = spark.range(blobN)
+      .select((col("id") + 2000000000L).as("vec_id"))
+      .select(col("vec_id"), expr(
+        "transform(sequence(0, 63), " +
+          "i -> CAST(0.25 + 0.0001 * sin(vec_id * 13.7D + i) AS FLOAT))")
+        .as("embedding"))
+    SimilarityQueries.semanticIndexAppend(spark, idx, blob)
+    SimilarityQueries.semanticIndexRebuild(spark, idx)
+    assert(SimilarityQueries.indexGeometryVersion(idx) == g0 + 1,
+      "rebuild did not bump the geometry version")
+    assert(lockKey() == k0,
+      "rebuild replaced the lock-file inode — writers blocked across the " +
+        "swap would hold an orphan with no exclusion")
+    val batch = Tables.embeddings(spark, sf001).limit(5)
+      .select((col("vec_id") + 5000000000L).as("vec_id"), col("embedding"))
+    intercept[SimilarityQueries.StaleRoutingTablesException] {
+      graft.streaming.StreamingOps.semanticAdmitBatch(idx, staged0, batch)
+    }
+    // the refused attempt committed NOTHING: the rebuilt index is still
+    // pristine (no _appended marker)
+    assert(!SimilarityQueries.hasAppendGenerations(idx),
+      "the refused admit left a delta or marker behind")
+    val staged1 = SimilarityQueries.stagedGateTablesAt(spark, idx)
+    val flags = graft.streaming.StreamingOps
+      .semanticAdmitBatch(idx, staged1, batch)
+    assert(flags.count() == 5, "replay after reload did not admit the batch")
+    staged0.cells.unpersist()
+    staged1.cells.unpersist()
+  }
 }
