@@ -825,9 +825,11 @@ object SemScale {
               blobVecs(spark, dim, blobN, 2000000000L))
           val compacted =
             if (policy == "full") {
+              // the full policy honors the passed compact cadence as-is
+              // (unbounded maxGens = never compact, rebuild poll still
+              // runs each batch)
               val (c, r) = queries.SimilarityQueries
-                .maintainIndexWithRebuild(spark, idx,
-                  math.min(maxGens, 1))
+                .maintainIndexWithRebuild(spark, idx, maxGens)
               if (r) {
                 nRebuilds += 1
                 staged.cells.unpersist()

@@ -802,8 +802,9 @@ object McdmQueries {
   // pinned); here the census itself is oracle-checked.
   /** The six rank maps (baseline first) the agreement censuses compare —
     * one shared fold frame across the chains (each is a different
-    * grouping of the same 1,920-cell frame; foldFrame persists its
-    * output, so the distributed aggregations scan it from cache). */
+    * grouping of the same 1,920-cell frame, read from the per-corpus
+    * staged parquet; the bootstrap chain reads the staged resample
+    * medians the same way — McdmStaging). */
   private def methodRankMaps(spark: SparkSession, d: String)
       : Seq[(String, Map[String, Int])] = {
     val folds = foldFrame(spark, d)

@@ -234,6 +234,18 @@ class PlanShapeSpec extends GraftSuite {
     assert(exchanges == 1, s"fold frame should shuffle exactly once:\n$p")
   }
 
+  test("q144 reconstruct: config grid and champion pick ride broadcasts — " +
+    "the trade frame never shuffles for either join, no cartesian product") {
+    val p = plan(ReconstructQueries.q144Reconstruct(spark, sf))
+    // the 4-config grid fan-out and the 1-row champion join-back must
+    // both broadcast; a plain CartesianProduct (unhinted cross of two
+    // shuffled sides) would shuffle |signals|x4 rows at corpus scale
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"grid/champion not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"reconstruction degenerated to a cartesian product:\n$p")
+  }
+
   test("q113 scaled-K assignment: map-only codegen'd kernel — no SortAggregate, " +
     "no join, no N×K row explosion in the plan") {
     val p = plan(SimilarityQueries.q113SemanticDedupScaled(spark, sf))
