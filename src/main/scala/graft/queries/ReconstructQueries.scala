@@ -21,13 +21,17 @@ import graft.operators.Barriers
   * tp_mult 2.5 / sl_mult 5.0 with a config grid over (phase1_bars,
   * sl_tight_mult, max_bars) — the `p{N}_slt{NN}_mb{NN}` barrier axis —
   * and stagnation metrics on the hedged curve (underwater ratio, longest
-  * underwater run, gen800_reconstruct.py:279-300). Documented deviation:
-  * the champion is picked by the stagnation-first order alone
-  * (underwater_ratio ASC, max underwater run ASC, cfg ASC) with no
-  * absolute PF/trade-count gates — the gates live in q137 (gen800_rank's
-  * twin); the reconstruct selection must stay total so a champion exists
-  * at smoke scale. Laguerre regime gating is q47's lane; the bullish-bar
-  * gate stands in for `bullish_only` so the oracle stays self-contained.
+  * underwater run, gen800_reconstruct.py:279-300). The champion is
+  * picked the way gen800_rank feeds gen800_reconstruct: the absolute
+  * gates (n_trades ≥ 30, PF > 1, uncapped omega > 1 — the q137
+  * formulas) then the stagnation-first order (underwater_ratio ASC, max
+  * underwater run ASC, cfg ASC); when NO config passes the gates the
+  * pick degrades to the ungated order (the q141 graceful-degradation
+  * tier — the reference's corpus always has gate-passers, the smoke
+  * fixture may not, and reconstruction must stay total; both engines
+  * resolve the data-dependent tier from the same aggregates). Laguerre
+  * regime gating is q47's lane; the bullish-bar gate stands in for
+  * `bullish_only` so the oracle stays self-contained.
   *
   * Scale shape: ONE banded-join forward-array pass over bars (signals
   * only — AUDIT #3), a broadcast 4-config grid, one window pass per
@@ -90,11 +94,28 @@ object ReconstructQueries {
         Window.partitionBy(col("cfg_id")).orderBy(col("trade_n"))))
       .groupBy(col("cfg_id"), col("grp")).agg(count(lit(1)).as("len"))
       .groupBy(col("cfg_id")).agg(max(col("len")).as("max_uw"))
+    // gen800_rank's absolute gates (scripts/gen800_rank.py:85-93, the
+    // q137 formulas on the same 6 dp returns); the tier fallback is the
+    // q141 graceful-degradation pattern — the reference's corpus always
+    // has gate-passing configs, the sf0.001 smoke fixture may not, and
+    // the reconstruct selection must stay total
+    val wins = sum(greatest(col("ret"), lit(0.0)))
+    val losses = sum(greatest(-col("ret"), lit(0.0)))
     val stats = trades.groupBy(col("cfg_id"))
-      .agg(round(sum(col("uw")).cast("double") / count(lit(1)), 6)
-        .as("underwater_ratio"))
-    val champ = stats.join(maxRun, Seq("cfg_id"), "left")
+      .agg(
+        count(lit(1)).as("n_trades"),
+        round(sum(col("uw")).cast("double") / count(lit(1)), 6)
+          .as("underwater_ratio"),
+        round(when(losses === 0.0, when(wins > 0.0, lit(10.0)).otherwise(lit(null)))
+          .otherwise(least(wins / losses, lit(10.0))), 4).as("pf"),
+        round(wins / nullif(losses, lit(0.0)), 4).as("omega"))
+    val joined = stats.join(maxRun, Seq("cfg_id"), "left")
       .na.fill(0L, Seq("max_uw"))
+    val gate = col("n_trades") >= 30 && col("pf") > 1.0 && col("omega") > 1.0
+    val pick = joined.agg(count(when(gate, 1)).as("c1"))
+      .select(when(col("c1") > 0, 1).otherwise(2).as("tier"))
+    val champ = joined.crossJoin(broadcast(pick))
+      .filter((col("tier") === 1 && gate) || col("tier") === 2)
       // partitionless rank window: O(configs) frame (4 rows), bounded
       .withColumn("rk", row_number().over(
         Window.orderBy(col("underwater_ratio"), col("max_uw"), col("cfg_id"))))
@@ -198,15 +219,30 @@ object ReconstructQueries {
        |  FROM (SELECT cfg_id, grp, count(*) AS len FROM runs GROUP BY cfg_id, grp)
        |  GROUP BY cfg_id),
        |stats AS (
-       |  SELECT cfg_id,
-       |    round(sum(uw)::DOUBLE / count(*), 6) AS underwater_ratio
+       |  SELECT cfg_id, count(*) AS n_trades,
+       |    round(sum(uw)::DOUBLE / count(*), 6) AS underwater_ratio,
+       |    round(CASE WHEN sum(greatest(-ret, 0.0)) = 0.0
+       |      THEN CASE WHEN sum(greatest(ret, 0.0)) > 0.0 THEN 10.0 END
+       |      ELSE least(sum(greatest(ret, 0.0)) / sum(greatest(-ret, 0.0)), 10.0)
+       |    END, 4) AS pf,
+       |    round(sum(greatest(ret, 0.0)) / nullif(sum(greatest(-ret, 0.0)), 0.0), 4)
+       |      AS omega
        |  FROM flags GROUP BY cfg_id),
+       |joined AS (
+       |  SELECT s.*, coalesce(mr.max_uw, 0) AS max_uw
+       |  FROM stats s LEFT JOIN mr ON mr.cfg_id = s.cfg_id),
+       |pick AS (
+       |  SELECT CASE WHEN count(*) FILTER (WHERE n_trades >= 30 AND pf > 1.0
+       |    AND omega > 1.0) > 0 THEN 1 ELSE 2 END AS tier
+       |  FROM joined),
        |champ AS (
        |  SELECT cfg_id FROM (
-       |    SELECT s.cfg_id,
-       |      row_number() OVER (ORDER BY underwater_ratio,
-       |        coalesce(mr.max_uw, 0), s.cfg_id) AS rk
-       |    FROM stats s LEFT JOIN mr ON mr.cfg_id = s.cfg_id)
+       |    SELECT j.cfg_id,
+       |      row_number() OVER (ORDER BY underwater_ratio, max_uw, j.cfg_id)
+       |        AS rk
+       |    FROM joined j, pick
+       |    WHERE (tier = 1 AND n_trades >= 30 AND pf > 1.0 AND omega > 1.0)
+       |      OR tier = 2)
        |  WHERE rk = 1)
        |SELECT f.cfg_id AS config_id, CAST(trade_n AS BIGINT) AS trade_n,
        |  event_type, event_id,
