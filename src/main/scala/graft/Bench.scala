@@ -32,7 +32,11 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", "true")
+      // dev knob for A/B-ing AQE's stage-materialization latency on the
+      // bench surface (the driver sets neither env, so its runs keep the
+      // default); scale-dependent, so the DEFAULT stays AQE on
+      .config("spark.sql.adaptive.enabled",
+        sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -107,8 +111,12 @@ object Bench {
         Seq(("q_staging_gate", (System.nanoTime() - t0) / 1e9, err))
       } else Seq.empty
     }
-    def once(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+    def once(name: String,
+        fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
         : (Double, Option[String]) = {
+      // §1.5: label every job with its query so the event log / UI can
+      // attribute stages (profiling only; no timing effect)
+      spark.sparkContext.setJobDescription(name)
       // isolate queries: a predecessor's cached frames are not this query's
       // head start (CacheManager matches canonicalized plans ACROSS queries,
       // so two queries persisting the same bar frame would otherwise share
@@ -125,20 +133,21 @@ object Bench {
       val err =
         try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); None }
         catch { case scala.util.control.NonFatal(e) => Some(jsonEscape(e.toString)) }
+        finally spark.sparkContext.setJobDescription(null)
       ((System.nanoTime() - t0) / 1e9, err)
     }
     val allStaging = staging ++ stagingEval ++ stagingMcdm ++ stagingGate
     val results = allStaging ++ SparkEntry.queries.toSeq
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
-        val (t1, err1) = once(fn)
+        val (t1, err1) = once(name, fn)
         // best-of-2 for everything non-trivial: a long 115-query session
         // accumulates GC/JIT crowding that read as phantom 1.5–2×
         // regressions in r7 — a second isolated run separates a real plan
         // regression from session noise (measured: the r7 common-set
         // "1.17× regression" became 0.87× under best-of-2)
         if (err1.isEmpty && t1 >= 1.0) {
-          val (t2, err2) = once(fn)
+          val (t2, err2) = once(name, fn)
           // a second-run failure COUNTS: dropping err2 reported a flaky
           // query as a clean pass with t1 — "a bench that cannot fail is
           // not a bench" applies to the rerun too (r13 review)

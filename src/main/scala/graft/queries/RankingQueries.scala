@@ -635,7 +635,20 @@ object RankingQueries {
     val bounds = rets.agg(
       (floor(min(col("ts_us")) / HourUs) + 25).as("h0"),
       floor(max(col("ts_us")) / HourUs).as("h1"))
-    val spans = rets.crossJoin(broadcast(bounds))
+    // Parallelism pins (the q43/q47/q51 class, SCALE.md round-8): AQE
+    // coalesces the small post-lag exchange to ONE partition and the ×24
+    // calendar explode inherited it — measured at sf0.1/local[32]: the
+    // explode+shuffle-write stage ran 4.3 s on 1 task, the window stage
+    // 3.0 s on 1 task (31 cores idle). A keyless REPARTITION_BY_NUM before
+    // the explode spreads the fan-out map work (deterministic input: the
+    // lag window's output), and the explicit (event_type, h)-keyed
+    // repartition after it pins the window/groupBy exchange width — both
+    // are AQE-stable and scale with the session's core count. Per-group
+    // row order inside the ww window is unchanged (each (event_type, h)
+    // group still sorts wholly within one partition), so cum/runmax/ret
+    // are bit-identical and the oracle hashes are unaffected.
+    val nPart = spark.sparkContext.defaultParallelism
+    val spans = rets.repartition(nPart).crossJoin(broadcast(bounds))
       .withColumn("hlo", greatest(floor(col("ts_us") / HourUs) + 1, col("h0")))
       .withColumn("hhi", least(floor((col("ts_us") + DayUs) / HourUs), col("h1")))
       .filter(col("hlo") <= col("hhi"))
@@ -645,6 +658,7 @@ object RankingQueries {
       .orderBy(col("ts_us"), col("event_id"))
       .rowsBetween(Window.unboundedPreceding, 0)
     val win = spans
+      .repartition(nPart, col("event_type"), col("h"))
       .withColumn("cum", sum(col("r")).over(ww))
       .withColumn("runmax", max(col("cum")).over(ww))
       .groupBy(col("event_type"), col("h"))
