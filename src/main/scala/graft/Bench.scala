@@ -45,72 +45,79 @@ object Bench {
     // whichever query happens to run first
     spark.range(1L << 20).selectExpr("sum(id) AS s")
       .write.format("noop").mode("overwrite").save()
-    // the dedup staging chain (exact-dedup → MinHash → LSH → verify) is
-    // built once per process and shared by q49/q61/q79 — measured HERE as
-    // its own row so those queries report their plan cost, not build-order
-    // accounting (whichever ran first used to absorb the whole chain)
-    val staging: Seq[(String, Double, Option[String])] =
-      if (only.forall(_.exists(Set("q49_dedup_pipeline",
-          "q61_dup_components", "q79_split_leakage",
-          // q87/q89 consume the same staged chain (r13 review: filtered
-          // runs of them used to absorb the build into their timed row)
-          "q87_components_star", "q89_cluster_rep")))) {
-        val t0 = System.nanoTime()
-        val err =
-          try { graft.queries.DedupQueries.Staging.scoredAndCounts(spark, sfDir); None }
-          catch { case scala.util.control.NonFatal(e) => Some(jsonEscape(e.toString)) }
-        Seq(("q_staging_dedup", (System.nanoTime() - t0) / 1e9, err))
-      } else Seq.empty
-    // the eval staging frames (q72's KDE regularity lane + the tamrs
-    // chain) are likewise built once and shared by q72/q122/q123
-    val stagingEval: Seq[(String, Double, Option[String])] =
-      if (only.forall(_.exists(Set("q72_signal_regularity",
-          "q122_tamrs", "q123_tier_screening")))) {
-        val t0 = System.nanoTime()
-        val err =
-          try { graft.queries.EvalStaging.build(spark, sfDir); None }
-          catch { case scala.util.control.NonFatal(e) => Some(jsonEscape(e.toString)) }
-        Seq(("q_staging_eval", (System.nanoTime() - t0) / 1e9, err))
-      } else Seq.empty
-    // the gen720 fold frame + 200-rep bootstrap medians are built+WRITTEN
-    // once and read by the whole MCDM pack (q131-q136/q139/q141/q142) —
-    // the reference writes the fold parquet once and every ranking round
-    // reads it; unstaged, the windowed fact pass and the resample chain
-    // landed inside whichever pack query ran first (r15 verdict INFO)
-    val stagingMcdm: Seq[(String, Double, Option[String])] =
-      if (only.forall(_.exists(Set("q131_entropy_topsis", "q132_promethee",
-          "q133_stability_rank", "q134_universality", "q135_bootstrap_rank",
-          "q136_rank_agreement", "q139_rank_matrix", "q141_best_barriers",
-          "q142_top_barriers")))) {
-        val t0 = System.nanoTime()
-        val err =
-          try { graft.queries.McdmStaging.build(spark, sfDir); None }
-          catch { case scala.util.control.NonFatal(e) => Some(jsonEscape(e.toString)) }
-        Seq(("q_staging_mcdm", (System.nanoTime() - t0) / 1e9, err))
-      } else Seq.empty
-    // the gate indexes (flat + routed) are built+WRITTEN once and read by
-    // the q126/q127/q129 batch twins — production consumes a written
-    // index, so the twins now report gate cost, not index-build cost
-    val stagingGate: Seq[(String, Double, Option[String])] = {
-      val needFlat = only.forall(_.contains("q126_semantic_gate_census"))
-      val needRouted = only.forall(_.exists(Set(
-        "q127_semantic_gate_routed", "q129_semantic_gate_staged")))
-      // q130's pristine base index is memoized per (JVM, corpus) too —
-      // unstaged, its build would land inside q130's first timed run
-      val needAppendBase =
-        only.forall(_.contains("q130_semantic_index_append"))
-      if (needFlat || needRouted || needAppendBase) {
-        val t0 = System.nanoTime()
-        val err =
-          try {
-            graft.queries.GateStaging.build(spark, sfDir,
-              flat = needFlat, routed = needRouted,
-              appendBase = needAppendBase)
-            None
-          } catch { case scala.util.control.NonFatal(e) => Some(jsonEscape(e.toString)) }
-        Seq(("q_staging_gate", (System.nanoTime() - t0) / 1e9, err))
-      } else Seq.empty
+    // The four staging chains — dedup (exact-dedup → MinHash → LSH →
+    // verify, shared by q49/q61/q79/q87/q89), eval (q72's KDE lane + the
+    // tamrs chain), mcdm (gen720 fold frame + 200-rep bootstrap medians,
+    // read by q131-q136/q139/q141/q142) and gate (the written flat/routed/
+    // append-base indexes the q126/q127/q129/q130 twins consume) — are
+    // measured as their OWN rows so consumers report plan cost, not
+    // build-order accounting (r13/r15). r16: the chains are mutually
+    // INDEPENDENT (different sources, different staged outputs, memoized
+    // under different keys) and each is stage-latency-bound, not CPU-bound
+    // (dozens of small sequential stages over ≤10⁵-row frames at bench
+    // SF), so they now run CONCURRENTLY on the shared scheduler — the
+    // overlap a production cluster would get from submitting independent
+    // staging pipelines together. Each row still reports its own build's
+    // wall-clock (slightly inflated by contention vs a solo run);
+    // q_staging_wall reports the overlapped region's total, which is what
+    // the session actually paid. Thread-safe by construction:
+    // StagingRoots.memoizedBuild serializes per-key joins and
+    // releasingBuildCaches refcounts concurrent sibling frames.
+    val stagingBuilds: Seq[(String, () => Unit)] = {
+      val dedup =
+        if (only.forall(_.exists(Set("q49_dedup_pipeline",
+            "q61_dup_components", "q79_split_leakage",
+            "q87_components_star", "q89_cluster_rep"))))
+          Seq("q_staging_dedup" -> (() =>
+            { graft.queries.DedupQueries.Staging.scoredAndCounts(spark, sfDir); () }))
+        else Seq.empty
+      val eval =
+        if (only.forall(_.exists(Set("q72_signal_regularity",
+            "q122_tamrs", "q123_tier_screening"))))
+          Seq("q_staging_eval" -> (() => graft.queries.EvalStaging.build(spark, sfDir)))
+        else Seq.empty
+      val mcdm =
+        if (only.forall(_.exists(Set("q131_entropy_topsis", "q132_promethee",
+            "q133_stability_rank", "q134_universality", "q135_bootstrap_rank",
+            "q136_rank_agreement", "q139_rank_matrix", "q141_best_barriers",
+            "q142_top_barriers"))))
+          Seq("q_staging_mcdm" -> (() => graft.queries.McdmStaging.build(spark, sfDir)))
+        else Seq.empty
+      val gate = {
+        val needFlat = only.forall(_.contains("q126_semantic_gate_census"))
+        val needRouted = only.forall(_.exists(Set(
+          "q127_semantic_gate_routed", "q129_semantic_gate_staged")))
+        val needAppendBase =
+          only.forall(_.contains("q130_semantic_index_append"))
+        if (needFlat || needRouted || needAppendBase)
+          Seq("q_staging_gate" -> (() => graft.queries.GateStaging.build(spark, sfDir,
+            flat = needFlat, routed = needRouted, appendBase = needAppendBase)))
+        else Seq.empty
+      }
+      dedup ++ eval ++ mcdm ++ gate
     }
+    val allStaging: Seq[(String, Double, Option[String])] =
+      if (stagingBuilds.isEmpty) Seq.empty
+      else {
+        import scala.concurrent.{Await, Future, ExecutionContext}
+        import scala.concurrent.duration.Duration
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(stagingBuilds.size)
+        implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
+        val w0 = System.nanoTime()
+        val rows = try {
+          stagingBuilds.map { case (name, build) =>
+            Future {
+              val t0 = System.nanoTime()
+              val err =
+                try { build(); None }
+                catch { case scala.util.control.NonFatal(e) => Some(jsonEscape(e.toString)) }
+              (name, (System.nanoTime() - t0) / 1e9, err)
+            }
+          }.map(Await.result(_, Duration.Inf))
+        } finally pool.shutdown()
+        rows :+ (("q_staging_wall", (System.nanoTime() - w0) / 1e9,
+          None: Option[String]))
+      }
     def once(name: String,
         fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
         : (Double, Option[String]) = {
@@ -136,7 +143,6 @@ object Bench {
         finally spark.sparkContext.setJobDescription(null)
       ((System.nanoTime() - t0) / 1e9, err)
     }
-    val allStaging = staging ++ stagingEval ++ stagingMcdm ++ stagingGate
     val results = allStaging ++ SparkEntry.queries.toSeq
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
@@ -165,7 +171,15 @@ object Bench {
     val errs = results.collect { case (k, _, Some(e)) => s"\"$k\":\"$e\"" }
       .mkString("{", ",", "}")
     val nFail = results.count(_._3.nonEmpty)
-    val total = results.collect { case (_, v, None) => v }.sum
+    // total: query rows + the staging region's WALL row. The per-build
+    // staging rows ran CONCURRENTLY (r16) — summing them would count the
+    // same elapsed seconds up to 4×; q_staging_wall is what the session
+    // actually paid for the whole staging region. (When staging is empty
+    // — a filtered run with no staged consumers — nothing changes.)
+    val stagingBuildNames = stagingBuilds.map(_._1).toSet
+    val total = results.collect {
+      case (k, v, None) if !stagingBuildNames.contains(k) => v
+    }.sum
     val sfj = jsonEscape(sfDir)
     val line =
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfj","failures":$nFail,"errors":$errs}"""
@@ -181,7 +195,10 @@ object Bench {
     // always gets a complete record (per-query map lives in BENCH_LAST.json)
     // n_queries counts REAL queries; the synthetic staging row is labeled
     // separately so cross-round totals stay comparable (r8 ADVICE)
-    val stagingSec = allStaging.collect { case (_, v, None) => v }.sum
+    // the overlapped region's elapsed time (the wall row), not the sum of
+    // the concurrent per-build rows
+    val stagingSec = allStaging.collect {
+      case ("q_staging_wall", v, None) => v }.sum
     println(
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":{},"sf":"$sfj","failures":$nFail,"n_queries":${results.length - allStaging.length},"staging_sec":${r3(stagingSec)},"full_record":"BENCH_LAST.json"}""")
     if (nFail > 0) sys.exit(1)

@@ -59,14 +59,34 @@ private[graft] object StagingRoots {
     * they pin multi-GB copies in the block store for the JVM's lifetime
     * (r13 review). Diff-of-persistent-RDDs scoping, valid under the
     * single-driver assumption the staging lanes document (builds are
-    * serialized rows in Bench/Verify; a concurrent persist by ANOTHER
-    * thread during the build would be swept too). */
+    * serialized rows in Bench/Verify; a concurrent persist by a NON-BUILD
+    * thread during the build window would be swept too).
+    *
+    * Concurrency-safe across SIBLING builds (r16): GateStaging runs its
+    * independent index builds on a thread pool, so the naive
+    * per-invocation diff would let the first finisher sweep a sibling's
+    * still-in-use seeding caches (its persist landed after the
+    * finisher's snapshot). Frames are refcounted instead: the first
+    * entrant snapshots the context's persistent-RDD ids, the LAST exiter
+    * sweeps everything persisted since — getPersistentRDDs is
+    * CONTEXT-level, so the scheme holds across cloned sessions too. */
+  private[this] val buildFrames = new java.util.concurrent.atomic.AtomicInteger(0)
+  @volatile private[this] var framesBefore: Set[Int] = Set.empty
+  private[this] val frameLock = new Object
   def releasingBuildCaches[A](spark: org.apache.spark.sql.SparkSession)(body: => A): A = {
-    val before = spark.sparkContext.getPersistentRDDs.keySet
+    frameLock.synchronized {
+      if (buildFrames.getAndIncrement() == 0)
+        framesBefore = spark.sparkContext.getPersistentRDDs.keySet.toSet
+    }
     try body
-    finally spark.sparkContext.getPersistentRDDs
-      .filter { case (id, _) => !before.contains(id) }
-      .values.foreach(_.unpersist(blocking = false))
+    finally frameLock.synchronized {
+      if (buildFrames.decrementAndGet() == 0) {
+        val before = framesBefore
+        spark.sparkContext.getPersistentRDDs
+          .filter { case (id, _) => !before.contains(id) }
+          .values.foreach(_.unpersist(blocking = false))
+      }
+    }
   }
 
   /** ONE definition of the per-JVM memoized staging build (three staging

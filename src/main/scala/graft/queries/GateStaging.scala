@@ -105,12 +105,37 @@ private[graft] object GateStaging {
     * index; q127/q129-only runs stage only the routed one (r13 review);
     * q130 stages the pristine append-lifecycle BASE index (r14: its
     * build otherwise lands inside q130's first timed run — the exact
-    * build-cost-in-gate-rows accounting r13 fixed for the twins). */
+    * build-cost-in-gate-rows accounting r13 fixed for the twins).
+    *
+    * The selected builds run CONCURRENTLY (r16, the EvalStaging.build
+    * discipline): the three indexes are independent — different source
+    * slices, different output dirs, memoized under different keys — and
+    * each build is a chain of small sequential stages (seed/assign/write
+    * over a 500–4k-vector corpus at bench SF), i.e. stage-latency-bound,
+    * not CPU-bound. Safe because memoizedBuild already serializes
+    * per-key cross-thread joins and releasingBuildCaches refcounts
+    * concurrent sibling frames (the last exiter sweeps). */
   def build(spark: SparkSession, d: String,
       flat: Boolean = true, routed: Boolean = true,
       appendBase: Boolean = false): Unit = {
-    if (flat) flatDir(spark, d)
-    if (routed) routedDir(spark, d)
-    if (appendBase) appendBasePristineDir(spark, d)
+    val builds: Seq[() => Unit] = Seq(
+      (flat, () => { flatDir(spark, d); () }),
+      (routed, () => { routedDir(spark, d); () }),
+      (appendBase, () => { appendBasePristineDir(spark, d); () })
+    ).collect { case (true, b) => b }
+    if (builds.sizeIs <= 1) builds.foreach(_.apply())
+    else {
+      import scala.concurrent.{Await, Future, ExecutionContext}
+      import scala.concurrent.duration.Duration
+      import scala.util.Try
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(builds.size)
+      implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
+      try {
+        // await ALL builds before teardown, then rethrow the first
+        // failure (the EvalStaging.build r12-ADVICE pattern)
+        builds.map(b => Future(b())).map(f => Try(Await.result(f, Duration.Inf)))
+          .foreach(_.get)
+      } finally pool.shutdown()
+    }
   }
 }
