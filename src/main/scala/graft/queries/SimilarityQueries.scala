@@ -668,8 +668,22 @@ object SimilarityQueries {
     * a 64 MB seed table) and killed the gate-index build. The band bounds
     * driver-shipped rows to ~3·K regardless of partition count. */
   private def collectSeedRows(v: DataFrame, k: Int, n: Long)
-      : Array[org.apache.spark.sql.Row] =
-    seedBand(v, k, n).orderBy(col("hk"), col("vec_id")).limit(k).collect()
+      : Array[org.apache.spark.sql.Row] = {
+    // ONE job, not count-then-top-K (r16, guide §1.3/§5): the common path
+    // used to pay a band-population count job AND an orderBy.limit(K)
+    // collect per construction; collecting the O(3·K) band directly and
+    // taking the top-K on the driver is the same O(K) driver shipment the
+    // band already guarantees (the existing K-seed consumer materializes
+    // all K rows driver-side anyway), with the widening policy unchanged
+    // and shared (seedBandSearch). Same seeds: the driver sort key
+    // (hk asc, vec_id asc) is exactly the removed orderBy's.
+    val hkv = hkFrame(v)
+    val rows = seedBandSearch(k, n) { t2 =>
+      val r = hkv.filter(col("hk") < t2).collect()
+      (r.length.toLong, r)
+    }
+    rows.sortBy(r => (r.getAs[Long]("hk"), r.getAs[Long]("vec_id"))).take(k)
+  }
 
   /** The hk-banded seed-candidate frame (vec_id, mud, hk): all rows whose
     * md5-rank falls below the threshold expected to hold 3·K rows
@@ -687,20 +701,37 @@ object SimilarityQueries {
     * distributed one ([[stagedSeeds]]), so a margin/scaling fix can never
     * drift between the lanes. */
   private def seedBand(v: DataFrame, k: Int, n: Long): DataFrame = {
-    val hkv = v.select(col("vec_id"), col("mud"))
+    val hkv = hkFrame(v)
+    seedBandSearch(k, n) { t2 =>
+      val band = hkv.filter(col("hk") < t2)
+      (band.count(), band)
+    }
+  }
+
+  /** The (vec_id, mud, hk) frame the band filters over. */
+  private def hkFrame(v: DataFrame): DataFrame =
+    v.select(col("vec_id"), col("mud"))
       .withColumn("hk",
         graft.functions.GraftFunctions.md5PrefixInt(col("vec_id").cast("string")))
+
+  /** The widening threshold search — ONE policy definition for both band
+    * consumers (the counting seedBand and the collecting collectSeedRows),
+    * so a margin/scaling fix can never drift between them: `probe`
+    * materializes the band for a threshold and reports (population,
+    * result); the search widens (doubling) until the band holds ≥ k rows
+    * or covers the full hash space. At t2 == 2³² the predicate is vacuous
+    * (band == the whole frame): k is within margin-of-n, the one regime
+    * where unbanded is unavoidable. */
+  private def seedBandSearch[A](k: Int, n: Long)(probe: Long => (Long, A)): A = {
     val full = 1L << 32
     var t2: Long = math.min(full,
       (3.0 * k / math.max(n, 1L) * full.toDouble).toLong + 1024L)
-    var band = hkv.filter(col("hk") < t2)
-    while (band.count() < k && t2 < full) {
+    var (cnt, a) = probe(t2)
+    while (cnt < k && t2 < full) {
       t2 = math.min(full, t2 * 2)
-      band = hkv.filter(col("hk") < t2)
+      val r = probe(t2); cnt = r._1; a = r._2
     }
-    // at t2 == 2³² the predicate is vacuous (band == the whole frame):
-    // k is within margin-of-n, the one regime where unbanded is unavoidable
-    band
+    a
   }
 
   private[graft] def scaledK(n: Long): Int =
@@ -2093,12 +2124,24 @@ object SimilarityQueries {
     * reps frame (smallest vec_id per distinct micro-unit vector —
     * 8-byte-exact grouping on the integer-valued array, the
     * md5(text)-groupBy shape). */
-  private def exactFirstReps(spark: SparkSession, d: String): (Long, DataFrame) = {
+  /** The exact-first prepared frame `v` plus a ONE-ROW totals frame
+    * (n_total, n_reps). n_total used to be a synchronous driver
+    * `all.count()` — a full corpus-scan job paid during CONSTRUCTION of
+    * every exact-first query (q117/q118/q119/q125, ×2 under the bench's
+    * best-of-2) before any real work started (guide §5: no
+    * driver-blocking actions in query paths the plan itself can
+    * compute). The rep-group row count now rides `v` as `dup_cnt`
+    * (8 bytes/row through the one exchange the frame already pays), so a
+    * SINGLE aggregate over the persisted frame yields both totals —
+    * n_total = Σ dup_cnt, n_reps = count(*) — and the census crossJoin
+    * stays the plan's only nested-loop join (the q119/q125 plan pins'
+    * bnlj ≤ 1 rule). Values are unchanged: Σ of exact group sizes IS the
+    * corpus row count. */
+  private def exactFirstReps(spark: SparkSession, d: String): (DataFrame, DataFrame) = {
     import org.apache.spark.storage.StorageLevel
     val all = withNorm(spark, d)
       .withColumn("mud",
         transform(col("e"), x => round(x * lit(1e6)).cast("long").cast("double")))
-    val nTotal = all.count()
     // DIGEST-keyed grouping (r8 verdict "What's wrong" #1): keying the
     // exchange on the raw 64-element array shipped ~520 B/row of content
     // through the shuffle and drove the 32 GB driver-heap requirement at
@@ -2109,18 +2152,23 @@ object SimilarityQueries {
     // output equality with the array-keyed form; the oracle still groups
     // by mud itself.
     val repIds = all.groupBy(xxhash64(col("mud")).as("mh"))
-      .agg(min(col("vec_id")).as("vec_id"))
-      .select(col("vec_id"))
-    val v = all.join(repIds, "vec_id")
-      .select(col("vec_id"), col("e"), col("nrm"), col("mud"))
+      .agg(min(col("vec_id")).as("vec_id"), count(lit(1)).as("dup_cnt"))
+      .select(col("vec_id"), col("dup_cnt"))
+    val vc = all.join(repIds, "vec_id")
+      .select(col("vec_id"), col("e"), col("nrm"), col("mud"), col("dup_cnt"))
       .repartition(col("vec_id"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    (nTotal, v)
+    val totals = vc.agg(
+      coalesce(sum(col("dup_cnt")), lit(0L)).as("n_total"),
+      count(lit(1)).as("n_reps"))
+    // consumers see exactly the pre-r16 column set; dup_cnt stays inside
+    // the persisted frame for the totals aggregate only
+    val v = vc.drop("dup_cnt")
+    (totals, v)
   }
 
-  private def exactFirstOutput(nTotal: Long, v: DataFrame, census: DataFrame): DataFrame =
-    v.agg(count(lit(1)).as("n_reps"))
-      .withColumn("n_total", lit(nTotal))
+  private def exactFirstOutput(totals: DataFrame, v: DataFrame, census: DataFrame): DataFrame =
+    totals
       .withColumn("n_exact_removed", col("n_total") - col("n_reps"))
       .select(col("n_total"), col("n_reps"), col("n_exact_removed"))
       .crossJoin(census)
