@@ -19,25 +19,15 @@ object SparkEntry {
   def ensureConfs(spark: SparkSession): SparkSession = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    // AQE partition-coalescing floor (r16, guide §2.2): the default 1 MiB
-    // minPartitionSize collapses every sub-MiB shuffle to ONE partition —
-    // but this engine's kernels are CPU-dense per byte (forward-array
-    // barrier scans, 64-dim vector math, KDE pair sums: a 1 MiB packed
-    // partition is ~10⁴ rows × a heavy per-row kernel), so parallelismFirst
-    // coalescing never actually got to use the parallelism and whole
-    // window/aggregate stages ran single-task (measured: q33's timed run
-    // 2.8 s → 0.7 s at local[32] from this floor alone). 48 KiB keeps
-    // KB-scale frames collapsing as before while letting anything above
-    // ~1.5 MiB of shuffle spread across the session's cores; at
-    // production shuffle sizes the floor is unreachable (partitions are
-    // sized by the 64 MiB advisory target), so this is NOT a local-only
-    // tune — it is scale-adaptive by construction. Overridable per
-    // session via the standard conf; queries never depend on partition
-    // count for results (order-dependent aggregates are rounded on the
-    // 1e-6 lattice before any cross-partition merge — the repo-wide
-    // discipline the oracle hash checks enforce).
-    spark.conf.set("spark.sql.adaptive.coalescePartitions.minPartitionSize",
-      sys.env.getOrElse("SPARK_GRAFT_AQE_MIN_PARTITION", "48k"))
+    // NOTE (r16): an AQE coalescing-floor experiment
+    // (minPartitionSize 1 MiB → 48 KiB, to keep CPU-dense sub-MiB
+    // shuffles parallel) was tried here and REVERTED: the apparent 4×
+    // win on single-task window stages did not survive quiet-machine
+    // reruns (it was measurement contamination from concurrent gate
+    // runs), and q71-class multi-join chains got slightly slower from
+    // the extra scheduled tasks. Order-dependent aggregates are rounded
+    // on the 1e-6 lattice, so the experiment was result-safe — it just
+    // wasn't a win.
     // the rolling-quantile planner strategy, so every engine path (driver
     // smoke, Verify, Bench, user sessions routed through the registry)
     // plans sliding exclusive-quantile windows incrementally
