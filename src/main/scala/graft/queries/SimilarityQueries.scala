@@ -865,14 +865,21 @@ object SimilarityQueries {
   def q126SemanticGateCensus(spark: SparkSession, d: String): DataFrame = {
     // production read path (r13): the gate consumes the WRITTEN index —
     // built once per (JVM, corpus) by GateStaging, reported as Bench's
-    // q_staging_gate row — instead of rebuilding the clustering inline
+    // q_staging_gate row — instead of rebuilding the clustering inline.
+    // r16: the centroid table is the MEMOIZED once-per-(JVM, corpus) read
+    // (GateStaging.flatCents — the streaming gate's resident-tables
+    // contract), and the probe side is spread across cores BEFORE the
+    // per-row verify fold: the corpus is one small parquet file at bench
+    // SF, so the O(cell × Dim) fold otherwise runs on a single task (and
+    // twice — the final orderBy's range sampler re-evaluates its child).
     val idx = GateStaging.flatDir(spark, d)
-    val cents = readFlatCents(spark, idx)
+    val cents = GateStaging.flatCents(spark, d)
     val members = spark.read.parquet(s"$idx/members.parquet")
     // + 0.0 in the shared projection normalizes a rounded -0.0 (the
     // compare.py discipline)
     gateCensusProjection(graft.streaming.StreamingOps.streamingSemanticGateSharded(
-      Tables.embeddings(spark, d).select(col("vec_id"), col("embedding")),
+      Tables.embeddings(spark, d).select(col("vec_id"), col("embedding"))
+        .repartition(spark.sparkContext.defaultParallelism),
       cents, members, nShards = 4))
   }
 
@@ -916,12 +923,16 @@ object SimilarityQueries {
   // the q126 census tail.
   def q127SemanticGateRoutedCensus(spark: SparkSession, d: String): DataFrame = {
     // production read path (r13): broadcast-head reconstruction from the
-    // staged written index (GateStaging; build cost = q_staging_gate)
+    // staged written index (GateStaging; build cost = q_staging_gate).
+    // r16: RoutedTables come from the MEMOIZED once-per-(JVM, corpus)
+    // read (GateStaging.routedTables — the resident-tables contract), and
+    // the probe side is spread before the per-row verify fold (see q126).
     val idx = GateStaging.routedDir(spark, d)
-    val tabs = readRoutedTables(spark, idx)
+    val tabs = GateStaging.routedTables(spark, d)
     val members = spark.read.parquet(s"$idx/members.parquet")
     gateCensusProjection(graft.streaming.StreamingOps.streamingSemanticGateRouted(
-      Tables.embeddings(spark, d).select(col("vec_id"), col("embedding")),
+      Tables.embeddings(spark, d).select(col("vec_id"), col("embedding"))
+        .repartition(spark.sparkContext.defaultParallelism),
       tabs, members))
   }
 
